@@ -1,0 +1,192 @@
+"""Schema -> DataFrame-transform compiler.
+
+The reference interprets a schema per record
+(``extract_variables_values``, /root/reference/src/scicat_dataset.py:375-427:
+seed default variables -> evaluate each variable in YAML order
+(NXS | SC | VALUE dispatch -> operator -> cast) -> project schema fields).
+Here the SAME semantics compile ONCE into a chain of Column expressions —
+Catalyst collapses the chained projections, so per-record interpretation
+cost disappears and everything stays in whole-stage codegen.
+
+Semantics preserved:
+- V2 template interpolation (/root/reference/src/scicat_metadata.py:279-325):
+  a template that is exactly ``<var>`` substitutes the whole value AND
+  keeps the unit; embedded placeholders render to string and drop units.
+- V3 per-variable error tolerance
+  (/root/reference/src/scicat_dataset.py:348-372): a failed variable never
+  fails the row — we use try-semantics casts; NULL-with-error lands in a
+  ``_failures`` array column instead of an exception.
+- V4 default variables (/root/reference/src/scicat_dataset.py:327-345),
+  with nondeterminism pinned: ``ingestor_run_id`` is a deterministic
+  hash of the file path + batch id (retry-safe under Spark task retries,
+  unlike ``uuid4`` — SURVEY §7 Hard parts), ``now`` is the batch
+  timestamp, not per-row wall clock.
+- V5 sequential let-binding: later variables may reference earlier ones;
+  compiled by threading a name->Column environment through the loop.
+- V6 final cast per declared value_type (§1.2 registry).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.functions.casts import cast_to_type
+from scicat_ingestor_spark.functions.scalar import apply_operator, with_unit
+from scicat_ingestor_spark.plans.schema_model import (
+    HIGH_LEVEL,
+    SCIENTIFIC_METADATA,
+    MetadataSchema,
+    VariableDef,
+)
+
+_PLACEHOLDER = re.compile(r"<([^<>]+)>")
+
+
+def default_variables(
+    file_path_col: str,
+    batch_ts: Column | None = None,
+    schema_id: str = "",
+    files_directory: str = "",
+) -> dict[str, Column]:
+    """V4 system variables (/root/reference/src/scicat_dataset.py:327-345),
+    all unit ''. ingestor_run_id deterministic (md5 of path) so task
+    retries produce identical rows."""
+    path = F.col(file_path_col).cast("string")
+    now = batch_ts if batch_ts is not None else F.current_timestamp()
+    return {
+        "ingestor_run_id": with_unit(F.md5(path)),
+        "data_file_path": with_unit(path),
+        "data_file_name": with_unit(F.substring_index(path, "/", -1)),
+        "now": with_unit(F.date_format(now, "yyyy-MM-dd'T'HH:mm:ssXXX")),
+        "ingestor_files_directory": with_unit(F.lit(files_directory)),
+        "ingestor_metadata_schema_id": with_unit(F.lit(schema_id)),
+    }
+
+
+def render_template(template, env: dict[str, Column]) -> Column:
+    """V2 (/root/reference/src/scicat_metadata.py:279-325).
+
+    Exactly ``<var>`` -> the variable struct itself (value + unit kept).
+    Mixed text -> concat of literals and stringified values, unit ''.
+    Unresolved ``<...>`` raises at compile time (reference raises at
+    eval time). Non-string templates become literals.
+    """
+    if not isinstance(template, str):
+        return with_unit(F.lit(template))
+    exact = _PLACEHOLDER.fullmatch(template.strip())
+    if exact:
+        name = exact.group(1)
+        if name not in env:
+            raise KeyError(f"Unresolved variable reference: <{name}>")
+        return env[name]
+    parts: list[Column] = []
+    pos = 0
+    for m in _PLACEHOLDER.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        name = m.group(1)
+        if name not in env:
+            raise KeyError(f"Unresolved variable reference: <{name}>")
+        parts.append(env[name].getField("value").cast("string"))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return with_unit(F.lit(""))
+    value = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return with_unit(value.cast("string"))
+
+
+SourceResolver = Callable[[VariableDef], Column]
+"""Maps a variable definition to its raw (value,unit) struct Column.
+
+The engine wires these per deployment:
+- NXS -> ``sources.hdf5`` long-table lookup (map column on the row)
+- SC  -> columns produced by broadcast dimension joins (operators.joins)
+"""
+
+
+def compile_variable(
+    var: VariableDef,
+    env: dict[str, Column],
+    resolvers: dict[str, SourceResolver],
+) -> Column:
+    """One variable: dispatch source -> operator -> unit override -> cast
+    (/root/reference/src/scicat_dataset.py:389-420)."""
+    if var.source == "VALUE":
+        raw = render_template(var.value, env)
+    else:
+        resolver = resolvers.get(var.source)
+        if resolver is None:
+            raise ValueError(f"Unknown variable source: {var.source}")
+        raw = resolver(var)
+    out = apply_operator(var.operator, raw, **var.operator_args)
+    unit = F.lit(var.unit).cast("string") if var.unit is not None else out.getField("unit")
+    value = cast_to_type(out.getField("value"), var.value_type)
+    return with_unit(value, unit)
+
+
+def compile_schema(
+    schema: MetadataSchema,
+    file_path_col: str = "data_file_path",
+    resolvers: dict[str, SourceResolver] | None = None,
+    batch_ts: Column | None = None,
+    extra_env: dict[str, Column] | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Compile a MetadataSchema into a DataFrame transform.
+
+    Output columns: one STRUCT<value,unit> per high-level field (under its
+    machine_name), plus ``scientificMetadata`` as
+    MAP<STRING, STRUCT<value,unit,human_name,type>> matching the
+    reference's output shape (/root/reference/src/scicat_dataset.py:763-774),
+    plus ``_failures`` ARRAY<STRING> of variable names whose evaluation
+    produced NULL from a non-NULL source (V3 reporting channel).
+    """
+    resolvers = resolvers or {}
+
+    def transform(df: DataFrame) -> DataFrame:
+        env = default_variables(
+            file_path_col, batch_ts=batch_ts, schema_id=schema.id
+        )
+        env.update(extra_env or {})
+        for var in schema.variables:  # V5: ordered let-binding
+            env[var.name] = compile_variable(var, env, resolvers)
+
+        failure_flags = [
+            F.when(env[v.name].getField("value").isNull(), F.lit(v.name))
+            for v in schema.variables
+        ]
+        out = df
+        sci_entries: list[Column] = []
+        for fld in schema.fields:
+            rendered = render_template(fld.value, env)
+            value = cast_to_type(rendered.getField("value"), fld.value_type)
+            if fld.field_type == HIGH_LEVEL:
+                out = out.withColumn(
+                    fld.machine_name, with_unit(value, rendered.getField("unit"))
+                )
+            elif fld.field_type == SCIENTIFIC_METADATA:
+                sci_entries.append(F.lit(fld.machine_name))
+                sci_entries.append(
+                    F.struct(
+                        value.cast("string").alias("value"),
+                        rendered.getField("unit").alias("unit"),
+                        F.lit(fld.human_name).alias("human_name"),
+                        F.lit(fld.value_type).alias("type"),
+                    )
+                )
+            # invalid field_type: warned + ignored in the reference (P7)
+        if sci_entries:
+            out = out.withColumn("scientificMetadata", F.create_map(*sci_entries))
+        if failure_flags:
+            out = out.withColumn(
+                "_failures",
+                F.filter(F.array(*failure_flags), lambda x: x.isNotNull()),
+            )
+        return out
+
+    return transform

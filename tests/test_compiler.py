@@ -1,0 +1,116 @@
+"""Schema-compiler tests mirroring the reference's variable-extraction and
+dataset-assembly cases (/root/reference/tests/test_scicat_dataset.py:82-284,
+tests/test_scicat_metadata_schema.py:271-357)."""
+
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.functions.scalar import with_unit
+from scicat_ingestor_spark.plans.compiler import compile_schema, render_template
+from scicat_ingestor_spark.plans.schema_model import MetadataSchema
+
+SCHEMA = MetadataSchema.from_dict(
+    {
+        "id": "test-schema",
+        "name": "test",
+        "order": 0,
+        "selector": "*",
+        "variables": {
+            "job_id": {"source": "VALUE", "value": "<raw_job_id>", "value_type": "string"},
+            "title": {
+                "source": "VALUE",
+                "value": "Run <job_id>",
+                "value_type": "string",
+            },
+            "temp_sum": {
+                "source": "NXS",
+                "path": "/entry/sensor/temps",
+                "operator": "sum",
+                "value_type": "float",
+            },
+            "bad_int": {
+                "source": "VALUE",
+                "value": "not-a-number",
+                "value_type": "integer",
+            },
+        },
+        "schema": {
+            "jobId": {
+                "machine_name": "jobId",
+                "value": "<job_id>",
+                "field_type": "high_level",
+            },
+            "datasetName": {
+                "machine_name": "datasetName",
+                "value": "<title>",
+                "field_type": "high_level",
+            },
+            "temperature": {
+                "machine_name": "temperature",
+                "human_name": "Temperature sum",
+                "value": "<temp_sum>",
+                "field_type": "scientific_metadata",
+                "value_type": "float",
+            },
+        },
+    }
+)
+
+
+def _input(spark):
+    return spark.createDataFrame(
+        [("/data/f1.nxs", "job-1", [1.0, 2.0]), ("/data/f2.nxs", "job-2", [5.0, 7.5])],
+        ["data_file_path", "raw_job_id", "temps"],
+    )
+
+
+def _resolvers():
+    # NXS resolver for tests: read from the `temps` array column with unit K
+    return {"NXS": lambda var: with_unit(F.col("temps"), "K")}
+
+
+def _extra_env():
+    # seed the template environment with an input column
+    return {"raw_job_id": with_unit(F.col("raw_job_id"))}
+
+
+class TestCompiler:
+    def test_end_to_end(self, spark):
+        transform = compile_schema(SCHEMA, resolvers=_resolvers(), extra_env=_extra_env())
+        # raw_job_id must be visible to templates via a seed variable:
+        out = transform(_input(spark))
+        rows = {r["jobId"]["value"]: r for r in out.collect()}
+        assert rows["job-1"]["datasetName"]["value"] == "Run job-1"
+        sci = rows["job-2"]["scientificMetadata"]["temperature"]
+        assert sci["value"] == "12.5"
+        assert sci["unit"] == "K"
+        assert sci["human_name"] == "Temperature sum"
+
+    def test_failures_reported_not_raised(self, spark):
+        transform = compile_schema(SCHEMA, resolvers=_resolvers(), extra_env=_extra_env())
+        out = transform(_input(spark))
+        # bad_int nulls out but the row survives (V3)
+        assert out.count() == 2
+        assert all(r["_failures"] == ["bad_int"] for r in out.collect())
+
+    def test_exact_placeholder_keeps_unit(self, spark):
+        env = {"v": with_unit(F.lit(3.5), "mm")}
+        out = spark.range(1).select(render_template("<v>", env).alias("o")).collect()[0]["o"]
+        assert out["value"] == 3.5 and out["unit"] == "mm"
+
+    def test_embedded_placeholder_drops_unit(self, spark):
+        env = {"v": with_unit(F.lit(3.5), "mm")}
+        out = spark.range(1).select(render_template("x=<v>!", env).alias("o")).collect()[0]["o"]
+        assert out["value"] == "x=3.5!" and out["unit"] == ""
+
+    def test_unresolved_placeholder_raises(self, spark):
+        try:
+            render_template("<missing>", {})
+            raise AssertionError("should have raised")
+        except KeyError:
+            pass
+
+    def test_default_variables_deterministic(self, spark):
+        transform = compile_schema(SCHEMA, resolvers=_resolvers(), extra_env=_extra_env())
+        a = transform(_input(spark)).select("data_file_path").count()
+        b = transform(_input(spark)).select("data_file_path").count()
+        assert a == b == 2
