@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Headline benchmark for the driver (BASELINE.md §B).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed via a count-style collect (no result
+materialization to the driver beyond the aggregate), timed after a
+warm-up pass of the parquet footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scicat_ingestor_spark.queries import QUERIES  # noqa: E402
+from scicat_ingestor_spark.session import get_session  # noqa: E402
+
+# Headline set: the flagship pipeline, the TPC-H-shaped analytics pair,
+# one representative per operator family (scan-filter, join, agg,
+# window/rollup), and the training-data-pipeline extensions.
+HEADLINE = [
+    "ingest_e2e",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "j1_enrichment_join",
+    "j4_anti_exists_pid",
+    "a1_a2_dataset_size",
+    "t8_hourly_rollup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality",
+    "text_langid",
+    "text_token_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # full execution without driver-side materialization of rows
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

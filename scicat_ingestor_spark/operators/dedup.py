@@ -1,0 +1,224 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup is the anti-join exists-probe
+(/root/reference/src/scicat_offline_ingestor.py:67-125 — covered by
+operators.joins.anti_by_*). This module adds the content-dedup family a
+100 TB text pipeline needs: exact hash dedup, MinHash+LSH, SimHash, and
+n-gram Jaccard verification.
+
+Scale notes (designed for 1000-executor clusters):
+- Exact dedup: one shuffle on the content hash; the winner-per-group is a
+  min aggregate, NOT a window over the full table (no sort, map-side
+  partial agg applies).
+- MinHash/LSH: signatures are per-row aggregates over exploded shingles
+  (map-side combinable); candidate generation is an equi-join on
+  (band, signature) — only rows sharing a bucket ever meet, so the
+  cross-product is bounded by bucket size, never n^2.
+- All hashing uses md5 (hex string) so signatures are engine-portable —
+  the DuckDB oracles compute the identical bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.operators.util import ensure_parallelism
+
+
+def content_hash(text: Column) -> Column:
+    """Exact-dup key: md5 of the raw content."""
+    return F.md5(text.cast("string"))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (lowest id) per exact content hash.
+
+    groupBy + min (partial-aggregatable) then a semi join back — cheaper
+    at scale than a row_number window (no per-group sort of all rows).
+    """
+    keyed = df.withColumn("_h", content_hash(F.col(text_col)))
+    winners = keyed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, ["_h", id_col], "left_semi").drop("_h")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; n=1 -> distinct words."""
+    toks = F.split(F.lower(text), r"\s+")
+    if n == 1:
+        return F.array_distinct(toks)
+    # greatest(...,1): sequence(1,0) would be DESCENDING in Spark
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_digests(shingles: Column) -> Column:
+    """Per-shingle 64-hex-char digest: md5(s) || md5('x'||s).
+
+    Two digest computations yield material for eight independent 32-bit
+    hash functions (disjoint 8-hex-char slices) — 4x fewer md5 calls than
+    seeding md5 once per hash function. Portable: DuckDB computes the
+    identical bytes.
+    """
+    return F.transform(
+        shingles, lambda s: F.concat(F.md5(s), F.md5(F.concat(F.lit("x"), s)))
+    )
+
+
+def minhash_signature_cols(digests: Column, num_hashes: int) -> list[Column]:
+    """num_hashes portable min-hashes over pre-computed shingle digests:
+    hash_i(s) = hex slice [8i, 8i+8) of the digest; min over hex strings
+    is a valid min-hash (uniform order on the slice).
+    """
+    if num_hashes > 8:
+        raise ValueError("hex-slice scheme provides at most 8 hash functions")
+
+    # NB: single-arg closures only — a `lambda s, i=i:` two-param signature
+    # makes Spark's HOF machinery bind the array index to the second param.
+    def _slice(i: int):
+        return lambda h: F.substring(h, 8 * i + 1, 8)
+
+    return [
+        F.array_min(F.transform(digests, _slice(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    explode to (id, band, band_signature) and self-join per bucket; the
+    shuffle key is (band, signature) so skew only appears for genuinely
+    repeated content. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    num_hashes = bands * rows_per_band
+    # two-step select: materialize the digest array in its own projection —
+    # CollapseProject keeps non-cheap expressions referenced 8x in a
+    # separate stage, so the md5 work runs once per shingle, not per hash
+    digests = ensure_parallelism(df).select(
+        F.col(id_col),
+        shingle_digests(word_shingles(F.col(text_col), shingle_n)).alias("_dg"),
+    )
+    sig = digests.select(
+        F.col(id_col), *minhash_signature_cols(F.col("_dg"), num_hashes)
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_bits(text: Column, bits: int = 16) -> list[Column]:
+    """Per-document SimHash: bit_i = majority over words of bit_i(md5(word)).
+
+    bit_i of a word = high bit of the i-th hex nibble of its md5 — cheap,
+    portable, and computed entirely with string built-ins (codegen'd).
+    """
+    words = F.array_distinct(F.split(F.lower(text), r"\s+"))
+    hashes = F.transform(words, F.md5)
+    n = F.size(words)
+    def _high_nibble(pos: int):
+        return lambda h: F.substring(h, pos, 1).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"
+        )
+
+    cols = []
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, _high_nibble(i + 1)))
+        cols.append(F.when(ones * 2 > n, F.lit("1")).otherwise(F.lit("0")).alias(f"b{i}"))
+    return cols
+
+
+def simhash_signature(text: Column, bits: int = 16) -> Column:
+    return F.concat(*simhash_bits(text, bits))
+
+
+def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Group docs by identical SimHash signature; emit groups of size>1 as
+    (signature, n_docs, min_id) — the near-dup clusters."""
+    sig = ensure_parallelism(df).select(
+        F.col(id_col), simhash_signature(F.col(text_col), bits).alias("simhash")
+    )
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_similarity(a: Column, b: Column) -> Column:
+    """Jaccard over two (distinct-element) arrays, all built-ins."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: pairs only form inside a blocking
+    key (e.g. language), keeping the join quadratic only per-block. At
+    100 TB you'd feed this the LSH candidates instead of raw blocks; the
+    expression core is identical.
+
+    Returns (id_a, id_b, jaccard) for pairs >= threshold.
+    """
+    prepped = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    a = prepped.alias("a")
+    b = prepped.alias("b")
+    sim = jaccard_similarity(F.col("a._sh"), F.col("b._sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,118 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+Design: media payloads ride as ``binary`` columns with a
+``media_meta STRUCT<kind, mime, width, height, sample_rate, n_frames>``
+sidecar. Decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas iterators over ``mapInPandas`` — the Spark-side
+plumbing (schema, partitioning, batch shape) is real; the actual codec
+call is stubbed (image/audio libraries are not in this container) behind
+``DECODERS`` with a deterministic fake so plans and tests are exact.
+
+At scale: payload columns are large — partition sizing must come from
+``spark.sql.files.maxPartitionBytes`` on the parquet side, and decode
+stages should be late (after all relational filtering) so bytes never
+shuffle; ``mapInPandas`` preserves partitioning (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "kind string, mime string, width int, height int, sample_rate int, n_frames int"
+)
+
+DECODE_OUT_SCHEMA = (
+    "media_id long, kind string, width int, height int, feature_hash string, n_bytes long"
+)
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a real image decode.
+
+    A real deployment registers e.g. a PIL/torchvision decoder in
+    ``DECODERS``; shape of the returned record is the contract.
+    """
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "width": int(digest[:2], 16) + 1,
+        "height": int(digest[2:4], 16) + 1,
+        "feature_hash": digest,
+    }
+
+
+def _unavailable_decode(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real media codecs are not installed in this environment; "
+        "register a decoder in DECODERS"
+    )
+
+
+DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "fake": _fake_decode,
+    "image": _unavailable_decode,  # swap in PIL.Image.open in production
+    "audio": _unavailable_decode,
+    "video": _unavailable_decode,
+}
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Test harness: treat a text column's bytes as the media payload and
+    attach typed metadata, the way a real multimodal table would arrive."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("fake").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Arrow-batched decode via mapInPandas: (media_id, payload, meta) ->
+    DECODE_OUT_SCHEMA rows. Partition-preserving; codec runs next to the
+    data."""
+    decode = DECODERS[decoder]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds = pdf["media_meta"].map(lambda m: m["kind"])
+            decoded = pdf["payload"].map(lambda b: decode(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "width": decoded.map(lambda d: d["width"]),
+                    "height": decoded.map(lambda d: d["height"]),
+                    "feature_hash": decoded.map(lambda d: d["feature_hash"]),
+                    "n_bytes": pdf["payload"].map(len),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODE_OUT_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing: explode a (stubbed) frame index list and
+    keep every Nth frame — the real variant replaces the index generator
+    with the container demuxer inside the same mapInPandas stage."""
+    decoded = decode_media(df)
+    return (
+        decoded.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), (F.col("width") % 16))).alias("frame_idx"),
+        )
+        .filter(F.col("frame_idx") % every_n == 0)
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+- Brute-force cosine top-k: exact baseline. The dot product is a
+  zip_with/aggregate fold — built-in, codegen'd, no Python. The k-selection
+  is a window per query over the candidate set.
+- LSH-bucketed ANN (random hyperplane signatures): the scale path. Each
+  vector gets a B-bit signature from fixed pseudo-random hyperplanes
+  (deterministic, derived from md5 of the dimension index so it is
+  reproducible across engines and runs); candidates = bucket collisions,
+  then exact re-rank within bucket. Bucket join keeps the candidate set
+  ~n/2^B per query instead of n.
+
+Embeddings are cast to double before folding so results are bit-stable
+and match the DuckDB oracle's list_dot_product on DOUBLE[].
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered left fold — deterministic double summation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query.
+
+    queries is small (broadcast); vectors is the 100 TB side and is
+    scanned once with no shuffle — the only shuffle is the per-query
+    top-k, whose input is already cut to candidates.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = vectors.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH signature as a bit-string.
+
+    Hyperplane b's weight for dimension d is derived from md5(f"{b}:{d}")
+    mapped to [-1, 1) — fixed constants folded into the plan, so the
+    signature costs one pass over the vector per bit, no randomness at
+    runtime, identical across retries/engines.
+    """
+    import hashlib
+
+    bit_cols = []
+    for b in range(bits):
+        weights = [
+            (int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:8], 16) / 0x80000000) - 1.0
+            for d in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in weights]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_cols.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_cols)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """ANN top-k: signature bucket join, then exact cosine re-rank within
+    bucket. Recall < 1 by construction; the scale path for 100 TB."""
+    sig_v = vectors.withColumn("_sig", hyperplane_signature(F.col(vec_col), dim, bits))
+    sig_q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        hyperplane_signature(F.col(vec_col), dim, bits).alias("_sig"),
+    )
+    candidates = sig_v.join(F.broadcast(sig_q), "_sig")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )

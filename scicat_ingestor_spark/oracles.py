@@ -1,0 +1,361 @@
+"""DuckDB oracle SQL for each named query in queries.py.
+
+Conventions shared with the Spark side so value hashes match:
+- money aggregates: CAST to DECIMAL(18,s) before SUM, ROUND(.,2), CAST
+  to DOUBLE;
+- averages: exact DECIMAL sum cast to DOUBLE, divided by the BIGINT
+  count (IEEE division of identical operands is bit-stable);
+- md5() is the shared portable hash;
+- timestamps compared as formatted strings (parquet ns vs us).
+"""
+
+from __future__ import annotations
+
+_STOP_EN = "'the','and','of','to','is'"
+_STOP_DE = "'der','die','und','ist','das'"
+_STOP_FR = "'le','la','et','est','les'"
+_STOP_ES = "'el','la','que','y','es'"
+_STOP_ALL = ",".join([_STOP_EN, _STOP_DE, _STOP_FR, _STOP_ES])
+
+_SIMHASH_BITS = ",\n  ".join(
+    "CASE WHEN 2*sum(CASE WHEN substr(hx,{p},1) IN ('8','9','a','b','c','d','e','f') "
+    "THEN 1 ELSE 0 END) > count(*) THEN '1' ELSE '0' END AS b{i}".format(p=i + 1, i=i)
+    for i in range(16)
+)
+_SIMHASH_CONCAT = "||".join(f"b{i}" for i in range(16))
+
+_MINHASH_COLS = ",\n   ".join(
+    f"min(substr(md5(s) || md5('x'||s), {8 * i + 1}, 8)) AS mh{i}" for i in range(8)
+)
+_MINHASH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh{2*b}||'|'||mh{2*b+1} AS sig FROM mh"
+    for b in range(4)
+)
+
+ORACLES: dict[str, str] = {
+    "s2_message_type_filter": """
+SELECT event_id AS offset, substr(event_type || '####', 1, 4) AS message_type
+FROM events WHERE substr(event_type || '####', 1, 4) = 'purc'
+""",
+    "s3_wrdn_deserialize": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       'job-' || event_id AS job_id
+FROM events
+""",
+    "s4_error_filter": """
+SELECT event_id, event_type FROM events WHERE NOT (event_type = 'error')
+""",
+    "p6_schema_selection": """
+WITH f AS (SELECT doc_id, '/data/'||source||'/doc_'||doc_id||'.nxs' AS filename FROM documents)
+SELECT doc_id,
+  CASE WHEN filename LIKE '%src1%' THEN 'coda'
+       WHEN filename LIKE '/data/src2%' THEN 'ymir'
+       ELSE 'fallback' END AS schema_id
+FROM f
+""",
+    "p11_default_coalesce": """
+SELECT event_id,
+  coalesce(CASE WHEN CAST(json_extract_string(props,'$.k') AS BIGINT) % 3 != 0
+    THEN 'grp-' || CAST(json_extract_string(props,'$.k') AS BIGINT) END, 'ess') AS owner_group
+FROM events
+""",
+    "p12_pid_policy": """
+SELECT event_id,
+  CASE WHEN event_id % 2 != 0 THEN md5('job-' || event_id) END AS pid
+FROM events
+""",
+    "v2_template_render": """
+SELECT doc_id, 'doc '||doc_id||' from '||source AS dataset_name FROM documents
+""",
+    "v6_cast_library": """
+SELECT event_id,
+  CAST(json_extract_string(props,'$.k') AS BIGINT) AS k_int,
+  CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value_str,
+  strftime(ts::TIMESTAMP, '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts_iso
+FROM events
+""",
+    "f_scalar_string_ops": """
+WITH d AS (SELECT doc_id, text, lang, source,
+  '/data/'||source||'/doc_'||doc_id||'.txt' AS path FROM documents)
+SELECT doc_id,
+  split_part(path, '/', -1) AS fname,
+  regexp_replace(path, '/[^/]*$', '') AS dname,
+  regexp_replace(regexp_replace(path, '/[^/]*$', ''), '/[^/]*$', '') AS dname2,
+  upper(lang) AS lang_up,
+  replace(source, 'src', 'origin') AS origin,
+  array_to_string(regexp_split_to_array(lower(text), '\\s+')[1:3], ', ') AS first_words
+FROM d
+""",
+    "j1_enrichment_join": """
+SELECT n_name,
+  count(*) AS n_orders,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    "j2_ci_first_lookup": """
+WITH dim AS (SELECT 'Instr-'||(s_suppkey % 5) AS name, s_suppkey AS id FROM supplier),
+firsts AS (
+  SELECT lower(name) AS ln, id FROM (
+    SELECT name, id, row_number() OVER (PARTITION BY lower(name) ORDER BY id) AS rn FROM dim
+  ) WHERE rn = 1),
+facts AS (SELECT event_id, 'INSTR-'||(user_id % 5) AS instrument_name FROM events)
+SELECT f.event_id, fi.id AS instrument_id
+FROM facts f LEFT JOIN firsts fi ON lower(f.instrument_name) = fi.ln
+""",
+    "j3_sample_lookup_collect": """
+SELECT c_custkey,
+  coalesce(string_agg(o_orderkey, ',' ORDER BY o_orderkey), '') AS order_ids
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+    "j4_anti_exists_pid": """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+""",
+    "j5_anti_by_metadata": """
+WITH ev AS (SELECT event_id, 'src'||json_extract_string(props,'$.k') AS meta_key FROM events)
+SELECT event_id, meta_key FROM ev
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.source = ev.meta_key)
+""",
+    "j7_id_list_merge": """
+WITH u AS (
+  SELECT DISTINCT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'O'
+  UNION
+  SELECT DISTINCT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 150000
+)
+SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS ids
+FROM u GROUP BY o_custkey
+""",
+    "a1_a2_dataset_size": """
+SELECT l_orderkey,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_size,
+  count(*) AS n_files
+FROM lineitem GROUP BY l_orderkey
+""",
+    "a4_commonpath": """
+WITH p AS (SELECT l_returnflag, '/data/'||l_returnflag||'/'||l_linestatus||'/'||l_orderkey AS path FROM lineitem),
+mm AS (SELECT l_returnflag, string_split(min(path), '/') AS sa, string_split(max(path), '/') AS sb
+       FROM p GROUP BY l_returnflag),
+c AS (SELECT l_returnflag, sa,
+        least(len(sa), len(sb)) AS n,
+        list_position(list_transform(sa[1:least(len(sa), len(sb))],
+                                     (x, i) -> x IS DISTINCT FROM sb[i]), true) AS mis
+      FROM mm)
+SELECT l_returnflag,
+  array_to_string(sa[1:(CASE WHEN mis IS NOT NULL AND mis > 0 THEN mis - 1 ELSE n END)], '/') AS common_path
+FROM c
+""",
+    "a5_unit_consensus": """
+SELECT user_id,
+  CASE WHEN count(DISTINCT event_type) = 1 THEN min(event_type) ELSE '' END AS unit,
+  count(*) AS n
+FROM events GROUP BY user_id
+""",
+    "a7_extractors": """
+SELECT event_type,
+  max(value) AS max_value,
+  min(value) AS min_value,
+  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_value,
+  count(*) AS n
+FROM events GROUP BY event_type
+""",
+    "o3_latest_dataset": """
+SELECT event_id, strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts_iso
+FROM events ORDER BY ts::TIMESTAMP DESC, event_id DESC LIMIT 1
+""",
+    "t8_hourly_rollup": """
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
+""",
+    "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q3_top_revenue": """
+SELECT l_orderkey,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+  strftime(min(o_orderdate)::TIMESTAMP, '%Y-%m-%d') AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+    "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+    "dedup_minhash_lsh": f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+    i -> concat_ws(' ', toks[i], toks[i+1]))) AS shingles FROM w),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mh AS (SELECT doc_id,
+   {_MINHASH_COLS}
+   FROM ex GROUP BY doc_id),
+bk AS (
+  {_MINHASH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+    "dedup_simhash": f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS word
+           FROM documents),
+h AS (SELECT doc_id, md5(word) AS hx FROM w),
+bits AS (SELECT doc_id,
+  {_SIMHASH_BITS}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM sig GROUP BY simhash HAVING count(*) > 1
+""",
+    "dedup_ngram_jaccard": """
+WITH p AS (SELECT doc_id, lang,
+  list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+""",
+    "ann_cosine_topk": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+s AS (SELECT q.query_id, v.vec_id,
+        list_dot_product(v.e, q.qe)
+          / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM v CROSS JOIN q),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM s)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+""",
+    "text_langid": f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+s AS (SELECT doc_id,
+  len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS s_en,
+  len(list_filter(toks, x -> x IN ({_STOP_DE}))) AS s_de,
+  len(list_filter(toks, x -> x IN ({_STOP_FR}))) AS s_fr,
+  len(list_filter(toks, x -> x IN ({_STOP_ES}))) AS s_es
+ FROM w)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unk'
+       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+       ELSE 'de' END AS predicted_lang
+FROM s
+""",
+    "text_quality": f"""
+WITH w AS (SELECT doc_id, text, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id, text, toks,
+  len(toks) AS n_words,
+  len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+  length(text) AS n_chars,
+  len(list_filter(toks, x -> x IN ({_STOP_ALL}))) AS n_stop,
+  list_sum(list_transform(toks, x -> length(x))) AS sum_len
+ FROM w)
+SELECT doc_id, n_words,
+  round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END, 6) AS stopword_ratio,
+  round(CASE WHEN n_words > 0 THEN CAST(sum_len AS DOUBLE) / n_words ELSE 0.0 END, 6) AS avg_word_len,
+  (n_words >= 5
+   AND (CAST(sum_len AS DOUBLE) / n_words) >= 2.0
+   AND (CAST(sum_len AS DOUBLE) / n_words) <= 12.0
+   AND (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) <= 0.3) AS keep
+FROM f
+""",
+    "text_token_counts": """
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_tokens
+FROM documents
+""",
+    "text_fingerprint": """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents)
+SELECT doc_id,
+  list_aggregate(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+    i -> md5(array_to_string(toks[i:i+3], ' '))), 'min') AS fingerprint
+FROM w
+""",
+    "multimodal_decode": """
+WITH h AS (SELECT doc_id, text, md5(text) AS hx FROM documents)
+SELECT doc_id AS media_id, 'fake' AS kind,
+  CAST((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(hx,2,1)) AS INTEGER) AS width,
+  CAST((strpos('0123456789abcdef', substr(hx,3,1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(hx,4,1)) AS INTEGER) AS height,
+  hx AS feature_hash,
+  octet_length(encode(text)) AS n_bytes
+FROM h
+""",
+    "s7_wildcard_lookup": """
+WITH long AS (
+  SELECT '/f'||doc_id AS file, '/entry/detector/channel_0/counts' AS h5_path,
+         CAST(n_chars AS VARCHAR) AS value, 'counts' AS unit FROM documents
+  UNION ALL
+  SELECT '/f'||doc_id, '/entry/detector/channel_1/counts', CAST(doc_id AS VARCHAR), 'counts' FROM documents
+  UNION ALL
+  SELECT '/f'||doc_id, '/entry/detector/zchan/counts', '0', 'other' FROM documents
+),
+m AS (SELECT * FROM long
+      WHERE regexp_matches(h5_path, '^/entry/detector/[^/]*channel_*[^/]*/counts$'))
+SELECT file, string_agg(value, ',' ORDER BY h5_path) AS vals,
+  CASE WHEN count(DISTINCT unit) = 1 THEN min(unit) ELSE '' END AS unit
+FROM m GROUP BY file
+""",
+    "ingest_e2e": """
+WITH msgs AS (
+  SELECT event_id, user_id, value,
+    CAST(json_extract_string(props,'$.k') AS BIGINT) AS k
+  FROM events WHERE NOT (event_type = 'error')
+),
+named AS (
+  SELECT *, '/ess/data/src'||(k % 20)||'/run_'||event_id||'.nxs' AS filename FROM msgs
+),
+selected AS (
+  SELECT *,
+    CASE WHEN filename LIKE '%src1%' THEN 'coda'
+         WHEN filename LIKE '/ess/data/src2%' THEN 'ymir'
+         ELSE 'fallback' END AS schema_id
+  FROM named
+),
+ds AS (
+  SELECT 'job-'||event_id AS pid_value,
+    'run '||event_id||' k='||k AS dataset_name,
+    coalesce(c.c_name, 'ess') AS owner,
+    schema_id,
+    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS size,
+    event_id
+  FROM selected LEFT JOIN customer c ON (user_id + 1) = c.c_custkey
+)
+SELECT pid_value, dataset_name, owner, schema_id, size
+FROM ds
+WHERE NOT EXISTS (
+  SELECT 1 FROM events e WHERE e.event_id % 10 = 0 AND 'job-'||e.event_id = ds.pid_value
+)
+""",
+}

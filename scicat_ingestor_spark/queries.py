@@ -1,0 +1,701 @@
+"""The engine's named query suite + DuckDB oracle twins.
+
+One entry per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions). Each Spark query and its oracle SQL
+compute the same result with matching column names; doubles are rounded
+identically and money arithmetic goes through DECIMAL on both sides so
+value hashes are bit-stable across engines.
+
+Tables (parquet in sf_dir): region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.functions.scalar import with_unit
+from scicat_ingestor_spark.operators import dedup, similarity, text
+from scicat_ingestor_spark.operators.aggregates import commonpath_agg, unit_consensus
+from scicat_ingestor_spark.operators.joins import anti_by_key, enrich, lookup_first_ci
+from scicat_ingestor_spark.operators.multimodal import attach_binary_payload, decode_media
+from scicat_ingestor_spark.operators.selectors import with_selected_schema
+from scicat_ingestor_spark.operators.util import ensure_parallelism
+from scicat_ingestor_spark.plans.compiler import compile_schema
+from scicat_ingestor_spark.plans.schema_model import MetadataSchema
+from scicat_ingestor_spark.sources import hdf5
+from scicat_ingestor_spark.sources.messages import drop_writer_errors
+
+
+_FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-since-epoch long (see session.py nanosAsLong) -> µs timestamp,
+        # truncating like DuckDB's ns->µs cast
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name in _FACT_TABLES:
+        # driver testdata is single-row-group parquet -> 1 scan split;
+        # re-split to cluster parallelism (filters/pruning push through
+        # Repartition; no-op on well-split data — see operators.util)
+        df = ensure_parallelism(df)
+    return df
+
+
+def _dec(col, scale=2):
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _money(agg_col):
+    """round(sum_decimal, 2) -> double, bit-stable across engines."""
+    return F.round(agg_col, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / filters (S2-S4) on the wrdn-shaped events stream
+# ---------------------------------------------------------------------------
+
+def q_s2_message_type_filter(spark, sf_dir):
+    """S2: cheap byte-tag filter before any parsing
+    (/root/reference/src/scicat_kafka.py:89-96)."""
+    ev = _t(spark, sf_dir, "events")
+    tag = F.substring(F.concat(F.col("event_type"), F.lit("####")), 1, 4)
+    return (
+        ev.withColumn("message_type", tag)
+        .filter(F.col("message_type") == "purc")
+        .select(F.col("event_id").alias("offset"), "message_type")
+    )
+
+
+def q_s4_error_filter(spark, sf_dir):
+    """S4: drop writer-error records
+    (/root/reference/src/scicat_kafka.py:99-110)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "error_encountered", F.col("event_type") == "error"
+    )
+    return drop_writer_errors(ev).select("event_id", "event_type")
+
+
+def q_s3_wrdn_deserialize(spark, sf_dir):
+    """S3: message payload -> struct fields (JSON harness of the
+    flatbuffer decode, /root/reference/src/scicat_kafka.py:113-134)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.concat(F.lit("job-"), F.col("event_id")).alias("job_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 selectors / projections (P6, P11, P12)
+# ---------------------------------------------------------------------------
+
+_P6_SCHEMAS = [
+    {"id": "coda", "name": "coda", "order": 0, "selector": "filename:contains:src1"},
+    {
+        "id": "ymir",
+        "name": "ymir",
+        "order": 1,
+        "selector": "filename:starts_with:/data/src2",
+    },
+]
+
+
+def q_p6_schema_selection(spark, sf_dir):
+    """P6: ordered first-match schema selection as one CASE chain
+    (/root/reference/src/scicat_metadata.py:420-447)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "filename",
+        F.concat(F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".nxs")),
+    )
+    return with_selected_schema(docs, _P6_SCHEMAS, fallback_id="fallback").select(
+        "doc_id", "schema_id"
+    )
+
+
+def q_p11_default_coalesce(spark, sf_dir):
+    """P11: None -> config defaults
+    (/root/reference/src/scicat_dataset.py:954-978)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    raw = F.when(k % 3 != 0, F.concat(F.lit("grp-"), k))
+    return ev.select(
+        "event_id", F.coalesce(raw, F.lit("ess")).alias("owner_group")
+    )
+
+
+def q_p12_pid_policy(spark, sf_dir):
+    """P12: pid forced NULL vs generated — generation pinned to a
+    deterministic hash instead of uuid4 (SURVEY §7 Hard parts;
+    /root/reference/src/scicat_dataset.py:777-790)."""
+    ev = _t(spark, sf_dir, "events")
+    gen = F.md5(F.concat(F.lit("job-"), F.col("event_id")))
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 != 0, gen).alias("pid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/§1.2 variable evaluation / casts (V2, V6) + §2.4 scalar ops
+# ---------------------------------------------------------------------------
+
+def q_v6_cast_library(spark, sf_dir):
+    """V6/§1.2: declared value_type casts."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_int"),
+        _dec(F.col("value")).cast("string").alias("value_str"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+    )
+
+
+_V2_SCHEMA = MetadataSchema.from_dict(
+    {
+        "id": "render",
+        "name": "render",
+        "order": 0,
+        "selector": "*",
+        "variables": {
+            "title": {
+                "source": "VALUE",
+                "value": "doc <doc_id> from <source>",
+                "value_type": "string",
+            }
+        },
+        "schema": {
+            "datasetName": {
+                "machine_name": "datasetName",
+                "value": "<title>",
+                "field_type": "high_level",
+            }
+        },
+    }
+)
+
+
+def q_v2_template_render(spark, sf_dir):
+    """V2: template interpolation through the schema compiler
+    (/root/reference/src/scicat_metadata.py:279-325)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "data_file_path", F.concat(F.lit("/f"), F.col("doc_id"))
+    )
+    transform = compile_schema(
+        _V2_SCHEMA,
+        extra_env={
+            "doc_id": with_unit(F.col("doc_id")),
+            "source": with_unit(F.col("source")),
+        },
+    )
+    return transform(docs).select(
+        "doc_id", F.col("datasetName").getField("value").alias("dataset_name")
+    )
+
+
+def q_f_scalar_string_ops(spark, sf_dir):
+    """F2-F10: the scalar operator registry over a synthesized path."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "path",
+        F.concat(F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".txt")),
+    )
+    toks = F.split(F.lower("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.substring_index("path", "/", -1).alias("fname"),
+        F.regexp_replace("path", r"/[^/]*$", "").alias("dname"),
+        F.regexp_replace(
+            F.regexp_replace("path", r"/[^/]*$", ""), r"/[^/]*$", ""
+        ).alias("dname2"),
+        F.upper("lang").alias("lang_up"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("origin")).alias("origin"),
+        F.concat_ws(", ", F.slice(toks, 1, 3)).alias("first_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins (J1-J7)
+# ---------------------------------------------------------------------------
+
+def q_j1_enrichment_join(spark, sf_dir):
+    """J1: fact -> broadcast dimension enrichment, aggregated."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    enriched = enrich(
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"
+        ),
+        nat,
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "inner",
+    )
+    return enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money(F.sum(_dec(F.col("o_totalprice")))).alias("total_price"),
+    )
+
+
+def q_j2_ci_first_lookup(spark, sf_dir):
+    """J2: case-insensitive lookup, first dim row per key
+    (ilike + getitem 0, /root/reference/resources/small-ymir.imsc.yml.example:54-70)."""
+    sup = _t(spark, sf_dir, "supplier")
+    dim = sup.select(
+        F.concat(F.lit("Instr-"), (F.col("s_suppkey") % 5).cast("string")).alias("name"),
+        F.col("s_suppkey").alias("id"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        "event_id",
+        F.concat(F.lit("INSTR-"), (F.col("user_id") % 5).cast("string")).alias(
+            "instrument_name"
+        ),
+    )
+    out = lookup_first_ci(facts, dim, "instrument_name", "name", "id")
+    return out.select("event_id", F.col("id").alias("instrument_id"))
+
+
+def q_j3_sample_lookup_collect(spark, sf_dir):
+    """J3: (description, proposalId)-keyed lookup -> collect_list
+    (/root/reference/src/scicat_communication.py:134-158)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("o_orderkey"))).alias("order_ids")
+    )
+
+
+def q_j4_anti_exists_pid(spark, sf_dir):
+    """J4: exists-by-pid dedup as LEFT ANTI
+    (/root/reference/src/scicat_offline_ingestor.py:67-85)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return anti_by_key(orders, li, "o_orderkey").select("o_orderkey", "o_orderstatus")
+
+
+def q_j5_anti_by_metadata(spark, sf_dir):
+    """J5: exists-by-metadata dedup — extract key from nested metadata,
+    anti-join (/root/reference/src/scicat_offline_ingestor.py:88-125)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "meta_key", F.concat(F.lit("src"), F.get_json_object("props", "$.k"))
+    )
+    probe = _t(spark, sf_dir, "documents").select(F.col("source").alias("meta_key")).distinct()
+    return ev.join(probe, "meta_key", "left_anti").select("event_id", "meta_key")
+
+
+def q_j7_id_list_merge(spark, sf_dir):
+    """J7: set-union merge of two id lists
+    (/root/reference/src/scicat_dataset.py:980-991)."""
+    orders = _t(spark, sf_dir, "orders")
+    a = F.collect_set(F.when(F.col("o_orderstatus") == "O", F.col("o_orderkey")))
+    b = F.collect_set(F.when(F.col("o_totalprice") > 150000, F.col("o_orderkey")))
+    merged = F.array_sort(F.array_distinct(F.concat(a, b)))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.concat_ws(",", merged).alias("ids"))
+        .filter(F.col("ids") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 aggregates (A1-A7)
+# ---------------------------------------------------------------------------
+
+def q_a1_a2_dataset_size(spark, sf_dir):
+    """A1/A2: per-dataset size sum + file count
+    (/root/reference/src/scicat_dataset.py:907-910)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        _money(F.sum(_dec(F.col("l_extendedprice")))).alias("total_size"),
+        F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+def q_a4_commonpath(spark, sf_dir):
+    """A4: os.path.commonpath via the min/max segment-prefix trick
+    (/root/reference/src/scicat_dataset.py:1013-1029)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "path",
+        F.concat(
+            F.lit("/data/"),
+            F.col("l_returnflag"),
+            F.lit("/"),
+            F.col("l_linestatus"),
+            F.lit("/"),
+            F.col("l_orderkey"),
+        ),
+    )
+    return li.groupBy("l_returnflag").agg(
+        commonpath_agg(F.col("path")).alias("common_path")
+    )
+
+
+def q_a5_unit_consensus(spark, sf_dir):
+    """A5: unit consensus across combined values
+    (/root/reference/src/scicat_metadata.py:314-323)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        unit_consensus(F.col("event_type")).alias("unit"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_a7_extractors(spark, sf_dir):
+    """A7: plugin extractor aggregates max/min/mean
+    (/root/reference/pyproject.toml:94-97)."""
+    ev = _t(spark, sf_dir, "events")
+    mean = F.round(
+        F.sum(_dec(F.col("value"))).cast("double") / F.count(F.lit(1)), 6
+    )
+    return ev.groupBy("event_type").agg(
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        mean.alias("mean_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / limits (O3) + §2.9 T8 windowed rollup
+# ---------------------------------------------------------------------------
+
+def q_o3_latest_dataset(spark, sf_dir):
+    """O3: order by creationTime desc limit 1
+    (/root/reference/tests/_scicat_ingestor.py:102-111)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select(
+            "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_iso")
+        )
+    )
+
+
+def q_t8_hourly_rollup(spark, sf_dir):
+    """T8 carrier: tumbling-window rollup (idiomatic Spark streaming agg,
+    run here in batch)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value")))).alias("total_value"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics headliners (bench): TPC-H-shaped Q1 / Q3
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    disc_price = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    charge_factor = _dec(
+        (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    )
+    charge = _dec(F.col("l_extendedprice")) * charge_factor
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"),
+            _money(F.sum(_dec(F.col("l_extendedprice")))).alias("sum_base_price"),
+            _money(F.sum(disc_price)).alias("sum_disc_price"),
+            _money(F.sum(charge)).alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / n, 6).alias("avg_qty"),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double") / n, 6
+            ).alias("avg_price"),
+            F.round(F.sum(_dec(F.col("l_discount"), 4)).cast("double") / n, 6).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q_q3_top_revenue(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    j = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("l_orderkey")
+        .agg(
+            _money(F.sum(revenue)).alias("revenue"),
+            F.date_format(F.first("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("content_hash", dedup.content_hash(F.col("text")))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_groups(docs, "text", "doc_id", bits=16)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", threshold=0.5, shingle_n=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.predict_lang(F.col("text")).alias("predicted_lang")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["avg_word_len"].alias("avg_word_len"),
+        feats["keep"].alias("keep"),
+    )
+
+
+def q_text_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text"), window=4).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return decode_media(media, decoder="fake")
+
+
+# ---------------------------------------------------------------------------
+# S6/S7: HDF5 long-table wildcard lookup
+# ---------------------------------------------------------------------------
+
+def _long_table(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rows = F.array(
+        F.struct(
+            F.lit("/entry/detector/channel_0/counts").alias("h5_path"),
+            F.col("n_chars").cast("string").alias("value"),
+            F.lit("counts").alias("unit"),
+        ),
+        F.struct(
+            F.lit("/entry/detector/channel_1/counts").alias("h5_path"),
+            F.col("doc_id").cast("string").alias("value"),
+            F.lit("counts").alias("unit"),
+        ),
+        F.struct(
+            F.lit("/entry/detector/zchan/counts").alias("h5_path"),
+            F.lit("0").alias("value"),
+            F.lit("other").alias("unit"),
+        ),
+    )
+    return docs.select(
+        F.concat(F.lit("/f"), F.col("doc_id")).alias("file"),
+        F.explode(rows).alias("r"),
+    ).select("file", "r.h5_path", "r.value", "r.unit")
+
+
+def q_s7_wildcard_lookup(spark, sf_dir):
+    long_df = _long_table(spark, sf_dir)
+    out = hdf5.lookup(long_df, "/entry/detector/channel_*/counts")
+    return out.select("file", F.concat_ws(",", F.col("values")).alias("vals"), "unit")
+
+
+# ---------------------------------------------------------------------------
+# §3.2 flagship: the compiled ingest pipeline end-to-end
+# ---------------------------------------------------------------------------
+
+_E2E_SCHEMAS = [
+    {"id": "coda", "name": "coda", "order": 0, "selector": "filename:contains:src1"},
+    {"id": "ymir", "name": "ymir", "order": 1, "selector": "filename:starts_with:/ess/data/src2"},
+]
+
+
+def q_ingest_e2e(spark, sf_dir):
+    """The offline-ingestor program as ONE compiled plan: message filters
+    -> deserialize -> schema selection -> variable templates -> dimension
+    enrichment -> anti-join dedup -> dataset rows
+    (/root/reference/src/scicat_offline_ingestor.py:194-348)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "error_encountered", F.col("event_type") == "error"
+    )
+    msgs = drop_writer_errors(ev).withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    msgs = msgs.withColumn(
+        "filename",
+        F.concat(
+            F.lit("/ess/data/src"),
+            (F.col("k") % 20),
+            F.lit("/run_"),
+            F.col("event_id"),
+            F.lit(".nxs"),
+        ),
+    )
+    msgs = with_selected_schema(msgs, _E2E_SCHEMAS, fallback_id="fallback")
+    schema = MetadataSchema.from_dict(
+        {
+            "id": "e2e",
+            "name": "e2e",
+            "order": 0,
+            "selector": "*",
+            "variables": {
+                "job_id": {"source": "VALUE", "value": "job-<event_id>"},
+                "title": {"source": "VALUE", "value": "run <event_id> k=<k>"},
+            },
+            "schema": {
+                "pid": {"machine_name": "pid", "value": "<job_id>", "field_type": "high_level"},
+                "datasetName": {
+                    "machine_name": "datasetName",
+                    "value": "<title>",
+                    "field_type": "high_level",
+                },
+            },
+        }
+    )
+    transform = compile_schema(
+        schema,
+        file_path_col="filename",
+        extra_env={
+            "event_id": with_unit(F.col("event_id")),
+            "k": with_unit(F.col("k")),
+        },
+    )
+    ds = transform(msgs)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("proposal_key"), F.col("c_name").alias("owner")
+    )
+    ds = enrich(
+        ds.withColumn("proposal_key", F.col("user_id") + 1), cust, ["proposal_key"], "left"
+    )
+    existing = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.concat(F.lit("job-"), F.col("event_id")).alias("pid_value")
+    )
+    out = ds.select(
+        F.col("pid").getField("value").alias("pid_value"),
+        F.col("datasetName").getField("value").alias("dataset_name"),
+        F.coalesce(F.col("owner"), F.lit("ess")).alias("owner"),
+        F.col("schema_id"),
+        _dec(F.col("value")).cast("double").alias("size"),
+    )
+    return anti_by_key(out, existing, "pid_value")
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "s2_message_type_filter": q_s2_message_type_filter,
+    "s3_wrdn_deserialize": q_s3_wrdn_deserialize,
+    "s4_error_filter": q_s4_error_filter,
+    "p6_schema_selection": q_p6_schema_selection,
+    "p11_default_coalesce": q_p11_default_coalesce,
+    "p12_pid_policy": q_p12_pid_policy,
+    "v2_template_render": q_v2_template_render,
+    "v6_cast_library": q_v6_cast_library,
+    "f_scalar_string_ops": q_f_scalar_string_ops,
+    "j1_enrichment_join": q_j1_enrichment_join,
+    "j2_ci_first_lookup": q_j2_ci_first_lookup,
+    "j3_sample_lookup_collect": q_j3_sample_lookup_collect,
+    "j4_anti_exists_pid": q_j4_anti_exists_pid,
+    "j5_anti_by_metadata": q_j5_anti_by_metadata,
+    "j7_id_list_merge": q_j7_id_list_merge,
+    "a1_a2_dataset_size": q_a1_a2_dataset_size,
+    "a4_commonpath": q_a4_commonpath,
+    "a5_unit_consensus": q_a5_unit_consensus,
+    "a7_extractors": q_a7_extractors,
+    "o3_latest_dataset": q_o3_latest_dataset,
+    "t8_hourly_rollup": q_t8_hourly_rollup,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_revenue": q_q3_top_revenue,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_token_counts": q_text_token_counts,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "s7_wildcard_lookup": q_s7_wildcard_lookup,
+    "ingest_e2e": q_ingest_e2e,
+}

@@ -1,0 +1,174 @@
+"""HDF5/NeXus source (SURVEY §2.1 S6-S7): hierarchical file -> long table.
+
+The reference opens each NeXus file and reads datasets at schema-given
+paths, with `units` attrs and wildcard path segments
+(/root/reference/src/scicat_nexus_helper.py:62-95,
+/root/reference/src/scicat_dataset.py:285-324, recursion :430-458).
+
+Spark-first: flatten each file ONCE into the long relation
+    (file STRING, h5_path STRING, value STRING, unit STRING)
+via ``mapInPandas`` over a DataFrame of file paths (the scan runs next to
+the data; no driver I/O). Wildcard path expansion then becomes ``rlike``
++ ``collect_list`` on the long table — pure relational ops.
+
+h5py is not installed in this container, so the reader is gated: with
+h5py present the real walker runs; without it a deterministic fake tree
+(keyed on md5 of the file path) exercises the identical plumbing, schema
+and wildcard semantics.
+
+Retry/backoff for not-yet-closed files (reference clamps delay to
+[1,120] s, /root/reference/src/scicat_nexus_helper.py:70-75) lives inside
+the reader function — per-task, complementing Spark's task retries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LONG_SCHEMA = "file string, h5_path string, value string, unit string"
+
+
+def try_import_h5py():
+    try:  # pragma: no cover - not installed here
+        import h5py  # type: ignore
+
+        return h5py
+    except ImportError:
+        return None
+
+
+def _clamp_delay(delay: float) -> float:
+    """Reference clamps retry delay to [1, 120] s
+    (/root/reference/src/scicat_nexus_helper.py:70-75)."""
+    return min(max(delay, 1.0), 120.0)
+
+
+def _walk_h5(path: str, max_tries: int = 3, retry_delay: float = 3.0):
+    """Real walker (requires h5py): yield (h5_path, value, unit)."""
+    h5py = try_import_h5py()
+    if h5py is None:
+        raise ImportError("h5py not available; use fake_tree rows")
+    last_err = None
+    for _ in range(max_tries):
+        try:
+            f = h5py.File(path, "r")
+            break
+        except OSError as e:  # file still being written
+            last_err = e
+            time.sleep(_clamp_delay(retry_delay))
+    else:
+        raise last_err
+
+    def visit(name, obj):
+        if isinstance(obj, h5py.Dataset):
+            value = obj[()]
+            if isinstance(value, bytes):
+                value = value.decode("utf-8", errors="replace")
+            unit = obj.attrs.get("units", b"")
+            if isinstance(unit, bytes):
+                unit = unit.decode("utf-8", errors="replace")
+            rows.append(("/" + name, str(value), str(unit)))
+
+    rows: list[tuple] = []
+    with f:
+        f.visititems(visit)
+    return rows
+
+
+def fake_tree(path: str) -> list[tuple[str, str, str]]:
+    """Deterministic NeXus-shaped tree for environments without h5py.
+
+    Mirrors the reference's test fixture shape
+    (/root/reference/tests/conftest.py:13-43): /entry/* scalars with
+    units, wildcard-matchable user_* groups and detector channels.
+    """
+    seed = hashlib.md5(path.encode()).hexdigest()
+    n = int(seed[:8], 16)
+    return [
+        ("/entry/title", f"run {n % 1000}", ""),
+        ("/entry/sample/name", f"sample-{n % 50}", ""),
+        ("/entry/experiment_identifier", f"prop-{n % 20}", ""),
+        ("/entry/instrument/name", f"instr-{n % 5}", ""),
+        ("/entry/sensor/temperature", str(round(200 + (n % 1000) / 10.0, 1)), "K"),
+        ("/entry/sensor/pressure", str(round(1 + (n % 97) / 100.0, 2)), "bar"),
+        ("/entry/user_alice/name", f"alice-{n % 7}", ""),
+        ("/entry/user_bob/name", f"bob-{n % 11}", ""),
+        ("/entry/detector/channel_0/counts", str(n % 10_000), "counts"),
+        ("/entry/detector/channel_1/counts", str((n // 7) % 10_000), "counts"),
+    ]
+
+
+def scan_files(files_df: DataFrame, path_col: str = "file") -> DataFrame:
+    """The S6 scan: DataFrame[file] -> long table, via mapInPandas.
+
+    One task per partition of file paths; each file is opened exactly
+    once regardless of how many variables read from it (the reference
+    re-reads per variable; scanning once is the columnar win).
+    """
+    h5py_available = try_import_h5py() is not None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"file": [], "h5_path": [], "value": [], "unit": []}
+            for path in pdf[path_col]:
+                rows = _walk_h5(path) if h5py_available else fake_tree(path)
+                for h5_path, value, unit in rows:
+                    out["file"].append(path)
+                    out["h5_path"].append(h5_path)
+                    out["value"].append(value)
+                    out["unit"].append(unit)
+            yield pd.DataFrame(out)
+
+    return files_df.mapInPandas(run, schema=LONG_SCHEMA)
+
+
+def compile_wildcard(path_pattern: str) -> str:
+    """S7: compile an imsc path pattern to an anchored regex.
+
+    Per reference semantics (/root/reference/src/scicat_dataset.py:295-324):
+    '*' segment -> any one segment; other segments are re.search'd as
+    regexes against group names (so a plain segment matches itself).
+    """
+    parts = path_pattern.split("/")
+    compiled = []
+    for p in parts:
+        if p == "*":
+            compiled.append("[^/]+")
+        elif p == "":
+            compiled.append("")
+        else:
+            # segment is itself a regex fragment, searched within the name
+            compiled.append(f"[^/]*{p}[^/]*" if not _is_literal(p) else re.escape(p))
+    return "^" + "/".join(compiled) + "$"
+
+
+def _is_literal(segment: str) -> bool:
+    return not any(c in segment for c in ".^$*+?[](){}|\\")
+
+
+def lookup(long_df: DataFrame, path_pattern: str) -> DataFrame:
+    """Wildcard lookup on the long table: returns
+    (file, values ARRAY<STRING>, unit) with deterministic path ordering
+    and the unit-consensus rule applied across matches."""
+    pattern = compile_wildcard(path_pattern)
+    matched = long_df.filter(F.col("h5_path").rlike(pattern))
+    return matched.groupBy("file").agg(
+        F.array_sort(
+            F.collect_list(F.struct("h5_path", "value"))
+        ).alias("_pv"),
+        F.when(
+            F.size(F.collect_set("unit")) == 1, F.first("unit")
+        ).otherwise(F.lit("")).alias("unit"),
+    ).select(
+        "file",
+        F.transform(F.col("_pv"), lambda s: s.getField("value")).alias("values"),
+        "unit",
+    )

@@ -1,0 +1,83 @@
+"""Message-stream sources: wrdn / pl72 parsing (SURVEY §2.1 S1-S5).
+
+The reference consumes Kafka flatbuffer messages: keep bytes whose
+[4:8] == b"wrdn" (resp. b"pl72"), deserialize, drop deser errors and
+writer-error records (/root/reference/src/scicat_kafka.py:89-134,198-249).
+
+Spark-first: the Kafka source is ``spark.readStream.format("kafka")``;
+this module supplies the message-layer transforms that sit on top of the
+raw ``value: BINARY`` column. The cheap 4-byte type filter is kept as an
+explicit relational predicate BEFORE any deserialization so Catalyst
+never reorders expensive parsing ahead of it (SURVEY §4 row 1).
+
+Deserializers: production flatbuffers decode would be a pandas UDF over
+the binary column (gated import); the JSON harness used by tests and the
+driver's parquet fixtures is pure ``from_json`` — built-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WRDN_SCHEMA = (
+    "job_id string, file_name string, error_encountered boolean, "
+    "metadata string, message string, service_id string"
+)
+PL72_SCHEMA = "job_id string, filename string, instrument_name string"
+
+
+def message_type_filter(value: Column, file_identifier: bytes) -> Column:
+    """S2: bytes[4:8] == identifier, evaluated on the raw binary column
+    (/root/reference/src/scicat_kafka.py:89-96). substring is 1-based."""
+    return F.substring(value, 5, 4) == F.lit(file_identifier)
+
+
+def parse_wrdn_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON-harness wrdn deserializer: binary/string JSON -> struct.
+    Malformed rows yield NULL struct and are dropped, mirroring the
+    reference's skip-on-deserialization-error
+    (/root/reference/src/scicat_kafka.py:185-195)."""
+    parsed = F.from_json(F.col(value_col).cast("string"), WRDN_SCHEMA)
+    return (
+        df.withColumn("_msg", parsed)
+        .filter(F.col("_msg").isNotNull() & F.col("_msg.job_id").isNotNull())
+        .select("*", "_msg.*")
+        .drop("_msg")
+    )
+
+
+def drop_writer_errors(df: DataFrame, flag_col: str = "error_encountered") -> DataFrame:
+    """S4 (/root/reference/src/scicat_kafka.py:99-110)."""
+    return df.filter(~F.coalesce(F.col(flag_col), F.lit(False)))
+
+
+def try_import_flatbuffers():
+    """Production deserializer gate: the streaming_data_types/flatbuffers
+    stack is optional; absent -> JSON harness only."""
+    try:  # pragma: no cover - environment-dependent
+        import flatbuffers  # type: ignore
+
+        return flatbuffers
+    except ImportError:
+        return None
+
+
+def wrdn_stream(
+    spark,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+):
+    """S1: the Kafka source, configured like the reference's consumer
+    (auto_offset_reset earliest, multi-topic comma list —
+    /root/reference/src/scicat_kafka.py:21-71). Returns the raw stream;
+    compose with message_type_filter + parse + drop_writer_errors.
+    """
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
