@@ -75,22 +75,63 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed: candidates form only
+    inside a signature bucket (self-equi-join on the signature — the
+    shuffle key), then the exact cosine verifies. The standard scale
+    design: candidate generation is linear-ish in n, never the n^2
+    cross-join; recall < 1 by construction (bucket misses).
+    """
+    sig = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), dim, bits).alias("_sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a._sig") == F.col("b._sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_weights(b: int, dim: int) -> list[float]:
+    """Hyperplane b's weight for dimension d: md5(f"{b}:{d}") mapped to
+    [-1, 1). Pure constants — shared with the DuckDB oracle so both
+    engines fold the identical plane into their plans."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:8], 16) / 0x80000000) - 1.0
+        for d in range(dim)
+    ]
+
+
 def hyperplane_signature(vec: Column, dim: int, bits: int = 8) -> Column:
     """Deterministic random-hyperplane LSH signature as a bit-string.
 
-    Hyperplane b's weight for dimension d is derived from md5(f"{b}:{d}")
-    mapped to [-1, 1) — fixed constants folded into the plan, so the
-    signature costs one pass over the vector per bit, no randomness at
-    runtime, identical across retries/engines.
+    Fixed constants folded into the plan: no randomness at runtime,
+    identical across retries/engines; one pass over the vector per bit.
     """
-    import hashlib
-
     bit_cols = []
     for b in range(bits):
-        weights = [
-            (int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:8], 16) / 0x80000000) - 1.0
-            for d in range(dim)
-        ]
+        weights = hyperplane_weights(b, dim)
         proj = F.aggregate(
             F.zip_with(
                 vec,

@@ -11,6 +11,45 @@ Conventions shared with the Spark side so value hashes match:
 
 from __future__ import annotations
 
+import hashlib
+import os
+
+
+def _sig_sql(col: str, bits: int = 4, dim: int = 64) -> str:
+    """Random-hyperplane signature in DuckDB SQL with the SAME constants
+    the Spark plan folds in (operators.similarity.hyperplane_weights)."""
+    from scicat_ingestor_spark.operators.similarity import hyperplane_weights
+
+    parts = []
+    for b in range(bits):
+        arr = "[" + ",".join(repr(x) for x in hyperplane_weights(b, dim)) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({col}, {arr}) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return "||".join(parts)
+
+
+def _file_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Ground truth for s8_s9_file_stats computed independently of the
+    Spark path: driver-side os.stat + one-shot (non-streaming) blake2b.
+    The driver's t2 gate runs at sf0.01 (BASELINE.md §B)."""
+    tables = (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split()
+    rows = []
+    for t in tables:
+        p = f"{sf_dir}/{t}.parquet"
+        size = os.path.getsize(p)
+        digest = hashlib.blake2b(open(p, "rb").read()).hexdigest()
+        rows.append(f"('{p}', {size}, '{digest}', true)")
+    rows.append(
+        f"('{sf_dir}/does_not_exist.parquet', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), false)"
+    )
+    values = ",\n  ".join(rows)
+    return (
+        f"SELECT * FROM (VALUES\n  {values}\n) t(path, \"size\", checksum, \"exists\")"
+    )
+
 _STOP_EN = "'the','and','of','to','is'"
 _STOP_DE = "'der','die','und','ist','das'"
 _STOP_FR = "'le','la','et','est','les'"
@@ -327,6 +366,73 @@ SELECT file, string_agg(value, ',' ORDER BY h5_path) AS vals,
   CASE WHEN count(DISTINCT unit) = 1 THEN min(unit) ELSE '' END AS unit
 FROM m GROUP BY file
 """,
+    "s6_hdf5_scan": """
+WITH f AS (SELECT '/f'||doc_id AS file FROM documents),
+s AS (SELECT file, CAST(concat('0x', substr(md5(file),1,8)) AS BIGINT) AS n FROM f)
+SELECT file, t.h5_path, t.value, t.unit FROM s, LATERAL (VALUES
+  ('/entry/title', 'run '||(n % 1000), ''),
+  ('/entry/sample/name', 'sample-'||(n % 50), ''),
+  ('/entry/experiment_identifier', 'prop-'||(n % 20), ''),
+  ('/entry/instrument/name', 'instr-'||(n % 5), ''),
+  ('/entry/sensor/temperature', CAST(round(200 + (n % 1000)/10.0, 1) AS VARCHAR), 'K'),
+  ('/entry/sensor/pressure', CAST(round(1 + (n % 97)/100.0, 2) AS VARCHAR), 'bar'),
+  ('/entry/user_alice/name', 'alice-'||(n % 7), ''),
+  ('/entry/user_bob/name', 'bob-'||(n % 11), ''),
+  ('/entry/detector/channel_0/counts', CAST(n % 10000 AS VARCHAR), 'counts'),
+  ('/entry/detector/channel_1/counts', CAST((n // 7) % 10000 AS VARCHAR), 'counts')
+) t(h5_path, value, unit)
+""",
+    "o2_first_match": """
+SELECT l_orderkey, l_linenumber, strftime(l_shipdate::TIMESTAMP, '%Y-%m-%d') AS first_shipdate
+FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn = 1
+""",
+    "v3_error_channel": """
+WITH r AS (
+  SELECT event_id,
+    CASE WHEN event_id % 7 = 0 THEN 'x'||json_extract_string(props,'$.k')
+         ELSE json_extract_string(props,'$.k') END AS raw_k
+  FROM events
+)
+SELECT event_id,
+  TRY_CAST(raw_k AS BIGINT) AS k_parsed,
+  CASE WHEN TRY_CAST(raw_k AS BIGINT) IS NULL THEN 1 ELSE 0 END AS n_failures,
+  CASE WHEN TRY_CAST(raw_k AS BIGINT) IS NULL THEN 'k' ELSE '' END AS failed_vars
+FROM r
+""",
+    "p8_null_drop_json": """
+WITH e AS (SELECT event_id, CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
+SELECT event_id,
+  '{'|| concat_ws(',',
+    CASE WHEN (k % 3) != 0 THEN '"owner":"grp-'||k||'"' END,
+    '"k":'||k) ||'}' AS payload
+FROM e
+""",
+    "ann_lsh_topk": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sigv AS (SELECT vec_id, e, {_sig_sql('e')} AS sig FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, sig FROM sigv WHERE vec_id < 3),
+sc AS (SELECT q.query_id, s.vec_id,
+        list_dot_product(s.e, q.qe)
+          / (sqrt(list_dot_product(s.e, s.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM sigv s JOIN q ON s.sig = q.sig),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+""",
+    "dedup_embedding_cosine": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sigv AS (SELECT vec_id, e, {_sig_sql('e')} AS sig FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.e, b.e)
+    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+FROM sigv a JOIN sigv b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
+""",
     "ingest_e2e": """
 WITH msgs AS (
   SELECT event_id, user_id, value,
@@ -359,3 +465,5 @@ WHERE NOT EXISTS (
 )
 """,
 }
+
+ORACLES["s8_s9_file_stats"] = _file_stats_oracle()

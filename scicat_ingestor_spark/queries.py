@@ -24,7 +24,7 @@ from scicat_ingestor_spark.operators.selectors import with_selected_schema
 from scicat_ingestor_spark.operators.util import ensure_parallelism
 from scicat_ingestor_spark.plans.compiler import compile_schema
 from scicat_ingestor_spark.plans.schema_model import MetadataSchema
-from scicat_ingestor_spark.sources import hdf5
+from scicat_ingestor_spark.sources import filestats, hdf5
 from scicat_ingestor_spark.sources.messages import drop_writer_errors
 
 
@@ -579,6 +579,106 @@ def q_s7_wildcard_lookup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# S6 HDF5 scan, S8/S9 file stats+checksum, O2 window, V3 error channel,
+# P8 null-drop JSON, ANN scale path, embedding near-dup
+# ---------------------------------------------------------------------------
+
+_ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def q_s6_hdf5_scan(spark, sf_dir):
+    """S6: hierarchical file -> long (file, h5_path, value, unit) table via
+    mapInPandas, one open per file (/root/reference/src/scicat_nexus_helper.py:62-95).
+    h5py absent here -> deterministic fake tree; identical plumbing."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(F.concat(F.lit("/f"), F.col("doc_id")).alias("file"))
+    return hdf5.scan_files(files)
+
+
+def q_s8_s9_file_stats(spark, sf_dir):
+    """S8+S9: per-file stat + streaming blake2b checksum in one
+    mapInPandas pass (/root/reference/src/scicat_dataset.py:532-589);
+    missing file -> exists=false fallback row."""
+    paths = [f"{sf_dir}/{t}.parquet" for t in _ALL_TABLES]
+    paths.append(f"{sf_dir}/does_not_exist.parquet")
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    out = filestats.stat_files(files)
+    return out.select("path", "size", "checksum", "exists")
+
+
+def q_o2_first_match(spark, sf_dir):
+    """O2: first row per group under a total order — the reference's
+    first-matching-schema rule as a window
+    (/root/reference/src/scicat_metadata.py:432-434)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("first_shipdate"),
+        )
+    )
+
+
+def q_v3_error_channel(spark, sf_dir):
+    """V3: per-variable failure tolerance — a bad value never kills the
+    row; failures are collected into a side channel
+    (/root/reference/src/scicat_dataset.py:348-372)."""
+    ev = _t(spark, sf_dir, "events")
+    raw_k = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit("x"), F.get_json_object("props", "$.k")),
+    ).otherwise(F.get_json_object("props", "$.k"))
+    k_parsed = raw_k.try_cast("long")
+    failed = F.when(k_parsed.isNull(), F.array(F.lit("k"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return ev.select(
+        "event_id",
+        k_parsed.alias("k_parsed"),
+        F.size(failed).alias("n_failures"),
+        F.concat_ws(",", failed).alias("failed_vars"),
+    )
+
+
+def q_p8_null_drop_json(spark, sf_dir):
+    """P8: None-valued fields dropped from the serialized payload
+    (/root/reference/src/scicat_dataset.py:997-1010) — to_json with
+    ignoreNullFields at the sink."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    owner = F.when(k % 3 != 0, F.concat(F.lit("grp-"), k))
+    payload = F.to_json(
+        F.struct(owner.alias("owner"), k.alias("k")),
+        {"ignoreNullFields": "true"},
+    )
+    return ev.select("event_id", payload.alias("payload"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucket join + exact re-rank
+    within bucket (recall < 1 by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(emb, queries, dim=64, k=5, bits=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, LSH-bucketed candidate generation
+    + exact verify (the n^2-free scale design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh(emb, dim=64, threshold=0.3, bits=4)
+
+
+# ---------------------------------------------------------------------------
 # §3.2 flagship: the compiled ingest pipeline end-to-end
 # ---------------------------------------------------------------------------
 
@@ -697,5 +797,12 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
+    "s6_hdf5_scan": q_s6_hdf5_scan,
+    "s8_s9_file_stats": q_s8_s9_file_stats,
+    "o2_first_match": q_o2_first_match,
+    "v3_error_channel": q_v3_error_channel,
+    "p8_null_drop_json": q_p8_null_drop_json,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ingest_e2e": q_ingest_e2e,
 }

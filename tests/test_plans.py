@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the plans we want at 100 TB, asserted
+at test scale. `.explain("formatted")` output is checked for broadcast
+strategy on dimension joins, parquet filter pushdown, whole-stage codegen
+on the hot relational path, and the absence of Python row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+from scicat_ingestor_spark import queries as Q
+
+
+def _plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_j1_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(Q.q_j1_enrichment_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # both dims are broadcast-able
+
+
+def test_q1_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(Q.q_q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = _plan(Q.q_q1_pricing_summary(spark, sf_dir))
+    # scan schema must not include unused wide columns
+    assert "l_comment" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(Q.q_q1_pricing_summary(spark, sf_dir))
+    # map-side combine before the exchange: two HashAggregate phases
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = _plan(Q.q_q3_top_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_join_not_subquery_loop(spark, sf_dir):
+    plan = _plan(Q.q_j4_anti_exists_pid(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_relational_path_has_no_python_udf(spark, sf_dir):
+    """Everything except the gated sources (S6/S8 mapInPandas) must stay
+    JVM-side: no BatchEvalPython / ArrowEvalPython stages."""
+    exempt = {"s6_hdf5_scan", "s8_s9_file_stats", "multimodal_decode"}
+    offenders = []
+    for name, fn in Q.QUERIES.items():
+        if name in exempt:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs leaked into: {offenders}"
+
+
+def test_minhash_digests_computed_once(spark, sf_dir):
+    """The two-step projection must keep shingle digests out of the 8
+    per-hash columns (md5 appears in one projection stage, not eight)."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") <= 4  # 2 digests (+aliases), not 16

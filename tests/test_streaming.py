@@ -1,0 +1,133 @@
+"""Streaming-shell tests (SURVEY §2.9): at-least-once + anti-join
+idempotency (T2), replay safety, per-key ordered apply (T5).
+
+The stream source is a parquet directory replayed with
+``trigger(availableNow=True)`` — the driver's events table stands in for
+the Kafka wrdn topic (same micro-batch semantics, no broker needed).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.streaming.pipeline import (
+    idempotent_append,
+    ordered_per_key_apply,
+    run_ingest_stream,
+)
+
+
+def _mk_source(spark, sf_dir, tmp_path, n=200):
+    src = str(tmp_path / "src")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .limit(n)
+        .select("event_id", "event_type", "user_id", "props")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    return src, schema
+
+
+def _transform(batch):
+    return batch.filter(F.col("event_type") != "error").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id"),
+    )
+
+
+def test_available_now_replay_is_idempotent(spark, sf_dir, tmp_path):
+    src, schema = _mk_source(spark, sf_dir, tmp_path)
+    target = str(tmp_path / "out")
+    ckpt1 = str(tmp_path / "ckpt1")
+
+    def sink(batch, batch_id):
+        idempotent_append(batch, target, "pid")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_ingest_stream(stream, _transform, sink, ckpt1, trigger_once=True)
+    q.awaitTermination(120)
+    first = spark.read.parquet(target).count()
+    assert first > 0
+
+    # same checkpoint -> offsets already committed -> no new batches
+    q2 = run_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), _transform, sink, ckpt1
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == first
+
+    # fresh checkpoint replays everything; the anti-join dedup absorbs it
+    ckpt2 = str(tmp_path / "ckpt2")
+    q3 = run_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), _transform, sink, ckpt2
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(target).count() == first
+
+
+def test_new_data_still_flows_after_dedup(spark, sf_dir, tmp_path):
+    src, schema = _mk_source(spark, sf_dir, tmp_path, n=100)
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sink(batch, batch_id):
+        idempotent_append(batch, target, "pid")
+
+    q = run_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), _transform, sink, ckpt
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(target).count()
+
+    # append genuinely new rows to the source -> exactly those flow through
+    more = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .orderBy("event_id")
+        .limit(150)
+        .orderBy(F.desc("event_id"))
+        .limit(50)
+        .select("event_id", "event_type", "user_id", "props")
+    )
+    expected_new = _transform(more).count()
+    more.write.mode("append").parquet(src)
+    q2 = run_ingest_stream(
+        spark.readStream.schema(schema).parquet(src), _transform, sink, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == first + expected_new
+
+
+def test_ordered_per_key_apply(spark, sf_dir, tmp_path):
+    """T5: all rows of a key are applied by one worker, in order."""
+    outdir = tmp_path / "keys"
+    outdir.mkdir()
+    outpat = str(outdir)
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .limit(500)
+        .select((F.col("user_id") % 5).alias("instrument"), "event_id")
+    )
+
+    def apply_fn(key, rows):
+        # executor-side effect, observable via the shared local FS
+        with open(os.path.join(outpat, f"k{key}_{rows[0]['event_id']}"), "w") as f:
+            f.write(",".join(str(r["event_id"]) for r in rows))
+
+    ordered_per_key_apply(batch, "instrument", "event_id", apply_fn)
+
+    files = glob.glob(os.path.join(outpat, "k*"))
+    assert files, "apply_fn never ran"
+    seen_keys = set()
+    for path in files:
+        key = os.path.basename(path).split("_")[0]
+        assert key not in seen_keys, "key split across apply calls"
+        seen_keys.add(key)
+        ids = [int(x) for x in open(path).read().split(",")]
+        assert ids == sorted(ids), "rows not ordered within key"
+    assert len(seen_keys) == 5
