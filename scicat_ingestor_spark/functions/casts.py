@@ -123,6 +123,28 @@ CAST_REGISTRY: dict[str, Callable[[Column], Column]] = {
 }
 
 
+_ARRAY_ELEMENT_TYPES = {
+    "string[]": "string",
+    "integer[]": "long",
+    "float[]": "double",
+    "list": "string",
+}
+
+
+def cast_array_elements(col: Column, value_type: str) -> Column:
+    """Per-element cast for inputs that are ALREADY arrays (e.g. wildcard
+    NXS selectors) — mirrors the reference's list branch that maps the
+    element converter without literal_eval
+    (/root/reference/src/scicat_dataset.py:46-61)."""
+    try:
+        elem = _ARRAY_ELEMENT_TYPES[value_type]
+    except KeyError:
+        raise ValueError(f"Invalid array value type: {value_type}") from None
+    if elem == "string":
+        return F.transform(col, lambda x: x.cast("string"))
+    return F.transform(col, lambda x: x.try_cast(elem))
+
+
 def cast_to_type(col: Column, value_type: str) -> Column:
     """Dispatch like the reference's ``convert_to_type``: unknown type name
     raises ValueError (/root/reference/src/scicat_dataset.py:138-145)."""

@@ -433,6 +433,18 @@ FROM sigv a JOIN sigv b ON a.sig = b.sig AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
 """,
+    "ingest_nexus": """
+WITH f AS (SELECT '/f'||doc_id AS file FROM documents),
+s AS (SELECT file, CAST(concat('0x', substr(md5(file),1,8)) AS BIGINT) AS n FROM f)
+SELECT file,
+  'prop-'||(n % 20)||'/sample-'||(n % 50) AS pid,
+  'run '||(n % 1000) AS dataset_name,
+  round(200 + (n % 1000)/10.0, 1) AS temperature,
+  'K' AS temperature_unit,
+  'alice-'||(n % 7)||',bob-'||(n % 11) AS users,
+  'missing' AS failed_vars
+FROM s
+""",
     "ingest_e2e": """
 WITH msgs AS (
   SELECT event_id, user_id, value,

@@ -34,7 +34,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scicat_ingestor_spark.functions.casts import cast_to_type
+from scicat_ingestor_spark.functions.casts import cast_array_elements, cast_to_type
 from scicat_ingestor_spark.functions.scalar import apply_operator, with_unit
 from scicat_ingestor_spark.plans.schema_model import (
     HIGH_LEVEL,
@@ -125,8 +125,26 @@ def compile_variable(
             raise ValueError(f"Unknown variable source: {var.source}")
         raw = resolver(var)
     out = apply_operator(var.operator, raw, **var.operator_args)
-    unit = F.lit(var.unit).cast("string") if var.unit is not None else out.getField("unit")
-    value = cast_to_type(out.getField("value"), var.value_type)
+    if var.source == "NXS":
+        # attr unit wins; config unit fills the gap
+        # (/root/reference/src/scicat_dataset.py:311-314)
+        unit = F.coalesce(
+            F.nullif(out.getField("unit"), F.lit("")), F.lit(var.unit or "")
+        )
+    elif var.unit is not None:
+        unit = F.lit(var.unit).cast("string")
+    else:
+        unit = out.getField("unit")
+    wildcard_array = (
+        var.source == "NXS"
+        and var.path is not None
+        and "*" in var.path
+        and var.value_type.endswith("[]")
+    )
+    if wildcard_array:  # resolver already produced a real array column
+        value = cast_array_elements(out.getField("value"), var.value_type)
+    else:
+        value = cast_to_type(out.getField("value"), var.value_type)
     return with_unit(value, unit)
 
 
@@ -162,9 +180,28 @@ def compile_schema(
         ]
         out = df
         sci_entries: list[Column] = []
+        array_vars = {
+            v.name
+            for v in schema.variables
+            if v.value_type.endswith("[]") or v.value_type == "list"
+        }
         for fld in schema.fields:
             rendered = render_template(fld.value, env)
-            value = cast_to_type(rendered.getField("value"), fld.value_type)
+            exact = (
+                _PLACEHOLDER.fullmatch(fld.value.strip())
+                if isinstance(fld.value, str)
+                else None
+            )
+            if (
+                exact
+                and exact.group(1) in array_vars
+                and (fld.value_type.endswith("[]") or fld.value_type == "list")
+            ):
+                # whole-value substitution of an array variable: the
+                # rendered value IS an array column already
+                value = cast_array_elements(rendered.getField("value"), fld.value_type)
+            else:
+                value = cast_to_type(rendered.getField("value"), fld.value_type)
             if fld.field_type == HIGH_LEVEL:
                 out = out.withColumn(
                     fld.machine_name, with_unit(value, rendered.getField("unit"))

@@ -671,6 +671,85 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+_NXS_SCHEMA = MetadataSchema.from_dict(
+    {
+        "id": "nexus-demo",
+        "name": "nexus-demo",
+        "order": 0,
+        "selector": "*",
+        "variables": {
+            "title": {"source": "NXS", "path": "/entry/title", "value_type": "string"},
+            "sample_name": {
+                "source": "NXS",
+                "path": "/entry/sample/name",
+                "value_type": "string",
+            },
+            "proposal": {
+                "source": "NXS",
+                "path": "/entry/experiment_identifier",
+                "value_type": "string",
+            },
+            "temperature": {
+                "source": "NXS",
+                "path": "/entry/sensor/temperature",
+                "value_type": "float",
+                "unit": "C",  # attr 'K' must win over this config unit
+            },
+            "users": {
+                "source": "NXS",
+                "path": "/entry/user_*/name",
+                "value_type": "string[]",
+            },
+            "missing": {"source": "NXS", "path": "/entry/nope", "value_type": "string"},
+            "pid": {"source": "VALUE", "value": "<proposal>/<sample_name>"},
+        },
+        "schema": {
+            "pid": {"machine_name": "pid", "value": "<pid>", "field_type": "high_level"},
+            "datasetName": {
+                "machine_name": "datasetName",
+                "value": "<title>",
+                "field_type": "high_level",
+            },
+            "temperature": {
+                "machine_name": "temperature",
+                "value": "<temperature>",
+                "field_type": "high_level",
+                "value_type": "float",
+            },
+            "users": {
+                "machine_name": "users",
+                "value": "<users>",
+                "field_type": "high_level",
+                "value_type": "string[]",
+            },
+        },
+    }
+)
+
+
+def q_ingest_nexus(spark, sf_dir):
+    """M5 flagship: HDF5 scan -> per-file pivot -> NXS-sourced variables
+    (exact paths, wildcard selector, attr units, missing-path failure
+    channel) -> schema projection. The offline ingestor's file half
+    (/root/reference/src/scicat_offline_ingestor.py:219-267) as one plan."""
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(F.concat(F.lit("/f"), F.col("doc_id")).alias("file"))
+    wide = hdf5.wide_table(hdf5.scan_files(files))
+    transform = compile_schema(
+        _NXS_SCHEMA, file_path_col="file", resolvers={"NXS": hdf5.make_nxs_resolver()}
+    )
+    out = transform(wide)
+    return out.select(
+        "file",
+        F.col("pid").getField("value").alias("pid"),
+        F.col("datasetName").getField("value").alias("dataset_name"),
+        F.col("temperature").getField("value").alias("temperature"),
+        F.col("temperature").getField("unit").alias("temperature_unit"),
+        F.concat_ws(",", F.col("users").getField("value")).alias("users"),
+        F.concat_ws(",", F.col("_failures")).alias("failed_vars"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucketed candidate generation
     + exact verify (the n^2-free scale design)."""
@@ -804,5 +883,6 @@ QUERIES = {
     "p8_null_drop_json": q_p8_null_drop_json,
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ingest_nexus": q_ingest_nexus,
     "ingest_e2e": q_ingest_e2e,
 }

@@ -154,6 +154,53 @@ def _is_literal(segment: str) -> bool:
     return not any(c in segment for c in ".^$*+?[](){}|\\")
 
 
+def wide_table(long_df: DataFrame) -> DataFrame:
+    """Pivot the long table to one row per file with a
+    MAP<h5_path, STRUCT<value,unit>> column ``nxs`` — the per-file view the
+    NXS variable resolver reads. One shuffle on `file`; the map is bounded
+    by datasets-per-file, not table size, so rows stay small at 100 TB.
+    """
+    entry = F.struct(F.col("h5_path"), F.struct("value", "unit").alias("vu"))
+    return long_df.groupBy("file").agg(
+        F.map_from_entries(F.array_sort(F.collect_list(entry))).alias("nxs")
+    )
+
+
+def make_nxs_resolver(map_col: str = "nxs"):
+    """SourceResolver for NXS variables over the ``wide_table`` map column.
+
+    Reference semantics (/root/reference/src/scicat_dataset.py:295-324):
+    - value_type 'string[]' + '*' in path -> wildcard selector: all
+      matching datasets, path-sorted; NO attr unit (config unit applies).
+    - otherwise exact path read; unit from the 'units' attr; the config
+      unit applies only when the attr is absent (:311-314).
+    Missing path -> NULL value -> lands in the _failures channel (V3).
+    """
+    from scicat_ingestor_spark.functions.scalar import with_unit
+
+    def resolve(var) -> Column:
+        if var.path is None:
+            raise ValueError(f"NXS variable {var.name!r} needs a path")
+        m = F.col(map_col)
+        if "*" in var.path and var.value_type == "string[]":
+            pattern = compile_wildcard(var.path)
+            matched = F.array_sort(
+                F.filter(
+                    F.map_entries(m),
+                    lambda e: e.getField("key").rlike(pattern),
+                )
+            )
+            # map_entries normalizes entry fields to (key, value)
+            values = F.transform(
+                matched, lambda e: e.getField("value").getField("value")
+            )
+            return with_unit(values, F.lit(""))
+        entry = F.element_at(m, var.path)
+        return with_unit(entry.getField("value"), entry.getField("unit"))
+
+    return resolve
+
+
 def lookup(long_df: DataFrame, path_pattern: str) -> DataFrame:
     """Wildcard lookup on the long table: returns
     (file, values ARRAY<STRING>, unit) with deterministic path ordering
