@@ -28,6 +28,8 @@ from scicat_ingestor_spark.session import get_session  # noqa: E402
 # window/rollup), and the training-data-pipeline extensions.
 HEADLINE = [
     "ingest_e2e",
+    "ingest_nexus",
+    "s6_hdf5_scan",
     "q1_pricing_summary",
     "q3_top_revenue",
     "j1_enrichment_join",
@@ -38,6 +40,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
     "text_langid",
     "text_token_counts",

@@ -67,14 +67,39 @@ def default_variables(
     }
 
 
+def _unit_consensus(units: list[Column]) -> Column:
+    """A5: one distinct unit -> keep it; disagreement -> ''
+    (/root/reference/src/scicat_metadata.py:314-323)."""
+    if not units:
+        return F.lit("")
+    distinct = F.array_distinct(F.array(*units))
+    return F.when(F.size(distinct) == 1, F.element_at(distinct, 1)).otherwise(F.lit(""))
+
+
 def render_template(template, env: dict[str, Column]) -> Column:
     """V2 (/root/reference/src/scicat_metadata.py:279-325).
 
     Exactly ``<var>`` -> the variable struct itself (value + unit kept).
     Mixed text -> concat of literals and stringified values, unit ''.
+    dict -> rendered keys+values as MAP<STRING,STRING>; list -> rendered
+    items as ARRAY<STRING>; both take the unit consensus of their items.
     Unresolved ``<...>`` raises at compile time (reference raises at
-    eval time). Non-string templates become literals.
+    eval time). Other non-string templates become literals.
     """
+    if isinstance(template, dict):
+        items = [
+            (render_template(k, env), render_template(v, env))
+            for k, v in template.items()
+        ]
+        value = F.map_from_arrays(
+            F.array(*[rk.getField("value").cast("string") for rk, _ in items]),
+            F.array(*[rv.getField("value").cast("string") for _, rv in items]),
+        )
+        return with_unit(value, _unit_consensus([rv.getField("unit") for _, rv in items]))
+    if isinstance(template, (list, tuple)):
+        items = [render_template(v, env) for v in template]
+        value = F.array(*[r.getField("value").cast("string") for r in items])
+        return with_unit(value, _unit_consensus([r.getField("unit") for r in items]))
     if not isinstance(template, str):
         return with_unit(F.lit(template))
     exact = _PLACEHOLDER.fullmatch(template.strip())
@@ -141,8 +166,20 @@ def compile_variable(
         and "*" in var.path
         and var.value_type.endswith("[]")
     )
-    if wildcard_array:  # resolver already produced a real array column
+    template_array = (
+        var.source == "VALUE"
+        and isinstance(var.value, (list, tuple))
+        and (var.value_type.endswith("[]") or var.value_type == "list")
+    )
+    template_dict = (
+        var.source == "VALUE"
+        and isinstance(var.value, dict)
+        and var.value_type == "dict"
+    )
+    if wildcard_array or template_array:  # already a real array column
         value = cast_array_elements(out.getField("value"), var.value_type)
+    elif template_dict:  # already MAP<STRING,STRING>
+        value = out.getField("value")
     else:
         value = cast_to_type(out.getField("value"), var.value_type)
     return with_unit(value, unit)
@@ -185,6 +222,7 @@ def compile_schema(
             for v in schema.variables
             if v.value_type.endswith("[]") or v.value_type == "list"
         }
+        dict_vars = {v.name for v in schema.variables if v.value_type == "dict"}
         for fld in schema.fields:
             rendered = render_template(fld.value, env)
             exact = (
@@ -200,6 +238,8 @@ def compile_schema(
                 # whole-value substitution of an array variable: the
                 # rendered value IS an array column already
                 value = cast_array_elements(rendered.getField("value"), fld.value_type)
+            elif exact and exact.group(1) in dict_vars and fld.value_type == "dict":
+                value = rendered.getField("value")  # already MAP<STRING,STRING>
             else:
                 value = cast_to_type(rendered.getField("value"), fld.value_type)
             if fld.field_type == HIGH_LEVEL:
