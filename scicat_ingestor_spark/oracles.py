@@ -445,6 +445,33 @@ SELECT file,
   'missing' AS failed_vars
 FROM s
 """,
+    "dataset_assembly": """
+WITH f AS (SELECT l_orderkey AS okey, list(CAST(floor(l_extendedprice) AS BIGINT)) AS sizes
+           FROM lineitem GROUP BY l_orderkey),
+b AS (SELECT o.*, coalesce(f.sizes, []) AS sizes, c.c_name
+      FROM orders o LEFT JOIN f ON o.o_orderkey = f.okey
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+SELECT md5('order-'||o_orderkey) AS pid,
+  CAST(coalesce(list_sum(list_filter(sizes, x -> x IS NOT NULL)), 0) AS BIGINT) AS size,
+  len(sizes) AS n_files,
+  'order '||o_orderkey AS dataset_name,
+  coalesce(CASE WHEN o_orderkey % 5 != 0 THEN 'grp' END, 'ess') AS owner_group,
+  'p0' AS proposal_id,
+  concat_ws(',',
+    CASE WHEN o_orderkey % 13 = 0 OR c_name IS NULL THEN 'owner' END,
+    CASE WHEN c_name IS NULL THEN 'ownerEmail' END) AS missing_fields
+FROM b
+""",
+    "datafile_assembly": """
+WITH b AS (SELECT l_orderkey, l_linenumber, CAST(floor(l_extendedprice) AS BIGINT) AS size,
+  'run_'||l_orderkey||'/f'||l_linenumber||'.nxs' AS path,
+  CASE WHEN l_linenumber = 1 THEN md5(CAST(l_orderkey AS VARCHAR)) END AS chk
+  FROM lineitem WHERE l_linenumber <= 2)
+SELECT l_orderkey, path, size, chk FROM b
+UNION ALL
+SELECT l_orderkey, '/ingestor/f'||l_linenumber||'.nxs.b2b' AS path, 128 AS size, NULL AS chk
+FROM b WHERE chk IS NOT NULL
+""",
     "ingest_e2e": """
 WITH msgs AS (
   SELECT event_id, user_id, value,

@@ -758,6 +758,91 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# P9-P11/A1-A2 dataset envelope + S17/S18 datafile list
+# ---------------------------------------------------------------------------
+
+def q_dataset_assembly(spark, sf_dir):
+    """ScicatDataset envelope: mapping -> canonical fields, config-default
+    coalesce (P11), mandatory-field validation as a data-quality channel
+    (P10), size/numberOfFiles aggregates (A1/A2)
+    (/root/reference/src/scicat_dataset.py:843-994)."""
+    from scicat_ingestor_spark.plans.envelope import dataset_fields, size_and_count
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    files = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.collect_list(F.floor("l_extendedprice")).alias("sizes")
+    )
+    base = (
+        orders.join(files, orders.o_orderkey == files.okey, "left")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+    )
+    size, n_files = size_and_count(F.coalesce(F.col("sizes"), F.array().cast("array<long>")))
+    owner = F.when(F.col("o_orderkey") % 13 != 0, F.col("c_name"))  # some invalid rows
+    fields, missing = dataset_fields(
+        {
+            "pid": F.md5(F.concat(F.lit("order-"), F.col("o_orderkey"))),
+            "size": size,
+            "numberOfFiles": n_files,
+            "datasetName": F.concat(F.lit("order "), F.col("o_orderkey")),
+            "principalInvestigator": F.lit("pi"),
+            "creationLocation": F.lit("ess"),
+            "scientificMetadata": F.lit("{}"),
+            "owner": owner,
+            "ownerEmail": F.concat(F.col("c_name"), F.lit("@ess.eu")),
+            "sourceFolder": F.lit("/data"),
+            "contactEmail": F.lit("contact@ess.eu"),
+            "creationTime": F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+            "ownerGroup": F.when(F.col("o_orderkey") % 5 != 0, F.lit("grp")),
+        },
+        defaults={"ownerGroup": "ess", "proposalId": "p0"},
+    )
+    return base.select(
+        fields["pid"].alias("pid"),
+        fields["size"].alias("size"),
+        fields["numberOfFiles"].alias("n_files"),
+        fields["datasetName"].alias("dataset_name"),
+        fields["ownerGroup"].alias("owner_group"),
+        fields["proposalId"].alias("proposal_id"),
+        F.concat_ws(",", missing).alias("missing_fields"),
+    )
+
+
+def q_datafile_assembly(spark, sf_dir):
+    """S17/S18 + relative rewrite: per-dataset datafile array, hash-file
+    siblings after every hashed file, paths relativized to the source
+    folder (/root/reference/src/scicat_dataset.py:615-692)."""
+    from scicat_ingestor_spark.operators.datafiles import (
+        item,
+        relativize,
+        with_hash_files,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    base_item = item(
+        path=F.concat(F.lit("/data/run_"), F.col("l_orderkey"), F.lit("/f"), F.col("l_linenumber"), F.lit(".nxs")),
+        size=F.floor("l_extendedprice"),
+        time=F.date_format("l_shipdate", "yyyy-MM-dd'T'HH:mm:ssXXX"),
+        chk=F.when(F.col("l_linenumber") == 1, F.md5(F.col("l_orderkey").cast("string"))),
+    )
+    per_ds = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(base_item)).alias("items")
+    )
+    items = with_hash_files(F.col("items"), "/ingestor")
+    items = relativize(items, F.lit("/data"))
+    exploded = per_ds.select(
+        "l_orderkey", F.explode(items).alias("it")
+    )
+    return exploded.select(
+        "l_orderkey",
+        F.col("it.path").alias("path"),
+        F.col("it.size").alias("size"),
+        F.col("it.chk").alias("chk"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §3.2 flagship: the compiled ingest pipeline end-to-end
 # ---------------------------------------------------------------------------
 
@@ -884,5 +969,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ingest_nexus": q_ingest_nexus,
+    "dataset_assembly": q_dataset_assembly,
+    "datafile_assembly": q_datafile_assembly,
     "ingest_e2e": q_ingest_e2e,
 }
