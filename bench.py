@@ -38,6 +38,7 @@ HEADLINE = [
     "t8_hourly_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",

@@ -179,6 +179,57 @@ def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs -> (id,
+    cluster_id) with cluster_id = min reachable id. The dedup endgame:
+    LSH emits pairwise candidates; clustering turns them into groups so
+    one representative per component survives.
+
+    Iterative min-label propagation: each round joins labels across
+    edges and keeps the per-node min. Rounds = graph diameter (small for
+    dup clusters); each round is one shuffle join + one groupBy — the
+    standard MapReduce-CC shape, no driver-side graph. localCheckpoint
+    truncates lineage so plans don't grow per iteration.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        propagated = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
 def jaccard_similarity(a: Column, b: Column) -> Column:
     """Jaccard over two (distinct-element) arrays, all built-ins."""
     inter = F.size(F.array_intersect(a, b))

@@ -71,6 +71,22 @@ _MINHASH_BANDS = "\n  UNION ALL ".join(
     for b in range(4)
 )
 
+_MINHASH_PAIR_CTES = f"""w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+    i -> concat_ws(' ', toks[i], toks[i+1]))) AS shingles FROM w),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+mh AS (SELECT doc_id,
+   {_MINHASH_COLS}
+   FROM ex GROUP BY doc_id),
+bk AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
 ORACLES: dict[str, str] = {
     "s2_message_type_filter": """
 SELECT event_id AS offset, substr(event_type || '####', 1, 4) AS message_type
@@ -244,19 +260,19 @@ SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """,
     "dedup_minhash_lsh": f"""
-WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
-sh AS (SELECT doc_id,
-  list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
-    i -> concat_ws(' ', toks[i], toks[i+1]))) AS shingles FROM w),
-ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-mh AS (SELECT doc_id,
-   {_MINHASH_COLS}
-   FROM ex GROUP BY doc_id),
-bk AS (
-  {_MINHASH_BANDS}
+WITH {_MINHASH_PAIR_CTES}
+SELECT id_a, id_b FROM pairs
+""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
 )
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bk a JOIN bk b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """,
     "dedup_simhash": f"""
 WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS word
@@ -444,6 +460,15 @@ SELECT file,
   'alice-'||(n % 7)||',bob-'||(n % 11) AS users,
   'missing' AS failed_vars
 FROM s
+""",
+    "ingest_sc": """
+WITH b AS (SELECT event_id, user_id * 3 AS proposal_id FROM events)
+SELECT b.event_id,
+  p.c_name AS pi,
+  CASE WHEN p.c_custkey IS NOT NULL
+       THEN 'PI '||p.c_name||' nation '||p.c_nationkey END AS dataset_name,
+  CASE WHEN p.c_custkey IS NULL THEN 'pi,nation_key,title' ELSE '' END AS failed_vars
+FROM b LEFT JOIN customer p ON b.proposal_id = p.c_custkey
 """,
     "dataset_assembly": """
 WITH f AS (SELECT l_orderkey AS okey, list(CAST(floor(l_extendedprice) AS BIGINT)) AS sizes

@@ -473,6 +473,16 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup_groups(docs, "text", "doc_id", bits=16)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup endgame: LSH candidate pairs -> connected components
+    (iterative min-label propagation; cluster_id = min reachable id)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+    )
+    return dedup.dedup_clusters(pairs)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -757,6 +767,69 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_pairs_lsh(emb, dim=64, threshold=0.3, bits=4)
 
 
+_SC_SCHEMA = MetadataSchema.from_dict(
+    {
+        "id": "sc-demo",
+        "name": "sc-demo",
+        "order": 0,
+        "selector": "*",
+        "variables": {
+            "pi": {
+                "source": "SC",
+                "url": "proposals/<proposal_id>",
+                "field": "c_name",
+                "value_type": "string",
+            },
+            "nation_key": {
+                "source": "SC",
+                "url": "proposals/<proposal_id>",
+                "field": "c_nationkey",
+                "value_type": "integer",
+            },
+            "title": {"source": "VALUE", "value": "PI <pi> nation <nation_key>"},
+        },
+        "schema": {
+            "principalInvestigator": {
+                "machine_name": "principalInvestigator",
+                "value": "<pi>",
+                "field_type": "high_level",
+            },
+            "datasetName": {
+                "machine_name": "datasetName",
+                "value": "<title>",
+                "field_type": "high_level",
+            },
+        },
+    }
+)
+
+
+def q_ingest_sc(spark, sf_dir):
+    """V1 SC-source dispatch: catalog lookups as broadcast dimension
+    joins feeding the compiler; missing catalog rows -> NULLs -> V3
+    failure channel (the reference's per-record GET + 404 tolerance,
+    /root/reference/src/scicat_dataset.py:389-414)."""
+    from scicat_ingestor_spark.plans.sc import attach_dimension, make_sc_resolver
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "proposal_id", F.col("user_id") * 3
+    )
+    proposals = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    base = attach_dimension(
+        ev, proposals, "proposals", F.col("proposal_id"), "c_custkey"
+    ).withColumn("data_file_path", F.concat(F.lit("/ev/"), F.col("event_id")))
+    transform = compile_schema(_SC_SCHEMA, resolvers={"SC": make_sc_resolver()})
+    out = transform(base)
+    return out.select(
+        "event_id",
+        F.col("principalInvestigator").getField("value").alias("pi"),
+        F.col("datasetName").getField("value").alias("dataset_name"),
+        F.concat_ws(",", F.col("_failures")).alias("failed_vars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P9-P11/A1-A2 dataset envelope + S17/S18 datafile list
 # ---------------------------------------------------------------------------
@@ -954,6 +1027,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -971,5 +1045,6 @@ QUERIES = {
     "ingest_nexus": q_ingest_nexus,
     "dataset_assembly": q_dataset_assembly,
     "datafile_assembly": q_datafile_assembly,
+    "ingest_sc": q_ingest_sc,
     "ingest_e2e": q_ingest_e2e,
 }
