@@ -53,14 +53,19 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    def run(name: str) -> float:
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = QUERIES[name](spark, sf_dir)
         # full execution without driver-side materialization of rows
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter() - t0
+
+    # warm-up pass: JVM codegen, Python worker pools, parquet footers —
+    # steady-state throughput is what a long-lived cluster job sees
+    for name in HEADLINE:
+        run(name)
+
+    timings: dict[str, float] = {name: round(run(name), 4) for name in HEADLINE}
 
     total = round(sum(timings.values()), 4)
     print(

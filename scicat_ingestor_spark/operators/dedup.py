@@ -95,12 +95,23 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     bands: int = 4,
     rows_per_band: int = 2,
+    star: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    explode to (id, band, band_signature) and self-join per bucket; the
-    shuffle key is (band, signature) so skew only appears for genuinely
-    repeated content. Returns distinct (id_a, id_b) with id_a < id_b.
+    Buckets are formed by ONE shuffle on (band, band_signature):
+    groupBy + collect the member ids, then generate in-bucket pairs with
+    array expressions. Compared to a bucket self-join this computes the
+    shingle/signature pipeline once instead of twice (Spark does not
+    reuse a subplan referenced on both sides of a join) and replaces the
+    join shuffle with a map-side explode. Returns distinct
+    (id_a, id_b) with id_a < id_b.
+
+    star=True links every bucket member to the bucket minimum only —
+    O(n) edges per bucket instead of O(n^2), with identical connected
+    components (a clique and its star have the same reachability). This
+    is the scale path for feeding dedup_clusters: a mega-bucket of 100k
+    identical documents yields 1e5 edges, not 5e9.
     """
     num_hashes = bands * rows_per_band
     # two-step select: materialize the digest array in its own projection —
@@ -125,18 +136,36 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    grouped = (
+        buckets.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    if star:
+        # (min_id, other) for every other member
+        pair_arr = F.transform(
+            F.slice(ids, 2, F.size(ids) - 1),
+            lambda y: F.struct(
+                F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
+            ),
+        )
+    else:
+        # all ordered pairs within the (sorted) bucket: element i with
+        # every element after it (slice is 1-based, so partners of the
+        # 0-based i-th element start at position i+2)
+        pair_arr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids) - i - 1),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

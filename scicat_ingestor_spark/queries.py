@@ -477,8 +477,10 @@ def q_dedup_clusters(spark, sf_dir):
     """Dedup endgame: LSH candidate pairs -> connected components
     (iterative min-label propagation; cluster_id = min reachable id)."""
     docs = _t(spark, sf_dir, "documents")
+    # star=True: same connected components as the full pairwise candidate
+    # set, O(bucket) instead of O(bucket^2) edges — the 100 TB path
     pairs = dedup.minhash_lsh_pairs(
-        docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+        docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2, star=True
     )
     return dedup.dedup_clusters(pairs)
 
