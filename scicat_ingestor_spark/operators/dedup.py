@@ -222,18 +222,36 @@ def dedup_clusters(
     dup clusters); each round is one shuffle join + one groupBy — the
     standard MapReduce-CC shape, no driver-side graph. localCheckpoint
     truncates lineage so plans don't grow per iteration.
+
+    Edges are hash-partitioned on the join key once and cached, so each
+    round shuffles only the (small) label side. Convergence for numeric
+    ids is a sum check — labels are min-ids and only ever decrease, so
+    sum(label) strictly decreases until fixpoint — one cheap aggregate
+    per round instead of a join + count job.
     """
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .cache()
+    )
+    numeric_ids = dict(pairs.dtypes).get("id_a", "").split("(")[0] in {
+        "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
+    }
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
+    )
+    prev_sum = (
+        labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if numeric_ids
+        else None
     )
     for _ in range(max_iterations):
         propagated = (
@@ -246,15 +264,24 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        if numeric_ids:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 

@@ -746,7 +746,9 @@ def q_ingest_nexus(spark, sf_dir):
     (/root/reference/src/scicat_offline_ingestor.py:219-267) as one plan."""
     docs = _t(spark, sf_dir, "documents")
     files = docs.select(F.concat(F.lit("/f"), F.col("doc_id")).alias("file"))
-    wide = hdf5.wide_table(hdf5.scan_files(files))
+    # scan_files_wide emits the per-file map straight from the reader —
+    # no long-table materialization, no pivot shuffle
+    wide = hdf5.scan_files_wide(files)
     transform = compile_schema(
         _NXS_SCHEMA, file_path_col="file", resolvers={"NXS": hdf5.make_nxs_resolver()}
     )

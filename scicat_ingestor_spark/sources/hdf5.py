@@ -130,6 +130,34 @@ def scan_files(files_df: DataFrame, path_col: str = "file") -> DataFrame:
     return files_df.mapInPandas(run, schema=LONG_SCHEMA)
 
 
+WIDE_SCHEMA = "file string, nxs map<string, struct<value: string, unit: string>>"
+
+
+def scan_files_wide(files_df: DataFrame, path_col: str = "file") -> DataFrame:
+    """S6 scan straight to the per-file view: DataFrame[file] ->
+    (file, nxs MAP<h5_path, STRUCT<value,unit>>).
+
+    Every row of one file is produced by the same reader call, so the
+    pivot that ``wide_table`` does with a groupBy shuffle can be emitted
+    directly inside the scan — zero shuffles, and the long table (10-100
+    rows per file) never materializes. This is the ingest hot path; the
+    long table from ``scan_files`` remains the relational view for
+    wildcard lookups and ad-hoc queries.
+    """
+    h5py_available = try_import_h5py() is not None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            files, maps = [], []
+            for path in pdf[path_col]:
+                rows = _walk_h5(path) if h5py_available else fake_tree(path)
+                files.append(path)
+                maps.append({p: {"value": v, "unit": u} for p, v, u in rows})
+            yield pd.DataFrame({"file": files, "nxs": maps})
+
+    return files_df.mapInPandas(run, schema=WIDE_SCHEMA)
+
+
 def compile_wildcard(path_pattern: str) -> str:
     """S7: compile an imsc path pattern to an anchored regex.
 
