@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ingest_samples",
     "text_quality",
     "text_langid",
     "text_token_counts",

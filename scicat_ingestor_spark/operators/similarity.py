@@ -145,6 +145,87 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 8) -> Column:
     return F.concat(*bit_cols)
 
 
+def centroid_weights(c: int, dim: int) -> list[float]:
+    """IVF centroid c's coordinate for dimension d: md5(f"c{c}:{d}") mapped
+    to [-1, 1). Pure plan constants, shared with the DuckDB oracle — a
+    production deployment would swap in k-means centroids trained offline;
+    the cell-assignment plan shape is identical."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"c{c}:{d}".encode()).hexdigest()[:8], 16) / 0x80000000) - 1.0
+        for d in range(dim)
+    ]
+
+
+def ivf_cell(vec: Column, dim: int, cells: int = 8) -> Column:
+    """IVF cell assignment: argmax over dot(vec, centroid_c), ties to the
+    lowest c. All codegen'd fold expressions over literal centroids — the
+    assignment adds NO shuffle; the 100 TB side is scanned once and
+    bucketed by a computed column."""
+    dots = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in centroid_weights(c, dim)]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in range(cells)
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    cells: int = 8,
+) -> DataFrame:
+    """IVF ANN top-k: partition the corpus into Voronoi cells of fixed
+    centroids (computed column, no shuffle on the big side), probe the
+    query's cell via a broadcast equi-join, exact cosine re-rank inside.
+
+    The inverted-file analogue of lsh_topk: candidates ~ n/cells per
+    query instead of n; recall < 1 when the true neighbor falls in a
+    different cell (nprobe=1 here; raising nprobe = unioning more cells
+    into the broadcast probe side, same plan shape).
+    """
+    cell_v = vectors.withColumn("_cell", ivf_cell(F.col(vec_col), dim, cells))
+    cell_q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        ivf_cell(F.col(vec_col), dim, cells).alias("_cell"),
+    )
+    candidates = cell_v.join(F.broadcast(cell_q), "_cell")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

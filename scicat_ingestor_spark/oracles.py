@@ -29,6 +29,20 @@ def _sig_sql(col: str, bits: int = 4, dim: int = 64) -> str:
     return "||".join(parts)
 
 
+def _ivf_cell_sql(col: str, cells: int = 8, dim: int = 64) -> str:
+    """IVF cell assignment in DuckDB SQL with the SAME centroid constants
+    the Spark plan folds in (operators.similarity.centroid_weights):
+    1-based argmax of dot(vec, centroid), ties to the lowest index."""
+    from scicat_ingestor_spark.operators.similarity import centroid_weights
+
+    dots = ",".join(
+        "list_dot_product(%s, [%s])"
+        % (col, ",".join(repr(x) for x in centroid_weights(c, dim)))
+        for c in range(cells)
+    )
+    return f"CAST(list_position([{dots}], list_max([{dots}])) AS INT)"
+
+
 def _file_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Ground truth for s8_s9_file_stats computed independently of the
     Spark path: driver-side os.stat + one-shot (non-streaming) blake2b.
@@ -448,6 +462,44 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM sigv a JOIN sigv b ON a.sig = b.sig AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.e, b.e)
     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.3
+""",
+    "ann_ivf_topk": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cv AS (SELECT vec_id, e, {_ivf_cell_sql('e')} AS cell FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, cell FROM cv WHERE vec_id < 3),
+sc AS (SELECT q.query_id, c.vec_id,
+        list_dot_product(c.e, q.qe)
+          / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM cv c JOIN q ON c.cell = q.cell),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+""",
+    "ingest_samples": """
+WITH msgs AS (
+  SELECT event_id, 'job-'||event_id AS job_id,
+    'instr-'||(user_id % 8) AS instrument_name,
+    'sample-'||(event_id % 40) AS description,
+    'prop-'||((user_id % 8) * 3) AS proposal_id
+  FROM events
+),
+firsts AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY description, proposal_id ORDER BY event_id) AS rn
+    FROM msgs) WHERE rn = 1
+),
+existing AS (
+  SELECT DISTINCT 'sample-'||(s_suppkey % 40) AS description,
+    'prop-'||(s_nationkey % 25) AS proposal_id
+  FROM supplier
+)
+SELECT f.description, f.proposal_id, f.instrument_name AS owner_group, f.job_id
+FROM firsts f
+WHERE NOT EXISTS (SELECT 1 FROM existing e
+  WHERE e.description = f.description AND e.proposal_id = f.proposal_id)
 """,
     "ingest_nexus": """
 WITH f AS (SELECT '/f'||doc_id AS file FROM documents),

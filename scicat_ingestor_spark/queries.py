@@ -683,6 +683,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF — Voronoi cells of fixed centroids, probe
+    the query's cell, exact re-rank inside (recall < 1 by construction;
+    cell assignment is a computed column, no shuffle on the corpus)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, dim=64, k=5, cells=8)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _NXS_SCHEMA = MetadataSchema.from_dict(
     {
         "id": "nexus-demo",
@@ -831,6 +843,73 @@ def q_ingest_sc(spark, sf_dir):
         F.col("principalInvestigator").getField("value").alias("pi"),
         F.col("datasetName").getField("value").alias("dataset_name"),
         F.concat_ws(",", F.col("_failures")).alias("failed_vars"),
+    )
+
+
+def q_ingest_samples(spark, sf_dir):
+    """§3.3 sample-ingestor pipeline: S5 pl72 parse -> per-key
+    first-occurrence (T5 — the reference serializes upserts per
+    instrument, so the first message for a (description, proposalId) key
+    inserts and later ones hit the exists-check) -> J6 anti-join against
+    the samples dimension -> upsert rows
+    (/root/reference/src/scicat_sample_ingestor.py:76-153,160-215).
+
+    Scale shape: the stream side shuffles once on the dedup key; the
+    samples dim is broadcast so the anti-join adds no shuffle.
+    """
+    from scicat_ingestor_spark.sources.messages import parse_pl72_json
+
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("job-"), F.col("event_id")).alias("job_id"),
+                F.concat(
+                    F.lit("/data/run_"), F.col("event_id"), F.lit(".nxs")
+                ).alias("filename"),
+                F.concat(F.lit("instr-"), F.col("user_id") % 8).alias(
+                    "instrument_name"
+                ),
+            )
+        ).alias("value"),
+    )
+    msgs = parse_pl72_json(raw)
+    # the child ingestor reads sample name + proposal id out of the file
+    # named in the message (reference :137-140); modeled as derivations
+    # of the run number embedded in the filename
+    run = F.regexp_extract("filename", r"run_(\d+)", 1).cast("long")
+    keyed = msgs.select(
+        "event_id",
+        "job_id",
+        "instrument_name",
+        F.concat(F.lit("sample-"), run % 40).alias("description"),
+        F.concat(
+            F.lit("prop-"), F.regexp_extract("instrument_name", r"(\d+)", 1).cast("long") * 3
+        ).alias("proposal_id"),
+    )
+    w = Window.partitionBy("description", "proposal_id").orderBy("event_id")
+    firsts = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    existing = (
+        _t(spark, sf_dir, "supplier")
+        .select(
+            F.concat(F.lit("sample-"), F.col("s_suppkey") % 40).alias("description"),
+            F.concat(F.lit("prop-"), F.col("s_nationkey") % 25).alias("proposal_id"),
+        )
+        .distinct()
+    )
+    fresh = firsts.join(
+        F.broadcast(existing), ["description", "proposal_id"], "left_anti"
+    )
+    return fresh.select(
+        "description",
+        "proposal_id",
+        F.col("instrument_name").alias("owner_group"),
+        "job_id",
     )
 
 
@@ -1045,7 +1124,9 @@ QUERIES = {
     "v3_error_channel": q_v3_error_channel,
     "p8_null_drop_json": q_p8_null_drop_json,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "ingest_samples": q_ingest_samples,
     "ingest_nexus": q_ingest_nexus,
     "dataset_assembly": q_dataset_assembly,
     "datafile_assembly": q_datafile_assembly,

@@ -47,6 +47,19 @@ def parse_wrdn_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def parse_pl72_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """S5: JSON-harness RunStart (pl72) deserializer: binary/string JSON
+    -> (job_id, filename, instrument_name), malformed rows dropped
+    (/root/reference/src/scicat_kafka.py:208-249)."""
+    parsed = F.from_json(F.col(value_col).cast("string"), PL72_SCHEMA)
+    return (
+        df.withColumn("_msg", parsed)
+        .filter(F.col("_msg").isNotNull() & F.col("_msg.job_id").isNotNull())
+        .select("*", "_msg.*")
+        .drop("_msg")
+    )
+
+
 def drop_writer_errors(df: DataFrame, flag_col: str = "error_encountered") -> DataFrame:
     """S4 (/root/reference/src/scicat_kafka.py:99-110)."""
     return df.filter(~F.coalesce(F.col(flag_col), F.lit(False)))

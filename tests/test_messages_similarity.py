@@ -1,0 +1,97 @@
+"""Message-layer parsers (S3/S5) and the IVF ANN tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.operators import similarity
+from scicat_ingestor_spark.sources.messages import (
+    message_type_filter,
+    parse_pl72_json,
+    parse_wrdn_json,
+)
+
+
+def test_message_type_filter_matches_byte_tag(spark):
+    df = spark.createDataFrame(
+        [(b"xxxxwrdnrest",), (b"xxxxpl72rest",), (b"short",)], "value binary"
+    )
+    kept = df.filter(message_type_filter(F.col("value"), b"wrdn")).collect()
+    assert len(kept) == 1 and bytes(kept[0]["value"]).startswith(b"xxxxwrdn")
+
+
+def test_parse_pl72_drops_malformed(spark):
+    rows = [
+        ('{"job_id":"j1","filename":"/a.nxs","instrument_name":"ymir"}',),
+        ("not json at all",),
+        ('{"filename":"/no/jobid.nxs"}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_pl72_json(df).collect()
+    assert len(out) == 1
+    assert (out[0]["job_id"], out[0]["instrument_name"]) == ("j1", "ymir")
+
+
+def test_parse_wrdn_drops_malformed(spark):
+    rows = [
+        ('{"job_id":"j1","file_name":"/a.nxs","error_encountered":false}',),
+        ("{broken",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = parse_wrdn_json(df).collect()
+    assert len(out) == 1 and out[0]["file_name"] == "/a.nxs"
+
+
+def test_ivf_cell_deterministic_and_in_range(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) - 3.0] * 8) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    a = df.select("vec_id", similarity.ivf_cell(F.col("embedding"), 8, 4).alias("c"))
+    first = {r["vec_id"]: r["c"] for r in a.collect()}
+    second = {r["vec_id"]: r["c"] for r in a.collect()}
+    assert first == second
+    assert all(1 <= c <= 4 for c in first.values())
+
+
+def test_ivf_topk_agrees_with_brute_force_within_cell(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cells = df.select(
+        "vec_id", similarity.ivf_cell(F.col("embedding"), dim, 4).alias("c")
+    )
+    cell_of = {r["vec_id"]: r["c"] for r in cells.collect()}
+    got = similarity.ivf_topk(df, queries, dim=dim, k=3, cells=4).collect()
+    # per query: ranks contiguous from 1, all neighbors in the query's cell,
+    # and equal to brute force restricted to that cell
+    brute = similarity.brute_force_topk(df, queries, k=60).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, neigh in by_q.items():
+        ranks = sorted(r["rank"] for r in neigh)
+        assert ranks == list(range(1, len(neigh) + 1))
+        assert all(cell_of[r["neighbor_id"]] == cell_of[qid] for r in neigh)
+        expected = [
+            r["neighbor_id"]
+            for r in sorted(brute, key=lambda r: r["rank"])
+            if r["query_id"] == qid and cell_of[r["neighbor_id"]] == cell_of[qid]
+        ][:3]
+        assert [r["neighbor_id"] for r in sorted(neigh, key=lambda r: r["rank"])] == expected
+
+
+def test_ivf_topk_broadcasts_probe_side(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = similarity.ivf_topk(df, queries, dim=4, cells=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
