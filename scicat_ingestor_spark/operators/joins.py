@@ -60,8 +60,12 @@ def lookup_first_ci(
 
 def anti_by_key(new_rows: DataFrame, existing: DataFrame, key: str) -> DataFrame:
     """J4: exists-by-pid dedup as LEFT ANTI JOIN
-    (/root/reference/src/scicat_offline_ingestor.py:67-85)."""
-    return new_rows.join(existing.select(key).distinct(), key, "left_anti")
+    (/root/reference/src/scicat_offline_ingestor.py:67-85).
+
+    No distinct on the probe side: anti-join semantics ignore duplicate
+    build keys and the join's hash relation dedups them anyway — a
+    distinct here would only add a full extra shuffle + aggregate."""
+    return new_rows.join(existing.select(key), key, "left_anti")
 
 
 def anti_by_metadata(
@@ -74,13 +78,9 @@ def anti_by_metadata(
     """J5: exists-by-metadata dedup — anti join on an extracted map value
     (/root/reference/src/scicat_offline_ingestor.py:88-125; default key
     job_id, src/scicat_configuration.py:328)."""
-    probe = (
-        existing.select(
-            F.element_at(F.col(meta_col), meta_key).getField("value").alias("_probe")
-        )
-        .filter(F.col("_probe").isNotNull())
-        .distinct()
-    )
+    probe = existing.select(
+        F.element_at(F.col(meta_col), meta_key).getField("value").alias("_probe")
+    ).filter(F.col("_probe").isNotNull())
     return new_rows.join(
         probe, new_rows[new_col].cast("string") == probe["_probe"], "left_anti"
     )

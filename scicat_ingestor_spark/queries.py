@@ -31,16 +31,20 @@ from scicat_ingestor_spark.sources.messages import drop_writer_errors
 _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-since-epoch long (see session.py nanosAsLong) -> µs timestamp,
         # truncating like DuckDB's ns->µs cast
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    if name in _FACT_TABLES:
+    if parallel and name in _FACT_TABLES:
         # driver testdata is single-row-group parquet -> 1 scan split;
         # re-split to cluster parallelism (filters/pruning push through
-        # Repartition; no-op on well-split data — see operators.util)
+        # Repartition; no-op on well-split data — see operators.util).
+        # Pass parallel=False for sides that go straight into a broadcast
+        # or hash-relation build: a repartition there is a wasted shuffle.
         df = ensure_parallelism(df)
     return df
 
@@ -274,7 +278,7 @@ def q_j4_anti_exists_pid(spark, sf_dir):
     """J4: exists-by-pid dedup as LEFT ANTI
     (/root/reference/src/scicat_offline_ingestor.py:67-85)."""
     orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem").select(
+    li = _t(spark, sf_dir, "lineitem", parallel=False).select(
         F.col("l_orderkey").alias("o_orderkey")
     )
     return anti_by_key(orders, li, "o_orderkey").select("o_orderkey", "o_orderstatus")
@@ -286,7 +290,9 @@ def q_j5_anti_by_metadata(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "meta_key", F.concat(F.lit("src"), F.get_json_object("props", "$.k"))
     )
-    probe = _t(spark, sf_dir, "documents").select(F.col("source").alias("meta_key")).distinct()
+    probe = _t(spark, sf_dir, "documents", parallel=False).select(
+        F.col("source").alias("meta_key")
+    )
     return ev.join(probe, "meta_key", "left_anti").select("event_id", "meta_key")
 
 
