@@ -211,6 +211,7 @@ def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 
 def dedup_clusters(
     pairs: DataFrame,
     max_iterations: int = 20,
+    broadcast_nodes_max: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs -> (id,
     cluster_id) with cluster_id = min reachable id. The dedup endgame:
@@ -223,22 +224,28 @@ def dedup_clusters(
     standard MapReduce-CC shape, no driver-side graph. localCheckpoint
     truncates lineage so plans don't grow per iteration.
 
-    Edges are hash-partitioned on the join key once and cached, so each
-    round shuffles only the (small) label side. Convergence for numeric
+    Physical strategy is size-aware, decided once (the node set never
+    changes across rounds): when the label table fits a broadcast, each
+    round is ONE job — map-side broadcast join over the cached edges +
+    one small groupBy shuffle — with the convergence aggregate collected
+    for free from that same job via ``observe``. Above the threshold the
+    round falls back to the shuffle join with edges pre-partitioned on
+    the join key, so only the label side moves. Convergence for numeric
     ids is a sum check — labels are min-ids and only ever decrease, so
-    sum(label) strictly decreases until fixpoint — one cheap aggregate
-    per round instead of a join + count job.
+    sum(label) strictly decreases until fixpoint — instead of a
+    join + count job.
     """
+    from pyspark.sql import Observation
+
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    edges = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .repartition("dst")
-        .cache()
-    )
+    # checkpoint FIRST: the upstream pair generation (LSH etc.) must run
+    # exactly once — labels and every round then read the materialized
+    # edge set, not the full candidate-generation lineage
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     numeric_ids = dict(pairs.dtypes).get("id_a", "").split("(")[0] in {
         "tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
     }
@@ -248,31 +255,44 @@ def dedup_clusters(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint()
     )
+    n_nodes = labels.count()
+    small = n_nodes <= broadcast_nodes_max
+    if not small:
+        edges = edges.repartition("dst").cache()
     prev_sum = (
         labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if numeric_ids
         else None
     )
     for _ in range(max_iterations):
+        label_side = F.broadcast(labels) if small else labels
+        # union the label map in as extra (id -> label) edges: the join
+        # then also pulls label[label[id]] — path compression fused into
+        # the same join, cutting rounds below the graph diameter
+        dyn = edges.unionByName(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("dst"))
+        )
         propagated = (
-            edges.join(labels, edges.dst == labels.id)
+            dyn.join(label_side, dyn.dst == label_side.id)
             .select(F.col("src").alias("id"), "label")
         )
         new_labels = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         if numeric_ids:
-            cur_sum = new_labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)"))
-            ).collect()[0][0]
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).localCheckpoint()  # eager: runs the job, fills the observation
+            cur_sum = obs.get["s"]
             labels = new_labels
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
         else:
+            new_labels = new_labels.localCheckpoint()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
