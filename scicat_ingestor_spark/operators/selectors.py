@@ -65,10 +65,18 @@ def compile_selector(selector: Any, field_resolver=None) -> Column:
     return F.lit(False)
 
 
-def schema_sort_key(schema: dict) -> tuple:
+def _get(schema: Any, key: str, default: Any = None) -> Any:
+    """Field access for both dict-shaped schemas and MetadataSchema
+    dataclass instances (plans.schema_model)."""
+    if isinstance(schema, dict):
+        return schema.get(key, default)
+    return getattr(schema, key, default)
+
+
+def schema_sort_key(schema: Any) -> tuple:
     """Sort key ``(order, name.capitalize())``
     (/root/reference/src/scicat_metadata.py:334-342)."""
-    return (schema.get("order", 0), str(schema.get("name", "")).capitalize())
+    return (_get(schema, "order", 0), str(_get(schema, "name", "")).capitalize())
 
 
 def select_schema_column(
@@ -84,8 +92,8 @@ def select_schema_column(
     expr: Column | None = None
     chain = None
     for schema in ordered:
-        pred = compile_selector(schema.get("selector", "*"), field_resolver)
-        sid = F.lit(schema["id"])
+        pred = compile_selector(_get(schema, "selector", "*"), field_resolver)
+        sid = F.lit(_get(schema, "id"))
         chain = F.when(pred, sid) if chain is None else chain.when(pred, sid)
     if chain is None:
         return F.lit(fallback_id)

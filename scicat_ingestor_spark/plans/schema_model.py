@@ -103,3 +103,51 @@ class MetadataSchema:
                 SchemaField.from_dict(k, v) for k, v in (d.get("schema") or {}).items()
             ),
         )
+
+
+SCHEMA_FILE_SUFFIXES = (".imsc.yml", ".imsc.yaml", ".imsc.json")
+
+
+def list_schema_files(directory: str) -> list:
+    """S19: non-hidden ``*.imsc.yml|yaml|json`` files in a directory
+    (/root/reference/src/scicat_metadata.py:29-55)."""
+    import pathlib
+
+    root = pathlib.Path(directory)
+    return sorted(
+        p
+        for p in root.iterdir()
+        if p.is_file()
+        and not p.name.startswith(".")
+        and any(p.name.endswith(s) for s in SCHEMA_FILE_SUFFIXES)
+    )
+
+
+def load_schema_file(path) -> MetadataSchema:
+    """One schema file (YAML or JSON) -> MetadataSchema
+    (/root/reference/src/scicat_metadata.py:58-88). Files without an
+    explicit id get a deterministic one derived from the file name."""
+    import hashlib
+    import json
+    import pathlib
+
+    p = pathlib.Path(path)
+    text = p.read_text()
+    if p.name.endswith(".json"):
+        data = json.loads(text)
+    else:
+        import yaml
+
+        data = yaml.safe_load(text)
+    data.setdefault("id", hashlib.md5(p.name.encode()).hexdigest())
+    data.setdefault("name", p.name.split(".imsc")[0])
+    return MetadataSchema.from_dict(data)
+
+
+def collect_schemas(directory: str) -> list[MetadataSchema]:
+    """S19 + O1: load every schema in a directory, ordered by
+    (order, name.capitalize()) — the first-match scan order
+    (/root/reference/src/scicat_metadata.py:328-346). Config-plane:
+    runs once on the driver at plan-compile time."""
+    schemas = [load_schema_file(p) for p in list_schema_files(directory)]
+    return sorted(schemas, key=lambda s: (s.order, s.name.capitalize()))

@@ -64,3 +64,53 @@ class TestSelectors:
             "/data/ymir_7.nxs": "any_data",
             "/other/x.nxs": "fallback",
         }
+
+
+class TestSchemaFileCollection:
+    """S19: directory scan + YAML/JSON load + first-match ordering
+    (/root/reference/src/scicat_metadata.py:29-88,328-346)."""
+
+    def _write_dir(self, tmp_path):
+        (tmp_path / "b.imsc.yml").write_text(
+            "id: coda\nname: coda\norder: 0\n"
+            "selector: 'filename:contains:coda'\n"
+            "variables:\n  t:\n    source: VALUE\n    value: x\n"
+        )
+        (tmp_path / "a.imsc.json").write_text(
+            '{"id": "ymir", "name": "ymir", "order": 1,'
+            ' "selector": "filename:starts_with:/data"}'
+        )
+        (tmp_path / ".hidden.imsc.yml").write_text("id: nope")
+        (tmp_path / "readme.txt").write_text("not a schema")
+        return tmp_path
+
+    def test_collect_schemas_filters_and_orders(self, tmp_path):
+        from scicat_ingestor_spark.plans.schema_model import collect_schemas
+
+        schemas = collect_schemas(self._write_dir(tmp_path))
+        assert [s.id for s in schemas] == ["coda", "ymir"]  # order asc
+        assert schemas[0].variables[0].name == "t"
+
+    def test_collected_schemas_drive_selection(self, spark, tmp_path):
+        from scicat_ingestor_spark.plans.schema_model import collect_schemas
+
+        schemas = collect_schemas(self._write_dir(tmp_path))
+        out = {
+            r["filename"]: r["schema_id"]
+            for r in with_selected_schema(
+                _df(spark), schemas, fallback_id="fallback"
+            ).collect()
+        }
+        assert out == {
+            "/data/coda_123.nxs": "coda",
+            "/data/ymir_7.nxs": "ymir",
+            "/other/x.nxs": "fallback",
+        }
+
+    def test_defaults_from_filename(self, tmp_path):
+        from scicat_ingestor_spark.plans.schema_model import load_schema_file
+
+        p = tmp_path / "site.imsc.yaml"
+        p.write_text("selector: '*'\norder: 3\n")
+        s = load_schema_file(p)
+        assert s.name == "site" and s.order == 3 and len(s.id) == 32

@@ -131,3 +131,69 @@ def test_ordered_per_key_apply(spark, sf_dir, tmp_path):
         ids = [int(x) for x in open(path).read().split(",")]
         assert ids == sorted(ids), "rows not ordered within key"
     assert len(seen_keys) == 5
+
+
+def test_health_endpoint_contract():
+    """T9: 200 when all probes pass, 503 otherwise, 404 elsewhere
+    (/root/reference/src/scicat_health_check.py:42-65)."""
+    import json
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from scicat_ingestor_spark.streaming import health
+
+    flags = {"scicat": True}
+    state = health.HealthState(
+        {
+            "storage": lambda: health.check_storage("/root/repo"),
+            "scicat": lambda: flags["scicat"],
+        }
+    )
+    server = health.serve_health(state)
+    port = server.server_address[1]
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert r.status == 200
+            assert json.loads(r.read()) == {"storage": True, "scicat": True}
+        flags["scicat"] = False
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/health")
+            raise AssertionError("expected 503")
+        except HTTPError as e:
+            assert e.code == 503
+            assert json.loads(e.read()) == {"storage": True, "scicat": False}
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/other")
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_query_health_listener_tracks_stream(spark, sf_dir, tmp_path):
+    """T9: listener marks a running stream healthy and a failed one not."""
+    import time as _time
+
+    from scicat_ingestor_spark.streaming.health import QueryHealthListener
+
+    listener = QueryHealthListener(stale_after_s=300)
+    spark.streams.addListener(listener)
+    try:
+        src = spark.readStream.format("rate").option("rowsPerSecond", "10").load()
+        q = (
+            src.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        deadline = _time.time() + 30
+        while not listener._last_progress and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert listener.healthy()
+        q.stop()
+        q.awaitTermination(30)
+        # clean stop: still healthy
+        assert listener.healthy()
+    finally:
+        spark.streams.removeListener(listener)
