@@ -104,6 +104,37 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_OUT_SCHEMA)
 
 
+RESIZE_OUT_SCHEMA = (
+    "media_id long, width int, height int, payload binary, n_bytes long"
+)
+
+
+def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize plumbing: Arrow-batched mapInPandas producing fixed-size
+    payloads with updated dimensions. The deterministic stand-in clips /
+    tiles the source bytes to ``target_w * target_h``; a real deployment
+    swaps the body for the codec's resample call — schema, batch shape
+    and partition behavior (no shuffle) are identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: (bytes(b) * (n_out // max(len(b), 1) + 1))[:n_out]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "payload": resized,
+                    "n_bytes": resized.map(len),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_OUT_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: explode a (stubbed) frame index list and
     keep every Nth frame — the real variant replaces the index generator
