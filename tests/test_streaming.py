@@ -197,3 +197,40 @@ def test_query_health_listener_tracks_stream(spark, sf_dir, tmp_path):
         assert listener.healthy()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-key state: duplicates dropped within a
+    batch AND across micro-batches via the checkpointed state store."""
+    from scicat_ingestor_spark.streaming.stateful import dedup_across_batches
+
+    src = str(tmp_path / "state_src")
+    ck = str(tmp_path / "state_ck")
+    schema = "pid string, payload long"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    out = str(tmp_path / "state_out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_across_batches(stream, "pid")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["pid"] for r in spark.read.parquet(out).collect()}
+
+    write_batch([("a", 1), ("b", 2), ("a", 3)], "overwrite")
+    assert drain() == {"a", "b"}
+
+    write_batch([("b", 4), ("c", 5)], "append")
+    # restarted query restores the seen-set from the checkpoint: only the
+    # genuinely new key passes
+    assert drain() == {"a", "b", "c"}
