@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
@@ -19,3 +20,36 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join for when the small side is too big to
+    broadcast and the fact side has hot keys.
+
+    The fact side gets a uniform salt appended to the key (splitting each
+    hot key across ``salt_buckets`` partitions); the dim side is exploded
+    once per salt value so every (key, salt) bucket still finds its
+    match. Join runs on (key, salt) — no single reducer owns a hot key.
+    The salt derives from a hash of the whole fact row, not rand(), so
+    retried tasks produce identical output (deterministic under Spark's
+    task re-execution, same reason the engine avoids per-row uuid4).
+
+    AQE's skew-join split (on in session.py) handles moderate skew after
+    the fact; explicit salting is for the pathological keys known ahead
+    of time. Complements broadcast() for small dims (operators.joins).
+    """
+    fact_salted = facts.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(salt_buckets)),
+    )
+    dim_exploded = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
+    )
+    return fact_salted.join(dim_exploded, [key, "_salt"], how).drop("_salt")

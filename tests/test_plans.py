@@ -6,6 +6,8 @@ on the hot relational path, and the absence of Python row-at-a-time UDFs.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from scicat_ingestor_spark import queries as Q
 
 
@@ -74,3 +76,40 @@ def test_minhash_digests_computed_once(spark, sf_dir):
     df = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") <= 4  # 2 digests (+aliases), not 16
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Skew salting: same result set as the unsalted equi-join, and the
+    physical join key includes the salt (hot keys spread across
+    reducers)."""
+    from scicat_ingestor_spark.operators.util import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    salted = salted_join(li, orders, "l_orderkey", salt_buckets=4)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.columns == plain.columns
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # join really runs on (key, salt)
+
+
+def test_salted_join_is_deterministic_row_hash(spark, sf_dir):
+    """Salt comes from a row hash, not rand(): two evaluations of the
+    same plan produce identical salt assignment (retry-safe)."""
+    from scicat_ingestor_spark.operators.util import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber"
+    ).limit(500)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    out = salted_join(li, orders, "l_orderkey", salt_buckets=8)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))

@@ -234,3 +234,62 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     # restarted query restores the seen-set from the checkpoint: only the
     # genuinely new key passes
     assert drain() == {"a", "b", "c"}
+
+
+def test_watermarked_window_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """T8 idiomatic carrier: event-time tumbling window + watermark in a
+    stream gives the same rollup as the batch groupBy(window) — late-data
+    policy engaged, availableNow drains everything so totals agree."""
+    src = str(tmp_path / "wm_src")
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .limit(2000)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "event_type")
+    )
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def rollup(df):
+        return df.withWatermark("ts", "1 hour").groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    out = str(tmp_path / "wm_out")
+
+    def drain():
+        q = (
+            rollup(spark.readStream.schema(schema).parquet(src))
+            .select(F.col("w.start").alias("h"), "event_type", "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "wm_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # append mode holds back windows the watermark hasn't passed yet:
+    # after the first drain the tail windows are still open
+    first = drain().count()
+    # a sentinel far past the watermark closes every real window
+    spark.sql(
+        "select cast(9e11 as long) as event_id,"
+        " timestamp'2030-01-01' as ts, '__flush__' as event_type"
+    ).write.mode("append").parquet(src)
+    got = sorted(
+        map(tuple, drain().filter(F.col("event_type") != "__flush__").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            rollup(spark.read.parquet(src))
+            .filter(F.col("event_type") != "__flush__")
+            .select(F.col("w.start").alias("h"), "event_type", "n")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert len(got) >= first  # the flush released the held-back windows
