@@ -84,13 +84,13 @@ def to_date(col: Column) -> Column:
     UTC epoch seconds (reference /root/reference/src/scicat_dataset.py:72-79);
     anything else -> NULL. Output is the ISO string the reference emits.
     """
-    as_ts = F.coalesce(
-        F.try_to_timestamp(col.cast("string")),
-        F.when(
-            col.cast("string").rlike(r"^-?[0-9]+(\.[0-9]+)?$"),
-            F.timestamp_seconds(col.try_cast("double")),
-        ),
-    )
+    # numeric test FIRST: try_to_timestamp("1000") would otherwise parse
+    # a bare number as a year, while the reference treats every numeric
+    # value as epoch seconds (:75-77)
+    as_ts = F.when(
+        col.cast("string").rlike(r"^-?[0-9]+(\.[0-9]+)?$"),
+        F.timestamp_seconds(col.try_cast("double")),
+    ).otherwise(F.try_to_timestamp(col.cast("string")))
     return F.date_format(as_ts, "yyyy-MM-dd'T'HH:mm:ssXXX")
 
 
