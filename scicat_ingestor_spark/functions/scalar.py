@@ -51,8 +51,11 @@ def do_nothing(var: Column) -> Column:
 
 def join_with_space(var: Column) -> Column:
     """F2: join array elements with ", " — comma+space despite the name
-    (/root/reference/src/scicat_dataset.py:156-163)."""
-    return _rewrap(var, F.concat_ws(", ", _value(var)))
+    (/root/reference/src/scicat_dataset.py:156-163). NULL input stays
+    NULL (concat_ws alone would yield '' and hide an upstream variable
+    failure from the V3 channel)."""
+    v = _value(var)
+    return _rewrap(var, F.when(v.isNotNull(), F.concat_ws(", ", v)))
 
 
 def filename(var: Column) -> Column:

@@ -83,8 +83,13 @@ def render_template(template, env: dict[str, Column]) -> Column:
     Mixed text -> concat of literals and stringified values, unit ''.
     dict -> rendered keys+values as MAP<STRING,STRING>; list -> rendered
     items as ARRAY<STRING>; both take the unit consensus of their items.
-    Unresolved ``<...>`` raises at compile time (reference raises at
-    eval time). Other non-string templates become literals.
+    Unresolved ``<...>`` yields a NULL value so the variable lands in the
+    ``_failures`` channel — the reference raises at eval time and the
+    per-variable tolerance catches it, skipping just that variable
+    (/root/reference/src/scicat_metadata.py:300-304,
+    src/scicat_dataset.py:388-426; its own shipped base.imsc.yml.example
+    ships such a dangling reference). Other non-string templates become
+    literals.
     """
     if isinstance(template, dict):
         items = [
@@ -102,11 +107,12 @@ def render_template(template, env: dict[str, Column]) -> Column:
         return with_unit(value, _unit_consensus([r.getField("unit") for r in items]))
     if not isinstance(template, str):
         return with_unit(F.lit(template))
+    _null = with_unit(F.lit(None).cast("string"))
     exact = _PLACEHOLDER.fullmatch(template.strip())
     if exact:
         name = exact.group(1)
         if name not in env:
-            raise KeyError(f"Unresolved variable reference: <{name}>")
+            return _null
         return env[name]
     parts: list[Column] = []
     pos = 0
@@ -115,7 +121,7 @@ def render_template(template, env: dict[str, Column]) -> Column:
             parts.append(F.lit(template[pos : m.start()]))
         name = m.group(1)
         if name not in env:
-            raise KeyError(f"Unresolved variable reference: <{name}>")
+            return _null
         parts.append(env[name].getField("value").cast("string"))
         pos = m.end()
     if pos < len(template):
@@ -176,9 +182,17 @@ def compile_variable(
         and isinstance(var.value, dict)
         and var.value_type == "dict"
     )
+    # SC whole-object mode and getitem over complex values already carry
+    # their final type (map / array of map) — re-casting through the
+    # string-literal parsers would destroy them
+    sc_object = var.source == "SC" and not (var.field or "").lstrip(":")
+    getitem_complex = var.operator == "getitem" and var.value_type in (
+        "dict",
+        "list",
+    )
     if wildcard_array or template_array:  # already a real array column
         value = cast_array_elements(out.getField("value"), var.value_type)
-    elif template_dict:  # already MAP<STRING,STRING>
+    elif template_dict or sc_object or getitem_complex:  # already typed
         value = out.getField("value")
     else:
         value = cast_to_type(out.getField("value"), var.value_type)

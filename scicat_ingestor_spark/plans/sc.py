@@ -53,24 +53,56 @@ def attach_dimension(
     )
 
 
-def make_sc_resolver():
+def make_sc_resolver(resource_fields: dict[str, tuple[str, ...]] | None = None):
     """SourceResolver for SC variables: url ``<resource>/...`` + field
-    projection -> the broadcast-joined column. ``field`` '' or None
-    follows the reference's whole-object mode — here the resource's
-    row struct is not materialized, so it resolves to the resource key
-    column set; we require an explicit field for clarity and raise
-    otherwise."""
+    projection -> the broadcast-joined column.
+
+    ``field: ''`` is the reference's whole-object mode
+    (/root/reference/src/scicat_communication.py:14-24, used by real
+    schemas: resources/small-ymir.imsc.yml.example `proposal_data`): the
+    row comes back as one value and later ``getitem`` variables project
+    it. Supported here when the resource's columns were registered via
+    ``resource_fields`` — the joined columns fold into a
+    MAP<string,string> (value_type ``dict``) or a single-element array of
+    that map (value_type ``list``, matching the filtered-query-returns-a-
+    list shape that ``getitem 0`` then unwraps).
+
+    Leading ``:`` on a field name is stripped (a recurring typo in the
+    reference's shipped examples, e.g. ``field: :pi_lastname`` in
+    resources/coda.imsc.yml.example — the reference would fail the
+    variable at runtime and continue; we resolve the intended field).
+    """
     from scicat_ingestor_spark.functions.scalar import with_unit
+
+    resource_fields = resource_fields or {}
 
     def resolve(var) -> Column:
         if not var.url:
             raise ValueError(f"SC variable {var.name!r} needs a url")
-        resource = var.url.strip("/").split("/")[0]
-        if not var.field:
-            raise ValueError(
-                f"SC variable {var.name!r}: field projection required "
-                "(whole-object mode is not supported on the snapshot plan)"
+        resource = var.url.strip("/").split("/")[0].split("?")[0]
+        field = (var.field or "").lstrip(":") if var.field is not None else None
+        if not field:
+            cols = resource_fields.get(resource)
+            if not cols:
+                raise ValueError(
+                    f"SC variable {var.name!r}: whole-object mode needs "
+                    f"resource_fields[{resource!r}] registered"
+                )
+            as_map = F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(
+                    *[F.col(_col_name(resource, c)).cast("string") for c in cols]
+                ),
             )
-        return with_unit(F.col(_col_name(resource, var.field)))
+            # absent catalog row (LEFT-join NULLs) -> NULL object, not a
+            # map of NULLs: same signal as the reference's 404
+            any_hit = F.greatest(
+                *[F.col(_col_name(resource, c)).isNotNull() for c in cols]
+            ) if len(cols) > 1 else F.col(_col_name(resource, cols[0])).isNotNull()
+            obj = F.when(any_hit, as_map)
+            if var.value_type == "list":
+                obj = F.when(any_hit, F.array(as_map))
+            return with_unit(obj)
+        return with_unit(F.col(_col_name(resource, field)))
 
     return resolve

@@ -55,7 +55,15 @@ class VariableDef:
                 k: v
                 for k, v in d.items()
                 if k in ("pattern", "replacement", "key", "index")
-            },
+            }
+            # the reference's getitem reads its key from the recipe's
+            # `field` (/root/reference/src/scicat_dataset.py:192-197;
+            # usage resources/small-ymir.imsc.yml.example:59-70)
+            | (
+                {"key": d["field"]}
+                if d.get("operator") == "getitem" and "field" in d and "key" not in d
+                else {}
+            ),
             unit=d.get("unit"),
         )
 
@@ -75,7 +83,9 @@ class SchemaField:
             value=d.get("value"),
             field_type=d.get("field_type", HIGH_LEVEL),
             human_name=d.get("human_name", d.get("machine_name", key)),
-            value_type=d.get("value_type", "string"),
+            # the reference's schema items name this key "type"
+            # (resources/*.imsc.yml.example); accept both spellings
+            value_type=d.get("value_type", d.get("type", "string")),
         )
 
 

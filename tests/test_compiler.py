@@ -102,12 +102,17 @@ class TestCompiler:
         out = spark.range(1).select(render_template("x=<v>!", env).alias("o")).collect()[0]["o"]
         assert out["value"] == "x=3.5!" and out["unit"] == ""
 
-    def test_unresolved_placeholder_raises(self, spark):
-        try:
-            render_template("<missing>", {})
-            raise AssertionError("should have raised")
-        except KeyError:
-            pass
+    def test_unresolved_placeholder_fails_variable_not_plan(self, spark):
+        # V3 parity: the reference raises per-variable at eval time and
+        # tolerates it; here the render yields NULL so only the variable
+        # fails (the reference's own base.imsc.yml.example ships a
+        # dangling reference that must not kill the schema)
+        out = spark.range(1).select(render_template("<missing>", {}).alias("r")).first()
+        assert out["r"]["value"] is None
+        mixed = spark.range(1).select(
+            render_template("a <missing> b", {}).alias("r")
+        ).first()
+        assert mixed["r"]["value"] is None
 
     def test_default_variables_deterministic(self, spark):
         transform = compile_schema(SCHEMA, resolvers=_resolvers(), extra_env=_extra_env())
