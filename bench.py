@@ -29,6 +29,7 @@ from scicat_ingestor_spark.session import get_session  # noqa: E402
 HEADLINE = [
     "ingest_e2e",
     "ingest_nexus",
+    "ingest_coda_real",
     "s6_hdf5_scan",
     "q1_pricing_summary",
     "q3_top_revenue",

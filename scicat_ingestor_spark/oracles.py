@@ -513,6 +513,23 @@ SELECT file,
   'missing' AS failed_vars
 FROM s
 """,
+    "ingest_coda_real": """
+WITH f AS (SELECT '/f'||doc_id AS file FROM documents),
+s AS (SELECT file, CAST(concat('0x', substr(md5(file),1,8)) AS BIGINT) AS n FROM f)
+SELECT file,
+  CAST(NULL AS VARCHAR) AS pid_value,
+  'run '||(n % 1000) AS dataset_name,
+  'first'||(n % 20)||' last'||(n % 20) AS owner,
+  'pi'||(n % 20)||'@ess.eu' AS owner_email,
+  -- the shipped schema says `value: instrument_id` (no <>), so the
+  -- reference renders the literal string, not the variable
+  'instrument_id' AS instrument_id,
+  'ESS:CODA:instr-'||(n % 5) AS location,
+  'ess_proposal_prop-'||(n % 20) AS owner_group,
+  'scientific information management systems group' AS access_groups,
+  'pid,start_time,end_time,run_number,acquisition_team_members' AS failed_vars
+FROM s
+""",
     "ingest_sc": """
 WITH b AS (SELECT event_id, user_id * 3 AS proposal_id FROM events)
 SELECT b.event_id,

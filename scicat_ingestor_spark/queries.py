@@ -782,6 +782,76 @@ def q_ingest_nexus(spark, sf_dir):
     )
 
 
+def q_ingest_coda_real(spark, sf_dir):
+    """The reference's REAL shipped coda schema
+    (/root/reference/resources/coda.imsc.yml.example) compiled and run
+    end-to-end: NXS variables over the per-file HDF5 map, SC variables
+    over broadcast dimension snapshots (proposals keyed by the file's
+    experiment identifier; instruments pinned by the url filter), V3
+    failure channel for paths the fixture lacks and the example's own
+    dangling template reference."""
+    import yaml
+
+    from scicat_ingestor_spark.plans.sc import attach_dimension, make_sc_resolver
+    from scicat_ingestor_spark.plans.schema_model import MetadataSchema
+
+    schema = MetadataSchema.from_dict(
+        yaml.safe_load(
+            open("/root/reference/resources/coda.imsc.yml.example").read()
+        )
+    )
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(F.concat(F.lit("/f"), F.col("doc_id")).alias("file"))
+    wide = hdf5.scan_files_wide(files)
+    proposals = spark.range(20).select(
+        F.concat(F.lit("prop-"), F.col("id")).alias("proposalId"),
+        F.concat(F.lit("first"), F.col("id")).alias("pi_firstname"),
+        F.concat(F.lit("last"), F.col("id")).alias("pi_lastname"),
+        F.concat(F.lit("pi"), F.col("id"), F.lit("@ess.eu")).alias("pi_email"),
+    )
+    instruments = spark.createDataFrame(
+        [("id-coda", "coda"), ("id-ymir", "ymir")], "id string, name string"
+    )
+    prop_key = F.element_at(F.col("nxs"), "/entry/experiment_identifier").getField(
+        "value"
+    )
+    base = attach_dimension(wide, proposals, "proposals", prop_key, "proposalId")
+    base = attach_dimension(base, instruments, "instruments", F.lit("coda"), "name")
+    transform = compile_schema(
+        schema,
+        file_path_col="file",
+        resolvers={
+            "NXS": hdf5.make_nxs_resolver(),
+            "SC": make_sc_resolver(
+                {
+                    "proposals": (
+                        "proposalId",
+                        "pi_firstname",
+                        "pi_lastname",
+                        "pi_email",
+                    ),
+                    "instruments": ("id", "name"),
+                }
+            ),
+        },
+    )
+    out = transform(base)
+    return out.select(
+        "file",
+        F.col("pid").getField("value").alias("pid_value"),
+        F.col("datasetName").getField("value").alias("dataset_name"),
+        F.col("owner").getField("value").alias("owner"),
+        F.col("ownerEmail").getField("value").alias("owner_email"),
+        F.col("instrumentId").getField("value").alias("instrument_id"),
+        F.col("location").getField("value").alias("location"),
+        F.col("ownerGroup").getField("value").alias("owner_group"),
+        F.concat_ws(",", F.col("accessGroups").getField("value")).alias(
+            "access_groups"
+        ),
+        F.concat_ws(",", F.col("_failures")).alias("failed_vars"),
+    )
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucketed candidate generation
     + exact verify (the n^2-free scale design)."""
@@ -1134,6 +1204,7 @@ QUERIES = {
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ingest_samples": q_ingest_samples,
     "ingest_nexus": q_ingest_nexus,
+    "ingest_coda_real": q_ingest_coda_real,
     "dataset_assembly": q_dataset_assembly,
     "datafile_assembly": q_datafile_assembly,
     "ingest_sc": q_ingest_sc,

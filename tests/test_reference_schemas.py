@@ -115,10 +115,9 @@ def test_coda_values_resolve_against_fixture(spark):
     idx = prop.split("-")[1]
     assert r["owner"]["value"] == f"first{idx} last{idx}"
     assert r["ownerEmail"]["value"] == f"pi{idx}@ess.eu"
-    # fixed-name instrument lookup resolved through the snapshot
-    assert r["instrumentId"]["value"] == "instrument_id" or r["instrumentId"][
-        "value"
-    ] == "id-coda"
+    # the shipped schema says `value: instrument_id` (no <>): the
+    # reference renders the literal, and so do we
+    assert r["instrumentId"]["value"] == "instrument_id"
     # the shipped example's dangling <acquisition_team_members>
     # self-reference fails that variable (as in the reference) without
     # losing the row
