@@ -381,6 +381,16 @@ SELECT doc_id AS media_id, 'fake' AS kind,
   octet_length(encode(text)) AS n_bytes
 FROM h
 """,
+    "multimodal_frames": """
+WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+w AS (SELECT doc_id,
+  CAST((strpos('0123456789abcdef', substr(hx,1,1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(hx,2,1)) AS INTEGER) AS width
+  FROM h)
+SELECT doc_id AS media_id, CAST(g AS BIGINT) AS frame_idx
+FROM (SELECT doc_id, unnest(generate_series(0, width % 16)) AS g FROM w)
+WHERE g % 2 = 0
+""",
     "s7_wildcard_lookup": """
 WITH long AS (
   SELECT '/f'||doc_id AS file, '/entry/detector/channel_0/counts' AS h5_path,

@@ -561,6 +561,20 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_media(media, decoder="fake")
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: decode -> explode frame index list ->
+    keep every Nth frame. The explode happens post-decode so payload
+    bytes never shuffle; at scale the demuxer call replaces the stubbed
+    index generator inside the same partition-preserving stage."""
+    from scicat_ingestor_spark.operators.multimodal import frame_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return frame_sample(media, every_n=2).withColumn(
+        "frame_idx", F.col("frame_idx").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # S6/S7: HDF5 long-table wildcard lookup
 # ---------------------------------------------------------------------------
@@ -1193,6 +1207,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
     "s6_hdf5_scan": q_s6_hdf5_scan,
     "s8_s9_file_stats": q_s8_s9_file_stats,
