@@ -1,0 +1,142 @@
+"""Config plane (YAML + CLI merge, unused-key reporting) and the three
+runnable apps wired end-to-end on local fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class TestConfig:
+    def test_defaults(self):
+        from scicat_ingestor_spark.config import build_config
+
+        cfg, unused = build_config()
+        assert cfg.kafka.starting_offsets == "earliest"  # T7
+        assert cfg.ingestion.file_handling.open_max_tries == 3  # T6
+        assert unused == []
+
+    def test_yaml_then_cli_merge_cli_wins(self, tmp_path):
+        from scicat_ingestor_spark.config import build_config
+
+        p = tmp_path / "engine.yml"
+        p.write_text(
+            "kafka:\n  topics: a,b\n  individual_message_commit: false\n"
+            "ingestion:\n  dry_run: true\n  file_handling:\n    open_max_tries: 5\n"
+            "mystery_section:\n  x: 1\n"
+        )
+        cfg, unused = build_config(
+            str(p), {"kafka.topics": "c", "ingestion.dry_run": "false", "nope.key": 1}
+        )
+        assert cfg.kafka.topics == "c"  # CLI wins
+        assert cfg.kafka.individual_message_commit is False
+        assert cfg.ingestion.dry_run is False
+        assert cfg.ingestion.file_handling.open_max_tries == 5
+        assert "mystery_section" in unused and "nope.key" in unused
+
+    def test_type_coercion_from_strings(self):
+        from scicat_ingestor_spark.config import build_config
+
+        cfg, _ = build_config(
+            None,
+            {
+                "health_check.port": "9999",
+                "health_check.enabled": "true",
+                "scicat.timeout_s": "2.5",
+            },
+        )
+        assert cfg.health_check.port == 9999
+        assert cfg.health_check.enabled is True
+        assert cfg.scicat.timeout_s == 2.5
+
+    def test_token_redacted_in_public_dict(self):
+        from scicat_ingestor_spark.config import build_config, to_public_dict
+
+        cfg, _ = build_config(None, {"scicat.token": "secret"})
+        assert to_public_dict(cfg)["scicat"]["token"] == "***"
+
+
+def _schema_dir(tmp_path):
+    d = tmp_path / "schemas"
+    d.mkdir()
+    (d / "all.imsc.yml").write_text(
+        "id: demo\nname: demo\norder: 0\nselector: '*'\n"
+        "variables:\n"
+        "  title:\n    source: NXS\n    path: /entry/title\n    value_type: string\n"
+        "schema:\n"
+        "  datasetName:\n    machine_name: datasetName\n    value: '<title>'\n"
+        "    field_type: high_level\n"
+    )
+    return str(d)
+
+
+def test_offline_app_end_to_end(spark, tmp_path):
+    from scicat_ingestor_spark.apps.offline import main
+
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--files",
+            "/a.nxs,/b.nxs,/c.nxs",
+            "--schemas-dir",
+            _schema_dir(tmp_path),
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert all(r["schema_id"] == "demo" and '"datasetName"' in r["dataset_json"] for r in rows)
+
+
+def test_online_app_replay_idempotent(spark, tmp_path):
+    from scicat_ingestor_spark.apps.online import main
+
+    src = str(tmp_path / "replay")
+    spark.createDataFrame(
+        [(f"job-{i}", f"/data/run_{i}.nxs", False) for i in range(5)],
+        "job_id string, file_name string, error_encountered boolean",
+    ).write.parquet(src)
+    argv = [
+        "--schemas-dir",
+        _schema_dir(tmp_path),
+        "--out",
+        str(tmp_path / "out"),
+        "--checkpoint",
+        str(tmp_path / "ck"),
+        "--source-dir",
+        src,
+        "--once",
+    ]
+    assert main(argv) == 0
+    first = spark.read.parquet(str(tmp_path / "out")).count()
+    assert first == 5
+    # second drain from a FRESH checkpoint replays; anti-join absorbs
+    argv[argv.index("--checkpoint") + 1] = str(tmp_path / "ck2")
+    assert main(argv) == 0
+    assert spark.read.parquet(str(tmp_path / "out")).count() == first
+
+
+def test_samples_app_upserts_once_per_key(spark, tmp_path):
+    from scicat_ingestor_spark.apps.samples import main
+
+    src = str(tmp_path / "pl72")
+    rows = [
+        (f"job-{i}", f"/ymir/run_{i % 3}.nxs", "ymir") for i in range(9)
+    ]
+    spark.createDataFrame(
+        rows, "job_id string, filename string, instrument_name string"
+    ).write.parquet(src)
+    argv = [
+        "--out",
+        str(tmp_path / "samples"),
+        "--checkpoint",
+        str(tmp_path / "ck"),
+        "--source-dir",
+        src,
+        "--once",
+    ]
+    assert main(argv) == 0
+    got = spark.read.parquet(str(tmp_path / "samples")).collect()
+    assert len(got) == 3  # one upsert per distinct sample key
+    assert {r["owner_group"] for r in got} == {"ymir"}
