@@ -73,3 +73,48 @@ def test_file_stats_and_checksum(spark, sf_dir, tmp_path):
     assert ok["checksum"] == hashlib.blake2b(b"hello" * 1000).hexdigest()
     missing = rows[str(tmp_path / "nope")]
     assert not missing["exists"] and missing["size"] is None
+
+
+def test_file_open_retry_clamp_and_backoff(monkeypatch):
+    """T6: open retried with clamped delay, succeeds within budget, and
+    raises the last error after exhaustion
+    (/root/reference/src/scicat_nexus_helper.py:62-95 — 3 tries, delay
+    clamped to [1, 120] s)."""
+    assert hdf5._clamp_delay(0.01) == 1.0
+    assert hdf5._clamp_delay(3.0) == 3.0
+    assert hdf5._clamp_delay(999) == 120.0
+
+    attempts = {"n": 0}
+    sleeps: list[float] = []
+
+    class FakeFile:
+        def __init__(self, path, mode):
+            attempts["n"] += 1
+            if attempts["n"] < 3:
+                raise OSError("file locked by writer")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def visititems(self, fn):
+            pass
+
+    class FakeH5py:
+        File = FakeFile
+        Dataset = type("Dataset", (), {})
+
+    monkeypatch.setattr(hdf5, "try_import_h5py", lambda: FakeH5py)
+    monkeypatch.setattr(hdf5.time, "sleep", sleeps.append)
+    rows = hdf5._walk_h5("/being/written.nxs", max_tries=3, retry_delay=0.1)
+    assert rows == [] and attempts["n"] == 3
+    assert sleeps == [1.0, 1.0]  # clamped up from 0.1
+
+    attempts["n"] = -10  # never succeeds within 3 tries
+    try:
+        hdf5._walk_h5("/never/ready.nxs", max_tries=3, retry_delay=5)
+        raise AssertionError("expected OSError")
+    except OSError:
+        pass
