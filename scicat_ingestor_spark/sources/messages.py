@@ -76,6 +76,56 @@ def try_import_flatbuffers():
         return None
 
 
+def parse_wrdn_flatbuffer(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Production S3: flatbuffer wrdn decode as an Arrow-batched
+    mapInPandas stage (the reference decodes one message at a time via
+    streaming-data-types, /root/reference/src/scicat_kafka.py:113-134).
+
+    The Spark-side plumbing — schema, batch iteration, per-row error
+    tolerance (malformed -> dropped, stream continues, T4) — is real;
+    the codec call is gated on the optional flatbuffers stack and raises
+    NotImplementedError when absent (this container ships no flatbuffer
+    libs). Swap ``_decode`` for ``deserialise_wrdn`` in deployment.
+    """
+    import pandas as pd
+
+    flatbuffers = try_import_flatbuffers()
+
+    def _decode(payload: bytes) -> dict | None:
+        if flatbuffers is None:
+            raise NotImplementedError(
+                "flatbuffers/streaming-data-types not installed; "
+                "use parse_wrdn_json for the JSON harness"
+            )
+        raise NotImplementedError("wire deserialise_wrdn here")  # pragma: no cover
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf[value_col]:
+                try:
+                    decoded = _decode(bytes(raw))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    decoded = None  # T4: skip malformed, keep the stream
+                if decoded is not None:
+                    rows.append(decoded)
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "job_id",
+                    "file_name",
+                    "error_encountered",
+                    "metadata",
+                    "message",
+                    "service_id",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=WRDN_SCHEMA)
+
+
 def wrdn_stream(
     spark,
     bootstrap_servers: str,

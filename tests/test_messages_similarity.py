@@ -95,3 +95,19 @@ def test_ivf_topk_broadcasts_probe_side(spark):
     queries = df.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     plan = similarity.ivf_topk(df, queries, dim=4, cells=2)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_flatbuffer_decode_is_gated_not_silently_fake(spark):
+    """Production S3 path: plumbing compiles, absent codec raises a
+    clear NotImplementedError instead of fabricating data."""
+    import pytest
+
+    from scicat_ingestor_spark.sources.messages import parse_wrdn_flatbuffer
+
+    df = spark.createDataFrame([(b"xxxxwrdn\x01\x02",)], "value binary")
+    out = parse_wrdn_flatbuffer(df)
+    assert [f.name for f in out.schema.fields] == [
+        "job_id", "file_name", "error_encountered", "metadata", "message", "service_id",
+    ]
+    with pytest.raises(Exception, match="NotImplementedError|flatbuffers"):
+        out.collect()
