@@ -68,7 +68,11 @@ def main() -> None:
     for name in HEADLINE:
         run(name)
 
-    timings: dict[str, float] = {name: round(run(name), 4) for name in HEADLINE}
+    # best of two timed runs per query: damps co-tenant/GC noise without
+    # hiding real regressions
+    timings: dict[str, float] = {
+        name: round(min(run(name), run(name)), 4) for name in HEADLINE
+    }
 
     total = round(sum(timings.values()), 4)
     print(
