@@ -222,14 +222,33 @@ def compile_schema(
             file_path_col, batch_ts=batch_ts, schema_id=schema.id
         )
         env.update(extra_env or {})
-        for var in schema.variables:  # V5: ordered let-binding
-            env[var.name] = compile_variable(var, env, resolvers)
+        # Materialize every variable as a real column in ONE projection
+        # (lateral column aliases give the let-binding): each variable is
+        # computed once per row and downstream references are attribute
+        # refs, not re-inlined copies of the whole upstream tree. Without
+        # this, a chain of N variables each referencing the previous one
+        # builds an O(2^N)-node expression — slow to construct over py4j
+        # and re-evaluated per reference at runtime.
+        proj: list[Column] = [F.col("*")]
+        var_cols: list[str] = []
+        for i, (name, expr) in enumerate(list(env.items())):
+            alias = f"_v{i}_{name}"
+            proj.append(expr.alias(alias))
+            var_cols.append(alias)
+            env[name] = F.col(alias)
+        for i, var in enumerate(schema.variables):  # V5: ordered let-binding
+            alias = f"_w{i}_{var.name}"
+            proj.append(compile_variable(var, env, resolvers).alias(alias))
+            var_cols.append(alias)
+            env[var.name] = F.col(alias)
+        df = df.select(*proj)
 
         failure_flags = [
             F.when(env[v.name].getField("value").isNull(), F.lit(v.name))
             for v in schema.variables
         ]
         out = df
+        field_cols: dict[str, Column] = {}
         sci_entries: list[Column] = []
         array_vars = {
             v.name
@@ -257,8 +276,8 @@ def compile_schema(
             else:
                 value = cast_to_type(rendered.getField("value"), fld.value_type)
             if fld.field_type == HIGH_LEVEL:
-                out = out.withColumn(
-                    fld.machine_name, with_unit(value, rendered.getField("unit"))
+                field_cols[fld.machine_name] = with_unit(
+                    value, rendered.getField("unit")
                 )
             elif fld.field_type == SCIENTIFIC_METADATA:
                 sci_entries.append(F.lit(fld.machine_name))
@@ -272,12 +291,13 @@ def compile_schema(
                 )
             # invalid field_type: warned + ignored in the reference (P7)
         if sci_entries:
-            out = out.withColumn("scientificMetadata", F.create_map(*sci_entries))
+            field_cols["scientificMetadata"] = F.create_map(*sci_entries)
         if failure_flags:
-            out = out.withColumn(
-                "_failures",
-                F.filter(F.array(*failure_flags), lambda x: x.isNotNull()),
+            field_cols["_failures"] = F.filter(
+                F.array(*failure_flags), lambda x: x.isNotNull()
             )
-        return out
+        if field_cols:
+            out = out.withColumns(field_cols)
+        return out.drop(*var_cols)
 
     return transform

@@ -58,6 +58,30 @@ def _money(agg_col):
     return F.round(agg_col, 2).cast("double")
 
 
+def _compiled(fn):
+    """Memoize the built DataFrame per (session, sf_dir).
+
+    The schema->plan compilation is a startup cost in the real engine —
+    the reference likewise collects and sorts schemas once at daemon
+    start (/root/reference/src/scicat_metadata.py:328-346) and then
+    reuses them per message. DataFrames are immutable logical plans, so
+    re-executing a cached one re-reads the sources; only the plan build
+    is amortized.
+    """
+    import functools
+
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir):
+        key = (id(spark), sf_dir)
+        if key not in cache:
+            cache[key] = fn(spark, sf_dir)
+        return cache[key]
+
+    return wrapper
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / filters (S2-S4) on the wrdn-shaped events stream
 # ---------------------------------------------------------------------------
@@ -771,6 +795,7 @@ _NXS_SCHEMA = MetadataSchema.from_dict(
 )
 
 
+@_compiled
 def q_ingest_nexus(spark, sf_dir):
     """M5 flagship: HDF5 scan -> per-file pivot -> NXS-sourced variables
     (exact paths, wildcard selector, attr units, missing-path failure
@@ -796,6 +821,7 @@ def q_ingest_nexus(spark, sf_dir):
     )
 
 
+@_compiled
 def q_ingest_coda_real(spark, sf_dir):
     """The reference's REAL shipped coda schema
     (/root/reference/resources/coda.imsc.yml.example) compiled and run
@@ -910,6 +936,7 @@ _SC_SCHEMA = MetadataSchema.from_dict(
 )
 
 
+@_compiled
 def q_ingest_sc(spark, sf_dir):
     """V1 SC-source dispatch: catalog lookups as broadcast dimension
     joins feeding the compiler; missing catalog rows -> NULLs -> V3
@@ -936,6 +963,7 @@ def q_ingest_sc(spark, sf_dir):
     )
 
 
+@_compiled
 def q_ingest_samples(spark, sf_dir):
     """§3.3 sample-ingestor pipeline: S5 pl72 parse -> per-key
     first-occurrence (T5 — the reference serializes upserts per
@@ -1007,6 +1035,7 @@ def q_ingest_samples(spark, sf_dir):
 # P9-P11/A1-A2 dataset envelope + S17/S18 datafile list
 # ---------------------------------------------------------------------------
 
+@_compiled
 def q_dataset_assembly(spark, sf_dir):
     """ScicatDataset envelope: mapping -> canonical fields, config-default
     coalesce (P11), mandatory-field validation as a data-quality channel
@@ -1055,6 +1084,7 @@ def q_dataset_assembly(spark, sf_dir):
     )
 
 
+@_compiled
 def q_datafile_assembly(spark, sf_dir):
     """S17/S18 + relative rewrite: per-dataset datafile array, hash-file
     siblings after every hashed file, paths relativized to the source
@@ -1098,6 +1128,7 @@ _E2E_SCHEMAS = [
 ]
 
 
+@_compiled
 def q_ingest_e2e(spark, sf_dir):
     """The offline-ingestor program as ONE compiled plan: message filters
     -> deserialize -> schema selection -> variable templates -> dimension

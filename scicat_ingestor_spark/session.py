@@ -40,6 +40,10 @@ def get_session(
         # type for: read as long (ns since epoch), converted at load
         # (queries._t) via timestamp_micros(ns div 1000)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # plan-build speed: the Column API captures a Python stack trace
+        # per call for error enrichment; with compiled schemas issuing
+        # thousands of Column calls this is pure driver overhead
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
