@@ -68,10 +68,11 @@ def main() -> None:
     for name in HEADLINE:
         run(name)
 
-    # best of two timed runs per query: damps co-tenant/GC noise without
-    # hiding real regressions
+    # best of three timed runs per query: this box shows 10x co-tenant
+    # noise spikes that can hit two consecutive runs; a third sample
+    # makes the recorded number the steady-state one
     timings: dict[str, float] = {
-        name: round(min(run(name), run(name)), 4) for name in HEADLINE
+        name: round(min(run(name) for _ in range(3)), 4) for name in HEADLINE
     }
 
     total = round(sum(timings.values()), 4)
