@@ -180,6 +180,38 @@ SELECT c_custkey,
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """,
+    "s11_sample_query": """
+WITH req AS (
+  SELECT DISTINCT source, lang FROM documents WHERE doc_id % 97 = 0
+)
+SELECT d.source, d.lang,
+  string_agg(d.doc_id, ',' ORDER BY d.doc_id) AS sample_ids
+FROM documents d JOIN req USING (source, lang)
+GROUP BY d.source, d.lang
+""",
+    "j6_sample_upsert": """
+SELECT c_custkey AS key, c_name AS description FROM customer
+UNION ALL
+SELECT o_orderkey, 'sample-'||o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_orderkey)
+""",
+    "a3_datablock_size": """
+WITH block AS (
+  SELECT l_orderkey,
+    CASE WHEN l_tax > 0.01 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END AS size
+  FROM lineitem WHERE l_linenumber <= 3
+)
+SELECT l_orderkey,
+  CAST(round(sum(size), 2) AS DOUBLE) AS block_size,
+  count(size) AS n_sized_files
+FROM block GROUP BY l_orderkey
+""",
+    "f11_sum_unit": """
+SELECT l_orderkey, l_linenumber,
+  round(CAST(l_quantity AS DOUBLE) + l_discount + l_tax, 6) AS total,
+  'kg' AS unit
+FROM lineitem
+""",
     "j4_anti_exists_pid": """
 SELECT o_orderkey, o_orderstatus FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)

@@ -298,6 +298,36 @@ def q_j3_sample_lookup_collect(spark, sf_dir):
     )
 
 
+def q_s11_sample_query(spark, sf_dir):
+    """S11: the filtered sample GET — two-key where-filter returning the
+    matching id list per request
+    (/root/reference/src/scicat_communication.py:134-158). Requests are
+    a tiny key set -> broadcast against the fact scan."""
+    docs = _t(spark, sf_dir, "documents")
+    requests = (
+        docs.filter(F.col("doc_id") % 97 == 0).select("source", "lang").distinct()
+    )
+    j = docs.join(F.broadcast(requests), ["source", "lang"])
+    return j.groupBy("source", "lang").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("sample_ids")
+    )
+
+
+def q_j6_sample_upsert(spark, sf_dir):
+    """J6/S16: idempotent upsert — exists-check then insert, as
+    anti-join + union (/root/reference/src/scicat_sample_ingestor.py:142-153).
+    Replaying the same incoming batch inserts nothing (T2 idempotency)."""
+    existing = _t(spark, sf_dir, "customer", parallel=False).select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("description")
+    )
+    incoming = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.concat(F.lit("sample-"), F.col("o_orderkey")).alias("description"),
+    )
+    inserted = anti_by_key(incoming, existing, "key")
+    return existing.unionByName(inserted)
+
+
 def q_j4_anti_exists_pid(spark, sf_dir):
     """J4: exists-by-pid dedup as LEFT ANTI
     (/root/reference/src/scicat_offline_ingestor.py:67-85)."""
@@ -345,6 +375,39 @@ def q_a1_a2_dataset_size(spark, sf_dir):
     return li.groupBy("l_orderkey").agg(
         _money(F.sum(_dec(F.col("l_extendedprice")))).alias("total_size"),
         F.count(F.lit(1)).alias("n_files"),
+    )
+
+
+def q_a3_datablock_size(spark, sf_dir):
+    """A3: the same size sum on the origdatablock's (smaller) file list
+    (/root/reference/src/scicat_dataset.py:1078) — None-sized entries
+    filtered out like the reference's None-filter (:907-909)."""
+    li = _t(spark, sf_dir, "lineitem")
+    block = li.filter(F.col("l_linenumber") <= 3).withColumn(
+        "size", F.when(F.col("l_tax") > 0.01, _dec(F.col("l_extendedprice")))
+    )
+    return block.groupBy("l_orderkey").agg(
+        _money(F.sum("size")).alias("block_size"),
+        F.count("size").alias("n_sized_files"),
+    )
+
+
+def q_f11_sum_unit(spark, sf_dir):
+    """F11: `sum` over an array value, unit forwarded unchanged
+    (/root/reference/src/scicat_dataset.py:237-242)."""
+    from scicat_ingestor_spark.functions.scalar import array_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    var = with_unit(
+        F.array(F.col("l_quantity"), F.col("l_discount"), F.col("l_tax")),
+        F.lit("kg"),
+    )
+    summed = array_sum(var)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(summed.getField("value"), 6).alias("total"),
+        summed.getField("unit").alias("unit"),
     )
 
 
@@ -1216,10 +1279,14 @@ QUERIES = {
     "j1_enrichment_join": q_j1_enrichment_join,
     "j2_ci_first_lookup": q_j2_ci_first_lookup,
     "j3_sample_lookup_collect": q_j3_sample_lookup_collect,
+    "s11_sample_query": q_s11_sample_query,
+    "j6_sample_upsert": q_j6_sample_upsert,
     "j4_anti_exists_pid": q_j4_anti_exists_pid,
     "j5_anti_by_metadata": q_j5_anti_by_metadata,
     "j7_id_list_merge": q_j7_id_list_merge,
     "a1_a2_dataset_size": q_a1_a2_dataset_size,
+    "a3_datablock_size": q_a3_datablock_size,
+    "f11_sum_unit": q_f11_sum_unit,
     "a4_commonpath": q_a4_commonpath,
     "a5_unit_consensus": q_a5_unit_consensus,
     "a7_extractors": q_a7_extractors,
