@@ -104,6 +104,65 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_OUT_SCHEMA)
 
 
+FEATURES_OUT_SCHEMA = "media_id long, feature array<float>"
+
+
+def _fake_features(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for a real feature extractor (CLIP-style
+    embedding): sha256 bytes stretched over ``dim`` floats in [-1, 1).
+    A real deployment swaps in the model forward pass; the Spark-side
+    contract — `array<float>` of fixed dim, Arrow batch transfer, no
+    shuffle — is what the tests pin."""
+    digest = b""
+    while len(digest) < dim * 2:
+        digest += hashlib.sha256(payload + bytes([len(digest) % 256])).digest()
+    return [
+        (int.from_bytes(digest[2 * d : 2 * d + 2], "big") / 32768.0) - 1.0
+        for d in range(dim)
+    ]
+
+
+def _unavailable_features(payload: bytes, dim: int) -> list[float]:
+    raise NotImplementedError(
+        "no embedding model in this environment; register one in EXTRACTORS"
+    )
+
+
+EXTRACTORS: dict[str, Callable[[bytes, int], list[float]]] = {
+    "fake": _fake_features,
+    "clip": _unavailable_features,  # swap in a model forward pass
+}
+
+
+def extract_features(
+    df: DataFrame, dim: int = 64, extractor: str = "fake"
+) -> DataFrame:
+    """Feature-extract stage: (media_id, payload) -> (media_id,
+    feature array<float>), Arrow-batched mapInPandas, partition-
+    preserving. Output feeds ``operators.similarity`` directly
+    (brute-force / LSH / IVF ANN over the extracted embeddings)."""
+    extract = EXTRACTORS[extractor]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": pdf["payload"].map(
+                        lambda b: _as_float32(extract(bytes(b), dim))
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_OUT_SCHEMA)
+
+
+def _as_float32(values: list[float]) -> list[float]:
+    import numpy as np
+
+    return np.asarray(values, dtype=np.float32).tolist()
+
+
 RESIZE_OUT_SCHEMA = (
     "media_id long, width int, height int, payload binary, n_bytes long"
 )

@@ -158,7 +158,12 @@ def centroid_weights(c: int, dim: int) -> list[float]:
     ]
 
 
-def ivf_cell(vec: Column, dim: int, cells: int = 8) -> Column:
+def ivf_cell(
+    vec: Column,
+    dim: int,
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> Column:
     """IVF cell assignment: argmax over dot(vec, centroid_c), ties to the
     lowest c. The assignment adds NO shuffle; the 100 TB side is scanned
     once and bucketed by a computed column.
@@ -168,10 +173,17 @@ def ivf_cell(vec: Column, dim: int, cells: int = 8) -> Column:
     aggregate accumulates all `cells` dot products at once — ~2.4×
     faster than one fold per centroid, and per-cell summation order is
     unchanged (bit-identical to the per-centroid fold and the oracle's
-    list_dot_product)."""
+    list_dot_product).
+
+    ``centroids`` (per-cell coordinate lists) overrides the default
+    md5-derived matrix — this is how ``train_centroids`` output plugs in
+    without changing the plan shape."""
+    if centroids is None:
+        centroids = [centroid_weights(c, dim) for c in range(cells)]
+    cells = len(centroids)
     transposed = F.array(
         *[
-            F.array(*[F.lit(centroid_weights(c, dim)[d]) for c in range(cells)])
+            F.array(*[F.lit(centroids[c][d]) for c in range(cells)])
             for d in range(dim)
         ]
     )
@@ -186,6 +198,61 @@ def ivf_cell(vec: Column, dim: int, cells: int = 8) -> Column:
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
+def train_centroids(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 8,
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    tol: float = 1e-4,
+) -> list[list[float]]:
+    """Spherical k-means for IVF centroids, pure DataFrame ops.
+
+    Same objective the IVF assignment uses (argmax dot against
+    unit-normalized centroids == cosine), so trained cells are exactly
+    what ``ivf_cell`` will reproduce. Deterministic: init is the fixed
+    md5 centroid matrix, updates are exact means — no sampling, no rand.
+
+    Per iteration, ONE job: assignment is a computed column (no
+    shuffle on the corpus), then `posexplode` + `groupBy(cell, pos)`
+    partial-aggregates map-side, so the shuffle carries only
+    ~k*dim rows per input partition regardless of corpus size. The
+    k*dim means (tiny) come back to the driver and fold into the next
+    iteration's plan as constants — the standard Lloyd's-on-a-cluster
+    shape with no per-row Python.
+    """
+    import math
+
+    cents = [centroid_weights(c, dim) for c in range(k)]
+    for _ in range(iterations):
+        assigned = vectors.select(
+            ivf_cell(F.col(vec_col), dim, centroids=cents).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+        rows = assigned.groupBy("cell", "pos").agg(F.avg("val").alias("m")).collect()
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"] - 1, {})[r["pos"]] = float(r["m"])
+        new_cents: list[list[float]] = []
+        shift = 0.0
+        for c in range(k):
+            mean = by_cell.get(c)
+            if not mean:  # empty cell keeps its centroid
+                new_cents.append(cents[c])
+                continue
+            v = [mean.get(d, 0.0) for d in range(dim)]
+            n = math.sqrt(sum(x * x for x in v))
+            v = [x / n for x in v] if n > 0 else cents[c]
+            shift = max(
+                shift, max(abs(a - b) for a, b in zip(v, cents[c]))
+            )
+            new_cents.append(v)
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -195,6 +262,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     k: int = 5,
     cells: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: partition the corpus into Voronoi cells of fixed
     centroids (computed column, no shuffle on the big side), probe the
@@ -205,11 +273,13 @@ def ivf_topk(
     different cell (nprobe=1 here; raising nprobe = unioning more cells
     into the broadcast probe side, same plan shape).
     """
-    cell_v = vectors.withColumn("_cell", ivf_cell(F.col(vec_col), dim, cells))
+    cell_v = vectors.withColumn(
+        "_cell", ivf_cell(F.col(vec_col), dim, cells, centroids)
+    )
     cell_q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        ivf_cell(F.col(vec_col), dim, cells).alias("_cell"),
+        ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell"),
     )
     candidates = cell_v.join(F.broadcast(cell_q), "_cell")
     scored = candidates.select(

@@ -955,6 +955,41 @@ def q_ingest_coda_real(spark, sf_dir):
     )
 
 
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN with centroids TRAINED by DataFrame-native spherical
+    k-means (operators.similarity.train_centroids) instead of the fixed
+    hash centroids — same plan shape, data-adapted cells. No SQL oracle:
+    the trained centroids are data-dependent plan constants (driver
+    records the rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    cents = similarity.train_centroids(emb, dim, k=8, iterations=3)
+    queries_df = emb.filter(F.col("vec_id") % 997 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries_df, dim, k=5, centroids=cents)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature-extract stage feeding ANN: payload bytes ->
+    array<float> embedding (extractor stubbed, plumbing real), then
+    brute-force cosine top-k of each query against the extracted
+    corpus. Rows-only check (hash-based fake embeddings are not
+    SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    from scicat_ingestor_spark.operators.multimodal import extract_features
+
+    corpus = extract_features(media, dim=16).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").cast("array<double>").alias("embedding"),
+    )
+    queries_df = corpus.filter(F.col("vec_id") % 499 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(corpus, queries_df, k=3)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, LSH-bucketed candidate generation
     + exact verify (the n^2-free scale design)."""
@@ -1314,6 +1349,8 @@ QUERIES = {
     "p8_null_drop_json": q_p8_null_drop_json,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+    "multimodal_features": q_multimodal_features,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "ingest_samples": q_ingest_samples,
     "ingest_nexus": q_ingest_nexus,

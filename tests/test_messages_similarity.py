@@ -111,3 +111,55 @@ def test_flatbuffer_decode_is_gated_not_silently_fake(spark):
     ]
     with pytest.raises(Exception, match="NotImplementedError|flatbuffers"):
         out.collect()
+
+
+def test_train_centroids_separates_obvious_clusters(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    rows = []
+    # three tight clusters around +e0, +e1, +e2
+    for i in range(90):
+        axis = i % 3
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        v[axis] += 1.0
+        rows.append((i, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_centroids(vecs, dim, k=3, iterations=8)
+    assert len(cents) == 3 and all(len(c) == dim for c in cents)
+    # trained assignment puts each cluster in one cell
+    assigned = vecs.select(
+        (F.col("vec_id") % 3).alias("truth"),
+        similarity.ivf_cell(F.col("embedding"), dim, centroids=cents).alias("cell"),
+    ).collect()
+    mapping = {}
+    for r in assigned:
+        mapping.setdefault(r["truth"], set()).add(r["cell"])
+    cells_used = [next(iter(s)) for s in mapping.values()]
+    assert all(len(s) == 1 for s in mapping.values()), mapping
+    assert len(set(cells_used)) == 3, mapping
+
+
+def test_trained_centroids_plug_into_ivf_topk(spark):
+    import random
+
+    rng = random.Random(11)
+    dim = 8
+    rows = []
+    for i in range(60):
+        axis = i % 3
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        v[axis] += 1.0
+        rows.append((i, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.train_centroids(vecs, dim, k=3, iterations=8)
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.ivf_topk(vecs, queries, dim, k=3, centroids=cents)
+    exact = similarity.brute_force_topk(vecs, queries, k=3)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    # trained cells align with the true clusters -> full recall here
+    assert a == e
