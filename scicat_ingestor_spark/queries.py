@@ -30,10 +30,33 @@ from scicat_ingestor_spark.sources.messages import drop_writer_errors
 
 _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
+# Confs the queries depend on, (re)applied to whatever session the caller
+# hands us — the driver's gate runs these in ITS OWN SparkSession, which
+# may not come from session.get_session: without nanosAsLong the events
+# scan throws PARQUET_TYPE_ILLEGAL (TIMESTAMP(NANOS)), and a non-UTC
+# session TZ would shift every formatted timestamp vs the DuckDB oracle.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+_conf_applied: set[int] = set()
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    if id(spark) in _conf_applied:
+        return
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # read-only conf in this deployment: leave it
+            pass
+    _conf_applied.add(id(spark))
+
 
 def _t(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
 ) -> DataFrame:
+    _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns-since-epoch long (see session.py nanosAsLong) -> µs timestamp,
