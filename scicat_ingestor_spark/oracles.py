@@ -402,6 +402,21 @@ SELECT doc_id,
     i -> md5(array_to_string(toks[i:i+3], ' '))), 'min') AS fingerprint
 FROM w
 """,
+    "text_corpus_stats": """
+SELECT source,
+  count(*) AS n_docs,
+  count(DISTINCT lang) AS n_langs,
+  sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+  round(avg(length(text)), 6) AS avg_chars
+FROM documents GROUP BY source
+""",
+    "text_top_terms": """
+WITH t AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents
+)
+SELECT term, count(*) AS n FROM t WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
+""",
     "multimodal_decode": """
 WITH h AS (SELECT doc_id, text, md5(text) AS hx FROM documents)
 SELECT doc_id AS media_id, 'fake' AS kind,

@@ -661,6 +661,39 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_corpus_stats(spark, sf_dir):
+    """Corpus statistics per source — the pre-training sanity scan:
+    doc/lang counts, token volume, char average. Exact aggregates, one
+    shuffle on the grouping key; distinct-lang is a tiny cardinality so
+    the partial aggregate carries sets of a few elements."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(text.whitespace_token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
+
+
+def q_text_top_terms(spark, sf_dir):
+    """Vocabulary heavy hitters: explode terms, count, global top-20
+    (deterministic tiebreak on the term). The count aggregates map-side
+    before the term shuffle; the final top-k is a TakeOrdered over the
+    already-aggregated term counts — no full sort."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1362,6 +1395,8 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_token_counts": q_text_token_counts,
     "text_fingerprint": q_text_fingerprint,
+    "text_corpus_stats": q_text_corpus_stats,
+    "text_top_terms": q_text_top_terms,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
