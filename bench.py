@@ -63,6 +63,50 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def run_stream(n_batches: int = 4) -> float:
+        """Replay the events table through the real streaming shell
+        (readStream -> foreachBatch(transform -> sink)) in several
+        micro-batches; returns wall seconds for the whole replay."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from scicat_ingestor_spark.queries import _t
+        from scicat_ingestor_spark.sources.messages import drop_writer_errors
+        from scicat_ingestor_spark.streaming.pipeline import run_ingest_stream
+
+        base = tempfile.mkdtemp(prefix="bench_stream_", dir=".")
+        src, ck = f"{base}/src", f"{base}/ck"
+        try:
+            ev = _t(spark, sf_dir, "events").withColumn(
+                "error_encountered", F.col("event_type") == "error"
+            )
+            ev.repartition(2 * n_batches).write.mode("overwrite").parquet(src)
+            schema = spark.read.parquet(src).schema
+            t0 = time.perf_counter()
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+
+            def transform(batch):
+                kept = drop_writer_errors(batch)
+                return kept.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("total"),
+                )
+
+            def sink(batch, batch_id):
+                batch.write.format("noop").mode("overwrite").save()
+
+            q = run_ingest_stream(stream, transform, sink, ck)
+            q.awaitTermination()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     # warm-up pass: JVM codegen, Python worker pools, parquet footers —
     # steady-state throughput is what a long-lived cluster job sees
     for name in HEADLINE:
@@ -74,6 +118,8 @@ def main() -> None:
     timings: dict[str, float] = {
         name: round(min(run(name) for _ in range(3)), 4) for name in HEADLINE
     }
+    run_stream()  # warm the streaming machinery once
+    timings["stream_ingest_replay"] = round(min(run_stream() for _ in range(2)), 4)
 
     total = round(sum(timings.values()), 4)
     print(
