@@ -39,18 +39,18 @@ _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
 }
-_conf_applied: set[int] = set()
-
-
 def _ensure_confs(spark: SparkSession) -> None:
-    if id(spark) in _conf_applied:
+    if getattr(spark, "_scicat_confs_applied", False):
         return
     for k, v in _REQUIRED_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # read-only conf in this deployment: leave it
             pass
-    _conf_applied.add(id(spark))
+    try:
+        spark._scicat_confs_applied = True  # flag rides on the session itself
+    except Exception:
+        pass
 
 
 def _t(
@@ -97,7 +97,10 @@ def _compiled(fn):
 
     @functools.wraps(fn)
     def wrapper(spark, sf_dir):
-        key = (id(spark), sf_dir)
+        # key on the session OBJECT (hashable by identity): holding it in
+        # the cache prevents id() reuse after a stopped session is
+        # collected, which could otherwise serve plans bound to a dead JVM
+        key = (spark, sf_dir)
         if key not in cache:
             cache[key] = fn(spark, sf_dir)
         return cache[key]
