@@ -273,6 +273,33 @@ SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
   CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
 FROM events GROUP BY 1
 """,
+    "t8_sessionize": """
+WITH ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 50 AS k,
+         ts::TIMESTAMP AS ts, value
+  FROM events
+),
+flagged AS (
+  SELECT k, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY k ORDER BY ts)
+              >= INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sessions AS (
+  SELECT k, ts, value,
+    sum(new_session) OVER (
+      PARTITION BY k ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS sid
+  FROM flagged
+)
+SELECT k,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  count(*) AS n_events,
+  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM sessions GROUP BY k, sid
+""",
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,

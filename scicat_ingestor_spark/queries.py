@@ -516,6 +516,32 @@ def q_t8_hourly_rollup(spark, sf_dir):
     )
 
 
+def q_t8_sessionize(spark, sf_dir):
+    """Event sessionization with ``session_window`` (the Structured
+    Streaming session-window aggregate, run in batch): events of one key
+    merge while the gap stays under 30 minutes. The shuffle is keyed on
+    the session key; window merging is state-local per key — exactly the
+    shape the streaming engine uses for session state at scale."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long") % 50
+    )
+    return (
+        ev.groupBy("k", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value")))).alias("total_value"),
+        )
+        .select(
+            "k",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # analytics headliners (bench): TPC-H-shaped Q1 / Q3
 # ---------------------------------------------------------------------------
@@ -1386,6 +1412,7 @@ QUERIES = {
     "a7_extractors": q_a7_extractors,
     "o3_latest_dataset": q_o3_latest_dataset,
     "t8_hourly_rollup": q_t8_hourly_rollup,
+    "t8_sessionize": q_t8_sessionize,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "dedup_exact": q_dedup_exact,
