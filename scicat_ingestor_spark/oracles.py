@@ -429,6 +429,19 @@ SELECT doc_id,
     i -> md5(array_to_string(toks[i:i+3], ' '))), 'min') AS fingerprint
 FROM w
 """,
+    "text_rollup_stats": """
+SELECT coalesce(source, '<all>') AS source,
+  coalesce(lang, '<all>') AS lang,
+  count(*) AS n_docs,
+  sum(length(text)) AS total_chars
+FROM documents GROUP BY ROLLUP (source, lang)
+""",
+    "sample_stratified": """
+SELECT doc_id, lang, source FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1)
+      < CASE WHEN lang = 'en' THEN 64 ELSE 16 END
+""",
     "text_corpus_stats": """
 SELECT source,
   count(*) AS n_docs,

@@ -690,6 +690,37 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_rollup_stats(spark, sf_dir):
+    """Corpus subtotals with ROLLUP (source, lang) -> per-pair, per-source
+    and grand-total rows in one pass — partial aggregation covers all
+    grouping sets, still a single shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: keep ~N% per language, gated on
+    a content-hash of the doc id — reproducible across runs, retries and
+    engines (df.sample() is none of those). The filter is a scan-local
+    predicate: no shuffle, no state, works identically on 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+    rate = F.when(F.col("lang") == "en", 64).otherwise(16)  # /256
+    return docs.filter(bucket.cast("int") < rate).select("doc_id", "lang", "source")
+
+
 def q_text_corpus_stats(spark, sf_dir):
     """Corpus statistics per source — the pre-training sanity scan:
     doc/lang counts, token volume, char average. Exact aggregates, one
@@ -1426,6 +1457,8 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "text_fingerprint": q_text_fingerprint,
     "text_corpus_stats": q_text_corpus_stats,
+    "text_rollup_stats": q_text_rollup_stats,
+    "sample_stratified": q_sample_stratified,
     "text_top_terms": q_text_top_terms,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
