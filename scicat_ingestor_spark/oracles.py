@@ -429,6 +429,14 @@ SELECT doc_id,
     i -> md5(array_to_string(toks[i:i+3], ' '))), 'min') AS fingerprint
 FROM w
 """,
+    "text_quantile_filter": """
+WITH q AS (
+  SELECT lang, quantile_cont(n_chars, 0.1) AS p10 FROM documents GROUP BY lang
+)
+SELECT doc_id, d.lang, n_chars
+FROM documents d JOIN q USING (lang)
+WHERE n_chars < p10
+""",
     "text_rollup_stats": """
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,

@@ -721,6 +721,22 @@ def q_sample_stratified(spark, sf_dir):
     return docs.filter(bucket.cast("int") < rate).select("doc_id", "lang", "source")
 
 
+def q_text_quantile_filter(spark, sf_dir):
+    """Quality cutoff by per-language length percentile: compute p10 per
+    lang (tiny dim), broadcast it back, keep the short-tail docs. The
+    percentile aggregate shuffles once on lang; the filter join is
+    broadcast — corpus never reshuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.1)").alias("p10")
+    )
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .filter(F.col("n_chars") < F.col("p10"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def q_text_corpus_stats(spark, sf_dir):
     """Corpus statistics per source — the pre-training sanity scan:
     doc/lang counts, token volume, char average. Exact aggregates, one
@@ -1459,6 +1475,7 @@ QUERIES = {
     "text_corpus_stats": q_text_corpus_stats,
     "text_rollup_stats": q_text_rollup_stats,
     "sample_stratified": q_sample_stratified,
+    "text_quantile_filter": q_text_quantile_filter,
     "text_top_terms": q_text_top_terms,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
