@@ -198,6 +198,47 @@ def ivf_cell(
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
 
+def _ivf_dots(vec: Column, dim: int, cells: int, centroids) -> Column:
+    if centroids is None:
+        centroids = [centroid_weights(c, dim) for c in range(cells)]
+    cells = len(centroids)
+    transposed = F.array(
+        *[
+            F.array(*[F.lit(centroids[c][d]) for c in range(cells)])
+            for d in range(dim)
+        ]
+    )
+    prods = F.zip_with(
+        vec, transposed, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
+    )
+    return F.aggregate(
+        prods,
+        F.array_repeat(F.lit(0.0), cells),
+        lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+    )
+
+
+def ivf_cells(
+    vec: Column,
+    dim: int,
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
+) -> Column:
+    """Top-``nprobe`` cell ids (1-based, best first) for multi-probe IVF:
+    sort (−dot, index) so ties go to the lowest index, exactly matching
+    the single-probe ``ivf_cell`` argmax semantics."""
+    n = len(centroids) if centroids is not None else cells
+    dots = _ivf_dots(vec, dim, cells, centroids)
+    idx = F.sequence(F.lit(1), F.lit(n))
+    ranked = F.array_sort(
+        F.zip_with(dots, idx, lambda d, i: F.struct((-d).alias("nd"), i.alias("i")))
+    )
+    return F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s.getField("i").cast("int")
+    )
+
+
 def train_centroids(
     vectors: DataFrame,
     dim: int,
@@ -263,6 +304,7 @@ def ivf_topk(
     k: int = 5,
     cells: int = 8,
     centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF ANN top-k: partition the corpus into Voronoi cells of fixed
     centroids (computed column, no shuffle on the big side), probe the
@@ -276,11 +318,23 @@ def ivf_topk(
     cell_v = vectors.withColumn(
         "_cell", ivf_cell(F.col(vec_col), dim, cells, centroids)
     )
-    cell_q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell"),
-    )
+    if nprobe <= 1:
+        cell_q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell"),
+        )
+    else:
+        # multi-probe: the query row fans out to its nprobe best cells —
+        # the fan-out happens on the TINY query side only; the corpus
+        # keeps its single computed cell id and is still never shuffled
+        cell_q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            F.explode(
+                ivf_cells(F.col(vec_col), dim, cells, centroids, nprobe)
+            ).alias("_cell"),
+        )
     candidates = cell_v.join(F.broadcast(cell_q), "_cell")
     scored = candidates.select(
         F.col(query_id_col),

@@ -43,6 +43,19 @@ def _ivf_cell_sql(col: str, cells: int = 8, dim: int = 64) -> str:
     return f"CAST(list_position([{dots}], list_max([{dots}])) AS INT)"
 
 
+def _ivf_dots_sql(col: str, cells: int = 8, dim: int = 64) -> str:
+    """The per-cell dot-product list as DuckDB SQL, same constants as
+    the Spark plan (operators.similarity.centroid_weights)."""
+    from scicat_ingestor_spark.operators.similarity import centroid_weights
+
+    dots = ",".join(
+        "list_dot_product(%s, [%s])"
+        % (col, ",".join(repr(x) for x in centroid_weights(c, dim)))
+        for c in range(cells)
+    )
+    return f"[{dots}]"
+
+
 def _file_stats_oracle(sf_dir: str = "/root/testdata/sf0.01") -> str:
     """Ground truth for s8_s9_file_stats computed independently of the
     Spark path: driver-side os.stat + one-shot (non-streaming) blake2b.
@@ -576,6 +589,29 @@ sc AS (SELECT q.query_id, c.vec_id,
         list_dot_product(c.e, q.qe)
           / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
       FROM cv c JOIN q ON c.cell = q.cell),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+""",
+    "ann_ivf_nprobe_topk": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cv AS (SELECT vec_id, e, {_ivf_cell_sql('e')} AS cell FROM v),
+qd AS (SELECT vec_id AS query_id, e AS qe, {_ivf_dots_sql('e')} AS d
+       FROM v WHERE vec_id < 3),
+q1 AS (SELECT query_id, qe, d, list_position(d, list_max(d)) AS c1 FROM qd),
+q2 AS (SELECT query_id, qe, c1,
+        list_position(
+          list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END),
+          list_max(
+            list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END))
+        ) AS c2
+      FROM q1),
+sc AS (SELECT q.query_id, c.vec_id,
+        list_dot_product(c.e, q.qe)
+          / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM cv c JOIN q2 q ON c.cell IN (q.c1, q.c2)),
 r AS (SELECT query_id, vec_id AS neighbor_id, c,
         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
       FROM sc)

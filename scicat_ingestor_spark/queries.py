@@ -934,6 +934,18 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_nprobe_topk(spark, sf_dir):
+    """Multi-probe IVF (nprobe=2): the query fans out to its two best
+    cells — double the candidates, strictly better recall, corpus side
+    unchanged (still zero shuffles for assignment)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(emb, queries, dim=64, k=5, cells=8, nprobe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _NXS_SCHEMA = MetadataSchema.from_dict(
     {
         "id": "nexus-demo",
@@ -1487,6 +1499,7 @@ QUERIES = {
     "p8_null_drop_json": q_p8_null_drop_json,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_nprobe_topk": q_ann_ivf_nprobe_topk,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,

@@ -163,3 +163,32 @@ def test_trained_centroids_plug_into_ivf_topk(spark):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     # trained cells align with the true clusters -> full recall here
     assert a == e
+
+
+def test_multi_probe_recall_dominates_single_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                emb, queries, dim=64, k=5, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1
+    # first probe of the multi-probe ranking IS the single-probe cell
+    both = emb.select(
+        similarity.ivf_cell(F.col("embedding"), 64).alias("single"),
+        similarity.ivf_cells(F.col("embedding"), 64, nprobe=2).alias("multi"),
+    ).collect()
+    assert all(r["multi"][0] == r["single"] for r in both)
