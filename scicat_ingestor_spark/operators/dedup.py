@@ -253,17 +253,21 @@ def dedup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
     )
-    n_nodes = labels.count()
+    # one job builds the label checkpoint AND observes node count +
+    # initial label sum (the convergence baseline) — no separate count
+    # or aggregate jobs before the first round
+    setup_obs = Observation()
+    labels = labels.observe(
+        setup_obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+    ).localCheckpoint()
+    n_nodes = setup_obs.get["n"]
     small = n_nodes <= broadcast_nodes_max
     if not small:
         edges = edges.repartition("dst").cache()
-    prev_sum = (
-        labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-        if numeric_ids
-        else None
-    )
+    prev_sum = setup_obs.get["s"] if numeric_ids else None
     for _ in range(max_iterations):
         label_side = F.broadcast(labels) if small else labels
         # union the label map in as extra (id -> label) edges: the join
