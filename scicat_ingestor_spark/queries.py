@@ -58,10 +58,16 @@ def _t(
 ) -> DataFrame:
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-since-epoch long (see session.py nanosAsLong) -> µs timestamp,
-        # truncating like DuckDB's ns->µs cast
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns-since-epoch long (see session.py nanosAsLong) -> µs
+            # timestamp, truncating like DuckDB's ns->µs cast
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # session TZ is pinned UTC, so NTZ->TIMESTAMP keeps the wall
+            # clock; event-time ops (watermark) require TIMESTAMP
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if parallel and name in _FACT_TABLES:
         # driver testdata is single-row-group parquet -> 1 scan split;
         # re-split to cluster parallelism (filters/pruning push through

@@ -241,12 +241,14 @@ def test_watermarked_window_rollup_matches_batch(spark, sf_dir, tmp_path):
     stream gives the same rollup as the batch groupBy(window) — late-data
     policy engaged, availableNow drains everything so totals agree."""
     src = str(tmp_path / "wm_src")
-    events = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .limit(2000)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        .select("event_id", "ts", "event_type")
-    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "bigint":
+        # ns-as-long testdata variant (see queries._t)
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    events = events.select("event_id", "ts", "event_type")
     events.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
 
