@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_token_counts",
+    "text_decontaminate",
+    "pack_sequences",
 ]
 
 

@@ -478,6 +478,27 @@ WITH t AS (
 SELECT term, count(*) AS n FROM t WHERE term <> ''
 GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """,
+    "text_decontaminate": """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks)-3, 1)+1),
+        i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM w),
+e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+SELECT c.doc_id, count(*) AS n_hits
+FROM c JOIN e USING (gram) GROUP BY c.doc_id
+""",
+    "pack_sequences": """
+WITH t AS (SELECT source, doc_id,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents),
+o AS (SELECT source, doc_id, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+  FROM t)
+SELECT source, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id,
+  count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+FROM o GROUP BY source, bin_id
+""",
     "multimodal_decode": """
 WITH h AS (SELECT doc_id, text, md5(text) AS hx FROM documents)
 SELECT doc_id AS media_id, 'fake' AS kind,

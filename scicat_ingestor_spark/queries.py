@@ -776,6 +776,64 @@ def q_text_top_terms(spark, sf_dir):
     )
 
 
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the eval split's word 4-grams form a
+    small reference set (eval splits are MBs even when the corpus is
+    100 TB) that broadcasts to every executor; the corpus is scanned
+    once, its grams matched against the broadcast set, and only the hits
+    — a tiny fraction of the gram stream — shuffle for the per-doc
+    count. Eval membership is a deterministic id predicate here; in
+    production it is whatever table holds the benchmark. Mirrors the
+    decontamination step of large-corpus training pipelines; same
+    anti-leak semantics as the reference's J4/J5 exists-probes
+    (/root/reference/src/scicat_offline_ingestor.py:67-125), lifted from
+    one catalog key to n-gram overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = dedup.word_shingles(F.col("text"), n=4)
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        corpus.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        # word_shingles is per-doc distinct, so plain count = distinct grams
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing for training: running token total
+    per source (window partitioned on the shard key — parallel, never a
+    global sort), each doc's bin = its start offset // capacity. One
+    shuffle on the shard key; packing is a pure function of (source,
+    doc_id) order so retries and engines agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    capacity = 512
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        docs.select(
+            "source",
+            "doc_id",
+            text.whitespace_token_count(F.col("text")).alias("n_tokens"),
+        )
+        .withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("bin_id", F.floor(F.col("start_off") / capacity))
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1495,6 +1553,8 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "text_quantile_filter": q_text_quantile_filter,
     "text_top_terms": q_text_top_terms,
+    "text_decontaminate": q_text_decontaminate,
+    "pack_sequences": q_pack_sequences,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
