@@ -728,13 +728,37 @@ def q_sample_stratified(spark, sf_dir):
 
 
 def q_text_quantile_filter(spark, sf_dir):
-    """Quality cutoff by per-language length percentile: compute p10 per
-    lang (tiny dim), broadcast it back, keep the short-tail docs. The
-    percentile aggregate shuffles once on lang; the filter join is
-    broadcast — corpus never reshuffles."""
+    """Quality cutoff by per-language length percentile, computed EXACTLY
+    via a histogram instead of Spark's `percentile` aggregate (which
+    buffers every value per group in executor memory — an OOM at 100 TB
+    with a handful of languages). The feature is bounded-cardinality, so
+    groupBy(lang, n_chars) is a small map-side-combining shuffle; the
+    continuous-interpolation quantile (same definition as DuckDB's
+    quantile_cont) falls out of the cumulative counts with window + a
+    conditional min. The resulting per-lang cutoff broadcasts back; the
+    corpus never reshuffles."""
     docs = _t(spark, sf_dir, "documents")
-    q = docs.groupBy("lang").agg(
-        F.expr("percentile(n_chars, 0.1)").alias("p10")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wl = Window.partitionBy("lang")
+    cum = (
+        hist.withColumn(
+            "cum",
+            F.sum("c").over(
+                wl.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("c").over(wl))
+        # continuous-interpolation rank r in [0, n-1]; value_at(i) is the
+        # smallest n_chars whose 1-based cumulative count exceeds i
+        .withColumn("r", F.lit(0.1) * (F.col("n") - 1))
+    )
+    q = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") > F.floor("r"), F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("cum") > F.ceil("r"), F.col("n_chars"))).alias("hi"),
+        F.first(F.col("r") - F.floor("r")).alias("frac"),
+    )
+    q = q.select(
+        "lang", (F.col("lo") + F.col("frac") * (F.col("hi") - F.col("lo"))).alias("p10")
     )
     return (
         docs.join(F.broadcast(q), "lang")
