@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_survivors",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",

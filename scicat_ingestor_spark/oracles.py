@@ -360,6 +360,35 @@ reach AS (
 )
 SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """,
+    "dedup_survivors": f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT reach.id, e.dst AS r FROM reach JOIN edges e ON reach.r = e.src
+),
+cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, lang, source FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM cl WHERE cl.id = d.doc_id AND cl.id <> cl.cluster_id
+)
+""",
+    "chunk_documents": """
+SELECT doc_id, s AS chunk_start,
+  substr(text, s + 1, 200) AS chunk,
+  length(substr(text, s + 1, 200)) AS chunk_len
+FROM documents,
+  unnest(generate_series(0, greatest(length(text) - 1, 0), 150)) AS t(s)
+""",
+    "source_quota_sample": """
+WITH r AS (SELECT doc_id, source, lang,
+  row_number() OVER (PARTITION BY source
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source, lang FROM r WHERE rn <= 20
+""",
     "dedup_simhash": f"""
 WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS word
            FROM documents),

@@ -636,6 +636,63 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The user-facing end of the dedup story: the corpus with every
+    non-canonical near-dup member removed (canonical = min doc_id of its
+    connected component). The loser list is at most the dup'd fraction
+    of the corpus; the removal is a key anti-join — broadcast when the
+    dup set is small, AQE-planned shuffle anti when it isn't. Everything
+    upstream (LSH star edges, components) is the dedup_clusters path."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(spark, sf_dir)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping-window chunking (size 200 chars, stride 150) for
+    context-window-bound downstream consumers (embedding, indexing).
+    Start offsets are a `sequence` + `explode` — scan-local, zero
+    shuffles, output rows ~len/stride per doc. Offsets ride along so
+    chunks can be traced back to byte ranges in the source doc."""
+    docs = _t(spark, sf_dir, "documents")
+    size, stride = 200, 150
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length("text") - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.expr(f"substring(text, chunk_start + 1, {size})").alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+def q_source_quota_sample(spark, sf_dir):
+    """Training-mix quota sampling: keep at most K docs per source,
+    chosen by deterministic content-hash order (reproducible across
+    runs, retries and engines — never df.sample). One shuffle on the
+    quota key; for a pathologically hot source the two-phase refinement
+    (partial per-partition top-K before the window) bounds the sort,
+    but the plain window is the right default."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "source", "lang")
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
@@ -1567,6 +1624,9 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_survivors": q_dedup_survivors,
+    "chunk_documents": q_chunk_documents,
+    "source_quota_sample": q_source_quota_sample,
     "ann_cosine_topk": q_ann_cosine_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,

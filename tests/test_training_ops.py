@@ -44,6 +44,51 @@ def test_decontaminate_hits_are_real_overlaps(spark, sf_dir):
     assert len(grams(doc_text) & eval_grams) == flagged.n_hits
 
 
+def test_dedup_survivors_keep_exactly_canonicals(spark, sf_dir):
+    from scicat_ingestor_spark.queries import q_dedup_clusters, q_dedup_survivors
+
+    clusters = {r.id: r.cluster_id for r in q_dedup_clusters(spark, sf_dir).collect()}
+    survivors = {r.doc_id for r in q_dedup_survivors(spark, sf_dir).collect()}
+    total = _t(spark, sf_dir, "documents").count()
+    losers = {i for i, c in clusters.items() if i != c}
+    assert survivors.isdisjoint(losers)
+    assert len(survivors) == total - len(losers)
+    # every cluster's canonical member survives
+    assert all(c in survivors for c in clusters.values())
+
+
+def test_chunk_documents_cover_and_trace(spark, sf_dir):
+    from scicat_ingestor_spark.queries import q_chunk_documents
+
+    docs = {r.doc_id: r.text for r in _t(spark, sf_dir, "documents").collect()}
+    chunks = q_chunk_documents(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+        # offsets trace back to the exact byte range of the source doc
+        assert docs[r.doc_id][r.chunk_start : r.chunk_start + 200] == r.chunk
+        assert r.chunk_len == len(r.chunk)
+    for doc_id, text in docs.items():
+        rows = sorted(per_doc[doc_id], key=lambda r: r.chunk_start)
+        assert rows[0].chunk_start == 0
+        # stride-150 starts cover the whole doc
+        assert rows[-1].chunk_start + 200 >= len(text) or len(rows) == (
+            len(text) + 149
+        ) // 150
+
+
+def test_source_quota_sample_deterministic_cap(spark, sf_dir):
+    from scicat_ingestor_spark.queries import q_source_quota_sample
+
+    a = sorted(map(tuple, q_source_quota_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_source_quota_sample(spark, sf_dir).collect()))
+    assert a == b  # reproducible
+    per_source: dict[str, int] = {}
+    for _, source, _ in a:
+        per_source[source] = per_source.get(source, 0) + 1
+    assert all(n <= 20 for n in per_source.values())
+
+
 def test_pack_sequences_partitions_all_tokens(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     expected = (
