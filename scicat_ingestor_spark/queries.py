@@ -679,9 +679,10 @@ def q_source_quota_sample(spark, sf_dir):
     """Training-mix quota sampling: keep at most K docs per source,
     chosen by deterministic content-hash order (reproducible across
     runs, retries and engines — never df.sample). One shuffle on the
-    quota key; for a pathologically hot source the two-phase refinement
-    (partial per-partition top-K before the window) bounds the sort,
-    but the plain window is the right default."""
+    quota key, and Spark 4's WindowGroupLimit pushes the rank cutoff
+    below it: each map task ships only its local top-K per source, so
+    even a pathologically hot source moves O(tasks*K) rows, not its
+    whole population (asserted in tests/test_plans.py)."""
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

@@ -113,3 +113,40 @@ def test_salted_join_is_deterministic_row_hash(spark, sf_dir):
     )
     out = salted_join(li, orders, "l_orderkey", salt_buckets=8)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_chunk_documents_is_scan_local(spark, sf_dir):
+    """Chunking must be Generate over the scan — no shuffle beyond the
+    test-scale re-split, no sort, no join."""
+    plan = _plan(Q.q_chunk_documents(spark, sf_dir))
+    assert "Generate" in plan  # the explode
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "Window", "Sort"):
+        assert op not in plan
+    # only the ensure_parallelism round-robin re-split may appear
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("RoundRobinPartitioning") for e in exchanges), exchanges
+
+
+def test_pack_sequences_single_semantic_shuffle(spark, sf_dir):
+    """The window shuffle on the shard key is the ONLY hash exchange;
+    the final aggregate must reuse the window's partitioning."""
+    plan = _plan(Q.q_pack_sequences(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1, plan[:2000]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    plan = _plan(Q.q_text_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quota_sample_single_shuffle_window(spark, sf_dir):
+    plan = _plan(Q.q_source_quota_sample(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan
+    # Spark 4 pushes the rank filter below the shuffle: only each map
+    # task's top-K rows per source ever move — the hot-source skew
+    # mitigation is in the engine itself
+    assert "WindowGroupLimit" in plan
