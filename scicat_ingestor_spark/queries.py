@@ -1574,8 +1574,12 @@ def q_ingest_e2e(spark, sf_dir):
     ds = enrich(
         ds.withColumn("proposal_key", F.col("user_id") + 1), cust, ["proposal_key"], "left"
     )
-    existing = ev.filter(F.col("event_id") % 10 == 0).select(
-        F.concat(F.lit("job-"), F.col("event_id")).alias("pid_value")
+    # separate load for the probe side: it feeds a broadcast build, so
+    # the fact-table re-split would be a wasted shuffle (see _t)
+    existing = (
+        _t(spark, sf_dir, "events", parallel=False)
+        .filter(F.col("event_id") % 10 == 0)
+        .select(F.concat(F.lit("job-"), F.col("event_id")).alias("pid_value"))
     )
     out = ds.select(
         F.col("pid").getField("value").alias("pid_value"),

@@ -295,3 +295,26 @@ def test_watermarked_window_rollup_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got == want and len(got) > 0
     assert len(got) >= first  # the flush released the held-back windows
+
+
+def test_events_ts_loader_handles_both_parquet_variants(spark, sf_dir, tmp_path):
+    """Driver testdata has shipped events.ts both as TIMESTAMP(NANOS)
+    (read as bigint under nanosAsLong) and as timestamp[us] (read as
+    TIMESTAMP_NTZ). queries._t must normalize either to TIMESTAMP with
+    identical UTC wall-clock values."""
+    from scicat_ingestor_spark.queries import _t
+
+    ref = _t(spark, sf_dir, "events", parallel=False).select("event_id", "ts")
+    assert dict(ref.dtypes)["ts"] == "timestamp"
+    rows = ref.orderBy("event_id").limit(50).collect()
+
+    # rebuild the same rows as ns-since-epoch longs (the legacy variant)
+    legacy_dir = str(tmp_path / "legacy_events")
+    spark.createDataFrame(
+        [(r.event_id, int(r.ts.timestamp() * 1_000_000) * 1000) for r in rows],
+        "event_id long, ts long",
+    ).write.parquet(legacy_dir + "/events.parquet")
+    legacy = _t(spark, legacy_dir, "events", parallel=False)
+    assert dict(legacy.dtypes)["ts"] == "timestamp"
+    got = {r.event_id: r.ts for r in legacy.collect()}
+    assert got == {r.event_id: r.ts for r in rows}
