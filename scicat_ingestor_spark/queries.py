@@ -336,8 +336,12 @@ def q_s11_sample_query(spark, sf_dir):
     (/root/reference/src/scicat_communication.py:134-158). Requests are
     a tiny key set -> broadcast against the fact scan."""
     docs = _t(spark, sf_dir, "documents")
+    # request side feeds the broadcast build: no fact re-split (see _t)
     requests = (
-        docs.filter(F.col("doc_id") % 97 == 0).select("source", "lang").distinct()
+        _t(spark, sf_dir, "documents", parallel=False)
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("source", "lang")
+        .distinct()
     )
     j = docs.join(F.broadcast(requests), ["source", "lang"])
     return j.groupBy("source", "lang").agg(
@@ -705,11 +709,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
 
+def _emb_queries(spark, sf_dir, predicate):
+    """Query-vector side of the ANN ops: a pushed-down filter over the
+    embeddings scan, loaded parallel=False because it always feeds a
+    broadcast build (the fact re-split there is a wasted shuffle)."""
+    return (
+        _t(spark, sf_dir, "embeddings", parallel=False)
+        .filter(predicate)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
     out = similarity.brute_force_topk(emb, queries, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1061,9 +1074,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join + exact re-rank
     within bucket (recall < 1 by construction)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
     out = similarity.lsh_topk(emb, queries, dim=64, k=5, bits=4)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1073,9 +1084,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     the query's cell, exact re-rank inside (recall < 1 by construction;
     cell assignment is a computed column, no shuffle on the corpus)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
     out = similarity.ivf_topk(emb, queries, dim=64, k=5, cells=8)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1085,9 +1094,7 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
     cells — double the candidates, strictly better recall, corpus side
     unchanged (still zero shuffles for assignment)."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
     out = similarity.ivf_topk(emb, queries, dim=64, k=5, cells=8, nprobe=2)
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1254,9 +1261,7 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     dim = 64
     cents = similarity.train_centroids(emb, dim, k=8, iterations=3)
-    queries_df = emb.filter(F.col("vec_id") % 997 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries_df = _emb_queries(spark, sf_dir, F.col("vec_id") % 997 == 0)
     return similarity.ivf_topk(emb, queries_df, dim, k=5, centroids=cents)
 
 
