@@ -51,6 +51,7 @@ HEADLINE = [
     "text_token_counts",
     "text_decontaminate",
     "pack_sequences",
+    "corpus_prep_e2e",
 ]
 
 

@@ -507,6 +507,29 @@ WITH t AS (
 SELECT term, count(*) AS n FROM t WHERE term <> ''
 GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """,
+    "corpus_prep_e2e": """
+WITH w AS (SELECT doc_id, text, source,
+    regexp_split_to_array(lower(text), '\\s+') AS toks,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+kept AS (SELECT * FROM w WHERE doc_id % 97 <> 0 AND n_tokens >= 25),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks)-3, 1)+1),
+        i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM w),
+e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+cg AS (SELECT g.doc_id, unnest(g.grams) AS gram FROM g JOIN kept k USING (doc_id)),
+contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN e USING (gram)),
+clean AS (SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+surv AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM clean),
+o AS (SELECT source, doc_id, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+  FROM surv WHERE rn = 1)
+SELECT source, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id,
+  count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+FROM o GROUP BY source, bin_id
+""",
     "text_decontaminate": """
 WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
 g AS (SELECT doc_id, list_distinct(list_transform(

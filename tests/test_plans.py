@@ -150,3 +150,18 @@ def test_quota_sample_single_shuffle_window(spark, sf_dir):
     # task's top-K rows per source ever move — the hot-source skew
     # mitigation is in the engine itself
     assert "WindowGroupLimit" in plan
+
+
+def test_corpus_prep_pipeline_shape(spark, sf_dir):
+    """The composed corpus-prep plan: quality filter reaches the scan,
+    contamination + dedup sides broadcast, exact dedup keeps first via
+    WindowGroupLimit (map-side), and only the two semantic fact shuffles
+    (dedup hash, pack shard key) remain."""
+    plan = _plan(Q.q_corpus_prep_e2e(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly four hash exchanges: two fact-side (md5 dedup key, pack
+    # shard key) and two tiny-side distincts (eval grams, contaminated
+    # ids) that feed broadcasts
+    assert plan.count("hashpartitioning(") == 4
