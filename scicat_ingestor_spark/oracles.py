@@ -507,6 +507,19 @@ WITH t AS (
 SELECT term, count(*) AS n FROM t WHERE term <> ''
 GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """,
+    "text_unigram_logprob": """
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term FROM t WHERE term <> ''),
+v AS (SELECT term, count(*) AS n FROM tf GROUP BY term),
+tot AS (SELECT sum(n) AS total FROM v),
+lp AS (SELECT term, -ln(CAST(n AS DOUBLE) / total) AS neg_logp FROM v, tot)
+SELECT doc_id, round(avg(neg_logp), 6) AS mean_neg_logp,
+  count(*) AS n_tokens
+FROM tf JOIN lp USING (term) GROUP BY doc_id
+""",
     "corpus_prep_e2e": """
 WITH w AS (SELECT doc_id, text, source,
     regexp_split_to_array(lower(text), '\\s+') AS toks,

@@ -929,6 +929,37 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Model-based quality scoring with a corpus-trained unigram LM:
+    token frequencies are one groupBy over the exploded token stream
+    (map-side partials carry it), the resulting vocab is
+    bounded-cardinality and broadcasts back, and each doc's mean
+    -log p(token) falls out of a second groupBy on doc_id. Everything is
+    deterministic closed-form — the same scoring pipelines like CCNet
+    run with a KenLM, with the model swapped for the corpus's own
+    unigram stats. Rounded to 6 dp for bit-stable cross-engine compare."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "term", (-F.log(F.col("n") / F.col("total"))).alias("neg_logp")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("neg_logp"), 6).alias("mean_neg_logp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
 def q_corpus_prep_e2e(spark, sf_dir):
     """The training-corpus preparation flow as ONE composed plan —
     quality gate -> eval-split decontamination -> exact dedup -> token
@@ -1710,6 +1741,7 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "pack_sequences": q_pack_sequences,
     "corpus_prep_e2e": q_corpus_prep_e2e,
+    "text_unigram_logprob": q_text_unigram_logprob,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
