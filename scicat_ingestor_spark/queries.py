@@ -968,51 +968,15 @@ def q_corpus_prep_e2e(spark, sf_dir):
     and the pack window's shard key; the decontamination gram set and
     the contaminated-id list ride broadcast. Deterministic end to end
     (content hashes, id order) so retries and engines agree."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = text.whitespace_token_count(F.col("text"))
+    from scicat_ingestor_spark.apps.corpus import prep_corpus
 
-    # 1. quality gate: scan-local predicate
-    kept = docs.filter((F.col("doc_id") % 97 != 0) & (toks >= 25))
-
-    # 2. decontamination: any eval 4-gram hit disqualifies the doc
-    grams = dedup.word_shingles(F.col("text"), n=4)
-    eval_grams = (
-        _t(spark, sf_dir, "documents", parallel=False)
-        .filter(F.col("doc_id") % 97 == 0)
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
+    # eval split loaded separately (parallel=False: feeds broadcast only)
+    eval_docs = _t(spark, sf_dir, "documents", parallel=False).filter(
+        F.col("doc_id") % 97 == 0
     )
-    contaminated = (
-        kept.select("doc_id", F.explode(grams).alias("gram"))
-        .join(F.broadcast(eval_grams), "gram")
-        .select("doc_id")
-        .distinct()
-    )
-    clean = kept.join(F.broadcast(contaminated), "doc_id", "left_anti")
-
-    # 3. exact dedup, keep-first per content hash via window rank — one
-    # shuffle and NO join: the canonical set is nearly the whole corpus,
-    # so a broadcast-semi-join against it would not survive 100 TB;
-    # WindowGroupLimit ships only each map task's first row per hash
-    wd = Window.partitionBy("h").orderBy("doc_id")
-    survivors = (
-        clean.withColumn("h", dedup.content_hash(F.col("text")))
-        .withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") == 1)
-        .drop("h", "rn")
-    )
-
-    # 4. pack survivors into 512-token bins per source (window on the
-    # shard key; the aggregate reuses its partitioning)
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    packed = (
-        survivors.select("source", "doc_id", toks.alias("n_tokens"))
-        .withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-        .withColumn("bin_id", F.floor(F.col("start_off") / 512))
+    packed = prep_corpus(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 != 0),
+        eval_docs=eval_docs,
     )
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

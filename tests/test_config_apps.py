@@ -140,3 +140,37 @@ def test_samples_app_upserts_once_per_key(spark, tmp_path):
     got = spark.read.parquet(str(tmp_path / "samples")).collect()
     assert len(got) == 3  # one upsert per distinct sample key
     assert {r["owner_group"] for r in got} == {"ymir"}
+
+
+def test_corpus_app_end_to_end(spark, tmp_path):
+    from scicat_ingestor_spark.apps.corpus import main
+
+    out = str(tmp_path / "prep")
+    rc = main(
+        [
+            "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out",
+            out,
+            "--capacity",
+            "256",
+        ]
+    )
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert rows
+    # packed rows carry the full trace: shard, doc, token count, bin
+    assert {"source", "doc_id", "n_tokens", "start_off", "bin_id"} <= set(rows[0].asDict())
+    # eval split removed, dedup kept one doc per content hash
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.n_tokens >= 25 for r in rows)
+
+
+def test_corpus_app_stage_subset(spark, tmp_path):
+    from scicat_ingestor_spark.apps.corpus import prep_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    only_dedup = prep_corpus(docs, stages=("dedup",))
+    # no pack stage -> documents shape, one row per content hash
+    hashes = only_dedup.selectExpr("md5(text) h").collect()
+    assert len({r.h for r in hashes}) == len(hashes)
