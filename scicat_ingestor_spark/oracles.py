@@ -507,6 +507,26 @@ WITH t AS (
 SELECT term, count(*) AS n FROM t WHERE term <> ''
 GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """,
+    "source_mix_rebalance": """
+WITH w AS (SELECT doc_id, source,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS t,
+    md5(doc_id::VARCHAR) AS h
+  FROM documents),
+hx AS (SELECT *, ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+    + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+    + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+    + (strpos('0123456789abcdef', substr(h,4,1))-1)) / 65536.0 AS gate
+  FROM w),
+tot AS (SELECT source, sum(t) AS actual_tokens FROM w GROUP BY source),
+ns AS (SELECT count(*) AS n FROM tot),
+wt AS (SELECT source, actual_tokens,
+    least(1.0, 100000.0 / n / actual_tokens) AS keep_prob FROM tot, ns),
+s AS (SELECT hx.source, count(*) AS n_docs, sum(t) AS sampled_tokens
+  FROM hx JOIN wt USING (source) WHERE gate < keep_prob GROUP BY hx.source)
+SELECT wt.source, actual_tokens, round(keep_prob, 6) AS keep_prob,
+  coalesce(n_docs, 0) AS n_docs, coalesce(sampled_tokens, 0) AS sampled_tokens
+FROM wt LEFT JOIN s ON wt.source = s.source
+""",
     "text_unigram_logprob": """
 WITH t AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term

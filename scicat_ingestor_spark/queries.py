@@ -929,6 +929,52 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_source_mix_rebalance(spark, sf_dir):
+    """Training-mix rebalancing: give every source an equal share of a
+    global token budget, turn that into a per-source keep probability
+    (capped at 1), and sample docs through a deterministic md5 gate at
+    that rate. The per-source token totals are one tiny aggregate that
+    broadcasts back; the gate itself is a scan-local predicate — the
+    corpus is read once and never shuffled. Reproducible across runs,
+    retries and engines (the gate is a pure hash, not df.sample)."""
+    budget_tokens = 100_000
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.whitespace_token_count(F.col("text"))
+    totals = docs.groupBy("source").agg(
+        F.sum(toks.cast("long")).alias("actual_tokens")
+    )
+    n_sources = totals.select(F.count(F.lit(1)).alias("n"))
+    weights = totals.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        "actual_tokens",
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget_tokens)) / F.col("n") / F.col("actual_tokens"),
+        ).alias("keep_prob"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        / 65536.0
+    )
+    sampled = (
+        docs.join(F.broadcast(weights), "source")
+        .filter(gate < F.col("keep_prob"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(toks.cast("long")).alias("sampled_tokens"),
+        )
+    )
+    return weights.join(sampled, "source", "left").select(
+        "source",
+        "actual_tokens",
+        F.round("keep_prob", 6).alias("keep_prob"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("sampled_tokens", F.lit(0)).alias("sampled_tokens"),
+    )
+
+
 def q_text_unigram_logprob(spark, sf_dir):
     """Model-based quality scoring with a corpus-trained unigram LM:
     token frequencies are one groupBy over the exploded token stream
@@ -1706,6 +1752,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "corpus_prep_e2e": q_corpus_prep_e2e,
     "text_unigram_logprob": q_text_unigram_logprob,
+    "source_mix_rebalance": q_source_mix_rebalance,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,

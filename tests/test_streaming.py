@@ -318,3 +318,70 @@ def test_events_ts_loader_handles_both_parquet_variants(spark, sf_dir, tmp_path)
     assert dict(legacy.dtypes)["ts"] == "timestamp"
     got = {r.event_id: r.ts for r in legacy.collect()}
     assert got == {r.event_id: r.ts for r in rows}
+
+
+def test_streaming_corpus_prep_matches_batch(spark, sf_dir, tmp_path):
+    """The corpus-prep stages run incrementally: quality+decontamination
+    per micro-batch, dedup split into in-batch keep-first plus the
+    cross-batch anti-join sink. Replaying the corpus in id-ordered
+    micro-batches must land exactly the batch pipeline's survivor set."""
+    from pyspark.sql import Window
+
+    from scicat_ingestor_spark.apps.corpus import prep_corpus
+    from scicat_ingestor_spark.operators import dedup
+    from scicat_ingestor_spark.streaming.pipeline import (
+        idempotent_append,
+        run_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_static = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    expected = {
+        r.doc_id
+        for r in prep_corpus(
+            corpus, stages=("quality", "decontaminate", "dedup"), eval_docs=eval_static
+        ).collect()
+    }
+
+    # id-ordered micro-batches: 3 files, ascending ranges, one per trigger
+    src = str(tmp_path / "stream_src")
+    ids = sorted(r.doc_id for r in corpus.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    ranges = [
+        corpus.filter(F.col("doc_id") < cuts[0]),
+        corpus.filter((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+        corpus.filter(F.col("doc_id") >= cuts[1]),
+    ]
+    for part in ranges:
+        part.coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "survivors")
+
+    def transform(batch):
+        cleaned = prep_corpus(
+            batch, stages=("quality", "decontaminate"), eval_docs=eval_static
+        )
+        wd = Window.partitionBy("h").orderBy("doc_id")
+        return (
+            cleaned.withColumn("h", dedup.content_hash(F.col("text")))
+            .withColumn("rn", F.row_number().over(wd))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def sink(batch, batch_id):
+        idempotent_append(batch, target, "h")  # cross-batch dedup on content
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_ingest_stream(
+        stream, transform, sink, str(tmp_path / "ck"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(target).collect()}
+    assert got == expected
