@@ -507,6 +507,14 @@ WITH t AS (
 SELECT term, count(*) AS n FROM t WHERE term <> ''
 GROUP BY term ORDER BY n DESC, term ASC LIMIT 20
 """,
+    "asof_last_click": """
+WITH c AS (SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+  c.click_value AS last_click_value, c.ts AS last_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
     "source_mix_rebalance": """
 WITH w AS (SELECT doc_id, source,
     len(regexp_split_to_array(trim(text), '\\s+')) AS t,

@@ -929,6 +929,60 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_asof_last_click(spark, sf_dir):
+    """As-of join — the time-series operator Spark has no builtin for,
+    composed from existing ops the scalable way: tag both sides, union,
+    and carry the right side forward with last(ignorenulls) over a
+    (user, time)-ordered window. ONE shuffle on the join key; the naive
+    alternative (range-condition join) degenerates to a per-user
+    cross-product at scale. Ties: clicks sort before purchases at equal
+    ts (matches ASOF's >=); clicks are pre-aggregated to one row per
+    (user, ts) so both engines break duplicate-ts ties identically."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    tagged = clicks.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "click_value",
+        F.lit(0).alias("tag"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(None).cast("double").alias("click_value"),
+            F.lit(1).alias("tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_click_ts",
+            F.last(
+                F.when(F.col("click_value").isNotNull(), F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "ts", "last_click_value", "last_click_ts")
+    )
+
+
 def q_source_mix_rebalance(spark, sf_dir):
     """Training-mix rebalancing: give every source an equal share of a
     global token budget, turn that into a per-source keep probability
@@ -1753,6 +1807,7 @@ QUERIES = {
     "corpus_prep_e2e": q_corpus_prep_e2e,
     "text_unigram_logprob": q_text_unigram_logprob,
     "source_mix_rebalance": q_source_mix_rebalance,
+    "asof_last_click": q_asof_last_click,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,

@@ -165,3 +165,16 @@ def test_corpus_prep_pipeline_shape(spark, sf_dir):
     # shard key) and two tiny-side distincts (eval grams, contaminated
     # ids) that feed broadcasts
     assert plan.count("hashpartitioning(") == 4
+
+
+def test_asof_join_is_single_shuffle_not_range_join(spark, sf_dir):
+    """The as-of composition must plan as union + window on the join
+    key — never a BroadcastNestedLoopJoin/cartesian from the range
+    condition."""
+    plan = _plan(Q.q_asof_last_click(spark, sf_dir))
+    assert "Window" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"):
+        assert bad not in plan
+    # one hash exchange for the per-user window, one for the click
+    # pre-aggregation (same key, kept by AQE when partitioning matches)
+    assert plan.count("hashpartitioning(") <= 2
