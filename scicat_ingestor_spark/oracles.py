@@ -515,6 +515,27 @@ SELECT p.event_id, p.user_id, p.ts,
   c.click_value AS last_click_value, c.ts AS last_click_ts
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """,
+    "range_join_click_purchase": """
+WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase')
+SELECT purchase_id, click_id, p.user_id, purchase_ts, click_ts
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.click_ts <= p.purchase_ts
+  AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
+""",
+    "retention_cohorts": """
+WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+coh AS (SELECT user_id, week,
+    min(week) OVER (PARTITION BY user_id) AS cohort FROM wk)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+  strftime(week, '%Y-%m-%d') AS week, n_users, week_offset
+FROM (
+  SELECT cohort, week, count(*) AS n_users,
+    CAST(floor((epoch(week) - epoch(cohort)) / 604800) AS BIGINT) AS week_offset
+  FROM coh GROUP BY cohort, week)
+""",
     "source_mix_rebalance": """
 WITH w AS (SELECT doc_id, source,
     len(regexp_split_to_array(trim(text), '\\s+')) AS t,

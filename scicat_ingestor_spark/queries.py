@@ -983,6 +983,74 @@ def q_asof_last_click(spark, sf_dir):
     )
 
 
+def q_range_join_click_purchase(spark, sf_dir):
+    """Range join — purchases paired with same-user clicks at most 1 h
+    earlier — done the scalable way: quantize time into 1 h buckets and
+    equi-join on (user, bucket) for the purchase's own and previous
+    bucket, then apply the exact range predicate. The range condition
+    alone would force a nested-loop per user; bucketing turns it into
+    two hash-join probes whose candidate count is bounded by bucket
+    occupancy. Same technique as Spark's interval-join folklore and
+    Flink's window join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withColumn("bucket", F.floor(F.unix_timestamp("click_ts") / 3600))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withColumn("pb", F.floor(F.unix_timestamp("purchase_ts") / 3600))
+    )
+    # candidate buckets: the purchase's bucket and the one before it
+    probes = purchases.withColumn(
+        "bucket", F.explode(F.array(F.col("pb") - 1, F.col("pb")))
+    )
+    return (
+        probes.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted per
+    active week. First-seen is a per-user min (one shuffle on user_id);
+    the cohort matrix is a second small aggregate. No self-join — the
+    first-seen table rides the same user_id partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    return (
+        weeks.withColumn("cohort", F.min("week").over(w))
+        .groupBy("cohort", "week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort")) / 604800
+            ),
+        )
+        # date strings: DuckDB's date_trunc('week') yields DATE
+        .withColumn("cohort", F.date_format("cohort", "yyyy-MM-dd"))
+        .withColumn("week", F.date_format("week", "yyyy-MM-dd"))
+    )
+
+
 def q_source_mix_rebalance(spark, sf_dir):
     """Training-mix rebalancing: give every source an equal share of a
     global token budget, turn that into a per-source keep probability
@@ -1808,6 +1876,8 @@ QUERIES = {
     "text_unigram_logprob": q_text_unigram_logprob,
     "source_mix_rebalance": q_source_mix_rebalance,
     "asof_last_click": q_asof_last_click,
+    "range_join_click_purchase": q_range_join_click_purchase,
+    "retention_cohorts": q_retention_cohorts,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frames": q_multimodal_frames,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
