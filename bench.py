@@ -52,6 +52,7 @@ HEADLINE = [
     "text_decontaminate",
     "pack_sequences",
     "corpus_prep_e2e",
+    "asof_last_click",
 ]
 
 
