@@ -33,6 +33,7 @@ HEADLINE = [
     "s6_hdf5_scan",
     "q1_pricing_summary",
     "q3_top_revenue",
+    "q5_local_supplier_volume",
     "j1_enrichment_join",
     "j4_anti_exists_pid",
     "a1_a2_dataset_size",

@@ -341,6 +341,21 @@ GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10
 """,
+    "q5_local_supplier_volume": """
+SELECT n_name,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+""",
     "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)

@@ -607,6 +607,41 @@ def q_q3_top_revenue(spark, sf_dir):
 # training-data pipeline: dedup family
 # ---------------------------------------------------------------------------
 
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: the 6-table join chain, written declaratively so
+    Catalyst orders it — region/nation/customer/supplier broadcast, the
+    one genuinely big join (lineitem ⋈ filtered orders) left to AQE
+    (broadcast at test scale, sort-merge or bucketed co-location at
+    100 TB). Date + region filters push into the scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer", parallel=False)
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False)
+    region = _t(spark, sf_dir, "region", parallel=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(_money(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1852,6 +1887,7 @@ QUERIES = {
     "t8_sessionize": q_t8_sessionize,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

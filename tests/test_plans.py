@@ -178,3 +178,15 @@ def test_asof_join_is_single_shuffle_not_range_join(spark, sf_dir):
     # one hash exchange for the per-user window, one for the click
     # pre-aggregation (same key, kept by AQE when partitioning matches)
     assert plan.count("hashpartitioning(") <= 2
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    """The 6-table chain: every dimension (customer, supplier, nation,
+    region) must broadcast; at most the lineitem ⋈ orders join may pick
+    a non-broadcast strategy at scale."""
+    plan = _plan(Q.q_q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+    # region/date filters push into their scans
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
