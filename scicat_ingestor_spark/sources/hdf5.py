@@ -210,7 +210,9 @@ def make_nxs_resolver(map_col: str = "nxs"):
         if var.path is None:
             raise ValueError(f"NXS variable {var.name!r} needs a path")
         m = F.col(map_col)
-        if "*" in var.path and var.value_type == "string[]":
+        # any array type: the reference's selector branch applies to '[]'
+        # types, the per-element cast happens downstream (V6)
+        if "*" in var.path and var.value_type.endswith("[]"):
             pattern = compile_wildcard(var.path)
             matched = F.array_sort(
                 F.filter(

@@ -137,3 +137,49 @@ def test_small_ymir_whole_object_getitem_chain(spark):
     tree = {p: v for p, v, _ in hdf5.fake_tree(r["file"])}
     idx = tree["/entry/experiment_identifier"].split("-")[1]
     assert r["principalInvestigator"]["value"] == f"first{idx} last{idx}"
+
+
+def test_shipped_example_schema_compiles_and_runs(spark):
+    """examples/demo.imsc.yml must load through the schema collector and
+    compile into a runnable plan over the fake HDF5 tree."""
+    from scicat_ingestor_spark.plans.compiler import compile_schema
+    from scicat_ingestor_spark.plans.sc import attach_dimension, make_sc_resolver
+    from scicat_ingestor_spark.plans.schema_model import collect_schemas
+    from scicat_ingestor_spark.sources import hdf5
+
+    schemas = collect_schemas("examples")
+    assert [s.id for s in schemas] == ["demo-instrument"]
+    schema = schemas[0]
+    assert schema.selector == "filename:starts_with:/data/demo"
+
+    files = spark.createDataFrame(
+        [("/data/demo/run_1.nxs",), ("/data/demo/run_2.nxs",)], "file string"
+    )
+    wide = hdf5.scan_files_wide(files)
+    proposals = spark.createDataFrame(
+        [(f"prop-{i}", f"pi-{i}") for i in range(20)],
+        "proposalId string, pi_lastname string",
+    )
+    nxs = hdf5.make_nxs_resolver()
+    base = attach_dimension(
+        wide,
+        proposals,
+        "proposals",
+        F.element_at(F.col("nxs"), "/entry/experiment_identifier").getField("value"),
+        "proposalId",
+    )
+    transform = compile_schema(
+        schema,
+        file_path_col="file",
+        resolvers={"NXS": nxs, "SC": make_sc_resolver()},
+    )
+    rows = transform(base).collect()
+    assert len(rows) == 2
+    for r in rows:
+        d = r.asDict()
+        assert not d["_failures"]
+        assert "(PI: pi-" in d["datasetName"].value
+        # scientific_metadata fields land in the nested map, summed
+        # across the wildcard-matched detector channels
+        sm = d["scientificMetadata"]["total_counts"]
+        assert int(sm["value"]) >= 0
