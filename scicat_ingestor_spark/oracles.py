@@ -501,6 +501,13 @@ SELECT coalesce(source, '<all>') AS source,
   sum(length(text)) AS total_chars
 FROM documents GROUP BY ROLLUP (source, lang)
 """,
+    "text_cube_stats": """
+SELECT coalesce(source, '<all>') AS source,
+  coalesce(lang, '<all>') AS lang,
+  count(*) AS n_docs,
+  sum(length(text)) AS total_chars
+FROM documents GROUP BY CUBE (source, lang)
+""",
     "sample_stratified": """
 SELECT doc_id, lang, source FROM documents
 WHERE (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16

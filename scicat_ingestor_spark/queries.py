@@ -822,6 +822,26 @@ def q_text_rollup_stats(spark, sf_dir):
     )
 
 
+def q_text_cube_stats(spark, sf_dir):
+    """CUBE (source, lang): all four grouping sets — per-pair,
+    per-source, per-lang, grand total — in one pass, one shuffle, with
+    partial aggregation carrying every set map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: keep ~N% per language, gated on
     a content-hash of the doc id — reproducible across runs, retries and
@@ -1903,6 +1923,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "text_corpus_stats": q_text_corpus_stats,
     "text_rollup_stats": q_text_rollup_stats,
+    "text_cube_stats": q_text_cube_stats,
     "sample_stratified": q_sample_stratified,
     "text_quantile_filter": q_text_quantile_filter,
     "text_top_terms": q_text_top_terms,
