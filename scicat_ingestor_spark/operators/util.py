@@ -53,3 +53,58 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
     )
     return fact_salted.join(dim_exploded, [key, "_salt"], how).drop("_salt")
+
+
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan (falls back to a
+    conservative default when stats are unavailable)."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def write_compacted(
+    df: DataFrame, path: str, target_mb: int = 256, mode: str = "overwrite"
+) -> int:
+    """Write parquet with output files sized for a 100 TB reader — the
+    small-files problem is the classic failure of naive distributed
+    writes (shuffle.partitions files per write, KBs each at the tail,
+    metadata-bound reads later). Partition count = plan-estimated bytes
+    / target (floor 1); the repartition is round-robin so files come
+    out even. Returns the partition count used.
+
+    At real scale, prefer letting AQE coalesce the FINAL stage
+    (`spark.sql.adaptive.coalescePartitions`) when the write follows a
+    shuffle; this helper covers the narrow-transform write path where
+    no AQE stage boundary exists.
+    """
+    est = estimated_bytes(df)
+    n = max(1, est // (target_mb * 1024 * 1024))
+    df.repartition(int(n)).write.mode(mode).parquet(path)
+    return int(n)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    sort_cols: list[str] | None = None,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-partitioned + sorted for data skipping:
+    `repartitionByRange(range_col)` gives each file a disjoint key
+    range, `sortWithinPartitions` tightens parquet row-group min/max
+    stats, so later readers with a `range_col` predicate prune whole
+    files/row-groups at planning time (`PushedFilters` + row-group
+    skip). This is the poor-man's clustering key — the same reason
+    warehouses Z-order: scan cost proportional to the selected range,
+    not the table.
+    """
+    cols = [range_col, *(sort_cols or [])]
+    part = (
+        df.repartitionByRange(num_files, range_col)
+        if num_files
+        else df.repartitionByRange(range_col)
+    )
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -58,3 +58,51 @@ def test_bucketed_scan_selected(spark, bucketed_pair):
         assert "SelectedBucketsCount: 1 out of 8" in plan, plan
     finally:
         spark.conf.set(key, old)
+
+
+def test_write_compacted_sizes_output_files(spark, sf_dir, tmp_path):
+    """Output file count tracks the plan-size estimate, not
+    shuffle.partitions — no KB-sized file tail."""
+    import glob
+
+    from scicat_ingestor_spark.operators.util import write_compacted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = str(tmp_path / "compact")
+    n = write_compacted(li, out, target_mb=256)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n
+    # sf0.001 lineitem is far under 256 MB -> exactly one output file,
+    # where a naive write after a shuffle would emit 32
+    assert n == 1
+
+
+def test_write_sorted_enables_range_pruning(spark, sf_dir, tmp_path):
+    """Range-partitioned + sorted output: each file covers a disjoint
+    key range, so a point/range predicate touches a subset of files."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from scicat_ingestor_spark.operators.util import write_sorted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(li, out, "l_orderkey", num_files=4)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["l_orderkey"])
+        col = t.column("l_orderkey").to_pylist()
+        ranges.append((min(col), max(col)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
+    # and the data inside each file is sorted (tight row-group stats)
+    assert all(
+        pq.read_table(f, columns=["l_orderkey"]).column("l_orderkey").to_pylist()
+        == sorted(pq.read_table(f, columns=["l_orderkey"]).column("l_orderkey").to_pylist())
+        for f in files
+    )
