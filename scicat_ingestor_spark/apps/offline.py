@@ -35,10 +35,12 @@ def ingest_files(
     schemas: list[MetadataSchema],
     resolvers: dict | None = None,
     existing_pids: DataFrame | None = None,
+    snapshots: dict | None = None,
 ) -> DataFrame:
     """The offline pipeline as a pure batch transform.
 
-    scan -> first-match schema selection -> per-schema compiled
+    scan -> first-match schema selection -> (dimension snapshot joins
+    for SC variables, J1-J3) -> per-schema compiled
     variables/projection (unioned back; each schema's slice keeps its own
     output shape) -> optional exists-by-pid anti-join (J4).
     """
@@ -50,11 +52,23 @@ def ingest_files(
     selected = with_selected_schema(
         wide.withColumn("filename", F.col("file")), schemas, fallback_id=None
     )
-    resolvers = resolvers or {"NXS": hdf5.make_nxs_resolver()}
+    nxs = (resolvers or {}).get("NXS") or hdf5.make_nxs_resolver()
+    if resolvers is None:
+        resolvers = {"NXS": nxs}
+        if snapshots:
+            from scicat_ingestor_spark.plans.sc import make_sc_resolver
+
+            resolvers["SC"] = make_sc_resolver()
     outs = []
     for schema in schemas:
         transform = compile_schema(schema, file_path_col="file", resolvers=resolvers)
         slice_df = selected.filter(F.col("schema_id") == schema.id)
+        if snapshots:
+            from scicat_ingestor_spark.plans.sc import attach_snapshots
+
+            slice_df = attach_snapshots(
+                slice_df, schema, snapshots, nxs_resolver=nxs
+            )
         compiled = transform(slice_df)
         envelope = [
             F.col(f.machine_name)
@@ -103,7 +117,12 @@ def main(argv: list[str] | None = None) -> int:
     schemas = collect_schemas(args.schemas_dir)
     if not schemas:
         raise SystemExit(f"no schemas in {args.schemas_dir}")
-    out = ingest_files(spark, args.files.split(","), schemas)
+    snapshots = None
+    if cfg.scicat.dimension_snapshot_dir:
+        from scicat_ingestor_spark.plans.sc import load_snapshots
+
+        snapshots = load_snapshots(spark, cfg.scicat.dimension_snapshot_dir)
+    out = ingest_files(spark, args.files.split(","), schemas, snapshots=snapshots)
     if cfg.ingestion.dry_run:
         print(out.count(), "dataset rows (dry run)")
     else:

@@ -106,3 +106,92 @@ def make_sc_resolver(resource_fields: dict[str, tuple[str, ...]] | None = None):
         return with_unit(F.col(_col_name(resource, field)))
 
     return resolve
+
+
+def attach_snapshots(
+    df: DataFrame,
+    schema,
+    snapshots: dict[str, DataFrame],
+    nxs_resolver=None,
+    dim_keys: dict[str, str] | None = None,
+) -> DataFrame:
+    """Attach every dimension snapshot a schema's SC variables need,
+    deriving (resource, join key) from each variable's url — the
+    config-driven path the apps use (``scicat.dimension_snapshot_dir``).
+
+    Handles the url shapes the reference's shipped schemas use:
+    - path key:      ``proposals/<proposal_id>``
+    - filter query:  ``instruments?filter={"where":{"name":"coda"}}``
+      (urlencoded; value may be a literal or a ``<variable>`` template;
+      an ``ilike`` wrapper makes the key case-insensitive, J2)
+    The key template must reference an NXS variable (resolved via
+    ``nxs_resolver`` against the file map — the same order the reference
+    evaluates in: file reads happen before catalog lookups that key on
+    them). Unresolvable SC urls are left unattached; their variables
+    then land in the V3 failure channel instead of failing the plan.
+    """
+    import re
+    import urllib.parse
+
+    keys = {
+        "proposals": "proposalId",
+        "instruments": "name",
+        "samples": "sampleId",
+        "datasets": "pid",
+        **(dim_keys or {}),
+    }
+    by_name = {v.name: v for v in schema.variables}
+    out = df
+    attached: set[str] = set()
+    for var in schema.variables:
+        if var.source != "SC" or not var.url:
+            continue
+        url = urllib.parse.unquote(var.url)
+        resource = url.strip("/").split("/")[0].split("?")[0]
+        if resource in attached or resource not in snapshots:
+            continue
+        dim_key = keys.get(resource)
+        if dim_key is None:
+            continue
+        ci = '"ilike"' in url
+        key_expr = None
+        ref = None
+        path_m = re.fullmatch(rf"{resource}/<(\w+)>", url.strip("/"))
+        filt_m = re.search(
+            rf'"{dim_key}"\s*:\s*(?:{{\s*"ilike"\s*:\s*)?"([^"]*)"', url
+        )
+        if path_m:
+            ref = path_m.group(1)
+        elif filt_m:
+            tm = re.fullmatch(r"<(\w+)>", filt_m.group(1))
+            if tm:
+                ref = tm.group(1)
+            else:
+                key_expr = F.lit(filt_m.group(1))
+        else:
+            continue
+        if key_expr is None:
+            ref_var = by_name.get(ref)
+            if ref_var is None or ref_var.source != "NXS" or nxs_resolver is None:
+                continue
+            key_expr = nxs_resolver(ref_var).getField("value")
+        dim = snapshots[resource]
+        join_col = dim_key
+        if ci:
+            join_col = f"{dim_key}__ci"
+            dim = dim.withColumn(join_col, F.lower(F.col(dim_key)))
+            key_expr = F.lower(key_expr)
+        out = attach_dimension(out, dim, resource, key_expr, join_col)
+        attached.add(resource)
+    return out
+
+
+def load_snapshots(spark, snapshot_dir: str) -> dict[str, DataFrame]:
+    """Read every ``<resource>.parquet`` in the snapshot dir."""
+    import glob
+    import os
+
+    return {
+        os.path.basename(p)[: -len(".parquet")]: spark.read.parquet(p)
+        for p in sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
+    }

@@ -174,3 +174,69 @@ def test_corpus_app_stage_subset(spark, tmp_path):
     # no pack stage -> documents shape, one row per content hash
     hashes = only_dedup.selectExpr("md5(text) h").collect()
     assert len({r.h for r in hashes}) == len(hashes)
+
+
+def test_offline_app_with_dimension_snapshots(spark, tmp_path):
+    """scicat.dimension_snapshot_dir: SC variables resolve through
+    parquet catalog snapshots derived from the url key (J1/J2), wired
+    purely by config."""
+    import json
+
+    from scicat_ingestor_spark.apps.offline import main
+
+    d = tmp_path / "schemas"
+    d.mkdir()
+    (d / "sc.imsc.yml").write_text(
+        "id: scdemo\nname: scdemo\norder: 0\nselector: '*'\n"
+        "variables:\n"
+        "  proposal_id:\n    source: NXS\n    path: /entry/experiment_identifier\n"
+        "    value_type: string\n"
+        "  pi:\n    source: SC\n    url: proposals/<proposal_id>\n"
+        "    field: pi_lastname\n    value_type: string\n"
+        "  instrument_name:\n    source: NXS\n    path: /entry/instrument/name\n"
+        "    value_type: string\n"
+        "  instrument_id:\n    source: SC\n"
+        '    url: \'instruments?filter={"where":{"name":{"ilike":"<instrument_name>"}}}\'\n'
+        "    field: id\n    value_type: string\n"
+        "schema:\n"
+        "  owner:\n    machine_name: owner\n    value: '<pi>'\n"
+        "    field_type: high_level\n"
+        "  instrumentId:\n    machine_name: instrumentId\n    value: '<instrument_id>'\n"
+        "    field_type: high_level\n"
+    )
+    snaps = tmp_path / "snaps"
+    snaps.mkdir()
+    spark.createDataFrame(
+        [(f"prop-{i}", f"pi-{i}") for i in range(20)],
+        "proposalId string, pi_lastname string",
+    ).write.parquet(str(snaps / "proposals.parquet"))
+    spark.createDataFrame(
+        [(f"id-{i}", f"INSTR-{i}") for i in range(5)],  # needs the ilike lower()
+        "id string, name string",
+    ).write.parquet(str(snaps / "instruments.parquet"))
+
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--files",
+            "/a.nxs,/b.nxs",
+            "--schemas-dir",
+            str(d),
+            "--out",
+            out,
+            "--set",
+            f"scicat.dimension_snapshot_dir={snaps}",
+        ]
+    )
+    assert rc == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    for r in rows:
+        payload = json.loads(r["dataset_json"])
+        owner = payload["owner"]
+        owner_value = owner["value"] if isinstance(owner, dict) else owner
+        assert owner_value.startswith("pi-")  # proposal join hit
+        assert "pi" not in r["failed_vars"].split(",")
+        inst = payload["instrumentId"]
+        inst_value = inst["value"] if isinstance(inst, dict) else inst
+        assert inst_value.startswith("id-")  # case-insensitive J2 hit
