@@ -94,11 +94,17 @@ def main(argv: list[str] | None = None) -> int:
             raw.load().filter(message_type_filter(F.col("value"), b"wrdn"))
         )
 
+    snapshots = None
+    if cfg.scicat.dimension_snapshot_dir:
+        from scicat_ingestor_spark.plans.sc import load_snapshots
+
+        snapshots = load_snapshots(spark, cfg.scicat.dimension_snapshot_dir)
+
     def transform(batch):
         batch = drop_writer_errors(batch) if "error_encountered" in batch.columns else batch
         file_col = "file_name" if "file_name" in batch.columns else "file"
         files = batch.select(F.col(file_col).alias("file"))
-        return ingest_files(batch.sparkSession, files, schemas)
+        return ingest_files(batch.sparkSession, files, schemas, snapshots=snapshots)
 
     def sink(batch, batch_id):
         idempotent_append(batch, args.out, "pid")
