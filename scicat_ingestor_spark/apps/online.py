@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
             cfg.kafka.bootstrap_servers,
             cfg.kafka.topics,
             cfg.kafka.starting_offsets,
+            security={
+                "security_protocol": cfg.kafka.security_protocol,
+                "sasl_mechanism": cfg.kafka.sasl_mechanism,
+                "sasl_username": cfg.kafka.sasl_username,
+                "sasl_password": cfg.kafka.sasl_password,
+            },
         ).option("maxOffsetsPerTrigger", str(cfg.ingestion.max_offsets_per_trigger))
         messages = parse_wrdn_json(
             raw.load().filter(message_type_filter(F.col("value"), b"wrdn"))

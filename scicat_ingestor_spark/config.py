@@ -22,6 +22,12 @@ class KafkaConfig:
     topics: str = "wrdn"  # comma list, as the reference's multi-topic option
     starting_offsets: str = "earliest"  # T7 auto_offset_reset
     individual_message_commit: bool = True  # T2
+    # SASL/SSL passthrough, same option names as the reference
+    # (/root/reference/src/scicat_kafka.py:21-53)
+    security_protocol: str = ""
+    sasl_mechanism: str = ""
+    sasl_username: str = ""
+    sasl_password: str = ""  # redacted in to_public_dict
 
 
 @dataclass
@@ -142,4 +148,6 @@ def to_public_dict(cfg: EngineConfig) -> dict:
     d = dataclasses.asdict(cfg)
     if d.get("scicat", {}).get("token"):
         d["scicat"]["token"] = "***"
+    if d.get("kafka", {}).get("sasl_password"):
+        d["kafka"]["sasl_password"] = "***"
     return d

@@ -131,16 +131,45 @@ def wrdn_stream(
     bootstrap_servers: str,
     topics: str,
     starting_offsets: str = "earliest",
+    security: dict | None = None,
 ):
-    """S1: the Kafka source, configured like the reference's consumer
-    (auto_offset_reset earliest, multi-topic comma list —
-    /root/reference/src/scicat_kafka.py:21-71). Returns the raw stream;
-    compose with message_type_filter + parse + drop_writer_errors.
+    """S1: the Kafka source READER, configured like the reference's
+    consumer (auto_offset_reset earliest, multi-topic comma list,
+    SASL/SSL passthrough — /root/reference/src/scicat_kafka.py:21-71).
+    Returns the unloaded reader so callers can stack options
+    (maxOffsetsPerTrigger etc.) before ``.load()``; compose the result
+    with message_type_filter + parse + drop_writer_errors.
+
+    ``security`` maps the reference's option names to Kafka client
+    config, e.g. ``{"security_protocol": "SASL_SSL", "sasl_mechanism":
+    "SCRAM-SHA-256", "sasl_username": u, "sasl_password": p}``.
     """
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topics)
-        .option("startingOffsets", starting_offsets)
-        .load()
+    return spark.readStream.format("kafka").options(
+        **kafka_options(bootstrap_servers, topics, starting_offsets, security)
     )
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    security: dict | None = None,
+) -> dict:
+    """The reference's consumer options translated to Spark's Kafka
+    source option names (pure, testable without a broker)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topics,
+        "startingOffsets": starting_offsets,
+    }
+    sec = dict(security or {})
+    if sec.get("security_protocol"):
+        opts["kafka.security.protocol"] = sec["security_protocol"]
+    if sec.get("sasl_mechanism"):
+        opts["kafka.sasl.mechanism"] = sec["sasl_mechanism"]
+        opts["kafka.sasl.jaas.config"] = (
+            "org.apache.kafka.common.security.scram.ScramLoginModule required "
+            f'username="{sec.get("sasl_username", "")}" '
+            f'password="{sec.get("sasl_password", "")}";'
+        )
+    return opts

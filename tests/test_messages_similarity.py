@@ -9,6 +9,7 @@ from scicat_ingestor_spark.sources.messages import (
     message_type_filter,
     parse_pl72_json,
     parse_wrdn_json,
+    wrdn_stream,
 )
 
 
@@ -192,3 +193,32 @@ def test_multi_probe_recall_dominates_single_probe(spark, sf_dir):
         similarity.ivf_cells(F.col("embedding"), 64, nprobe=2).alias("multi"),
     ).collect()
     assert all(r["multi"][0] == r["single"] for r in both)
+
+
+def test_wrdn_stream_reader_options(spark):
+    """S1: the Kafka option translation carries multi-topic, offsets,
+    and SASL passthrough (reference consumer config,
+    /root/reference/src/scicat_kafka.py:21-71); wrdn_stream stays an
+    unloaded reader so callers can stack trigger limits."""
+    from scicat_ingestor_spark.sources.messages import kafka_options
+
+    opts = kafka_options(
+        "b1:9092,b2:9092",
+        "wrdn_a,wrdn_b",
+        security={
+            "security_protocol": "SASL_SSL",
+            "sasl_mechanism": "SCRAM-SHA-256",
+            "sasl_username": "u",
+            "sasl_password": "secret",
+        },
+    )
+    assert opts["subscribe"] == "wrdn_a,wrdn_b"
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+    assert opts["kafka.sasl.mechanism"] == "SCRAM-SHA-256"
+    assert 'password="secret"' in opts["kafka.sasl.jaas.config"]
+    # reader is unloaded: option stacking must work (the online app adds
+    # maxOffsetsPerTrigger before .load())
+    reader = wrdn_stream(spark, "b:9092", "wrdn")
+    assert hasattr(reader, "load")
+    reader.option("maxOffsetsPerTrigger", "100")
