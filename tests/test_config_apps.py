@@ -240,3 +240,21 @@ def test_offline_app_with_dimension_snapshots(spark, tmp_path):
         inst = payload["instrumentId"]
         inst_value = inst["value"] if isinstance(inst, dict) else inst
         assert inst_value.startswith("id-")  # case-insensitive J2 hit
+
+
+def test_example_engine_yaml_in_sync_with_config():
+    """Mirror of the reference's template⟺dataclass sync test
+    (/root/reference/tests/test_scicat_config.py:28-117): every key in
+    examples/engine.yml must land on a real config field."""
+    from scicat_ingestor_spark.config import build_config, to_public_dict
+
+    cfg, unused = build_config("examples/engine.yml", {})
+    assert unused == [], f"example config keys unknown to the engine: {unused}"
+    assert cfg.kafka.topics == "wrdn_coda,wrdn_ymir"
+    assert cfg.health_check.enabled is True
+    # credential redaction holds for the public dump
+    cfg2, _ = build_config(
+        "examples/engine.yml", {"kafka.sasl_password": "hunter2"}
+    )
+    dumped = to_public_dict(cfg2)
+    assert dumped["kafka"]["sasl_password"] == "***"
