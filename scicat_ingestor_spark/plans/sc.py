@@ -181,6 +181,18 @@ def attach_snapshots(
             join_col = f"{dim_key}__ci"
             dim = dim.withColumn(join_col, F.lower(F.col(dim_key)))
             key_expr = F.lower(key_expr)
+        # duplicate join keys (e.g. names merged by the ilike lowering)
+        # must not fan out fact rows: the reference takes the FIRST
+        # match (filtered GET + getitem 0, J2) — keep-first on the dim,
+        # deterministic via the original key order
+        from pyspark.sql import Window
+
+        wd = Window.partitionBy(join_col).orderBy(dim_key)
+        dim = (
+            dim.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         out = attach_dimension(out, dim, resource, key_expr, join_col)
         attached.add(resource)
     return out

@@ -258,3 +258,47 @@ def test_example_engine_yaml_in_sync_with_config():
     )
     dumped = to_public_dict(cfg2)
     assert dumped["kafka"]["sasl_password"] == "***"
+
+
+def test_snapshot_join_takes_first_on_duplicate_keys(spark, tmp_path):
+    """Duplicate dim keys (e.g. names merged by ilike lowering) must not
+    fan out the fact side — the reference's filtered GET + getitem 0
+    takes the first match (J2)."""
+    import json
+
+    from scicat_ingestor_spark.apps.offline import main
+
+    d = tmp_path / "schemas"
+    d.mkdir()
+    (d / "sc.imsc.yml").write_text(
+        "id: dup\nname: dup\norder: 0\nselector: '*'\n"
+        "variables:\n"
+        "  instrument_name:\n    source: NXS\n    path: /entry/instrument/name\n"
+        "    value_type: string\n"
+        "  instrument_id:\n    source: SC\n"
+        '    url: \'instruments?filter={"where":{"name":{"ilike":"<instrument_name>"}}}\'\n'
+        "    field: id\n    value_type: string\n"
+        "schema:\n"
+        "  instrumentId:\n    machine_name: instrumentId\n    value: '<instrument_id>'\n"
+        "    field_type: high_level\n"
+    )
+    snaps = tmp_path / "snaps"
+    snaps.mkdir()
+    # two case-variants of every name collapse to one ilike key
+    rows = [(f"id-{i}{suffix}", f"{case}-{i}") for i in range(5)
+            for suffix, case in (("a", "INSTR"), ("b", "instr"))]
+    spark.createDataFrame(rows, "id string, name string").write.parquet(
+        str(snaps / "instruments.parquet")
+    )
+    out = str(tmp_path / "out")
+    rc = main(
+        ["--files", "/a.nxs,/b.nxs", "--schemas-dir", str(d), "--out", out,
+         "--set", f"scicat.dimension_snapshot_dir={snaps}"]
+    )
+    assert rc == 0
+    rows_out = spark.read.parquet(out).collect()
+    assert len(rows_out) == 2  # no fan-out
+    for r in rows_out:
+        inst = json.loads(r["dataset_json"])["instrumentId"]
+        value = inst["value"] if isinstance(inst, dict) else inst
+        assert value.endswith("a")  # deterministic first match
