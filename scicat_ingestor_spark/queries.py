@@ -1276,6 +1276,15 @@ _ALL_TABLES = (
 ).split()
 
 
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every testdata table as a temp view (ts-normalized, fact
+    re-split) so users can drive the engine with raw ``spark.sql`` —
+    the SQL face of the same DataFrame surface."""
+    for name in _ALL_TABLES:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return list(_ALL_TABLES)
+
+
 def q_s6_hdf5_scan(spark, sf_dir):
     """S6: hierarchical file -> long (file, h5_path, value, unit) table via
     mapInPandas, one open per file (/root/reference/src/scicat_nexus_helper.py:62-95).

@@ -26,3 +26,34 @@ def test_contract_callables():
     assert len(qs) >= 55
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(s, str) and s.strip() for s in entrymod.oracle_sql().values())
+
+
+def test_register_tables_sql_surface(spark, sf_dir):
+    """Raw spark.sql over the registered views agrees with the
+    DataFrame query for the same aggregation (q1 shape)."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.queries import register_tables
+
+    tables = register_tables(spark, sf_dir)
+    assert "lineitem" in tables and "events" in tables
+    via_sql = spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "sum(l_quantity) AS qty FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ).collect()
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    via_df = (
+        df.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    )
+    key = lambda r: (r.l_returnflag, r.l_linestatus)  # noqa: E731
+    assert {key(r): (r.n, r.qty) for r in via_sql} == {
+        key(r): (r.n, r.qty) for r in via_df
+    }
+    # the normalized events view exposes a TIMESTAMP ts for SQL users
+    ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
+    assert ts_type == "timestamp"
