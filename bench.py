@@ -40,6 +40,7 @@ HEADLINE = [
     "t8_hourly_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_lsh_jaccard_verified",
     "dedup_clusters",
     "dedup_survivors",
     "dedup_simhash",

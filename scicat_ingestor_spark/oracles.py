@@ -375,6 +375,21 @@ reach AS (
 )
 SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
 """,
+    "dedup_lsh_jaccard_verified": f"""
+WITH {_MINHASH_PAIR_CTES},
+shv AS (SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(regexp_split_to_array(lower(text), '\\s+'))-1, 1)+1),
+      i -> array_to_string(regexp_split_to_array(lower(text), '\\s+')[i:i+1], ' ')
+    )) AS s
+  FROM documents)
+SELECT p.id_a, p.id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM pairs p JOIN shv a ON p.id_a = a.doc_id JOIN shv b ON p.id_b = b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+""",
     "dedup_survivors": f"""
 WITH RECURSIVE {_MINHASH_PAIR_CTES},
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),

@@ -675,6 +675,37 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+def q_dedup_lsh_jaccard_verified(spark, sf_dir):
+    """The 100 TB near-dup shape end-to-end: MinHash+LSH candidate pairs
+    (sub-quadratic) -> fetch both shingle sets -> EXACT Jaccard verify
+    >= threshold. The quadratic work collapses to the candidate count;
+    the verify joins key on doc ids with the small pair side broadcast.
+    Contrast with dedup_ngram_jaccard, the per-block all-pairs baseline
+    whose expression core this reuses."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+    )
+    sh = docs.select(
+        F.col("doc_id"), dedup.word_shingles(F.col("text"), 2).alias("sh")
+    )
+    j = (
+        F.broadcast(pairs)
+        .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    return (
+        j.select(
+            "id_a",
+            "id_b",
+            F.round(dedup.jaccard_similarity(F.col("sh_a"), F.col("sh_b")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
 def q_dedup_survivors(spark, sf_dir):
     """The user-facing end of the dedup story: the corpus with every
     non-canonical near-dup member removed (canonical = min doc_id of its
@@ -1921,6 +1952,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "chunk_documents": q_chunk_documents,
