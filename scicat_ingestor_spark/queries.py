@@ -679,7 +679,10 @@ def q_dedup_lsh_jaccard_verified(spark, sf_dir):
     """The 100 TB near-dup shape end-to-end: MinHash+LSH candidate pairs
     (sub-quadratic) -> fetch both shingle sets -> EXACT Jaccard verify
     >= threshold. The quadratic work collapses to the candidate count;
-    the verify joins key on doc ids with the small pair side broadcast.
+    the verify joins key on doc ids. The pair side is NOT force-broadcast:
+    on a dup-dense corpus the candidate set itself can be GBs (measured —
+    an explicit broadcast() here OOMs at the ×100 replica corpus), so AQE
+    picks broadcast when it fits and a shuffle join when it doesn't.
     Contrast with dedup_ngram_jaccard, the per-block all-pairs baseline
     whose expression core this reuses."""
     docs = _t(spark, sf_dir, "documents")
@@ -689,11 +692,9 @@ def q_dedup_lsh_jaccard_verified(spark, sf_dir):
     sh = docs.select(
         F.col("doc_id"), dedup.word_shingles(F.col("text"), 2).alias("sh")
     )
-    j = (
-        F.broadcast(pairs)
-        .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    )
+    j = pairs.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     return (
         j.select(
             "id_a",
