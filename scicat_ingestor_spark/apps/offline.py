@@ -52,13 +52,18 @@ def ingest_files(
     selected = with_selected_schema(
         wide.withColumn("filename", F.col("file")), schemas, fallback_id=None
     )
+    # merge caller resolvers over the defaults: the NXS default always
+    # exists, and the SC resolver is injected whenever snapshots are
+    # given and the caller didn't supply one — otherwise explicit
+    # resolvers + snapshots silently routed SC variables to the failure
+    # channel (and resolvers={} lost the NXS default)
     nxs = (resolvers or {}).get("NXS") or hdf5.make_nxs_resolver()
-    if resolvers is None:
-        resolvers = {"NXS": nxs}
-        if snapshots:
-            from scicat_ingestor_spark.plans.sc import make_sc_resolver
+    defaults: dict = {"NXS": nxs}
+    if snapshots:
+        from scicat_ingestor_spark.plans.sc import make_sc_resolver
 
-            resolvers["SC"] = make_sc_resolver()
+        defaults["SC"] = make_sc_resolver()
+    resolvers = {**defaults, **(resolvers or {})}
     outs = []
     for schema in schemas:
         transform = compile_schema(schema, file_path_col="file", resolvers=resolvers)

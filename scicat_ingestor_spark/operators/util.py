@@ -79,7 +79,12 @@ def write_compacted(
     no AQE stage boundary exists.
     """
     est = estimated_bytes(df)
-    n = max(1, est // (target_mb * 1024 * 1024))
+    # ceiling division so files stay <= target (floor lets files reach
+    # ~2x target just under each threshold); clamp because post-join
+    # plans without CBO stats can carry absurd sizeInBytes estimates
+    n = max(1, -(-est // (target_mb * 1024 * 1024)))
+    cap = 8 * int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    n = min(int(n), cap)
     df.repartition(int(n)).write.mode(mode).parquet(path)
     return int(n)
 

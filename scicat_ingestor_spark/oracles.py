@@ -513,14 +513,14 @@ WHERE n_chars < p10
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,
   count(*) AS n_docs,
-  sum(length(text)) AS total_chars
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP (source, lang)
 """,
     "text_cube_stats": """
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,
   count(*) AS n_docs,
-  sum(length(text)) AS total_chars
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY CUBE (source, lang)
 """,
     "sample_stratified": """
@@ -533,8 +533,8 @@ WHERE (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
 SELECT source,
   count(*) AS n_docs,
   count(DISTINCT lang) AS n_langs,
-  sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
-  round(avg(length(text)), 6) AS avg_chars
+  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+  round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_chars
 FROM documents GROUP BY source
 """,
     "text_top_terms": """
@@ -583,14 +583,15 @@ hx AS (SELECT *, ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
     + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
     + (strpos('0123456789abcdef', substr(h,4,1))-1)) / 65536.0 AS gate
   FROM w),
-tot AS (SELECT source, sum(t) AS actual_tokens FROM w GROUP BY source),
+tot AS (SELECT source, CAST(sum(t) AS BIGINT) AS actual_tokens FROM w GROUP BY source),
 ns AS (SELECT count(*) AS n FROM tot),
 wt AS (SELECT source, actual_tokens,
     least(1.0, 100000.0 / n / actual_tokens) AS keep_prob FROM tot, ns),
-s AS (SELECT hx.source, count(*) AS n_docs, sum(t) AS sampled_tokens
+s AS (SELECT hx.source, count(*) AS n_docs, CAST(sum(t) AS BIGINT) AS sampled_tokens
   FROM hx JOIN wt USING (source) WHERE gate < keep_prob GROUP BY hx.source)
 SELECT wt.source, actual_tokens, round(keep_prob, 6) AS keep_prob,
-  coalesce(n_docs, 0) AS n_docs, coalesce(sampled_tokens, 0) AS sampled_tokens
+  CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+  CAST(coalesce(sampled_tokens, 0) AS BIGINT) AS sampled_tokens
 FROM wt LEFT JOIN s ON wt.source = s.source
 """,
     "text_unigram_logprob": """
@@ -626,7 +627,7 @@ o AS (SELECT source, doc_id, n_tokens,
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
   FROM surv WHERE rn = 1)
 SELECT source, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id,
-  count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM o GROUP BY source, bin_id
 """,
     "text_decontaminate": """
@@ -647,7 +648,7 @@ o AS (SELECT source, doc_id, n_tokens,
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
   FROM t)
 SELECT source, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id,
-  count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM o GROUP BY source, bin_id
 """,
     "multimodal_decode": """

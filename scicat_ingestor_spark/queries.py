@@ -935,7 +935,13 @@ def q_text_corpus_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum(text.whitespace_token_count(F.col("text"))).alias("total_tokens"),
-        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+        # exact integer sum -> double -> IEEE divide: bit-stable across
+        # engines (DuckDB's avg() returns its own double repr and its
+        # integer sum() returns HUGEINT, both of which fail a typed
+        # value-hash even when values are equal)
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
     )
 
 
@@ -1054,19 +1060,23 @@ def q_asof_last_click(spark, sf_dir):
         .orderBy("ts", "tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # carry the click ROW (ts + value together) so a click whose
+    # aggregated value is NULL still wins as the newest match — gating
+    # last() on click_value alone would skip it and resurrect an older
+    # click, diverging from ASOF semantics. The marker struct is non-null
+    # exactly on click rows (ts is never null), so ignorenulls keys on
+    # row presence, not value presence.
+    marker = F.when(F.col("tag") == 0, F.struct(F.col("ts"), F.col("click_value")))
     return (
-        tagged.withColumn(
-            "last_click_value", F.last("click_value", ignorenulls=True).over(w)
-        )
-        .withColumn(
-            "last_click_ts",
-            F.last(
-                F.when(F.col("click_value").isNotNull(), F.col("ts")),
-                ignorenulls=True,
-            ).over(w),
-        )
+        tagged.withColumn("last_click", F.last(marker, ignorenulls=True).over(w))
         .filter(F.col("tag") == 1)
-        .select("event_id", "user_id", "ts", "last_click_value", "last_click_ts")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("last_click.click_value").alias("last_click_value"),
+            F.col("last_click.ts").alias("last_click_ts"),
+        )
     )
 
 

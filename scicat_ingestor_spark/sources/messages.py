@@ -166,10 +166,30 @@ def kafka_options(
     if sec.get("security_protocol"):
         opts["kafka.security.protocol"] = sec["security_protocol"]
     if sec.get("sasl_mechanism"):
-        opts["kafka.sasl.mechanism"] = sec["sasl_mechanism"]
+        mech = sec["sasl_mechanism"]
+        # the reference hands the mechanism straight to librdkafka
+        # (/root/reference/src/scicat_kafka.py consumer config); the JVM
+        # client needs the matching LoginModule spelled out — picking
+        # Scram unconditionally would silently fail PLAIN auth
+        modules = {
+            "PLAIN": "org.apache.kafka.common.security.plain.PlainLoginModule",
+            "SCRAM-SHA-256": "org.apache.kafka.common.security.scram.ScramLoginModule",
+            "SCRAM-SHA-512": "org.apache.kafka.common.security.scram.ScramLoginModule",
+        }
+        if mech not in modules:
+            raise ValueError(
+                f"unsupported sasl_mechanism {mech!r}; one of {sorted(modules)}"
+            )
+        opts["kafka.sasl.mechanism"] = mech
+
+        def _jaas_quote(v: str) -> str:
+            # JAAS strings: backslash and double-quote must be escaped or
+            # a password containing them corrupts the whole config line
+            return str(v).replace("\\", "\\\\").replace('"', '\\"')
+
         opts["kafka.sasl.jaas.config"] = (
-            "org.apache.kafka.common.security.scram.ScramLoginModule required "
-            f'username="{sec.get("sasl_username", "")}" '
-            f'password="{sec.get("sasl_password", "")}";'
+            f"{modules[mech]} required "
+            f'username="{_jaas_quote(sec.get("sasl_username", ""))}" '
+            f'password="{_jaas_quote(sec.get("sasl_password", ""))}";'
         )
     return opts

@@ -77,6 +77,28 @@ def test_write_compacted_sizes_output_files(spark, sf_dir, tmp_path):
     assert n == 1
 
 
+def test_write_compacted_ceiling_and_clamp(spark, sf_dir, tmp_path, monkeypatch):
+    """Partition count is ceiling(est/target) so no file exceeds the
+    target, and clamps when Catalyst's post-join sizeInBytes estimate
+    explodes (no CBO stats -> multiplied child sizes)."""
+    from scicat_ingestor_spark.operators import util
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
+
+    # 1.5x target -> 2 files under ceiling division (floor would give 1,
+    # letting a file reach ~1.5x target)
+    monkeypatch.setattr(util, "estimated_bytes", lambda df: 384 * 1024 * 1024)
+    n = util.write_compacted(li, str(tmp_path / "ceil"), target_mb=256)
+    assert n == 2
+
+    # absurd estimate (1 EiB) -> clamped to 8x shuffle.partitions, not a
+    # 4-billion-partition repartition
+    monkeypatch.setattr(util, "estimated_bytes", lambda df: 1 << 60)
+    n = util.write_compacted(li, str(tmp_path / "clamp"), target_mb=256)
+    cap = 8 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert n == cap
+
+
 def test_write_sorted_enables_range_pruning(spark, sf_dir, tmp_path):
     """Range-partitioned + sorted output: each file covers a disjoint
     key range, so a point/range predicate touches a subset of files."""

@@ -222,3 +222,38 @@ def test_wrdn_stream_reader_options(spark):
     reader = wrdn_stream(spark, "b:9092", "wrdn")
     assert hasattr(reader, "load")
     reader.option("maxOffsetsPerTrigger", "100")
+
+
+def test_kafka_options_mechanism_module_and_escaping():
+    """S1: the login module tracks the mechanism (PLAIN must not get
+    ScramLoginModule — the reference passes the mechanism straight to
+    librdkafka so any supported value just works there), credentials
+    with JAAS metacharacters are escaped, and unknown mechanisms fail
+    loudly instead of silently failing auth."""
+    import pytest
+
+    from scicat_ingestor_spark.sources.messages import kafka_options
+
+    plain = kafka_options(
+        "b:9092",
+        "t",
+        security={
+            "security_protocol": "SASL_SSL",
+            "sasl_mechanism": "PLAIN",
+            "sasl_username": "u",
+            "sasl_password": 'p"w\\d;x',
+        },
+    )
+    jaas = plain["kafka.sasl.jaas.config"]
+    assert jaas.startswith("org.apache.kafka.common.security.plain.PlainLoginModule")
+    assert 'password="p\\"w\\\\d;x"' in jaas
+
+    scram = kafka_options(
+        "b:9092",
+        "t",
+        security={"sasl_mechanism": "SCRAM-SHA-512", "sasl_username": "u"},
+    )
+    assert "ScramLoginModule" in scram["kafka.sasl.jaas.config"]
+
+    with pytest.raises(ValueError, match="sasl_mechanism"):
+        kafka_options("b:9092", "t", security={"sasl_mechanism": "GSSAPI"})

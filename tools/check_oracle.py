@@ -37,6 +37,53 @@ def rowset(cols, rows):
     return sorted(tuple(norm(r[i]) for i in idx) for r in rows)
 
 
+def canon_type(t):
+    """Canonical label for an Arrow type, distinguishing the kinds a
+    typed value-hash distinguishes (int64 vs HUGEINT/decimal, float32 vs
+    float64) while ignoring benign variants (string vs large_string,
+    timestamp units)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int" if t.bit_width <= 64 else "int128"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "f32" if t.bit_width == 32 else "f64"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_type(t.field(i).type)}" for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def type_mismatches(spark_tbl, oracle_tbl):
+    """Column-name-matched canonical-type diffs between two Arrow tables.
+    The driver's correctness gate hashes TYPED values, so e.g. a DuckDB
+    HUGEINT sum() vs a Spark BIGINT sum hash-mismatches even when every
+    value compares equal — this catches that class locally."""
+    stypes = {f.name: canon_type(f.type) for f in spark_tbl.schema}
+    otypes = {f.name: canon_type(f.type) for f in oracle_tbl.schema}
+    return [
+        (c, stypes[c], otypes[c])
+        for c in sorted(set(stypes) & set(otypes))
+        if stypes[c] != otypes[c]
+    ]
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -69,6 +116,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stbl = sdf.toArrow()
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
@@ -80,6 +128,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = [c for c in res.columns]
+            otbl = con.sql(oracles[name]).arrow()
             orows = res.fetchall()
         except Exception as e:
             failures.append(name)
@@ -99,6 +148,11 @@ def main():
             failures.append(name)
             diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL {name}: values differ; first diffs: {diffs}")
+            continue
+        tdiffs = type_mismatches(stbl, otbl)
+        if tdiffs:
+            failures.append(name)
+            print(f"FAIL {name}: arrow type mismatch (driver hashes typed values): {tdiffs}")
             continue
         print(f"PASS {name} ({len(srows)} rows)")
 
