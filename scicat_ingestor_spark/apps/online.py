@@ -112,8 +112,17 @@ def main(argv: list[str] | None = None) -> int:
         files = batch.select(F.col(file_col).alias("file"))
         return ingest_files(batch.sparkSession, files, schemas, snapshots=snapshots)
 
-    def sink(batch, batch_id):
-        idempotent_append(batch, args.out, "pid")
+    if cfg.scicat.sink_mode == "live":
+        # live catalog mode: POST datasets from foreachBatch with the
+        # same anti-join idempotency (reference
+        # /root/reference/src/scicat_communication.py:49-122)
+        from scicat_ingestor_spark.streaming.rest_sink import make_rest_sink
+
+        sink = make_rest_sink(cfg.scicat.rest_sink_config("datasets"), key="pid")
+    else:
+
+        def sink(batch, batch_id):
+            idempotent_append(batch, args.out, "pid")
 
     query = run_ingest_stream(
         messages, transform, sink, args.checkpoint, trigger_once=args.once

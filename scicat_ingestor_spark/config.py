@@ -54,6 +54,24 @@ class SciCatConfig:
     token: str = ""  # redacted in to_public_dict
     timeout_s: float = 10.0
     dimension_snapshot_dir: str = ""  # parquet snapshots of catalog resources
+    # sink mode: "snapshot" appends to parquet tables (offline/dev),
+    # "live" POSTs to the catalog from foreachBatch (streaming/rest_sink)
+    sink_mode: str = "snapshot"
+    post_retries: int = 3
+    post_retry_delay_s: float = 0.5
+
+    def rest_sink_config(self, endpoint: str = "datasets"):
+        """The live-mode sink config for this catalog connection."""
+        from scicat_ingestor_spark.streaming.rest_sink import RestSinkConfig
+
+        return RestSinkConfig(
+            base_url=self.host,
+            endpoint=endpoint,
+            token=self.token,
+            timeout_s=self.timeout_s,
+            retries=self.post_retries,
+            retry_delay_s=self.post_retry_delay_s,
+        )
 
 
 @dataclass
