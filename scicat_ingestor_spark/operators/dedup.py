@@ -195,6 +195,96 @@ def simhash_signature(text: Column, bits: int = 16) -> Column:
     return F.concat(*simhash_bits(text, bits))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int | None = None,
+    star: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash — the Hamming-distance
+    form the algorithm is actually for (exact-signature grouping misses
+    a 1-bit difference, which is SimHash's whole point).
+
+    Pigeonhole: two signatures within Hamming distance ``bands - 1``
+    agree exactly on at least one of the ``bands`` bit-bands, so banding
+    has perfect recall up to that radius. Plan shape: ONE shuffle on
+    (band, band_bits); each doc explodes into ``bands`` rows (same cost
+    family as MinHash banding); in-bucket candidate pairs come from
+    array expressions over the collected members — the signature rides
+    inside the collected struct, so the exact-Hamming verification runs
+    on the pair rows without joining signatures back (no second
+    shuffle). ``star=True`` keeps mega-buckets linear, as in
+    :func:`minhash_lsh_pairs`.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b and
+    hamming <= max_hamming (default ``bands - 1``, the radius banding
+    fully covers).
+    """
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if max_hamming is None:
+        max_hamming = bands - 1
+    width = bits // bands
+    sig = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        simhash_signature(F.col(text_col), bits).alias("simhash"),
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * width + 1, width).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "id", "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"))
+    # sort_array on struct(id, ...) orders by id -> pairs come out a < b
+    grouped = (
+        buckets.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_set(F.struct("id", "simhash"))).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    if star:
+        pair_arr = F.transform(
+            F.slice(ms, 2, F.size(ms) - 1),
+            lambda y: F.struct(F.element_at(ms, 1).alias("a"), y.alias("b")),
+        )
+    else:
+        pair_arr = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.size(ms) - i - 1),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.simhash").alias("sig_a"),
+            F.col("p.b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = None
+    for i in range(bits):
+        term = (
+            F.substring("sig_a", i + 1, 1) != F.substring("sig_b", i + 1, 1)
+        ).cast("long")
+        ham = term if ham is None else ham + term
+    return pairs.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )
+
+
 def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """Group docs by identical SimHash signature; emit groups of size>1 as
     (signature, n_docs, min_id) — the near-dup clusters."""

@@ -430,6 +430,25 @@ sig AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits)
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM sig GROUP BY simhash HAVING count(*) > 1
 """,
+    "dedup_simhash_hamming": f"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS word
+           FROM documents),
+h AS (SELECT doc_id, md5(word) AS hx FROM w),
+bits AS (SELECT doc_id,
+  {_SIMHASH_BITS}
+  FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits),
+-- banded candidates: agree exactly on >=1 of the 4 4-bit bands
+-- (pigeonhole => full recall at hamming <= 3), then exact verify
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        hamming(a.simhash, b.simhash) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE substr(a.simhash, 1, 4) = substr(b.simhash, 1, 4)
+         OR substr(a.simhash, 5, 4) = substr(b.simhash, 5, 4)
+         OR substr(a.simhash, 9, 4) = substr(b.simhash, 9, 4)
+         OR substr(a.simhash, 13, 4) = substr(b.simhash, 13, 4))
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3
+""",
     "dedup_ngram_jaccard": """
 WITH p AS (SELECT doc_id, lang,
   list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS sh FROM documents)

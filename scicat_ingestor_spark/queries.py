@@ -663,6 +663,17 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup_groups(docs, "text", "doc_id", bits=16)
 
 
+def q_dedup_simhash_hamming(spark, sf_dir):
+    """SimHash as it's meant to be used: banded buckets give perfect
+    recall up to Hamming distance bands-1, then exact Hamming verify on
+    the candidates — one shuffle, signatures carried in-bucket so the
+    verify needs no join back."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(
+        docs, "text", "doc_id", bits=16, bands=4, max_hamming=3
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Dedup endgame: LSH candidate pairs -> connected components
     (iterative min-label propagation; cluster_id = min reachable id)."""
@@ -1962,6 +1973,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,

@@ -107,3 +107,52 @@ def test_pack_sequences_partitions_all_tokens(spark, sf_dir):
         assert sorted(b.bin_id for b in bins) == list(range(len(bins)))
         assert sum(b.bin_tokens for b in bins) == totals[source]
         assert all(b.n_docs >= 1 for b in bins)
+
+
+def test_simhash_hamming_finds_one_bit_neighbors(spark):
+    """The banded-SimHash pair finder catches near-dups whose signatures
+    differ in 1..3 bits — the exact case byte-identical grouping
+    (simhash_dedup_groups) structurally misses."""
+    from scicat_ingestor_spark.operators.dedup import (
+        simhash_dedup_groups,
+        simhash_hamming_pairs,
+        simhash_signature,
+    )
+
+    # small docs so a few changed words can actually flip majority bits
+    base_words = [f"w{i}" for i in range(9)]
+    base = " ".join(base_words)
+    variants = [
+        (f"v{j}", " ".join(base_words[:-3] + [f"alt{j}a", f"alt{j}b", f"alt{j}c"]))
+        for j in range(16)
+    ]
+    docs = spark.createDataFrame(
+        [("base", base)] + variants, "doc_id string, text string"
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id", simhash_signature(F.col("text"), 16).alias("sig")
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    # at least one variant differs from base in 1..3 bits (deterministic
+    # given the fixed texts; verified here, not assumed)
+    near = [d for d, s in sigs.items() if d != "base" and 1 <= ham(s, sigs["base"]) <= 3]
+    assert near, f"fixture regression: no 1-3 bit variant; sigs={sigs}"
+
+    pairs = simhash_hamming_pairs(docs, "text", "doc_id", bits=16, bands=4).collect()
+    found = {(p.id_a, p.id_b): p.hamming for p in pairs}
+    for d in near:
+        key = tuple(sorted(["base", d]))
+        assert key in found, f"banding missed {d} at hamming {ham(sigs[d], sigs['base'])}"
+        assert found[key] == ham(sigs[d], sigs["base"])
+
+    # exact-signature grouping misses every nonzero-hamming neighbor
+    groups = simhash_dedup_groups(docs, "text", "doc_id", bits=16).collect()
+    grouped_sigs = {g.simhash for g in groups}
+    for d in near:
+        assert sigs[d] not in grouped_sigs or sigs[d] != sigs["base"]
