@@ -35,6 +35,18 @@ class FileHandlingConfig:
     data_directory: str = ""
     open_max_tries: int = 3  # T6
     open_retry_delay_s: float = 3.0  # clamped [1, 120] at use site
+    # per-attempt delay list (T6); wins over the scalar when non-empty.
+    # Reference fill/truncate semantics
+    # (/root/reference/src/scicat_configuration.py:296-309): shorter than
+    # max_tries extends with the last value, longer truncates.
+    open_retry_delays: list = field(default_factory=list)
+
+    def retry_schedule(self) -> list[float]:
+        from scicat_ingestor_spark.sources.hdf5 import resolve_retry_delays
+
+        return resolve_retry_delays(
+            self.open_retry_delays or self.open_retry_delay_s, self.open_max_tries
+        )
     compute_file_hash: bool = True
     file_hash_algorithm: str = "blake2b"  # only value the reference allows
     message_to_file: bool = True

@@ -51,19 +51,55 @@ def _clamp_delay(delay: float) -> float:
     return min(max(delay, 1.0), 120.0)
 
 
-def _walk_h5(path: str, max_tries: int = 3, retry_delay: float = 3.0):
-    """Real walker (requires h5py): yield (h5_path, value, unit)."""
+def resolve_retry_delays(
+    delays: float | list[float] | tuple[float, ...] | None,
+    max_tries: int,
+    default: float = 3.0,
+) -> list[float]:
+    """Per-attempt delay schedule with the reference's fill/truncate
+    semantics (/root/reference/src/scicat_configuration.py:296-309 and
+    scicat_nexus_helper.py:63-87): each entry clamped to [1, 120] s;
+    empty/None -> the 3 s default for every retry; shorter than
+    max_tries -> extended with the last value; longer -> excess
+    truncated. A scalar is a one-element list (back-compat)."""
+    if delays is None:
+        seq: list[float] = []
+    elif isinstance(delays, (list, tuple)):
+        seq = [float(d) for d in delays]
+    else:
+        seq = [float(delays)]
+    resolved = [_clamp_delay(d) for d in seq]
+    if not resolved:
+        resolved = [_clamp_delay(default)] * max_tries
+    elif len(resolved) < max_tries:
+        resolved = resolved + [resolved[-1]] * (max_tries - len(resolved))
+    return resolved[:max_tries]
+
+
+def _walk_h5(
+    path: str,
+    max_tries: int = 3,
+    retry_delay: float | list[float] = 3.0,
+):
+    """Real walker (requires h5py): yield (h5_path, value, unit).
+
+    ``retry_delay`` may be a per-attempt list (T6,
+    /root/reference/src/scicat_nexus_helper.py:63-95): attempt i sleeps
+    schedule[i] before retrying; like the reference, the first open plus
+    max_tries retries."""
     h5py = try_import_h5py()
     if h5py is None:
         raise ImportError("h5py not available; use fake_tree rows")
+    schedule = resolve_retry_delays(retry_delay, max_tries)
     last_err = None
-    for _ in range(max_tries):
+    for attempt in range(max_tries + 1):
+        if attempt:
+            time.sleep(schedule[attempt - 1])
         try:
             f = h5py.File(path, "r")
             break
         except OSError as e:  # file still being written
             last_err = e
-            time.sleep(_clamp_delay(retry_delay))
     else:
         raise last_err
 

@@ -118,3 +118,61 @@ def test_file_open_retry_clamp_and_backoff(monkeypatch):
         raise AssertionError("expected OSError")
     except OSError:
         pass
+
+
+def test_retry_delay_list_fill_truncate(monkeypatch):
+    """T6 list form: per-attempt delays with the reference's
+    fill/truncate semantics
+    (/root/reference/src/scicat_configuration.py:296-309,
+    scicat_nexus_helper.py:63-87 and tests/test_file_io_delay.py)."""
+    r = hdf5.resolve_retry_delays
+
+    assert r(None, 3) == [3.0, 3.0, 3.0]  # empty -> default everywhere
+    assert r([], 3) == [3.0, 3.0, 3.0]
+    assert r([5], 3) == [5.0, 5.0, 5.0]  # shorter -> extend with last
+    assert r([1, 2], 4) == [1.0, 2.0, 2.0, 2.0]
+    assert r([1, 2, 3, 4, 5], 3) == [1.0, 2.0, 3.0]  # longer -> truncate
+    assert r([0.01, 999], 2) == [1.0, 120.0]  # clamp [1, 120]
+    assert r(7.0, 3) == [7.0, 7.0, 7.0]  # scalar back-compat
+
+    # the walker consumes the schedule in order
+    attempts = {"n": 0}
+    sleeps: list[float] = []
+
+    class FakeFile:
+        def __init__(self, path, mode):
+            attempts["n"] += 1
+            if attempts["n"] < 4:
+                raise OSError("file locked by writer")
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def visititems(self, fn):
+            pass
+
+    class FakeH5py:
+        File = FakeFile
+        Dataset = type("Dataset", (), {})
+
+    monkeypatch.setattr(hdf5, "try_import_h5py", lambda: FakeH5py)
+    monkeypatch.setattr(hdf5.time, "sleep", sleeps.append)
+    rows = hdf5._walk_h5("/being/written.nxs", max_tries=3, retry_delay=[2, 4])
+    assert rows == [] and attempts["n"] == 4  # first open + 3 retries
+    assert sleeps == [2.0, 4.0, 4.0]
+
+
+def test_config_retry_schedule():
+    """FileHandlingConfig.retry_schedule: the list wins over the scalar
+    when non-empty; empty list falls back to the scalar."""
+    from scicat_ingestor_spark.config import FileHandlingConfig
+
+    c = FileHandlingConfig(open_max_tries=3, open_retry_delay_s=5.0)
+    assert c.retry_schedule() == [5.0, 5.0, 5.0]
+    c = FileHandlingConfig(
+        open_max_tries=3, open_retry_delay_s=5.0, open_retry_delays=[1, 2]
+    )
+    assert c.retry_schedule() == [1.0, 2.0, 2.0]
