@@ -119,6 +119,12 @@ ORACLES: dict[str, str] = {
 SELECT event_id AS offset, substr(event_type || '####', 1, 4) AS message_type
 FROM events WHERE substr(event_type || '####', 1, 4) = 'purc'
 """,
+    "s3_wrdn_flatbuffer": """
+SELECT 'job-' || event_id AS job_id,
+  '/data/f' || event_id || '.nxs' AS file_name,
+  event_type = 'error' AS error_encountered
+FROM events
+""",
     "s3_wrdn_deserialize": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        'job-' || event_id AS job_id

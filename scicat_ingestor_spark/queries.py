@@ -150,6 +150,41 @@ def q_s3_wrdn_deserialize(spark, sf_dir):
     )
 
 
+def q_s3_wrdn_flatbuffer(spark, sf_dir):
+    """S3 real branch under the oracle gate: events -> wrdn FlatBuffers
+    (vendored builder, executor-side) -> parse_wrdn_flatbuffer -> fields.
+    The oracle recomputes the fields straight from events, so a codec
+    wire-layout bug breaks the value hash, not just a unit test
+    (/root/reference/src/scicat_kafka.py:113-134)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+
+    def enc(batches):
+        import pandas as pd
+
+        from scicat_ingestor_spark.sources.flatbuf import serialise_wrdn
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        serialise_wrdn(
+                            job_id=f"job-{e}",
+                            file_name=f"/data/f{e}.nxs",
+                            error_encountered=(t == "error"),
+                        )
+                        for e, t in zip(pdf["event_id"], pdf["event_type"])
+                    ]
+                }
+            )
+
+    from scicat_ingestor_spark.sources.messages import parse_wrdn_flatbuffer
+
+    buffers = ev.mapInPandas(enc, "value binary")
+    return parse_wrdn_flatbuffer(buffers).select(
+        "job_id", "file_name", "error_encountered"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 selectors / projections (P6, P11, P12)
 # ---------------------------------------------------------------------------
@@ -1943,6 +1978,7 @@ def q_ingest_e2e(spark, sf_dir):
 QUERIES = {
     "s2_message_type_filter": q_s2_message_type_filter,
     "s3_wrdn_deserialize": q_s3_wrdn_deserialize,
+    "s3_wrdn_flatbuffer": q_s3_wrdn_flatbuffer,
     "s4_error_filter": q_s4_error_filter,
     "p6_schema_selection": q_p6_schema_selection,
     "p11_default_coalesce": q_p11_default_coalesce,

@@ -65,15 +65,30 @@ def drop_writer_errors(df: DataFrame, flag_col: str = "error_encountered") -> Da
     return df.filter(~F.coalesce(F.col(flag_col), F.lit(False)))
 
 
-def try_import_flatbuffers():
-    """Production deserializer gate: the streaming_data_types/flatbuffers
-    stack is optional; absent -> JSON harness only."""
+def get_wrdn_decoder():
+    """Production deserializer selection: prefer the official
+    streaming_data_types codec when installed; otherwise the vendored
+    pure-Python FlatBuffers reader (sources.flatbuf) — same public wire
+    format, no dependency."""
     try:  # pragma: no cover - environment-dependent
-        import flatbuffers  # type: ignore
+        from streaming_data_types import deserialise_wrdn  # type: ignore
 
-        return flatbuffers
+        return lambda b: deserialise_wrdn(b)._asdict()
     except ImportError:
-        return None
+        from scicat_ingestor_spark.sources.flatbuf import deserialise_wrdn
+
+        return deserialise_wrdn
+
+
+def get_pl72_decoder():
+    try:  # pragma: no cover - environment-dependent
+        from streaming_data_types import deserialise_pl72  # type: ignore
+
+        return lambda b: deserialise_pl72(b)._asdict()
+    except ImportError:
+        from scicat_ingestor_spark.sources.flatbuf import deserialise_pl72
+
+        return deserialise_pl72
 
 
 def parse_wrdn_flatbuffer(df: DataFrame, value_col: str = "value") -> DataFrame:
@@ -81,49 +96,51 @@ def parse_wrdn_flatbuffer(df: DataFrame, value_col: str = "value") -> DataFrame:
     mapInPandas stage (the reference decodes one message at a time via
     streaming-data-types, /root/reference/src/scicat_kafka.py:113-134).
 
-    The Spark-side plumbing — schema, batch iteration, per-row error
-    tolerance (malformed -> dropped, stream continues, T4) — is real;
-    the codec call is gated on the optional flatbuffers stack and raises
-    NotImplementedError when absent (this container ships no flatbuffer
-    libs). Swap ``_decode`` for ``deserialise_wrdn`` in deployment.
+    Arrow-batched, per-row error tolerance: a malformed buffer is
+    dropped and the stream continues (T4), exactly the reference's
+    skip-on-deser-error. The codec is the official lib when present,
+    else the vendored FlatBuffers reader.
     """
     import pandas as pd
 
-    flatbuffers = try_import_flatbuffers()
-
-    def _decode(payload: bytes) -> dict | None:
-        if flatbuffers is None:
-            raise NotImplementedError(
-                "flatbuffers/streaming-data-types not installed; "
-                "use parse_wrdn_json for the JSON harness"
-            )
-        raise NotImplementedError("wire deserialise_wrdn here")  # pragma: no cover
+    decode = get_wrdn_decoder()
+    cols = ["job_id", "file_name", "error_encountered", "metadata", "message", "service_id"]
 
     def run(batches):
         for pdf in batches:
             rows = []
             for raw in pdf[value_col]:
                 try:
-                    decoded = _decode(bytes(raw))
-                except NotImplementedError:
-                    raise
+                    decoded = decode(bytes(raw))
                 except Exception:
-                    decoded = None  # T4: skip malformed, keep the stream
-                if decoded is not None:
-                    rows.append(decoded)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "job_id",
-                    "file_name",
-                    "error_encountered",
-                    "metadata",
-                    "message",
-                    "service_id",
-                ],
-            )
+                    continue  # T4: skip malformed, keep the stream
+                rows.append([decoded.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=WRDN_SCHEMA)
+
+
+def parse_pl72_flatbuffer(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Production S5: flatbuffer RunStart decode, same shape as
+    :func:`parse_wrdn_flatbuffer`
+    (/root/reference/src/scicat_kafka.py:208-249)."""
+    import pandas as pd
+
+    decode = get_pl72_decoder()
+    cols = ["job_id", "filename", "instrument_name"]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf[value_col]:
+                try:
+                    decoded = decode(bytes(raw))
+                except Exception:
+                    continue
+                rows.append([decoded.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema=PL72_SCHEMA)
 
 
 def wrdn_stream(
