@@ -869,6 +869,25 @@ SELECT file,
   'pid,start_time,end_time,run_number,acquisition_team_members' AS failed_vars
 FROM s
 """,
+    "ingest_fallback": """
+WITH f AS (
+  SELECT '/data/'||source||'/doc_'||doc_id||'.nxs' AS file FROM documents
+  WHERE source NOT LIKE '%src1%' AND source NOT LIKE 'src2%'
+),
+s AS (SELECT file, CAST(concat('0x', substr(md5(file),1,8)) AS BIGINT) AS n FROM f)
+SELECT file,
+  'scicat-ingestor-fallback-schema' AS schema_id,
+  CAST(NULL AS VARCHAR) AS pid_value,
+  'run '||(n % 1000) AS dataset_name,
+  'first'||(n % 20)||' last'||(n % 20) AS principal_investigator,
+  'first'||(n % 20)||' last'||(n % 20) AS owner,
+  'pi'||(n % 20)||'@ess.eu' AS owner_email,
+  '/data' AS source_folder,
+  'ESS' AS creation_location,
+  '2024-08-01T12:00:00Z' AS creation_time,
+  'job_id,pid' AS failed_vars
+FROM s
+""",
     "ingest_sc": """
 WITH b AS (SELECT event_id, user_id * 3 AS proposal_id FROM events)
 SELECT b.event_id,

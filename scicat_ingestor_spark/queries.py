@@ -1705,6 +1705,75 @@ _SC_SCHEMA = MetadataSchema.from_dict(
 
 
 @_compiled
+def q_ingest_fallback(spark, sf_dir):
+    """The fallback dump pipeline end-to-end: files matched by NO
+    configured schema route to the shipped fallback schema
+    (/root/reference/src/fallback_metadata_schema/dump.py:13-117) —
+    selector '*', astronomically late order — and produce the
+    dump-everything envelope: NXS identity fields, SC proposal
+    enrichment, dirname-2 source folder, pinned <now> creation time.
+    The fixture tree lacks /entry/entry_identifier_uuid, so job_id and
+    the pid template that references it land in the V3 failure channel,
+    exactly as the reference's per-variable tolerance would."""
+    from scicat_ingestor_spark.plans.fallback import (
+        FALLBACK_SCHEMA_ID,
+        fallback_schema,
+    )
+    from scicat_ingestor_spark.plans.sc import attach_dimension, make_sc_resolver
+
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(
+            F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"),
+            F.lit(".nxs"),
+        ).alias("file")
+    )
+    # first-match over the configured schemas; unmatched -> fallback id
+    routed = with_selected_schema(
+        files.withColumn("filename", F.col("file")),
+        _P6_SCHEMAS + [fallback_schema()],
+        fallback_id=None,
+    )
+    unmatched = routed.filter(F.col("schema_id") == FALLBACK_SCHEMA_ID)
+    wide = hdf5.scan_files_wide(unmatched.select("file"))
+    prop_key = F.element_at(F.col("nxs"), "/entry/experiment_identifier").getField(
+        "value"
+    )
+    proposals = spark.range(20).select(
+        F.concat(F.lit("prop-"), F.col("id")).alias("proposalId"),
+        F.concat(F.lit("first"), F.col("id")).alias("pi_firstname"),
+        F.concat(F.lit("last"), F.col("id")).alias("pi_lastname"),
+        F.concat(F.lit("pi"), F.col("id"), F.lit("@ess.eu")).alias("pi_email"),
+    )
+    base = attach_dimension(wide, proposals, "proposals", prop_key, "proposalId")
+    transform = compile_schema(
+        fallback_schema(),
+        file_path_col="file",
+        batch_ts=F.to_timestamp(F.lit("2024-08-01 12:00:00")),
+        resolvers={
+            "NXS": hdf5.make_nxs_resolver(),
+            "SC": make_sc_resolver(
+                {"proposals": ("proposalId", "pi_firstname", "pi_lastname", "pi_email")}
+            ),
+        },
+    )
+    out = transform(base)
+    return out.select(
+        "file",
+        F.lit(FALLBACK_SCHEMA_ID).alias("schema_id"),
+        F.col("pid").getField("value").alias("pid_value"),
+        F.col("datasetName").getField("value").alias("dataset_name"),
+        F.col("principalInvestigator").getField("value").alias("principal_investigator"),
+        F.col("owner").getField("value").alias("owner"),
+        F.col("ownerEmail").getField("value").alias("owner_email"),
+        F.col("sourceFolder").getField("value").alias("source_folder"),
+        F.col("creationLocation").getField("value").alias("creation_location"),
+        F.col("creationTime").getField("value").alias("creation_time"),
+        F.concat_ws(",", F.col("_failures")).alias("failed_vars"),
+    )
+
+
+@_compiled
 def q_ingest_sc(spark, sf_dir):
     """V1 SC-source dispatch: catalog lookups as broadcast dimension
     joins feeding the compiler; missing catalog rows -> NULLs -> V3
@@ -2052,6 +2121,7 @@ QUERIES = {
     "ingest_samples": q_ingest_samples,
     "ingest_nexus": q_ingest_nexus,
     "ingest_coda_real": q_ingest_coda_real,
+    "ingest_fallback": q_ingest_fallback,
     "dataset_assembly": q_dataset_assembly,
     "datafile_assembly": q_datafile_assembly,
     "ingest_sc": q_ingest_sc,

@@ -261,7 +261,11 @@ def make_nxs_resolver(map_col: str = "nxs"):
                 matched, lambda e: e.getField("value").getField("value")
             )
             return with_unit(values, F.lit(""))
-        entry = F.element_at(m, var.path)
+        # h5py resolves root-relative paths ('entry/title') same as
+        # absolute ones — the reference's fallback schema relies on that
+        # (/root/reference/src/fallback_metadata_schema/dump.py:52-56)
+        path = var.path if var.path.startswith("/") else "/" + var.path
+        entry = F.element_at(m, path)
         return with_unit(entry.getField("value"), entry.getField("unit"))
 
     return resolve

@@ -119,3 +119,33 @@ class TestCompiler:
         a = transform(_input(spark)).select("data_file_path").count()
         b = transform(_input(spark)).select("data_file_path").count()
         assert a == b == 2
+
+
+def test_fallback_schema_dump_roundtrip(tmp_path):
+    """The dump-everything fallback pipeline (S19 +
+    /root/reference/src/fallback_metadata_schema/dump.py): the shipped
+    dict compiles, dumps to imsc YAML with the provenance header, loads
+    back via the normal schema collector, and sorts after any configured
+    schema."""
+    from scicat_ingestor_spark.plans.fallback import (
+        FALLBACK_SCHEMA_ID,
+        dump_fallback_schema,
+        fallback_schema,
+    )
+    from scicat_ingestor_spark.plans.schema_model import collect_schemas
+
+    s = fallback_schema()
+    assert s.id == FALLBACK_SCHEMA_ID
+    assert s.selector == "*"
+    assert s.order == 9999999999
+
+    out = tmp_path / "fallback.imsc.yml"
+    dump_fallback_schema(str(out))
+    text = out.read_text()
+    assert text.startswith("# Written by: scicat_ingestor_spark.plans.fallback\n")
+
+    loaded = collect_schemas(str(tmp_path))
+    assert [x.id for x in loaded] == [FALLBACK_SCHEMA_ID]
+    back = loaded[0]
+    assert {v.name for v in back.variables} == {v.name for v in s.variables}
+    assert [f.machine_name for f in back.fields] == [f.machine_name for f in s.fields]
