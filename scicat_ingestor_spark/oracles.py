@@ -958,3 +958,35 @@ WHERE NOT EXISTS (
 }
 
 ORACLES["s8_s9_file_stats"] = _file_stats_oracle()
+
+
+def _recall_oracle() -> str:
+    """Compose recall@k from the per-method ANN oracles — the oracle
+    reuses the exact same SQL the methods are checked against, so the
+    recall row can't drift from the method definitions."""
+    parts = [
+        f"SELECT '{m}' AS method, query_id, neighbor_id FROM ({ORACLES[key]})"
+        for m, key in (
+            ("lsh", "ann_lsh_topk"),
+            ("ivf", "ann_ivf_topk"),
+            ("ivf_nprobe", "ann_ivf_nprobe_topk"),
+        )
+    ]
+    approx_union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["ann_cosine_topk"]})),
+ap AS ({approx_union}),
+hit AS (SELECT ap.method, ap.query_id, count(*) AS n_hit
+        FROM ap JOIN exact USING (query_id, neighbor_id)
+        GROUP BY ap.method, ap.query_id),
+base AS (SELECT m.method, e.query_id, count(*) AS n_exact
+         FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivf_nprobe')) m(method)
+         GROUP BY m.method, e.query_id)
+SELECT b.method, b.query_id, b.n_exact,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.method = h.method AND b.query_id = h.query_id
+"""
+
+
+ORACLES["ann_recall_report"] = _recall_oracle()

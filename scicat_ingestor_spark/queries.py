@@ -1474,6 +1474,52 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_recall_report(spark, sf_dir):
+    """Recall@k of each ANN method against the exact brute-force top-k —
+    the recall<1 claims measured, not asserted. Diagnostic query: run on
+    a small query sample (here the same 3 queries every ann_* query
+    uses); the exact side is the expensive part, which is the point of
+    sampling. One row per (method, query): hits via an equi-join on
+    (query_id, neighbor_id), denominator from the exact list, so k-tail
+    ties and short buckets are handled by construction."""
+    from functools import reduce
+
+    exact = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    methods = {
+        "lsh": q_ann_lsh_topk,
+        "ivf": q_ann_ivf_topk,
+        "ivf_nprobe": q_ann_ivf_nprobe_topk,
+    }
+    approx = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            fn(spark, sf_dir).select(
+                F.lit(m).alias("method"), "query_id", "neighbor_id"
+            )
+            for m, fn in methods.items()
+        ],
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(spark.createDataFrame([(m,) for m in methods], "method string"))
+    )
+    return base.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_exact"), 6
+        ).alias("recall_at_k"),
+    )
+
+
 _NXS_SCHEMA = MetadataSchema.from_dict(
     {
         "id": "nexus-demo",
@@ -2115,6 +2161,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_nprobe_topk": q_ann_ivf_nprobe_topk,
+    "ann_recall_report": q_ann_recall_report,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "multimodal_features": q_multimodal_features,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
