@@ -348,11 +348,12 @@ def dedup_clusters(
     # initial label sum (the convergence baseline) — no separate count
     # or aggregate jobs before the first round
     setup_obs = Observation()
-    labels = labels.observe(
-        setup_obs,
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
-    ).localCheckpoint()
+    setup_metrics = [F.count(F.lit(1)).alias("n")]
+    if numeric_ids:
+        # sum-convergence baseline only makes sense (and only CASTS —
+        # ANSI mode throws on non-numeric strings) for numeric ids
+        setup_metrics.append(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+    labels = labels.observe(setup_obs, *setup_metrics).localCheckpoint()
     n_nodes = setup_obs.get["n"]
     small = n_nodes <= broadcast_nodes_max
     if not small:

@@ -156,3 +156,35 @@ def test_simhash_hamming_finds_one_bit_neighbors(spark):
     grouped_sigs = {g.simhash for g in groups}
     for d in near:
         assert sigs[d] not in grouped_sigs or sigs[d] != sigs["base"]
+
+
+def test_lsh_megabucket_star_keeps_edges_linear(spark):
+    """Skew drill: one pathological duplicate class (2000 identical
+    docs). In star mode the candidate-edge count stays LINEAR in the
+    class size (n-1 edges per band -> n-1 after distinct), where the
+    all-pairs expansion would emit ~2M edges per band — the difference
+    between a completing job and an exploded shuffle at 100 TB. The
+    clusters built from the star edges still recover the full class."""
+    from scicat_ingestor_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    n_dupes = 2000
+    dupe_text = "the same pathological document repeated verbatim many times"
+    rows = [(f"d{i:05d}", dupe_text) for i in range(n_dupes)]
+    # plus a handful of distinct docs that must NOT join the class
+    rows += [(f"u{i}", f"unique text number {i} with words w{i} x{i} y{i}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    star = minhash_lsh_pairs(docs, "text", "doc_id", star=True)
+    n_star = star.count()
+    # identical docs share every band: star gives n-1 edges total after
+    # distinct (same min per band), plus possibly a few unique-doc
+    # collisions — nowhere near the ~n^2/2 of all-pairs
+    assert n_star < n_dupes + 50, f"star edge count {n_star} is not linear"
+
+    clusters = dedup_clusters(star)
+    big = clusters.groupBy("cluster_id").count().orderBy("count", ascending=False)
+    top = big.first()
+    assert top["count"] == n_dupes  # the whole class is one component
