@@ -129,6 +129,16 @@ def main() -> None:
     timings["stream_ingest_replay"] = round(min(run_stream() for _ in range(2)), 4)
 
     total = round(sum(timings.values()), 4)
+
+    # full-registry coverage: every remaining queries() entry timed too
+    # (warm-up + best of two), so round-over-round regressions are
+    # visible per operator family, not just for the headliners
+    rest = [n for n in QUERIES if n not in HEADLINE]
+    for name in rest:
+        run(name)
+    timings.update(
+        {name: round(min(run(name) for _ in range(2)), 4) for name in rest}
+    )
     print(
         json.dumps(
             {
