@@ -23,6 +23,18 @@ from pyspark.sql import functions as F
 from scicat_ingestor_spark.operators import dedup, text
 
 STAGES = ("quality", "decontaminate", "dedup", "pack")
+# the full published-pipeline order: repetition gate (Gopher) on raw
+# text, PII scrub, cheap quality gate, global line-level dedup (C4),
+# eval decontamination, exact dedup, token packing
+FULL_STAGES = (
+    "repetition",
+    "pii",
+    "quality",
+    "linededup",
+    "decontaminate",
+    "dedup",
+    "pack",
+)
 
 
 def prep_corpus(
@@ -41,8 +53,52 @@ def prep_corpus(
     if eval_docs is None:
         eval_docs = docs.filter(F.col("doc_id") % eval_mod == 0)
         out = out.filter(F.col("doc_id") % eval_mod != 0)
+    if "repetition" in stages:
+        out = out.filter(text.repetition_features(F.col("text"))["keep_gopher"])
+    if "pii" in stages:
+        out = out.withColumn("text", text.pii_scrub(F.col("text")))
     if "quality" in stages:
         out = out.filter(toks >= min_tokens)
+    if "linededup" in stages:
+        # C4-style global line dedup: keep each non-empty trimmed line at
+        # its first corpus occurrence, rebuild the document from the
+        # survivors, drop documents left empty. One shuffle on the line
+        # hash + one groupBy(doc_id); projects to the pipeline columns
+        # (doc_id, source, text).
+        numbered = out.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.split("text", r"\n"),
+                        lambda x, i: F.struct(
+                            (i + 1).alias("pos"), F.trim(x).alias("line")
+                        ),
+                    ),
+                    lambda s: F.length(s["line"]) > 0,
+                )
+            ).alias("l"),
+        ).select(
+            "doc_id", "source",
+            F.col("l.pos").alias("pos"), F.col("l.line").alias("line"),
+        )
+        wl = Window.partitionBy(F.md5("line")).orderBy("doc_id", "pos")
+        out = (
+            numbered.withColumn("rn", F.row_number().over(wl))
+            .filter(F.col("rn") == 1)
+            .groupBy("doc_id", "source")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("text")
+            )
+            .filter(F.length("text") > 0)
+        )
     if "decontaminate" in stages:
         grams = dedup.word_shingles(F.col("text"), n=4)
         eval_grams = eval_docs.select(F.explode(grams).alias("gram")).distinct()
@@ -87,9 +143,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--stage",
         action="append",
-        choices=STAGES,
+        choices=FULL_STAGES,
         default=None,
-        help="run only these stages (default: all, in canonical order)",
+        help="run only these stages (default: quality/decontaminate/"
+        "dedup/pack, in canonical order)",
+    )
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="run the full hygiene pipeline (adds repetition gate, PII "
+        "scrub and global line dedup)",
     )
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
@@ -97,7 +160,11 @@ def main(argv: list[str] | None = None) -> int:
     from scicat_ingestor_spark.session import get_session
 
     spark = get_session("corpus_prep")
-    stages = tuple(args.stage) if args.stage else STAGES
+    stages = (
+        tuple(args.stage)
+        if args.stage
+        else (FULL_STAGES if args.full else STAGES)
+    )
     out = prep_corpus(
         spark.read.parquet(args.docs),
         stages=stages,

@@ -393,3 +393,50 @@ def lsh_topk(
             F.col("_rk").alias("rank"),
         )
     )
+
+
+def semantic_dedup_survivors(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space (here the deterministic IVF cell
+    assignment — a computed column, NO shuffle on the corpus), then
+    inside each cell drop every vector that has a higher-priority
+    near-duplicate (cosine >= threshold with a smaller id).
+
+    Returns the surviving (id, cell) rows. Plan shape at 100 TB:
+    - cell is scan-local; the only wide exchange is the in-cell
+      self-join (shuffle on cell, bounded by cluster granularity —
+      production raises `cells` so buckets stay executor-sized),
+    - the duplicate-id set is a distinct projection of the pair result,
+      small by construction, and broadcast for the anti-join.
+    The keep-lowest-id rule is the pairwise form of SemDeDup's
+    keep-one-per-near-dup-group: deterministic, engine-independent, and
+    exactly expressible as NOT EXISTS in the SQL oracle.
+    """
+    cv = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell(F.col(vec_col), dim, cells, centroids).alias("cell"),
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    cos = F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6)
+    dup_ids = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(cos >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return cv.join(F.broadcast(dup_ids), id_col, "left_anti").select(
+        id_col, "cell"
+    )

@@ -111,3 +111,109 @@ def fingerprint(text: Column, window: int = 4) -> Column:
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))))
     return F.array_min(grams)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / hygiene features (the Gopher rule family, Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+def _nonempty_trimmed(parts: Column) -> Column:
+    """Trim each split part and drop empties — normalizes the split-edge
+    semantics (trailing/leading empties) so both engines agree."""
+    return F.filter(
+        F.transform(parts, lambda x: F.trim(x)), lambda x: F.length(x) > 0
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition and symbol-noise signals, all as pure
+    Column expressions (scan-speed at 100 TB; zero Python, zero shuffle).
+
+    - dup_line_frac / dup_para_frac: 1 - distinct/total over non-empty
+      trimmed lines (split '\\n') and paragraphs (split '\\n\\n').
+    - top_word_frac: share of tokens taken by the single most frequent
+      word (the 1-gram version of Gopher's top-n-gram rule). The count
+      loop is O(distinct x tokens) per document — document-local, stays
+      inside whole-stage codegen.
+    - symbol_word_ratio: '#' or '...' occurrences per word (Gopher's
+      symbol-to-word rule).
+    - bullet_line_frac / ellipsis_line_frac: lines starting with a
+      bullet (-, *) / ending with '...'.
+    - keep_gopher: the composite gate at the published thresholds
+      (dup lines <= 30%, dup paragraphs <= 30%, top word <= 20%,
+      symbols/word <= 10%, bullets <= 90%, ellipsis <= 30%).
+    """
+    lines = _nonempty_trimmed(F.split(text, r"\n"))
+    paras = _nonempty_trimmed(F.split(text, r"\n\n"))
+    toks = _nonempty_trimmed(F.split(F.lower(text), r"\s+"))
+    n_lines = F.size(lines)
+    n_paras = F.size(paras)
+    n_words = F.size(toks)
+    dup_line_frac = _frac(n_lines - F.size(F.array_distinct(lines)), n_lines)
+    dup_para_frac = _frac(n_paras - F.size(F.array_distinct(paras)), n_paras)
+    top_count = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        ),
+        F.lit(0),
+    )
+    top_word_frac = _frac(top_count, n_words)
+    n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0))
+    symbol_word_ratio = _frac(n_symbols, n_words)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^[-*]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.$")))
+    bullet_line_frac = _frac(n_bullet, n_lines)
+    ellipsis_line_frac = _frac(n_ellipsis, n_lines)
+    keep = (
+        (dup_line_frac <= 0.30)
+        & (dup_para_frac <= 0.30)
+        & (top_word_frac <= 0.20)
+        & (symbol_word_ratio <= 0.10)
+        & (bullet_line_frac <= 0.90)
+        & (ellipsis_line_frac <= 0.30)
+    )
+    return {
+        "dup_line_frac": dup_line_frac,
+        "dup_para_frac": dup_para_frac,
+        "top_word_frac": top_word_frac,
+        "symbol_word_ratio": symbol_word_ratio,
+        "bullet_line_frac": bullet_line_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "keep_gopher": keep,
+    }
+
+
+# PII patterns, deliberately in the Java-regex ∩ RE2 common subset (no
+# lookarounds, no backrefs) so Spark and the DuckDB oracle match char
+# for char. Scrub order matters (an email eats its own digits before the
+# phone pass): counts are taken per-pattern on the ORIGINAL text,
+# replacements applied sequentially in list order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Matches per PII class on the raw text."""
+    return {
+        name: F.regexp_count(text, F.lit(pat)) for name, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact all PII classes, sequentially in PII_PATTERNS order."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

@@ -83,12 +83,29 @@ _STOP_FR = "'le','la','et','est','les'"
 _STOP_ES = "'el','la','que','y','es'"
 _STOP_ALL = ",".join([_STOP_EN, _STOP_DE, _STOP_FR, _STOP_ES])
 
-_SIMHASH_BITS = ",\n  ".join(
-    "CASE WHEN 2*sum(CASE WHEN substr(hx,{p},1) IN ('8','9','a','b','c','d','e','f') "
-    "THEN 1 ELSE 0 END) > count(*) THEN '1' ELSE '0' END AS b{i}".format(p=i + 1, i=i)
-    for i in range(16)
-)
-_SIMHASH_CONCAT = "||".join(f"b{i}" for i in range(16))
+def _simhash_bits_sql(bits: int) -> str:
+    """Per-bit majority CASEs, same bit derivation as
+    operators.dedup.simhash_bits: bit i<32 = the 0x8 bit of md5 nibble
+    i, bit i>=32 = the 0x4 bit of nibble i-32."""
+    hi = "'8','9','a','b','c','d','e','f'"
+    b4 = "'4','5','6','7','c','d','e','f'"
+    return ",\n  ".join(
+        "CASE WHEN 2*sum(CASE WHEN substr(hx,{p},1) IN ({c}) "
+        "THEN 1 ELSE 0 END) > count(*) THEN '1' ELSE '0' END AS b{i}".format(
+            p=i % 32 + 1, c=(hi if i < 32 else b4), i=i
+        )
+        for i in range(bits)
+    )
+
+
+def _simhash_concat_sql(bits: int) -> str:
+    return "||".join(f"b{i}" for i in range(bits))
+
+
+_SIMHASH_BITS = _simhash_bits_sql(16)
+_SIMHASH_CONCAT = _simhash_concat_sql(16)
+_SIMHASH_BITS64 = _simhash_bits_sql(64)
+_SIMHASH_CONCAT64 = _simhash_concat_sql(64)
 
 _MINHASH_COLS = ",\n   ".join(
     f"min(substr(md5(s) || md5('x'||s), {8 * i + 1}, 8)) AS mh{i}" for i in range(8)
@@ -441,18 +458,18 @@ WITH w AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text)
            FROM documents),
 h AS (SELECT doc_id, md5(word) AS hx FROM w),
 bits AS (SELECT doc_id,
-  {_SIMHASH_BITS}
+  {_SIMHASH_BITS64}
   FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits),
--- banded candidates: agree exactly on >=1 of the 4 4-bit bands
+sig AS (SELECT doc_id, {_SIMHASH_CONCAT64} AS simhash FROM bits),
+-- banded candidates: agree exactly on >=1 of the 4 16-bit bands
 -- (pigeonhole => full recall at hamming <= 3), then exact verify
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         hamming(a.simhash, b.simhash) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE substr(a.simhash, 1, 4) = substr(b.simhash, 1, 4)
-         OR substr(a.simhash, 5, 4) = substr(b.simhash, 5, 4)
-         OR substr(a.simhash, 9, 4) = substr(b.simhash, 9, 4)
-         OR substr(a.simhash, 13, 4) = substr(b.simhash, 13, 4))
+      WHERE substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+         OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16)
+         OR substr(a.simhash, 33, 16) = substr(b.simhash, 33, 16)
+         OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3
 """,
     "dedup_ngram_jaccard": """
@@ -990,3 +1007,145 @@ FROM base b LEFT JOIN hit h ON b.method = h.method AND b.query_id = h.query_id
 
 
 ORACLES["ann_recall_report"] = _recall_oracle()
+
+
+# round-2 additions -------------------------------------------------------
+
+ORACLES["text_repetition"] = """
+WITH w AS (
+  SELECT doc_id, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS lines,
+    list_filter(list_transform(string_split(text, chr(10)||chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS paras,
+    list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> trim(x)),
+                x -> length(x) > 0) AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id,
+    len(lines) AS n_lines, len(paras) AS n_paras, len(toks) AS n_words,
+    len(lines) - len(list_distinct(lines)) AS n_dup_lines,
+    len(paras) - len(list_distinct(paras)) AS n_dup_paras,
+    coalesce(list_max(list_transform(list_distinct(toks),
+      d -> len(list_filter(toks, t -> t = d)))), 0) AS top_count,
+    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols,
+    len(list_filter(lines, l -> regexp_matches(l, '^[-*]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS n_ellipsis
+  FROM w),
+r AS (
+  SELECT doc_id,
+    round(CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)/n_lines ELSE 0.0 END, 6) AS dup_line_frac,
+    round(CASE WHEN n_paras > 0 THEN CAST(n_dup_paras AS DOUBLE)/n_paras ELSE 0.0 END, 6) AS dup_para_frac,
+    round(CASE WHEN n_words > 0 THEN CAST(top_count AS DOUBLE)/n_words ELSE 0.0 END, 6) AS top_word_frac,
+    round(CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE)/n_words ELSE 0.0 END, 6) AS symbol_word_ratio,
+    round(CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE)/n_lines ELSE 0.0 END, 6) AS bullet_line_frac,
+    round(CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE)/n_lines ELSE 0.0 END, 6) AS ellipsis_line_frac
+  FROM f)
+SELECT doc_id, bullet_line_frac, dup_line_frac, dup_para_frac, ellipsis_line_frac,
+  (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30 AND top_word_frac <= 0.20
+   AND symbol_word_ratio <= 0.10 AND bullet_line_frac <= 0.90
+   AND ellipsis_line_frac <= 0.30) AS keep_gopher,
+  symbol_word_ratio, top_word_frac
+FROM r
+"""
+
+ORACLES["text_pii_scrub"] = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ips,
+  len(regexp_extract_all(text, '\\+\\d[\\d\\- ]{6,}\\d')) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\+\\d[\\d\\- ]{6,}\\d', '<PHONE>', 'g') AS scrubbed
+FROM documents
+"""
+
+ORACLES["dedup_lines_global"] = """
+WITH e AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+      i -> {'pos': i, 'line': trim(string_split(text, chr(10))[i])})) AS u
+  FROM documents),
+l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM e WHERE length(u.line) > 0),
+t AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM l)
+SELECT doc_id,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS kept_text
+FROM t GROUP BY doc_id
+"""
+
+ORACLES["dedup_semantic"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cv AS (SELECT vec_id, e, {_ivf_cell_sql('e')} AS cell FROM v)
+SELECT c.vec_id, c.cell FROM cv c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cv a
+  WHERE a.cell = c.cell AND a.vec_id < c.vec_id
+    AND round(list_dot_product(a.e, c.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3)
+"""
+
+ORACLES["corpus_prep_full_e2e"] = """
+WITH base AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+w1 AS (SELECT doc_id, source, text,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS lines,
+    list_filter(list_transform(string_split(text, chr(10)||chr(10)), x -> trim(x)),
+                x -> length(x) > 0) AS paras,
+    list_filter(list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> trim(x)),
+                x -> length(x) > 0) AS wtoks
+  FROM base),
+rep AS (SELECT doc_id, source, text FROM w1 WHERE
+    round(CASE WHEN len(lines) > 0 THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)/len(lines) ELSE 0.0 END, 6) <= 0.30
+    AND round(CASE WHEN len(paras) > 0 THEN CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)/len(paras) ELSE 0.0 END, 6) <= 0.30
+    AND round(CASE WHEN len(wtoks) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(wtoks),
+          d -> len(list_filter(wtoks, t -> t = d)))), 0) AS DOUBLE)/len(wtoks) ELSE 0.0 END, 6) <= 0.20
+    AND round(CASE WHEN len(wtoks) > 0 THEN CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)/len(wtoks) ELSE 0.0 END, 6) <= 0.10
+    AND round(CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*]'))) AS DOUBLE)/len(lines) ELSE 0.0 END, 6) <= 0.90
+    AND round(CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$'))) AS DOUBLE)/len(lines) ELSE 0.0 END, 6) <= 0.30),
+pii AS (SELECT doc_id, source,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+\\d[\\d\\- ]{6,}\\d', '<PHONE>', 'g') AS text
+  FROM rep),
+qual AS (SELECT * FROM pii WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 25),
+le AS (SELECT doc_id, source,
+    unnest(list_transform(range(1, len(string_split(text, chr(10))) + 1),
+      i -> {'pos': i, 'line': trim(string_split(text, chr(10))[i])})) AS u
+  FROM qual),
+ll AS (SELECT doc_id, source, u.pos AS pos, u.line AS line FROM le WHERE length(u.line) > 0),
+lt AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn FROM ll),
+rebuilt AS (SELECT doc_id, source,
+    coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos), '') AS text
+  FROM lt GROUP BY doc_id, source),
+rb AS (SELECT * FROM rebuilt WHERE length(text) > 0),
+wg AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks FROM rb),
+g AS (SELECT doc_id, list_distinct(list_transform(
+        range(1, greatest(len(toks)-3, 1)+1),
+        i -> array_to_string(toks[i:i+3], ' '))) AS grams FROM wg),
+ew AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents WHERE doc_id % 97 = 0),
+e AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        range(1, greatest(len(toks)-3, 1)+1),
+        i -> array_to_string(toks[i:i+3], ' ')))) AS gram FROM ew),
+cg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+contaminated AS (SELECT DISTINCT doc_id FROM cg JOIN e USING (gram)),
+clean AS (SELECT * FROM rb WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+surv AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM clean),
+tok AS (SELECT source, doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM surv WHERE rn = 1),
+o AS (SELECT source, doc_id, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+  FROM tok)
+SELECT source, CAST(floor(start_off / 512.0) AS BIGINT) AS bin_id,
+  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM o GROUP BY source, bin_id
+"""

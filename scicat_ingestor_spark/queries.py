@@ -702,10 +702,16 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     """SimHash as it's meant to be used: banded buckets give perfect
     recall up to Hamming distance bands-1, then exact Hamming verify on
     the candidates — one shuffle, signatures carried in-bucket so the
-    verify needs no join back."""
+    verify needs no join back.
+
+    64-bit signature / 16-bit bands (the Manku et al. 2007 operating
+    point): the band key space is 2^16, so buckets stay tiny and the
+    in-bucket pair expansion is linear-ish. (A 16-bit signature with
+    4-bit bands puts the WHOLE corpus into <=64 buckets — measured 109 s
+    at sf0.1 vs ~1 s for this plan, and quadratic death at 100 TB.)"""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_hamming_pairs(
-        docs, "text", "doc_id", bits=16, bands=4, max_hamming=3
+        docs, "text", "doc_id", bits=64, bands=4, max_hamming=3
     )
 
 
@@ -1295,6 +1301,31 @@ def q_corpus_prep_e2e(spark, sf_dir):
     )
 
 
+def q_corpus_prep_full_e2e(spark, sf_dir):
+    """The FULL published hygiene pipeline as one composed plan:
+    Gopher repetition gate -> PII scrub -> cheap quality gate -> global
+    line-level dedup (C4) -> eval decontamination -> exact dedup ->
+    token packing. Fact-side wide exchanges: the line-dedup window (line
+    hash), its reassembly groupBy(doc_id), the exact-dedup window, and
+    the pack window — everything else is scan-local or rides broadcast.
+    Every gate is deterministic (content hashes, id order), so retries
+    and engines agree bit for bit."""
+    from scicat_ingestor_spark.apps.corpus import FULL_STAGES, prep_corpus
+
+    eval_docs = _t(spark, sf_dir, "documents", parallel=False).filter(
+        F.col("doc_id") % 97 == 0
+    )
+    packed = prep_corpus(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 != 0),
+        stages=FULL_STAGES,
+        eval_docs=eval_docs,
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
@@ -1711,6 +1742,80 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     + exact verify (the n^2-free scale design)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_pairs_lsh(emb, dim=64, threshold=0.3, bits=4)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cell
+    clustering (computed column, no corpus shuffle) + in-cell
+    keep-lowest-id near-dup removal. Survivors only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_survivors(
+        emb, dim=64, threshold=0.3, cells=8
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition/symbol-noise gate — pure Column exprs,
+    scan-speed; the composite keep flag uses the published thresholds."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = text.repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id", *[feats[k].alias(k) for k in sorted(feats)]
+    )
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction: per-class match counts on the raw text + the
+    sequentially-scrubbed text. regexp patterns live in the
+    Java-regex ∩ RE2 common subset so both engines agree exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = text.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ips"),
+        counts["phone"].alias("n_phones"),
+        text.pii_scrub(F.col("text")).alias("scrubbed"),
+    )
+
+
+def q_dedup_lines_global(spark, sf_dir):
+    """C4-style global line-level dedup: every non-empty trimmed line is
+    kept only at its first corpus occurrence (ordered by doc_id, then
+    line position); documents are reassembled from surviving lines.
+
+    Shape at 100 TB: explode is scan-local; the first-occurrence window
+    shuffles once on the line hash (md5 bounds the key width for long
+    lines); reassembly is one groupBy(doc_id) with the order carried in
+    a sortable struct. No self-join, no distinct-then-join."""
+    docs = _t(spark, sf_dir, "documents")
+    numbered = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.split("text", r"\n"),
+                    lambda x, i: F.struct(
+                        (i + 1).alias("pos"), F.trim(x).alias("line")
+                    ),
+                ),
+                lambda s: F.length(s["line"]) > 0,
+            )
+        ).alias("l"),
+    ).select("doc_id", F.col("l.pos").alias("pos"), F.col("l.line").alias("line"))
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "pos")
+    tagged = numbered.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "line"))
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
 
 
 _SC_SCHEMA = MetadataSchema.from_dict(
@@ -2173,4 +2278,10 @@ QUERIES = {
     "datafile_assembly": q_datafile_assembly,
     "ingest_sc": q_ingest_sc,
     "ingest_e2e": q_ingest_e2e,
+    # round-2 additions — appended so earlier driver rows keep their order
+    "text_repetition": q_text_repetition,
+    "text_pii_scrub": q_text_pii_scrub,
+    "dedup_lines_global": q_dedup_lines_global,
+    "dedup_semantic": q_dedup_semantic,
+    "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
 }

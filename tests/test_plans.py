@@ -190,3 +190,37 @@ def test_q5_broadcasts_all_dimensions(spark, sf_dir):
     # region/date filters push into their scans
     assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_text_repetition_is_scan_local(spark, sf_dir):
+    """The Gopher gate is pure Column expressions: no semantic shuffle
+    (the only Exchange is _t's round-robin parallelism fix for the
+    single-row-group testdata) and no Python in the plan."""
+    plan = _plan(Q.q_text_repetition(spark, sf_dir))
+    assert "hashpartitioning(" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_scrub_is_scan_local(spark, sf_dir):
+    plan = _plan(Q.q_text_pii_scrub(spark, sf_dir))
+    assert "hashpartitioning(" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_line_dedup_two_semantic_shuffles(spark, sf_dir):
+    """Global line dedup: exactly two hash exchanges — the
+    first-occurrence window on the line hash and the doc reassembly.
+    No WindowGroupLimit here by design: the aggregate consumes BOTH
+    kept and dropped rows (n_lines vs n_kept), so every row must reach
+    the window's consumer."""
+    plan = _plan(Q.q_dedup_lines_global(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_semantic_dedup_broadcasts_dup_ids(spark, sf_dir):
+    """SemDeDup: the anti-join side (duplicate ids) is broadcast; the
+    corpus is never shuffled for the cell assignment (it is a computed
+    column feeding the in-cell join)."""
+    plan = _plan(Q.q_dedup_semantic(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -188,3 +188,82 @@ def test_lsh_megabucket_star_keeps_edges_linear(spark):
     big = clusters.groupBy("cluster_id").count().orderBy("count", ascending=False)
     top = big.first()
     assert top["count"] == n_dupes  # the whole class is one component
+
+
+def test_repetition_gate_flags_duplicated_lines(spark):
+    from scicat_ingestor_spark.operators import text as T
+
+    clean = "the quick brown fox\njumps over the lazy dog\nand runs far away"
+    spammy = "buy now\nbuy now\nbuy now\nbuy now"
+    df = spark.createDataFrame(
+        [(1, clean), (2, spammy)], "doc_id long, text string"
+    )
+    feats = T.repetition_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            feats["dup_line_frac"].alias("dl"),
+            feats["keep_gopher"].alias("keep"),
+        ).collect()
+    }
+    assert rows[1]["dl"] == 0.0 and rows[1]["keep"]
+    assert rows[2]["dl"] == 0.75 and not rows[2]["keep"]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from scicat_ingestor_spark.operators import text as T
+
+    raw = "mail a@b.com or b@c.org, host 10.0.0.1, call +41 22 767 1234"
+    df = spark.createDataFrame([(1, raw)], "doc_id long, text string")
+    counts = T.pii_counts(F.col("text"))
+    row = df.select(
+        counts["email"].alias("e"),
+        counts["ipv4"].alias("i"),
+        counts["phone"].alias("p"),
+        T.pii_scrub(F.col("text")).alias("s"),
+    ).collect()[0]
+    assert (row["e"], row["i"], row["p"]) == (2, 1, 1)
+    assert row["s"] == "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>"
+
+
+def test_global_line_dedup_keeps_first_occurrence(spark, sf_dir):
+    from scicat_ingestor_spark.queries import q_dedup_lines_global
+
+    out = q_dedup_lines_global(spark, sf_dir)
+    # every kept line count is <= total and the reassembled text has
+    # exactly n_kept lines
+    bad = out.filter(
+        (F.col("n_kept") > F.col("n_lines"))
+        | (
+            F.when(
+                F.length("kept_text") > 0,
+                F.size(F.split("kept_text", r"\n")),
+            ).otherwise(F.lit(0))
+            != F.col("n_kept")
+        )
+    ).count()
+    assert bad == 0
+    # dedup is global: no surviving line string appears twice
+    lines = out.select(
+        F.explode(
+            F.filter(F.split("kept_text", r"\n"), lambda x: F.length(x) > 0)
+        ).alias("line")
+    )
+    assert lines.groupBy("line").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_semantic_dedup_drops_in_cell_near_dups(spark):
+    from scicat_ingestor_spark.operators.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    # two identical vectors land in the same cell; only the lower id survives
+    v = [0.5] * 8
+    u = [-0.5] * 8
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, u)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup_survivors(df, dim=8, threshold=0.9, cells=4)
+    ids = sorted(r["vec_id"] for r in out.collect())
+    assert ids == [1, 3]
