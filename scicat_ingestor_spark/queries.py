@@ -677,6 +677,49 @@ def q_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate. Every predicate (two
+    date bounds, the discount band, the quantity cap) pushes into the
+    parquet scan, the projection prunes to three columns, and the
+    single global aggregate is a map-side partial + one tiny exchange —
+    the minimal possible plan for the question."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(F.col("l_discount"), 4)
+    return li.agg(_money(F.sum(revenue)).alias("revenue"))
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-items revenue by customer — one big
+    fact join (lineitem x quarter-filtered orders, left to AQE),
+    customer/nation broadcast, then groupBy + deterministic top-20
+    (revenue desc, custkey asc ties), which Spark runs as TakeOrdered —
+    no global sort."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False)
+    revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -2284,4 +2327,6 @@ QUERIES = {
     "dedup_lines_global": q_dedup_lines_global,
     "dedup_semantic": q_dedup_semantic,
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q10_returned_items": q_q10_returned_items,
 }

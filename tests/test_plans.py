@@ -224,3 +224,19 @@ def test_semantic_dedup_broadcasts_dup_ids(spark, sf_dir):
     column feeding the in-cell join)."""
     plan = _plan(Q.q_dedup_semantic(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_q6_pushes_all_predicates_and_prunes(spark, sf_dir):
+    plan = _plan(Q.q_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    assert "LessThan(l_quantity,24" in plan
+    # projection pruned to the three used columns + filter columns
+    assert "l_comment" not in plan and "l_partkey" not in plan
+
+
+def test_q10_takeordered_and_broadcasts(spark, sf_dir):
+    plan = _plan(Q.q_q10_returned_items(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
