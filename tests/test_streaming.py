@@ -385,3 +385,41 @@ def test_streaming_corpus_prep_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = {r.doc_id for r in spark.read.parquet(target).collect()}
     assert got == expected
+
+
+def test_streaming_hygiene_gates_match_batch(spark, sf_dir, tmp_path):
+    """The stateless hygiene stages (Gopher repetition gate + PII scrub)
+    are per-row transforms, so the streaming micro-batch result must
+    equal the batch result row for row — no state, no watermark."""
+    from scicat_ingestor_spark.apps.corpus import prep_corpus
+    from scicat_ingestor_spark.streaming.pipeline import run_ingest_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {
+        (r.doc_id, r.text)
+        for r in prep_corpus(docs, stages=("repetition", "pii")).collect()
+    }
+
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+    target = str(tmp_path / "out")
+
+    def transform(batch):
+        return prep_corpus(batch, stages=("repetition", "pii")).select(
+            "doc_id", "text"
+        )
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(target)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_ingest_stream(
+        stream, transform, sink, str(tmp_path / "ck"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(target).collect()}
+    assert got == expected
