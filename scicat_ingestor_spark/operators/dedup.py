@@ -99,19 +99,25 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Buckets are formed by ONE shuffle on (band, band_signature):
-    groupBy + collect the member ids, then generate in-bucket pairs with
-    array expressions. Compared to a bucket self-join this computes the
-    shingle/signature pipeline once instead of twice (Spark does not
-    reuse a subplan referenced on both sides of a join) and replaces the
-    join shuffle with a map-side explode. Returns distinct
-    (id_a, id_b) with id_a < id_b.
+    All-pairs mode forms candidates by a SELF-EQUI-JOIN on
+    (band, band_signature). An earlier form collected each bucket's ids
+    and expanded pairs with array expressions to "save" recomputing the
+    signature pipeline on the join's second side — but (a) a shuffle
+    self-join doesn't recompute it anyway (both sides hash-partition the
+    identical child plan, and Spark's ReuseExchange runs it once), and
+    (b) the array expansion runs each bucket's O(m^2) pair blow-up in a
+    SINGLE task on a single row buffer: a low-entropy mega-bucket killed
+    the x100 replica run (>11 min, SCALE.md) where the join form — which
+    Catalyst/AQE parallelizes and skew-splits — survives. Returns
+    distinct (id_a, id_b) with id_a < id_b.
 
     star=True links every bucket member to the bucket minimum only —
     O(n) edges per bucket instead of O(n^2), with identical connected
     components (a clique and its star have the same reachability). This
     is the scale path for feeding dedup_clusters: a mega-bucket of 100k
-    identical documents yields 1e5 edges, not 5e9.
+    identical documents yields 1e5 edges, not 5e9. The bucket minimum
+    comes from a partial-aggregatable groupBy + one join back, so even
+    the mega-bucket never sits in one task's memory.
     """
     num_hashes = bands * rows_per_band
     # two-step select: materialize the digest array in its own projection —
@@ -136,36 +142,27 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    grouped = (
-        buckets.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
     if star:
-        # (min_id, other) for every other member
-        pair_arr = F.transform(
-            F.slice(ids, 2, F.size(ids) - 1),
-            lambda y: F.struct(
-                F.element_at(ids, 1).alias("id_a"), y.alias("id_b")
-            ),
-        )
-    else:
-        # all ordered pairs within the (sorted) bucket: element i with
-        # every element after it (slice is 1-based, so partners of the
-        # 0-based i-th element start at position i+2)
-        pair_arr = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + 2, F.size(ids) - i - 1),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
+        mins = buckets.groupBy("band", "sig").agg(F.min(id_col).alias("_min_id"))
+        return (
+            buckets.join(mins, ["band", "sig"])
+            .filter(F.col(id_col) > F.col("_min_id"))
+            .select(
+                F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b")
             )
+            .distinct()
         )
+    a, b = buckets.alias("a"), buckets.alias("b")
     return (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
 
