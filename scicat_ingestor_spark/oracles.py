@@ -1173,3 +1173,8 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
+
+# Bloom prefilter is result-transparent: no false negatives, and the
+# exact verify join removes false positives — so the oracle is the
+# exact-set decontamination query verbatim.
+ORACLES["text_decontaminate_bloom"] = ORACLES["text_decontaminate"]

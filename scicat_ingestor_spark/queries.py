@@ -1089,6 +1089,38 @@ def q_text_decontaminate(spark, sf_dir):
     )
 
 
+def q_text_decontaminate_bloom(spark, sf_dir):
+    """Decontamination with a Bloom-filter prefilter — the scale path
+    when the eval suite is too big to broadcast as exact strings. Build
+    the eval-gram Bloom filter with a distributed bit_or aggregation
+    (the driver sees only the packed words, ~12 bits/gram), prefilter
+    the corpus gram stream with codegen'd hash+mask tests, then run the
+    SAME exact broadcast join on the survivors: false positives are
+    removed by the join, false negatives cannot occur, so the result is
+    bit-identical to q_text_decontaminate while the join probes a small
+    fraction of the gram stream. At 100 TB the win is that only grams
+    passing the filter participate in the join at all."""
+    from scicat_ingestor_spark.operators import bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = dedup.word_shingles(F.col("text"), n=4)
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    words, m_bits, k = bloom.build(eval_grams, "gram")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    survivors = bloom.probe(corpus, "gram", words, m_bits, k)
+    return (
+        survivors.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing for training: running token total
     per source (window partitioned on the shard key — parallel, never a
@@ -2291,6 +2323,7 @@ QUERIES = {
     "text_quantile_filter": q_text_quantile_filter,
     "text_top_terms": q_text_top_terms,
     "text_decontaminate": q_text_decontaminate,
+    "text_decontaminate_bloom": q_text_decontaminate_bloom,
     "pack_sequences": q_pack_sequences,
     "corpus_prep_e2e": q_corpus_prep_e2e,
     "text_unigram_logprob": q_text_unigram_logprob,

@@ -267,3 +267,31 @@ def test_semantic_dedup_drops_in_cell_near_dups(spark):
     out = semantic_dedup_survivors(df, dim=8, threshold=0.9, cells=4)
     ids = sorted(r["vec_id"] for r in out.collect())
     assert ids == [1, 3]
+
+
+def test_bloom_prefilter_exact_and_shrinking(spark, sf_dir):
+    from scicat_ingestor_spark.operators import bloom
+
+    members = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(0, 200, 2)], "gram string"
+    )
+    stream = spark.createDataFrame(
+        [(f"gram-{i}",) for i in range(200)], "gram string"
+    )
+    words, m_bits, k = bloom.build(members, "gram")
+    kept = bloom.probe(stream, "gram", words, m_bits, k)
+    got = {r["gram"] for r in kept.collect()}
+    want = {f"gram-{i}" for i in range(0, 200, 2)}
+    # no false negatives: every member survives the prefilter
+    assert want <= got
+    # the filter actually filters: non-members mostly drop (fp rate
+    # bound is generous vs the ~2% design point to stay flake-free)
+    assert len(got - want) <= 20
+    # the composed query is bit-identical to the exact-set one
+    from scicat_ingestor_spark.queries import QUERIES
+
+    exact = QUERIES["text_decontaminate"](spark, sf_dir)
+    via_bloom = QUERIES["text_decontaminate_bloom"](spark, sf_dir)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, via_bloom.collect())
+    )
