@@ -720,6 +720,90 @@ def q_q10_returned_items(spark, sf_dir):
     )
 
 
+def q_q4_priority_semijoin(spark, sf_dir):
+    """TPC-H Q4 shape: order counts gated by EXISTS(lineitem …) — a
+    LEFT SEMI join, so the orders side never fans out and needs no
+    post-join distinct; the probe side prunes to (l_orderkey,
+    l_shipdate). Same exists-probe semantics as the reference's J4/J5
+    catalog checks (/root/reference/src/scicat_offline_ingestor.py:67-125)
+    at analytics grain. The driver testdata has no l_commitdate, so
+    "late" = shipped more than 60 days after the order date."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        # interval add keeps TIMESTAMP (date_add would truncate to DATE)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders — the quantity rollup
+    aggregates lineitem BEFORE any join (map-side partials, one shuffle
+    on l_orderkey), the having-filter shrinks it to a sliver, and only
+    that sliver joins orders (AQE will broadcast it) and the customer
+    dim. Deterministic top-20 via TakeOrdered, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("q"))
+        .filter(F.col("q") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer", parallel=False)
+    j = orders.join(big, orders.o_orderkey == big.l_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        _money(F.col("q")).alias("total_qty"),
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+
+
+def q_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a three-branch OR of brand/size/
+    quantity bands. The join key (partkey) is shared across branches, so
+    this stays ONE broadcast hash join with the disjunction evaluated as
+    a residual filter — not a union of three joins; the common
+    `p_size >= 1` conjunct and the partkey equality are all Catalyst
+    needs to pre-prune the broadcast side."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part", parallel=False)
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    return j.filter(branch).agg(_money(F.sum(revenue)).alias("revenue"))
+
+
 def q_dedup_exact(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -2362,4 +2446,7 @@ QUERIES = {
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,
+    "q4_priority_semijoin": q_q4_priority_semijoin,
+    "q18_large_orders": q_q18_large_orders,
+    "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
 }

@@ -240,3 +240,35 @@ def test_q10_takeordered_and_broadcasts(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_q4_semi_join_no_fanout(spark, sf_dir):
+    plan = _plan(Q.q_q4_priority_semijoin(spark, sf_dir))
+    # EXISTS compiles to a semi join (no post-join distinct needed) and
+    # the probe scan prunes to the two columns it uses
+    assert "LeftSemi" in plan
+    assert "l_extendedprice" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    plan = _plan(Q.q_q18_large_orders(spark, sf_dir))
+    # the quantity rollup (with map-side partial) happens on lineitem
+    # alone; orders join the filtered sliver, customer is broadcast
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_single_join_with_residual_disjunction(spark, sf_dir):
+    plan = _plan(Q.q_q19_disjunctive_revenue(spark, sf_dir))
+    # one broadcast join on partkey; the OR branches are a residual
+    # filter, not a union of three joins (formatted explain names each
+    # node twice: once in the tree, once in its detail section)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "Union" not in plan
+
+
+def test_bloom_prefilter_stays_codegen(spark, sf_dir):
+    plan = _plan(Q.q_text_decontaminate_bloom(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # exact verify join still broadcast
