@@ -1013,6 +1013,33 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_text_vocab_sketch(spark, sf_dir):
+    """Per-source vocabulary size via HLL++ (approx_count_distinct) —
+    the 100 TB way to count distinct tokens: the sketch is a few KB per
+    group and merges map-side, vs an exact countDistinct whose expand +
+    dedup shuffle moves every distinct token once. The exact token total
+    rides along from the same scan. Registered rows-only: Spark's HLL++
+    and DuckDB's sketch give different (both valid) approximations, so
+    there is no cross-engine value identity to hash; the accuracy bound
+    (≤5% rsd vs exact at test scale) is asserted in
+    tests/test_training_ops.py instead."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.approx_count_distinct("term", rsd=0.02).alias("approx_vocab"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_text_rollup_stats(spark, sf_dir):
     """Corpus subtotals with ROLLUP (source, lang) -> per-pair, per-source
     and grand-total rows in one pass — partial aggregation covers all
@@ -2403,6 +2430,7 @@ QUERIES = {
     "text_corpus_stats": q_text_corpus_stats,
     "text_rollup_stats": q_text_rollup_stats,
     "text_cube_stats": q_text_cube_stats,
+    "text_vocab_sketch": q_text_vocab_sketch,
     "sample_stratified": q_sample_stratified,
     "text_quantile_filter": q_text_quantile_filter,
     "text_top_terms": q_text_top_terms,

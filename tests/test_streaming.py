@@ -423,3 +423,65 @@ def test_streaming_hygiene_gates_match_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = {(r.doc_id, r.text) for r in spark.read.parquet(target).collect()}
     assert got == expected
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """The Bloom filter is built ONCE batch-side from the eval split and
+    then gates every micro-batch (probe + exact verify are stateless per
+    batch), so the streamed union must equal the batch decontaminate
+    result — the deployment shape for decontaminating a live ingest
+    feed against a fixed benchmark suite."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import bloom, dedup
+    from scicat_ingestor_spark.streaming.pipeline import run_ingest_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams = dedup.word_shingles(F.col("text"), n=4)
+    eval_grams = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    words, m_bits, k = bloom.build(eval_grams, "gram")
+
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    expected = {
+        (r.doc_id, r.n_hits)
+        for r in bloom.probe(
+            corpus.select("doc_id", F.explode(grams).alias("gram")),
+            "gram", words, m_bits, k,
+        )
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .collect()
+    }
+
+    src = str(tmp_path / "src")
+    corpus.repartition(3).write.parquet(src)
+    target = str(tmp_path / "out")
+
+    def transform(batch):
+        g = batch.select("doc_id", F.explode(grams).alias("gram"))
+        return (
+            bloom.probe(g, "gram", words, m_bits, k)
+            .join(F.broadcast(eval_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(target)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_ingest_stream(
+        stream, transform, sink, str(tmp_path / "ck"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    got = {(r.doc_id, r.n_hits) for r in spark.read.parquet(target).collect()}
+    assert got == expected

@@ -295,3 +295,31 @@ def test_bloom_prefilter_exact_and_shrinking(spark, sf_dir):
     assert sorted(map(tuple, exact.collect())) == sorted(
         map(tuple, via_bloom.collect())
     )
+
+
+def test_vocab_sketch_within_rsd_of_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.queries import QUERIES, _t
+
+    approx = {
+        r["source"]: r["approx_vocab"]
+        for r in QUERIES["text_vocab_sketch"](spark, sf_dir).collect()
+    }
+    docs = _t(spark, sf_dir, "documents")
+    exact = {
+        r["source"]: r["v"]
+        for r in docs.select(
+            "source",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("term").alias("v"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for src, v in exact.items():
+        # 2% rsd design point; 5% gives headroom against HLL tail luck
+        assert abs(approx[src] - v) <= max(2, 0.05 * v), (src, approx[src], v)
