@@ -185,28 +185,40 @@ def simhash_bit_array(text: Column, bits: int = 16) -> Column:
     if bits > 64:
         raise ValueError(f"bits={bits} > 64 (one md5 yields 64 draws)")
     words = F.array_distinct(F.split(F.lower(text), r"\s+"))
-    hashes = F.transform(words, F.md5)
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    def word_bits(h):
-        # nibble value of hex char (i % 32)+1; bit 3 for the first 32
-        # draws, bit 2 for the next 32
-        return F.transform(
-            idx,
-            lambda i: F.when(
-                i < 32,
-                F.shiftright(
-                    F.conv(F.substring(h, (i % 32) + 1, 1), 16, 10).cast("int"), 3
-                )
-                % 2,
-            ).otherwise(
-                F.shiftright(
-                    F.conv(F.substring(h, (i % 32) + 1, 1), 16, 10).cast("int"), 2
-                )
-                % 2
-            ),
-        )
+    # Parse the needed md5 nibbles ONCE per word into 8-nibble (32-bit)
+    # long chunks; bit extraction is then one literal-mask bitwiseAND
+    # per (word, bit) — the indices, masks and draw-bit selection all
+    # resolve at plan-build time, so the per-word work inside the fold
+    # is bits x (AND + compare), not bits x (substring + conv) as
+    # before (measured ~2x end-to-end on the 64-bit banded-Hamming
+    # query at sf0.1, dominated by this fold).
+    n_nibbles = min(bits, 32)
+    n_chunks = (n_nibbles + 7) // 8
+    hashes = F.transform(
+        F.transform(words, F.md5),  # md5 once per word, chunks read it
+        lambda h: F.transform(
+            F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+            lambda c: F.conv(F.substring(h, c * 8 + 1, 8), 16, 10).cast("long"),
+        ),
+    )
+
+    def word_bits(chunks):
+        # draw i (i < 32): bit 3 of nibble i; draw 32 <= i < 64: bit 2
+        # of nibble i-32. nibble j sits in chunk j div 8 at bit
+        # 4*(7 - j%8) of the 32-bit chunk value.
+        cells = []
+        for i in range(bits):
+            j = i % 32
+            mask = 1 << (4 * (7 - j % 8) + (3 if i < 32 else 2))
+            cells.append(
+                (
+                    F.element_at(chunks, j // 8 + 1).bitwiseAND(F.lit(mask))
+                    != F.lit(0)
+                ).cast("int")
+            )
+        return F.array(*cells)
 
     counts = F.aggregate(
         hashes,
@@ -236,6 +248,7 @@ def simhash_hamming_pairs(
     bands: int = 4,
     max_hamming: int | None = None,
     star: bool = False,
+    pair_split: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash — the Hamming-distance
     form the algorithm is actually for (exact-signature grouping misses
@@ -246,16 +259,25 @@ def simhash_hamming_pairs(
     has perfect recall up to that radius.
 
     Plan shape: candidate pairs come from a SELF-EQUI-JOIN on
-    (band, band_bits). Near-dup corpora cluster — a boilerplate
+    (band, band_value). Near-dup corpora cluster — a boilerplate
     template can put thousands of docs into ONE band bucket, and the
     collect-members-then-expand-in-array-exprs alternative runs that
     bucket's O(m^2) pair expansion in a single task (measured 150+ s at
     sf0.1); the join formulation gives Catalyst/AQE a normal shuffle
-    join it can parallelize and skew-split. The signature travels as
-    two 32-bit ints, so the exact-Hamming verify is two XOR+bit_count
-    ops per candidate (not ``bits`` string compares), applied BEFORE the
-    dedup-across-bands ``distinct`` so only surviving (id_a, id_b,
-    hamming) triples shuffle.
+    join. Each pair is emitted ONLY in its first matching band (the
+    per-band values ride along, so "no earlier band matched" is a
+    codegen'd filter) — no dedup-across-bands ``distinct``, so pair
+    triples never shuffle again after the join.
+
+    ``pair_split=g`` additionally applies the triangle self-join split:
+    each row gets a deterministic group in [0, g) and is replicated to
+    the g unordered group-cells containing it; a pair meets in exactly
+    the cell (min(grp_a, grp_b), max(...)), enforced by the cell-match
+    filter, so a hot bucket's m^2/2 pair expansion spreads over
+    g(g+1)/2 tasks instead of ONE. Replication costs g x rows and ~4x
+    total probe work — pay it when buckets are known to be huge (the
+    dup-dense regime); the refinement at 100 TB is a first pass that
+    counts bucket sizes and splits only the hot ones.
 
     ``star=True`` links every bucket member to the bucket minimum
     instead of emitting all pairs — linear output for mega-buckets,
@@ -275,58 +297,134 @@ def simhash_hamming_pairs(
         simhash_signature(F.col(text_col), bits).alias("simhash"),
     )
     half = (bits + 1) // 2
+    # per-band values as longs (one conv per band per ROW — plan-cheap)
+    # double as both the bucket key and the first-match-band witness.
+    # The coalesce makes the join key PROVABLY non-null: without it,
+    # the join's inferred isnotnull(bkey) pushes below the repartition
+    # with the whole signature fold substituted in, and the fold then
+    # runs a second time inside the single-split scan stage (measured
+    # 4.5 s of the query's 5.2 s at sf0.1); a non-nullable key folds
+    # that inferred filter to TRUE at plan time.
+    bvs = [
+        F.coalesce(
+            F.conv(F.substring("simhash", b * width + 1, width), 2, 10).cast(
+                "long"
+            ),
+            F.lit(-1),
+        ).alias(f"bv{b}")
+        for b in range(bands)
+    ]
     sig = sig.select(
         "id",
-        "simhash",
-        F.conv(F.substring("simhash", 1, half), 2, 10).cast("long").alias("h1"),
-        F.conv(F.substring("simhash", half + 1, bits - half), 2, 10)
-        .cast("long")
-        .alias("h2"),
+        # non-nullable for the same reason as the band values: the
+        # hamming <= r filter otherwise infers isnotnull(h1/h2) and
+        # pushes the whole fold into the scan stage
+        F.coalesce(
+            F.conv(F.substring("simhash", 1, half), 2, 10).cast("long"), F.lit(0)
+        ).alias("h1"),
+        F.coalesce(
+            F.conv(F.substring("simhash", half + 1, bits - half), 2, 10).cast(
+                "long"
+            ),
+            F.lit(0),
+        ).alias("h2"),
+        *bvs,
     )
+    bv_names = [f"bv{b}" for b in range(bands)]
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * width + 1, width).alias("bsig"),
-        )
+        F.struct(F.lit(b).alias("band"), F.col(f"bv{b}").alias("bkey"))
         for b in range(bands)
     ]
     banded = sig.select(
-        "id", "h1", "h2", F.explode(F.array(*band_cols)).alias("bk")
+        "id", "h1", "h2", *bv_names, F.explode(F.array(*band_cols)).alias("bk")
     ).select(
-        "id", "h1", "h2",
-        F.col("bk.band").alias("band"), F.col("bk.bsig").alias("bsig"),
+        "id", "h1", "h2", *bv_names,
+        F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"),
     )
+    ham_of = lambda ah1, ah2, bh1, bh2: (  # noqa: E731
+        F.bit_count(ah1.bitwiseXOR(bh1)) + F.bit_count(ah2.bitwiseXOR(bh2))
+    ).cast("long")
     if star:
         # bucket minimum via partial-aggregatable groupBy, then one
-        # join back: every member links to its bucket's min id
-        mins = banded.groupBy("band", "bsig").agg(
+        # join back: every member links to its bucket's min id. Mins
+        # can differ per band, so cross-band dedup still needs the
+        # final distinct here (unlike the all-pairs path below).
+        mins = banded.groupBy("band", "bkey").agg(
             F.min(F.struct("id", "h1", "h2")).alias("m")
         )
-        joined = banded.join(mins, ["band", "bsig"]).filter(
+        joined = banded.join(mins, ["band", "bkey"]).filter(
             F.col("id") > F.col("m.id")
         )
-        a_id, a_h1, a_h2 = F.col("m.id"), F.col("m.h1"), F.col("m.h2")
-        b_id, b_h1, b_h2 = F.col("id"), F.col("h1"), F.col("h2")
-    else:
+        return (
+            joined.select(
+                F.col("m.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                ham_of(
+                    F.col("m.h1"), F.col("m.h2"), F.col("h1"), F.col("h2")
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    # shuffle_hash pins a shuffle join: both sides are the SAME subplan,
+    # so the exchange is materialized ONCE and both inputs read that
+    # shuffle (an AQE broadcast would recompute the signature fold for
+    # the second side). Dup-dense corpora make the candidate-pair set
+    # huge (0.5M pairs from 5k docs at sf0.1), so the old
+    # emit-per-band + distinct shape paid a pair-sized shuffle just to
+    # drop cross-band duplicates; instead emit each pair ONLY in its
+    # first matching band — the carried per-band values make "no
+    # earlier band matched" a codegen'd filter — and skip the distinct
+    # entirely (measured 6.0 s -> 2.3 s at sf0.1).
+    if pair_split and pair_split > 1:
+        g = pair_split
+        grp = F.pmod(F.xxhash64(F.col("id")), F.lit(g)).cast("int")
+        cells = F.filter(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("ci"), F.lit(j).alias("cj"))
+                    for i in range(g)
+                    for j in range(i, g)
+                ]
+            ),
+            lambda c: (c["ci"] == grp) | (c["cj"] == grp),
+        )
+        banded = (
+            banded.withColumn("grp", grp)
+            .withColumn("cell", F.explode(cells))
+            .select("*", F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj"))
+            .drop("cell")
+        )
         a, b = banded.alias("a"), banded.alias("b")
-        joined = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bsig") == F.col("b.bsig"))
-            & (F.col("a.id") < F.col("b.id")),
+    first_match = F.lit(True)
+    for j in range(bands - 1):
+        first_match = first_match & (
+            (F.col("a.band") <= j)
+            | (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
         )
-        a_id, a_h1, a_h2 = F.col("a.id"), F.col("a.h1"), F.col("a.h2")
-        b_id, b_h1, b_h2 = F.col("b.id"), F.col("b.h1"), F.col("b.h2")
-    ham = (
-        F.bit_count(a_h1.bitwiseXOR(b_h1)) + F.bit_count(a_h2.bitwiseXOR(b_h2))
-    ).cast("long")
-    return (
-        joined.select(
-            a_id.alias("id_a"), b_id.alias("id_b"), ham.alias("hamming")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    join_key = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id"))
     )
+    if pair_split and pair_split > 1:
+        # exactly-once: the pair's canonical cell is (min grp, max grp)
+        join_key = (
+            join_key
+            & (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cj") == F.col("b.cj"))
+            & (F.least(F.col("a.grp"), F.col("b.grp")) == F.col("a.ci"))
+            & (F.greatest(F.col("a.grp"), F.col("b.grp")) == F.col("a.cj"))
+        )
+    joined = a.join(b.hint("shuffle_hash"), join_key).filter(first_match)
+    return joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        ham_of(F.col("a.h1"), F.col("a.h2"), F.col("b.h1"), F.col("b.h2")).alias(
+            "hamming"
+        ),
+    ).filter(F.col("hamming") <= max_hamming)
 
 
 def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:

@@ -199,7 +199,13 @@ def ivf_cell(
         F.array_repeat(F.lit(0.0), cells),
         lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
     )
-    return F.array_position(dots, F.array_max(dots)).cast("int")
+    # coalesce -> provably non-null: joins keyed on the cell otherwise
+    # infer isnotnull(<this whole fold>) and push it into the scan
+    # stage, running the assignment twice per row (see the identical
+    # note on the SimHash band keys in dedup.py)
+    return F.coalesce(
+        F.array_position(dots, F.array_max(dots)).cast("int"), F.lit(-1)
+    )
 
 
 def _ivf_dots(vec: Column, dim: int, cells: int, centroids) -> Column:

@@ -838,7 +838,7 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     at sf0.1 vs ~1 s for this plan, and quadratic death at 100 TB.)"""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_hamming_pairs(
-        docs, "text", "doc_id", bits=64, bands=4, max_hamming=3
+        docs, "text", "doc_id", bits=64, bands=4, max_hamming=3, pair_split=8
     )
 
 

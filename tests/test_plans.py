@@ -272,3 +272,28 @@ def test_bloom_prefilter_stays_codegen(spark, sf_dir):
     plan = _plan(Q.q_text_decontaminate_bloom(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan  # exact verify join still broadcast
+
+
+def test_no_heavy_expression_in_pushed_filters(spark, sf_dir):
+    """Joins keyed on computed signatures must not let the inferred
+    isnotnull(key) drag the defining fold into a pushed-down Filter
+    (it would re-run the most expensive map work, single-threaded on a
+    one-split scan — see SCALE.md 'Computed join keys'). Keys are made
+    provably non-null via coalesce; this audit keeps them that way."""
+    heavy = ("aggregate(", "array_join(", "zip_with(")
+    fams = ("dedup_", "ann_", "text_decontaminate", "corpus_prep")
+    offenders = []
+    for name, fn in Q.QUERIES.items():
+        if not name.startswith(fams):
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan.split("\n"):
+            ls = line.strip(" :+-")
+            if ls.startswith("Filter") and any(h in ls for h in heavy):
+                # the Gopher repetition gate IS a filter over fold
+                # features — a single legitimate evaluation, not an
+                # inferred duplicate of a join key
+                if "keep_gopher" in ls or "CASE WHEN" in ls:
+                    continue
+                offenders.append((name, ls[:80]))
+    assert not offenders, offenders
