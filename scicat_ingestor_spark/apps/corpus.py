@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from scicat_ingestor_spark.operators import dedup, text
+from scicat_ingestor_spark.operators.util import gate
 
 STAGES = ("quality", "decontaminate", "dedup", "pack")
 # the full published-pipeline order: repetition gate (Gopher) on raw
@@ -54,11 +55,13 @@ def prep_corpus(
         eval_docs = docs.filter(F.col("doc_id") % eval_mod == 0)
         out = out.filter(F.col("doc_id") % eval_mod != 0)
     if "repetition" in stages:
-        out = out.filter(text.repetition_features(F.col("text"))["keep_gopher"])
+        # gate() pins the heavy regex filter above the parallelism
+        # repartition (see operators/util.gate)
+        out = gate(out, text.repetition_features(F.col("text"))["keep_gopher"])
     if "pii" in stages:
         out = out.withColumn("text", text.pii_scrub(F.col("text")))
     if "quality" in stages:
-        out = out.filter(toks >= min_tokens)
+        out = gate(out, toks >= min_tokens)
     if "linededup" in stages:
         # C4-style global line dedup: keep each non-empty trimmed line at
         # its first corpus occurrence, rebuild the document from the

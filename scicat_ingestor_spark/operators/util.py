@@ -22,6 +22,31 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def gate(df: DataFrame, cond) -> DataFrame:
+    """Apply a CPU-heavy filter WITHOUT letting predicate pushdown sink
+    it below a parallelism-restoring repartition.
+
+    Catalyst pushes deterministic filters through Repartition to shrink
+    shuffle bytes — the right call for cheap predicates, but a text
+    hygiene gate (regex folds over every line of every document) is
+    compute-bound: pushing it below ``ensure_parallelism`` runs it
+    inside the one-task scan stage of a single-split file (measured
+    2.9 s of corpus_prep_full_e2e's 6.3 s at sf0.1). The always-true
+    ``spark_partition_id() >= 0`` conjunct marks the predicate
+    partition-dependent, pinning the filter exactly where it is
+    written. Nothing is lost at scale: predicates this complex never
+    qualify for parquet PushedFilters, and when the scan is already
+    parallel ``ensure_parallelism`` adds no repartition to sink below.
+    Row results are unaffected (the conjunct is tautological).
+
+    The tautology must live INSIDE one non-splittable expression: a
+    plain ``cond & (pid >= 0)`` is a conjunction Catalyst breaks apart,
+    pushing the deterministic half anyway."""
+    return df.filter(
+        F.when(cond, F.spark_partition_id() >= 0).otherwise(F.lit(False))
+    )
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

@@ -38,6 +38,9 @@ _FACT_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    # keep byte-small but CPU-heavy shuffle outputs parallel (see the
+    # matching note in session.py)
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 def _ensure_confs(spark: SparkSession) -> None:
     if getattr(spark, "_scicat_confs_applied", False):

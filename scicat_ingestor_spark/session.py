@@ -29,6 +29,14 @@ def get_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is byte-targeted; text pipelines are CPU-heavy
+        # per byte, and the default 1 MB floor can collapse a
+        # small-bytes shuffle feeding expensive per-row work onto ONE
+        # task (controlled sweep at sf0.1: corpus_prep_full_e2e 4.0 s
+        # at 1m / 2.5 s at 256k / 2.1 s at 64k; iterative
+        # connected-components unchanged within noise). A no-op at
+        # scale, where real partitions dwarf the floor.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
