@@ -1217,3 +1217,19 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
         AND l_quantity BETWEEN 20 AND 30)
 """
+
+ORACLES["text_tfidf_top"] = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> ''
+  GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df_docs,
+  round(tf * ln(n_docs / CAST(df_docs AS DOUBLE)), 6) AS tfidf
+FROM tf JOIN dfq USING (term) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id ASC, term ASC
+LIMIT 20
+"""

@@ -1173,6 +1173,41 @@ def q_text_top_terms(spark, sf_dir):
     )
 
 
+def q_text_tfidf_top(spark, sf_dir):
+    """TF-IDF salience: term frequency per (doc, term), document
+    frequency per term, idf = ln(N/df) with N carried as a broadcast
+    1-row aggregate (no driver-side count, one corpus pass feeds both
+    aggregations). Top-20 doc-term pairs with deterministic tiebreak —
+    a TakeOrdered, never a global sort. The idf product is rounded to 6
+    decimals so both engines' libm ln agree bit-for-bit after rounding
+    (same recipe as the avg/money columns)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_docs")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(20)
+    )
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the eval split's word 4-grams form a
     small reference set (eval splits are MBs even when the corpus is
@@ -2437,6 +2472,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "text_quantile_filter": q_text_quantile_filter,
     "text_top_terms": q_text_top_terms,
+    "text_tfidf_top": q_text_tfidf_top,
     "text_decontaminate": q_text_decontaminate,
     "text_decontaminate_bloom": q_text_decontaminate_bloom,
     "pack_sequences": q_pack_sequences,
