@@ -162,6 +162,26 @@ def centroid_weights(c: int, dim: int) -> list[float]:
     ]
 
 
+def cell_from_transposed(vec: Column, transposed: Column, cells: int) -> Column:
+    """ivf_cell's argmax fold with the transposed centroid matrix read
+    from a COLUMN instead of a literal. train_centroids feeds each
+    iteration's centroids through a broadcast one-row relation so every
+    iteration reuses the SAME generated code (a literal matrix changes
+    the codegen source per iteration — one Janino compile per Lloyd's
+    step was most of the training wall time)."""
+    prods = F.zip_with(
+        vec, transposed, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
+    )
+    dots = F.aggregate(
+        prods,
+        F.array_repeat(F.lit(0.0), cells),
+        lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+    )
+    return F.coalesce(
+        F.array_position(dots, F.array_max(dots)).cast("int"), F.lit(-1)
+    )
+
+
 def ivf_cell(
     vec: Column,
     dim: int,
@@ -185,11 +205,11 @@ def ivf_cell(
     if centroids is None:
         centroids = [centroid_weights(c, dim) for c in range(cells)]
     cells = len(centroids)
-    transposed = F.array(
-        *[
-            F.array(*[F.lit(centroids[c][d]) for c in range(cells)])
-            for d in range(dim)
-        ]
+    # ONE nested-array literal, not dim x cells F.lit() calls: the py4j
+    # round-trips of the element-wise form dominated trained-IVF plan
+    # build (k-means rebuilds this matrix every iteration)
+    transposed = F.lit(
+        [[float(centroids[c][d]) for c in range(cells)] for d in range(dim)]
     )
     prods = F.zip_with(
         vec, transposed, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
@@ -212,11 +232,11 @@ def _ivf_dots(vec: Column, dim: int, cells: int, centroids) -> Column:
     if centroids is None:
         centroids = [centroid_weights(c, dim) for c in range(cells)]
     cells = len(centroids)
-    transposed = F.array(
-        *[
-            F.array(*[F.lit(centroids[c][d]) for c in range(cells)])
-            for d in range(dim)
-        ]
+    # ONE nested-array literal, not dim x cells F.lit() calls: the py4j
+    # round-trips of the element-wise form dominated trained-IVF plan
+    # build (k-means rebuilds this matrix every iteration)
+    transposed = F.lit(
+        [[float(centroids[c][d]) for c in range(cells)] for d in range(dim)]
     )
     prods = F.zip_with(
         vec, transposed, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
@@ -275,9 +295,17 @@ def train_centroids(
     import math
 
     cents = [centroid_weights(c, dim) for c in range(k)]
+    spark = vectors.sparkSession
     for _ in range(iterations):
-        assigned = vectors.select(
-            ivf_cell(F.col(vec_col), dim, centroids=cents).alias("cell"),
+        # centroids ride in a broadcast one-row relation, not literals:
+        # identical generated code every iteration (JIT once), only the
+        # relation's data changes
+        trow = spark.createDataFrame(
+            [([[float(cents[c][d]) for c in range(k)] for d in range(dim)],)],
+            "t array<array<double>>",
+        )
+        assigned = vectors.crossJoin(F.broadcast(trow)).select(
+            cell_from_transposed(F.col(vec_col), F.col("t"), k).alias("cell"),
             F.posexplode(F.col(vec_col)).alias("pos", "val"),
         )
         rows = assigned.groupBy("cell", "pos").agg(F.avg("val").alias("m")).collect()
