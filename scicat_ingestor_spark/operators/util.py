@@ -138,3 +138,29 @@ def write_sorted(
         else df.repartitionByRange(range_col)
     )
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning (`partitionBy`) — the coarse
+    sibling of `write_sorted`'s range files: a reader filtering on the
+    partition column gets PLANNING-TIME pruning (`PartitionFilters` on
+    the scan — directories never listed), which is the first lever for
+    100 TB time-series layouts (events by day, corpus by source/snapshot).
+
+    The pre-shuffle on the partition columns makes each write task own
+    whole partitions: without it every task writes a sliver of every
+    directory — files = tasks x partitions, the metadata explosion that
+    kills object-store listings.
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    (
+        df.repartition(*[F.col(c) for c in cols])
+        .write.mode(mode)
+        .partitionBy(*cols)
+        .parquet(path)
+    )

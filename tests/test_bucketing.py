@@ -128,3 +128,30 @@ def test_write_sorted_enables_range_pruning(spark, sf_dir, tmp_path):
         == sorted(pq.read_table(f, columns=["l_orderkey"]).column("l_orderkey").to_pylist())
         for f in files
     )
+
+
+def test_write_partitioned_prunes_partitions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators.util import write_partitioned
+    from scicat_ingestor_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_partitioned(ev, out, "event_date")
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # pruning happens at PLANNING time: the partition filter is on the
+    # scan, and the data filter list stays empty (nothing row-level)
+    assert "PartitionFilters: [isnotnull(event_date" in plan
+    # correctness: partition-pruned read equals a full-scan filter
+    full = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert one_day.count() == full
+    # layout: one directory per day, each holding whole-partition files
+    days = [p.name for p in (tmp_path / "events_by_day").iterdir()
+            if p.name.startswith("event_date=")]
+    assert len(days) >= 5
