@@ -987,9 +987,13 @@ def _recall_oracle() -> str:
             ("lsh", "ann_lsh_topk"),
             ("ivf", "ann_ivf_topk"),
             ("ivf_nprobe", "ann_ivf_nprobe_topk"),
+            # present only once ann_pq_topk's oracle is registered (the
+            # final _recall_oracle() re-binding at the end of this file)
+            *((("pq", "ann_pq_topk"),) if "ann_pq_topk" in ORACLES else ()),
         )
     ]
     approx_union = "\nUNION ALL\n".join(parts)
+    pq_val = ", ('pq')" if "ann_pq_topk" in ORACLES else ""
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["ann_cosine_topk"]})),
 ap AS ({approx_union}),
@@ -997,7 +1001,7 @@ hit AS (SELECT ap.method, ap.query_id, count(*) AS n_hit
         FROM ap JOIN exact USING (query_id, neighbor_id)
         GROUP BY ap.method, ap.query_id),
 base AS (SELECT m.method, e.query_id, count(*) AS n_exact
-         FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivf_nprobe')) m(method)
+         FROM exact e CROSS JOIN (VALUES ('lsh'), ('ivf'), ('ivf_nprobe'){pq_val}) m(method)
          GROUP BY m.method, e.query_id)
 SELECT b.method, b.query_id, b.n_exact,
   CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
@@ -1233,3 +1237,52 @@ FROM tf JOIN dfq USING (term) CROSS JOIN n
 ORDER BY tfidf DESC, doc_id ASC, term ASC
 LIMIT 20
 """
+
+def _pq_sql(col: str, dim: int = 64, m: int = 8, ksub: int = 16):
+    """PQ codes + query dot tables as DuckDB SQL with the SAME codebook
+    constants the Spark plan folds in (operators.similarity.pq_weight)."""
+    from scicat_ingestor_spark.operators.similarity import pq_codebooks
+
+    dsub = dim // m
+    books = pq_codebooks(m, ksub, dsub)
+    code_parts, tbl_parts = [], []
+    for s_ in range(m):
+        sub = f"{col}[{s_ * dsub + 1}:{(s_ + 1) * dsub}]"
+        dots = ",".join(
+            "list_dot_product(%s, [%s])" % (sub, ",".join(repr(x) for x in books[s_][c]))
+            for c in range(ksub)
+        )
+        scores = ",".join(
+            "2*list_dot_product(%s, [%s]) - %r"
+            % (sub, ",".join(repr(x) for x in books[s_][c]),
+               sum(x * x for x in books[s_][c]))
+            for c in range(ksub)
+        )
+        code_parts.append(
+            f"CAST(list_position([{scores}], list_max([{scores}])) AS INT)"
+        )
+        tbl_parts.append(f"[{dots}]")
+    return "[%s]" % ",".join(code_parts), "[%s]" % ",".join(tbl_parts)
+
+
+_PQ_CODES, _PQ_TBL = _pq_sql("e")
+
+ORACLES["ann_pq_topk"] = f"""
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+v AS (SELECT vec_id,
+        list_transform(e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
+      FROM v0),
+cd AS (SELECT vec_id, {_PQ_CODES} AS codes FROM v),
+q AS (SELECT vec_id AS query_id, {_PQ_TBL} AS tbl FROM v WHERE vec_id < 3),
+sc AS (SELECT q.query_id, c.vec_id,
+        list_sum(list_transform(range(1, 9), i -> q.tbl[i][c.codes[i]])) AS a
+      FROM cd c CROSS JOIN q),
+r AS (SELECT query_id, vec_id AS neighbor_id, a,
+        row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(a, 6) AS approx_cos, rk AS rank
+FROM r WHERE rk <= 5
+"""
+
+# re-bind now that the PQ oracle exists: recall report covers it too
+ORACLES["ann_recall_report"] = _recall_oracle()

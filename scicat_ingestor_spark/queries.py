@@ -1729,6 +1729,19 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """ANN scale path #3: product quantization with asymmetric-distance
+    scoring — the memory-bound regime. Corpus vectors collapse to m=8
+    one-byte codes (32x smaller than dim=64 floats); each query ships a
+    broadcast m x ksub dot table and candidates cost m lookups instead
+    of dim multiplies. Approximate INNER-PRODUCT ranking (ADC), exact
+    on the query side, quantized on the corpus side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
+    out = similarity.pq_topk(emb, queries, dim=64, k=5, m=8, ksub=16)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_recall_report(spark, sf_dir):
     """Recall@k of each ANN method against the exact brute-force top-k —
     the recall<1 claims measured, not asserted. Diagnostic query: run on
@@ -1744,6 +1757,7 @@ def q_ann_recall_report(spark, sf_dir):
         "lsh": q_ann_lsh_topk,
         "ivf": q_ann_ivf_topk,
         "ivf_nprobe": q_ann_ivf_nprobe_topk,
+        "pq": q_ann_pq_topk,
     }
     approx = reduce(
         lambda a, b: a.unionByName(b),
@@ -2493,6 +2507,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_nprobe_topk": q_ann_ivf_nprobe_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_recall_report": q_ann_recall_report,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "multimodal_features": q_multimodal_features,

@@ -280,3 +280,46 @@ def test_kafka_options_mechanism_module_and_escaping():
 
     with pytest.raises(ValueError, match="sasl_mechanism"):
         kafka_options("b:9092", "t", security={"sasl_mechanism": "GSSAPI"})
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + d) % 5 - 2) for d in range(64)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    coded = df.select(
+        "vec_id",
+        similarity.pq_encode(F.col("embedding"), dim=64, m=8, ksub=16).alias("c"),
+    )
+    rows = {r["vec_id"]: r["c"] for r in coded.collect()}
+    assert all(len(c) == 8 for c in rows.values())
+    assert all(1 <= x <= 16 for c in rows.values() for x in c)
+    # identical vectors -> identical codes (deterministic, no rand)
+    again = {r["vec_id"]: r["c"] for r in coded.collect()}
+    assert rows == again
+
+
+def test_pq_topk_prefers_identical_vector(spark):
+    """ADC with exact query-side tables must rank a vector's own code
+    representation at the top when a duplicate of the query exists."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import similarity
+
+    base = [[float((i * 13 + d * 3) % 7 - 3) for d in range(64)] for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") == 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.pq_topk(df, queries, dim=64, k=3).collect()
+    # the query vector itself shares its codes exactly -> max approx score
+    top = [r for r in out if r["rank"] == 1][0]
+    by_id = {r["neighbor_id"]: r["approx_cos"] for r in out}
+    assert by_id[4] == max(by_id.values())
+    assert top["approx_cos"] >= by_id[4] - 1e-9
