@@ -485,3 +485,58 @@ def test_streaming_bloom_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(180)
     got = {(r.doc_id, r.n_hits) for r in spark.read.parquet(target).collect()}
     assert got == expected
+
+
+def test_watermarked_session_window_matches_batch(spark, sf_dir, tmp_path):
+    """t8_sessionize's streaming form: session_window + watermark merges
+    per-key sessions as state; availableNow + a far-future sentinel
+    closes every real session, so the streamed append output must equal
+    the batch session rollup — the engine's session-state machinery
+    (merge on gap overlap, emit on watermark pass) verified end to end."""
+    src = str(tmp_path / "sw_src")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(2000)
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "bigint":
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    events = events.select("ts", (F.col("user_id") % 20).alias("k"))
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sessions(df):
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy("k", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    out = str(tmp_path / "sw_out")
+    # sentinel far past the watermark: closes all real sessions
+    spark.sql(
+        "select timestamp'2030-01-01' as ts, cast(-1 as long) as k"
+    ).write.mode("append").parquet(src)
+    q = (
+        sessions(spark.readStream.schema(schema).parquet(src))
+        .select("k", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sw_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(out).filter(F.col("k") >= 0).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            sessions(spark.read.parquet(src))
+            .filter(F.col("k") >= 0)
+            .select("k", F.col("w.start").alias("s"), F.col("w.end").alias("e"), "n")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
