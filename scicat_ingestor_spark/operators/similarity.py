@@ -127,15 +127,19 @@ def hyperplane_weights(b: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int = 8) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, bits: int = 8, offset: int = 0
+) -> Column:
     """Deterministic random-hyperplane LSH signature as a bit-string.
 
     Fixed constants folded into the plan: no randomness at runtime,
     identical across retries/engines; one pass over the vector per bit.
+    ``offset`` selects a disjoint plane family — table t of a
+    multi-table index uses offset = t * bits.
     """
     bit_cols = []
     for b in range(bits):
-        weights = hyperplane_weights(b, dim)
+        weights = hyperplane_weights(offset + b, dim)
         proj = F.aggregate(
             F.zip_with(
                 vec,
@@ -413,6 +417,73 @@ def lsh_topk(
         hyperplane_signature(F.col(vec_col), dim, bits).alias("_sig"),
     )
     candidates = sig_v.join(F.broadcast(sig_q), "_sig")
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
+def lsh_multi_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Multi-table LSH ANN: L independent hyperplane tables OR-composed
+    — a candidate qualifies if ANY table's signatures collide. The
+    standard recall lever (miss probability decays as p^L instead of p)
+    at the cost of L signature folds per vector and L-way candidate
+    growth.
+
+    Plan shape: the corpus explodes to (table, sig) rows and the join
+    stays a per-table EQUI-join (an OR of signature equalities would be
+    a nested-loop over the 100 TB side). A pair that collides in
+    several tables is emitted only by its FIRST matching table — both
+    sides carry their full signature arrays, so "no earlier table
+    matched" is a codegen'd filter, and no post-join distinct is needed
+    (same trick as the banded-SimHash pairs)."""
+    sig_arr = lambda col: F.array(  # noqa: E731
+        *[
+            hyperplane_signature(col, dim, bits, offset=t * bits)
+            for t in range(tables)
+        ]
+    )
+    sv = vectors.select(
+        F.col(id_col), F.col(vec_col), sig_arr(F.col(vec_col)).alias("_sigs")
+    ).select(
+        "*", F.posexplode("_sigs").alias("_t", "_sig")
+    )
+    sq = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        sig_arr(F.col(vec_col)).alias("_qsigs"),
+    ).select("*", F.posexplode("_qsigs").alias("_t", "_sig"))
+    first_match = F.lit(True)
+    for t in range(tables - 1):
+        first_match = first_match & (
+            (F.col("_t") <= t)
+            | (F.get(F.col("_sigs"), t) != F.get(F.col("_qsigs"), t))
+        )
+    candidates = sv.join(F.broadcast(sq), ["_t", "_sig"]).filter(first_match)
     scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),

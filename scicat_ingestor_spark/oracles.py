@@ -990,10 +990,16 @@ def _recall_oracle() -> str:
             # present only once ann_pq_topk's oracle is registered (the
             # final _recall_oracle() re-binding at the end of this file)
             *((("pq", "ann_pq_topk"),) if "ann_pq_topk" in ORACLES else ()),
+            *(
+                (("lsh_multi", "ann_lsh_multi_topk"),)
+                if "ann_lsh_multi_topk" in ORACLES
+                else ()
+            ),
         )
     ]
     approx_union = "\nUNION ALL\n".join(parts)
     pq_val = ", ('pq')" if "ann_pq_topk" in ORACLES else ""
+    pq_val += ", ('lsh_multi')" if "ann_lsh_multi_topk" in ORACLES else ""
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["ann_cosine_topk"]})),
 ap AS ({approx_union}),
@@ -1285,4 +1291,46 @@ FROM r WHERE rk <= 5
 """
 
 # re-bind now that the PQ oracle exists: recall report covers it too
+ORACLES["ann_recall_report"] = _recall_oracle()
+
+
+def _multi_sig_cols(col: str, bits: int = 8, tables: int = 4, dim: int = 64) -> list:
+    """One signature expression per table, plane family offset t*bits —
+    identical constants to operators.similarity.lsh_multi_topk."""
+    from scicat_ingestor_spark.operators.similarity import hyperplane_weights
+
+    out = []
+    for t in range(tables):
+        parts = []
+        for b in range(bits):
+            arr = "[" + ",".join(
+                repr(x) for x in hyperplane_weights(t * bits + b, dim)
+            ) + "]"
+            parts.append(
+                f"(CASE WHEN list_dot_product({col}, {arr}) >= 0 THEN '1' ELSE '0' END)"
+            )
+        out.append("||".join(parts))
+    return out
+
+
+_MS = _multi_sig_cols("e")
+_MS_SEL = ",".join(f"{sql} AS g{t}" for t, sql in enumerate(_MS))
+_MS_OR = " OR ".join(f"s.g{t} = q.g{t}" for t in range(len(_MS)))
+
+ORACLES["ann_lsh_multi_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sigv AS (SELECT vec_id, e, {_MS_SEL} FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, g0, g1, g2, g3
+      FROM sigv WHERE vec_id < 3),
+sc AS (SELECT q.query_id, s.vec_id,
+        list_dot_product(s.e, q.qe)
+          / (sqrt(list_dot_product(s.e, s.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM sigv s JOIN q ON ({_MS_OR})),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+"""
+
 ORACLES["ann_recall_report"] = _recall_oracle()

@@ -1729,6 +1729,17 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_lsh_multi_topk(spark, sf_dir):
+    """Multi-table LSH (L=4 OR-composed hyperplane tables): the recall
+    lever of the LSH family — miss probability p^L instead of p — with
+    the corpus join still equi per table and first-match-table dedup in
+    place of a distinct."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
+    out = similarity.lsh_multi_topk(emb, queries, dim=64, k=5, bits=8, tables=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_pq_topk(spark, sf_dir):
     """ANN scale path #3: product quantization with asymmetric-distance
     scoring — the memory-bound regime. Corpus vectors collapse to m=8
@@ -1758,6 +1769,7 @@ def q_ann_recall_report(spark, sf_dir):
         "ivf": q_ann_ivf_topk,
         "ivf_nprobe": q_ann_ivf_nprobe_topk,
         "pq": q_ann_pq_topk,
+        "lsh_multi": q_ann_lsh_multi_topk,
     }
     approx = reduce(
         lambda a, b: a.unionByName(b),
@@ -2508,6 +2520,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_nprobe_topk": q_ann_ivf_nprobe_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_lsh_multi_topk": q_ann_lsh_multi_topk,
     "ann_recall_report": q_ann_recall_report,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
     "multimodal_features": q_multimodal_features,
