@@ -61,7 +61,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_session("bench")
+    # progress bars write pages of \r-noise around the final JSON line;
+    # the round-2 bench artifact was lost to exactly that (the driver's
+    # tail capture truncated the line) — run quiet
+    spark = get_session(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     def run(name: str) -> float:
         t0 = time.perf_counter()
@@ -139,18 +144,27 @@ def main() -> None:
     timings.update(
         {name: round(min(run(name) for _ in range(2)), 4) for name in rest}
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    # durable copy first: the driver's tail capture truncated this line
+    # in round 2, losing every headline timing
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
+    # after stop(): nothing else writes to stdout past this point. The
+    # line is printed TWICE back-to-back so a tail window that cuts into
+    # the first copy still holds the complete second copy (last line).
+    print(line, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -77,13 +77,21 @@ def probe(df: DataFrame, col: str, words: list[int], m_bits: int, k: int) -> Dat
     positives pass (callers verify with an exact join); false negatives
     cannot occur.
     """
-    out = df.withColumn("__bf", F.lit(words))
-    for i, p in enumerate(_positions(F.col(col), m_bits, k)):
-        out = out.withColumn(f"__p{i}", p)
+    # temp names must not collide with caller columns (withColumn would
+    # silently overwrite + drop them): suffix until unique
+    suffix = ""
+    while any(
+        c in df.columns for c in [f"__bf{suffix}", *[f"__p{i}{suffix}" for i in range(k)]]
+    ):
+        suffix += "_"
+    bf, ps = f"__bf{suffix}", [f"__p{i}{suffix}" for i in range(k)]
+    out = df.withColumn(bf, F.lit(words))
+    for name, p in zip(ps, _positions(F.col(col), m_bits, k)):
+        out = out.withColumn(name, p)
     keep = F.lit(True)
-    for i in range(k):
+    for name in ps:
         keep = keep & F.expr(
-            f"(element_at(__bf, CAST(shiftright(__p{i}, 6) AS INT) + 1)"
-            f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT))) != 0"
+            f"(element_at({bf}, CAST(shiftright({name}, 6) AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST({name} % 64 AS INT))) != 0"
         )
-    return out.filter(keep).drop("__bf", *[f"__p{i}" for i in range(k)])
+    return out.filter(keep).drop(bf, *ps)

@@ -96,6 +96,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     rows_per_band: int = 2,
     star: bool = False,
+    star_strategy: str = "window",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -115,9 +116,14 @@ def minhash_lsh_pairs(
     O(n) edges per bucket instead of O(n^2), with identical connected
     components (a clique and its star have the same reachability). This
     is the scale path for feeding dedup_clusters: a mega-bucket of 100k
-    identical documents yields 1e5 edges, not 5e9. The bucket minimum
-    comes from a partial-aggregatable groupBy + one join back, so even
-    the mega-bucket never sits in one task's memory.
+    identical documents yields 1e5 edges, not 5e9.
+
+    star_strategy picks how the bucket minimum is computed:
+    "window" (default) — unbounded window min inside the single bucket
+    shuffle; "join" — partial-aggregated groupBy min + exchange-reused
+    shuffle join back, the AQE-skew-splittable fallback for buckets hot
+    enough that even linear single-task processing straggles. Both emit
+    identical rows.
     """
     num_hashes = bands * rows_per_band
     # two-step select: materialize the digest array in its own projection —
@@ -143,9 +149,36 @@ def minhash_lsh_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
     if star:
+        if star_strategy == "window":
+            # ONE shuffle of the bucket stream: unbounded window min
+            # computes the bucket representative in the same exchange
+            # that co-locates the bucket — no second read of the
+            # signature pipeline, no join. A mega-bucket is a single
+            # window partition, but the work is linear and WindowExec
+            # spills its row buffer, so this is the default. (A/B at
+            # sf0.1: 2.65 s vs 4.05 s for the join form on
+            # dedup_clusters end-to-end.)
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy("band", "sig")
+            return (
+                buckets.withColumn("_min_id", F.min(id_col).over(w))
+                .filter(F.col(id_col) > F.col("_min_id"))
+                .select(
+                    F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b")
+                )
+                .distinct()
+            )
+        # star_strategy="join": partial-aggregated groupBy min + join
+        # back. Pays a second exchange read + join, but the join is
+        # AQE-skew-splittable — prefer it when ONE bucket is so hot
+        # that even linear single-task window processing straggles.
+        # shuffle_hash pins exchange reuse (an AQE broadcast of mins
+        # would leave the buckets side unshuffled but recompute the
+        # signature fold for the mins aggregation).
         mins = buckets.groupBy("band", "sig").agg(F.min(id_col).alias("_min_id"))
         return (
-            buckets.join(mins, ["band", "sig"])
+            buckets.hint("shuffle_hash").join(mins, ["band", "sig"])
             .filter(F.col(id_col) > F.col("_min_id"))
             .select(
                 F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b")
@@ -289,6 +322,14 @@ def simhash_hamming_pairs(
     """
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if star and pair_split and pair_split > 1:
+        # pair_split spreads the all-PAIRS expansion; star mode never
+        # expands pairs (linear bucket-min edges), so the combination is
+        # a caller mistake — fail loudly instead of silently ignoring it
+        raise ValueError(
+            "pair_split applies to all-pairs mode only; star=True emits "
+            "linear bucket-min edges and has no pair expansion to split"
+        )
     if max_hamming is None:
         max_hamming = bands - 1
     width = bits // bands

@@ -591,7 +591,13 @@ def pq_codebooks(
     ]
 
 
-def pq_encode(vec: Column, dim: int, m: int = 8, ksub: int = 16) -> Column:
+def pq_encode(
+    vec: Column,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    books: list[list[list[float]]] | None = None,
+) -> Column:
     """PQ codes for a vector: split into m subspaces of dim/m coords,
     each subspace mapped to its nearest codebook entry
     (argmin L2 == argmax 2*dot - ||cb||^2, codebook norms folded as
@@ -607,7 +613,9 @@ def pq_encode(vec: Column, dim: int, m: int = 8, ksub: int = 16) -> Column:
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
-    books = pq_codebooks(m, ksub, dsub)
+    if books is None:
+        books = pq_codebooks(m, ksub, dsub)
+    ksub = len(books[0])
     # unit-normalize first: approximate IP over unit vectors == cosine,
     # matching the metric every other ANN path ranks by
     unit = F.transform(vec, lambda x: x.cast("double") / norm(vec))
@@ -636,41 +644,16 @@ def pq_encode(vec: Column, dim: int, m: int = 8, ksub: int = 16) -> Column:
     return F.array(*codes)
 
 
-def pq_topk(
-    vectors: DataFrame,
-    queries: DataFrame,
-    dim: int,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    query_id_col: str = "query_id",
-    k: int = 5,
-    m: int = 8,
-    ksub: int = 16,
-) -> DataFrame:
-    """Asymmetric-distance (ADC) PQ top-k: the corpus is scanned as
-    codes only; each query precomputes its m x ksub dot-product table
-    (broadcast — queries are few), and a candidate's approximate inner
-    product is m table lookups summed. Exact per-subspace query dots,
-    quantized corpus — the classic ADC recipe (Jegou et al., PAMI'11).
-
-    Plan: encode = computed column (no corpus shuffle), score = cross
-    join against the broadcast query table, top-k per query via a rank
-    window over the tiny (corpus x n_queries) candidate set — at real
-    scale the window input is cut first by an IVF cell probe (compose
-    with ivf_topk's cell join); here the full scan IS the baseline.
-
-    Returns (query_id, neighbor_id, approx_ip, rank)."""
-    dsub = dim // m
-    books = pq_codebooks(m, ksub, dsub)
-    coded = vectors.select(
-        F.col(id_col), pq_encode(F.col(vec_col), dim, m, ksub).alias("_codes")
-    )
-    qunit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
-    )
+def _adc_tables(
+    unit_vec: Column, m: int, dsub: int, books: list[list[list[float]]]
+) -> Column:
+    """Per-query ADC dot tables: array of m rows, row s = exact dot of
+    the query's s-th (unit-normalized) subvector with each of the ksub
+    codebook entries — one m x ksub lookup table per query."""
+    ksub = len(books[0])
     tbl_rows = []
     for s in range(m):
-        sub = F.slice(qunit, s * dsub + 1, dsub)
+        sub = F.slice(unit_vec, s * dsub + 1, dsub)
         t = F.lit(
             [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
         )
@@ -684,23 +667,271 @@ def pq_topk(
                 lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
             )
         )
-    qt = queries.select(
-        F.col(query_id_col), F.array(*tbl_rows).alias("_tbl")
-    )
-    approx = F.aggregate(
-        F.zip_with(
-            F.col("_codes"),
-            F.col("_tbl"),
-            lambda code, row: F.get(row, code - 1),
-        ),
+    return F.array(*tbl_rows)
+
+
+def _adc_score(codes: Column, tbl: Column) -> Column:
+    """Sum of m table lookups — the ADC approximate inner product.
+    Sentinel codes (-1, degenerate vectors) look up NULL and null the
+    whole score; callers rank with desc_nulls_last so they sort below
+    every scored candidate by design."""
+    return F.aggregate(
+        F.zip_with(codes, tbl, lambda code, row: F.get(row, code - 1)),
         F.lit(0.0),
         lambda a, b: a + b,
     )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k: the corpus is scanned as
+    codes only; each query precomputes its m x ksub dot-product table
+    (broadcast — queries are few), and a candidate's approximate inner
+    product is m table lookups summed. Exact per-subspace query dots,
+    quantized corpus — the classic ADC recipe (Jegou et al., PAMI'11).
+
+    Plan: encode = computed column (no corpus shuffle), score = cross
+    join against the broadcast query table, top-k per query via a rank
+    window over the tiny (corpus x n_queries) candidate set — at real
+    scale the window input is cut first by an IVF cell probe
+    (:func:`ivf_pq_topk` is that composition); here the full scan IS
+    the baseline.
+
+    Degenerate corpus vectors (null / empty / zero-norm) encode to the
+    -1 sentinel code; their table lookup is NULL, so the summed approx
+    score is NULL and the explicit nulls-last ordering ranks them below
+    every real candidate BY DESIGN — they can never displace a scored
+    neighbor from the top-k.
+
+    Returns (query_id, neighbor_id, approx_ip, rank)."""
+    dsub = dim // m
+    if books is None:
+        books = pq_codebooks(m, ksub, dsub)
+    ksub = len(books[0])
+    coded = vectors.select(
+        F.col(id_col),
+        pq_encode(F.col(vec_col), dim, m, ksub, books).alias("_codes"),
+    )
+    qunit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+    )
+    qt = queries.select(
+        F.col(query_id_col), _adc_tables(qunit, m, dsub, books).alias("_tbl")
+    )
+    approx = _adc_score(F.col("_codes"), F.col("_tbl"))
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("_approx"), F.asc("neighbor_id")
+        F.desc_nulls_last("_approx"), F.asc("neighbor_id")
     )
     return (
         coded.crossJoin(F.broadcast(qt))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            approx.alias("_approx"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            F.round("_approx", 6).alias("approx_cos"),
+            "rank",
+        )
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    iterations: int = 5,
+    tol: float = 1e-4,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means for PQ codebooks — the production recall
+    path the fixed md5 codebooks stand in for (pq_codebooks measured
+    recall@5 0.27 on the sf0.1 embeddings; trained codebooks adapt the
+    cells to the actual subvector distribution).
+
+    Same cluster shape as :func:`train_centroids`: per Lloyd's
+    iteration, ONE job covering ALL m subspaces — assignment is a
+    computed column (argmin L2 == argmax 2*dot - ||cb||^2, identical to
+    pq_encode's rule), each row explodes to its m (subspace, code,
+    subvector) cells, then posexplode + groupBy(s, code, pos) partial-
+    aggregates map-side, so the shuffle carries ~m*ksub*dsub rows per
+    input partition regardless of corpus size. Codebook entries are
+    plain means (no renormalize — PQ entries need not be unit); the
+    m*ksub*dsub means come back to the driver and fold into the next
+    iteration's plan. The codebook tensor rides a broadcast one-row
+    relation so every iteration reuses the SAME generated code (the
+    literal-matrix form recompiles Janino per iteration — the measured
+    k-means pitfall in SCALE.md). Deterministic init (fixed scaled md5
+    codebooks), exact means — results are data-dependent plan constants,
+    so queries built on them register rows-only, like trained IVF.
+    """
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    books = pq_codebooks(m, ksub, dsub)
+    spark = vectors.sparkSession
+    for _ in range(iterations):
+        trow = spark.createDataFrame(
+            [(
+                [
+                    [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
+                    for s in range(m)
+                ],
+                [
+                    [float(sum(x * x for x in books[s][c])) for c in range(ksub)]
+                    for s in range(m)
+                ],
+            )],
+            "t array<array<array<double>>>, n2 array<array<double>>",
+        )
+        unit = F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+        )
+        per_sub = []
+        for s in range(m):
+            sub = F.slice(unit, s * dsub + 1, dsub)
+            ts = F.element_at(F.col("t"), s + 1)
+            prods = F.zip_with(
+                sub, ts, lambda x, ws: F.transform(ws, lambda w: x * w)
+            )
+            dots = F.aggregate(
+                prods,
+                F.array_repeat(F.lit(0.0), ksub),
+                lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+            )
+            scores = F.zip_with(
+                dots, F.element_at(F.col("n2"), s + 1), lambda dd, nn: dd * 2 - nn
+            )
+            per_sub.append(
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.coalesce(
+                        F.array_position(scores, F.array_max(scores)).cast("int"),
+                        F.lit(-1),
+                    ).alias("code"),
+                    sub.alias("sub"),
+                )
+            )
+        exploded = vectors.crossJoin(F.broadcast(trow)).select(
+            F.explode(F.array(*per_sub)).alias("e")
+        )
+        rows = (
+            exploded.select(
+                F.col("e.s").alias("s"),
+                F.col("e.code").alias("code"),
+                F.posexplode("e.sub").alias("pos", "val"),
+            )
+            .filter(F.col("code") > 0)
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        by_cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault((r["s"], r["code"] - 1), {})[r["pos"]] = float(
+                r["mval"]
+            )
+        shift = 0.0
+        new_books: list[list[list[float]]] = []
+        for s in range(m):
+            entries = []
+            for c in range(ksub):
+                mean = by_cell.get((s, c))
+                if not mean:  # empty cell keeps its entry
+                    entries.append(books[s][c])
+                    continue
+                v = [mean.get(d, 0.0) for d in range(dsub)]
+                shift = max(
+                    shift, max(abs(a - b) for a, b in zip(v, books[s][c]))
+                )
+                entries.append(v)
+            new_books.append(entries)
+        books = new_books
+        if shift < tol:
+            break
+    return books
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ: the memory-bound 100 TB ANN query shape. The corpus
+    carries TWO computed columns — its IVF cell id and its m PQ codes
+    (together a few bytes per row; the embedding itself never leaves the
+    scan) — and is NEVER shuffled. Each query broadcasts its cell probe
+    + precomputed ADC dot tables; the equi-join on cell cuts the
+    candidate set to ~n*nprobe/cells BEFORE any scoring, then each
+    survivor costs m table lookups. This is pq_topk with the full-corpus
+    cross join replaced by ivf_topk's cell probe — the composition
+    pq_topk's docstring names (Jegou et al., PAMI'11, IVFADC).
+
+    With the default fixed centroids + codebooks the result is a pure
+    function of the inputs and SQL-expressible (oracle-checkable);
+    trained centroids/books plug in without changing the plan shape.
+
+    Returns (query_id, neighbor_id, approx_cos, rank)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    if books is None:
+        books = pq_codebooks(m, ksub, dsub)
+    ksub = len(books[0])
+    coded = vectors.select(
+        F.col(id_col),
+        ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell"),
+        pq_encode(F.col(vec_col), dim, m, ksub, books).alias("_codes"),
+    )
+    qunit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
+    )
+    if nprobe <= 1:
+        cell_col = ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell")
+        qt = queries.select(
+            F.col(query_id_col),
+            cell_col,
+            _adc_tables(qunit, m, dsub, books).alias("_tbl"),
+        )
+    else:
+        qt = queries.select(
+            F.col(query_id_col),
+            F.explode(
+                ivf_cells(F.col(vec_col), dim, cells, centroids, nprobe)
+            ).alias("_cell"),
+            _adc_tables(qunit, m, dsub, books).alias("_tbl"),
+        )
+    approx = _adc_score(F.col("_codes"), F.col("_tbl"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc_nulls_last("_approx"), F.asc("neighbor_id")
+    )
+    return (
+        coded.join(F.broadcast(qt), "_cell")
         .select(
             F.col(query_id_col),
             F.col(id_col).alias("neighbor_id"),

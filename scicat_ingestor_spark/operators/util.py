@@ -145,6 +145,7 @@ def write_partitioned(
     path: str,
     partition_cols: str | list[str],
     mode: str = "overwrite",
+    files_per_partition: int = 1,
 ) -> None:
     """Hive-style directory partitioning (`partitionBy`) — the coarse
     sibling of `write_sorted`'s range files: a reader filtering on the
@@ -155,11 +156,24 @@ def write_partitioned(
     The pre-shuffle on the partition columns makes each write task own
     whole partitions: without it every task writes a sliver of every
     directory — files = tasks x partitions, the metadata explosion that
-    kills object-store listings.
+    kills object-store listings. The TRADEOFF: one task per partition
+    value means a hot value (a skewed day) becomes a single straggler /
+    OOM task. ``files_per_partition > 1`` adds a deterministic row-hash
+    bucket to the shuffle key, spreading each directory over that many
+    tasks/files — set it to ceil(hot-partition bytes / healthy task
+    bytes) when the value distribution is known to be skewed.
     """
     cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    keys = [F.col(c) for c in cols]
+    if files_per_partition > 1:
+        keys.append(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(files_per_partition),
+            )
+        )
     (
-        df.repartition(*[F.col(c) for c in cols])
+        df.repartition(*keys)
         .write.mode(mode)
         .partitionBy(*cols)
         .parquet(path)

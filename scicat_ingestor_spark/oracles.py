@@ -995,11 +995,17 @@ def _recall_oracle() -> str:
                 if "ann_lsh_multi_topk" in ORACLES
                 else ()
             ),
+            *(
+                (("ivf_pq", "ann_ivf_pq_topk"),)
+                if "ann_ivf_pq_topk" in ORACLES
+                else ()
+            ),
         )
     ]
     approx_union = "\nUNION ALL\n".join(parts)
     pq_val = ", ('pq')" if "ann_pq_topk" in ORACLES else ""
     pq_val += ", ('lsh_multi')" if "ann_lsh_multi_topk" in ORACLES else ""
+    pq_val += ", ('ivf_pq')" if "ann_ivf_pq_topk" in ORACLES else ""
     return f"""
 WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["ann_cosine_topk"]})),
 ap AS ({approx_union}),
@@ -1333,4 +1339,83 @@ SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
 FROM r WHERE rk <= 5
 """
 
+ORACLES["ann_recall_report"] = _recall_oracle()
+
+
+def _vocab_sketch_oracle() -> str:
+    """Same deterministic HLL as q_text_vocab_sketch: md5 12-bit register
+    index, rho over the next 60 bits, EXACT 2^(61-M_j) decimal register
+    sum; the numerator constant is folded in Python from the identical
+    expression the Spark plan uses, so the one float division agrees
+    bit-for-bit."""
+    p = 12
+    m = 1 << p
+    num = repr((0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 61))
+    two61 = float(1 << 61)
+    return f"""
+WITH raw AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), toks AS (SELECT source, term FROM raw WHERE term <> ''),
+base AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS vocab_exact
+  FROM toks GROUP BY source
+),
+regs AS (
+  SELECT source,
+    ('0x' || substr(md5(term), 1, 3))::BIGINT AS idx,
+    max(CASE WHEN ('0x' || substr(md5(term), 4, 15))::BIGINT = 0 THEN 61
+        ELSE 61 - length(bin(('0x' || substr(md5(term), 4, 15))::BIGINT)) END) AS mj
+  FROM toks GROUP BY source, idx
+),
+sk AS (
+  SELECT source, count(*) AS n_present,
+    sum(((1::BIGINT) << (61 - mj))::DECIMAL(38,0)) AS scaled_present
+  FROM regs GROUP BY source
+),
+est AS (
+  SELECT source,
+    CAST(scaled_present AS DOUBLE)
+      + ({m} - n_present)::DOUBLE * {two61!r} AS total,
+    {m} - n_present AS zeros
+  FROM sk
+)
+SELECT b.source, n_tokens, vocab_exact,
+  CAST(floor(CASE WHEN ({num} / total) <= {2.5 * m!r} AND zeros > 0
+    THEN {float(m)!r} * ln({float(m)!r} / zeros)
+    ELSE {num} / total END) AS BIGINT) AS vocab_hll
+FROM base b JOIN est USING (source)
+ORDER BY b.source
+"""
+
+
+ORACLES["text_vocab_sketch"] = _vocab_sketch_oracle()
+
+
+ORACLES["ann_ivf_pq_topk"] = f"""
+WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e0 FROM embeddings),
+v AS (SELECT vec_id, e0,
+        list_transform(e0, x -> x / sqrt(list_dot_product(e0, e0))) AS e
+      FROM v0),
+cd AS (SELECT vec_id, {_ivf_cell_sql('e0')} AS cell, {_PQ_CODES} AS codes FROM v),
+qd AS (SELECT vec_id AS query_id, {_ivf_dots_sql('e0')} AS d, {_PQ_TBL} AS tbl
+       FROM v WHERE vec_id < 3),
+q1 AS (SELECT query_id, tbl, d, list_position(d, list_max(d)) AS c1 FROM qd),
+q2 AS (SELECT query_id, tbl, c1,
+        list_position(
+          list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END),
+          list_max(
+            list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END))
+        ) AS c2
+      FROM q1),
+sc AS (SELECT q.query_id, c.vec_id,
+        list_sum(list_transform(range(1, 9), i -> q.tbl[i][c.codes[i]])) AS a
+      FROM cd c JOIN q2 q ON c.cell IN (q.c1, q.c2)),
+r AS (SELECT query_id, vec_id AS neighbor_id, a,
+        row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(a, 6) AS approx_cos, rk AS rank
+FROM r WHERE rk <= 5
+"""
+
+# re-bind: the recall report now covers the IVF-PQ composition too
 ORACLES["ann_recall_report"] = _recall_oracle()

@@ -1016,16 +1016,31 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+_HLL_P = 12  # 2^12 = 4096 registers -> ~1.6% rsd
+_HLL_M = 1 << _HLL_P
+# alpha_m * m^2 * 2^61 folded to ONE float constant in Python and embedded
+# verbatim in both engines, so no cross-engine multiply can differ
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 61)
+
+
 def q_text_vocab_sketch(spark, sf_dir):
-    """Per-source vocabulary size via HLL++ (approx_count_distinct) —
-    the 100 TB way to count distinct tokens: the sketch is a few KB per
-    group and merges map-side, vs an exact countDistinct whose expand +
-    dedup shuffle moves every distinct token once. The exact token total
-    rides along from the same scan. Registered rows-only: Spark's HLL++
-    and DuckDB's sketch give different (both valid) approximations, so
-    there is no cross-engine value identity to hash; the accuracy bound
-    (≤5% rsd vs exact at test scale) is asserted in
-    tests/test_training_ops.py instead."""
+    """Per-source vocabulary size via a HyperLogLog sketch — the 100 TB
+    way to count distinct tokens: registers are a few KB per group and
+    merge map-side (groupBy max is partial-aggregatable), vs an exact
+    countDistinct whose expand + dedup shuffle moves every distinct
+    token once. The exact count and token total ride along as the
+    verification columns (they're cheap at test scale; at 100 TB the
+    sketch column is the one you'd keep).
+
+    The sketch is hand-rolled to be DETERMINISTIC AND ENGINE-PORTABLE —
+    md5 register assignment (12-bit index, rho = leading zeros of the
+    next 60 bits + 1) and EXACT integer register math: each register
+    contributes 2^(61-M_j) to a decimal-summed scaled harmonic term, so
+    the only float ops are one final division and (rarely) the
+    linear-counting ln — bit-identical across Spark and DuckDB, which is
+    why this query hash-matches its oracle while builtin HLL++
+    implementations (engine-specific bias tables) cannot. Accuracy vs
+    exact is additionally asserted in tests/test_training_ops.py."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
@@ -1033,12 +1048,41 @@ def q_text_vocab_sketch(spark, sf_dir):
             F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
         ).alias("term"),
     )
+    base = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab_exact"),
+    )
+    h = F.md5(F.col("term"))
+    idx = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 15), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(61)).otherwise(F.lit(61) - F.length(F.bin(w)))
+    regs = (
+        toks.select("source", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("source", "idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    sketch = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("CAST(shiftleft(1L, 61 - mj) AS DECIMAL(38,0))")).alias(
+            "scaled_present"
+        ),
+    )
+    # absent registers are zero: each contributes 2^61 to the scaled sum
+    total = F.col("scaled_present").cast("double") + (
+        F.lit(_HLL_M) - F.col("n_present")
+    ).cast("double") * F.lit(float(1 << 61))
+    e_raw = F.lit(_HLL_NUM) / total
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    hll = sketch.select(
+        "source", F.floor(est).cast("long").alias("vocab_hll")
+    )
     return (
-        toks.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.approx_count_distinct("term", rsd=0.02).alias("approx_vocab"),
-        )
+        base.join(hll, "source")
+        .select("source", "n_tokens", "vocab_exact", "vocab_hll")
         .orderBy("source")
     )
 
@@ -1248,7 +1292,13 @@ def q_text_decontaminate_bloom(spark, sf_dir):
     removed by the join, false negatives cannot occur, so the result is
     bit-identical to q_text_decontaminate while the join probes a small
     fraction of the gram stream. At 100 TB the win is that only grams
-    passing the filter participate in the join at all."""
+    passing the filter participate in the join at all.
+
+    Timing note: the filter build runs two Spark actions at query
+    CONSTRUCTION time (countDistinct sizing + packed-word collect). A
+    harness that times only actions on the returned DataFrame excludes
+    that build cost; this repo's bench.py starts its clock before
+    construction, so its recorded number includes the build."""
     from scicat_ingestor_spark.operators import bloom
 
     docs = _t(spark, sf_dir, "documents")
@@ -1753,6 +1803,37 @@ def q_ann_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ (IVFADC): the composed memory-bound 100 TB ANN query —
+    corpus rows carry only (cell id, m=8 codes), the cell equi-join
+    cuts candidates ~nprobe/cells BEFORE scoring, and each survivor
+    costs m ADC table lookups. nprobe=2 keeps recall reasonable while
+    still probing a quarter of the corpus. Fixed centroids + codebooks
+    make the result SQL-expressible — the one ANN composition that is
+    both the production plan shape and oracle-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
+    out = similarity.ivf_pq_topk(
+        emb, queries, dim=64, k=5, m=8, ksub=16, cells=8, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_pq_trained_topk(spark, sf_dir):
+    """PQ ANN with per-subspace k-means codebooks
+    (operators.similarity.train_pq_codebooks) instead of the fixed md5
+    codebooks — the production recall path (fixed codebooks measured
+    recall@5 0.27; training adapts entries to the real subvector
+    distribution). Same ADC plan shape. No SQL oracle: trained
+    codebooks are data-dependent plan constants (driver records the
+    rows-only check), like ann_ivf_trained_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, dim=64, m=8, ksub=16, iterations=3)
+    queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
+    out = similarity.pq_topk(emb, queries, dim=64, k=5, m=8, books=books)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_ann_recall_report(spark, sf_dir):
     """Recall@k of each ANN method against the exact brute-force top-k —
     the recall<1 claims measured, not asserted. Diagnostic query: run on
@@ -1770,6 +1851,7 @@ def q_ann_recall_report(spark, sf_dir):
         "ivf_nprobe": q_ann_ivf_nprobe_topk,
         "pq": q_ann_pq_topk,
         "lsh_multi": q_ann_lsh_multi_topk,
+        "ivf_pq": q_ann_ivf_pq_topk,
     }
     approx = reduce(
         lambda a, b: a.unionByName(b),
@@ -2520,6 +2602,8 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_nprobe_topk": q_ann_ivf_nprobe_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+    "ann_pq_trained_topk": q_ann_pq_trained_topk,
     "ann_lsh_multi_topk": q_ann_lsh_multi_topk,
     "ann_recall_report": q_ann_recall_report,
     "ann_ivf_trained_topk": q_ann_ivf_trained_topk,

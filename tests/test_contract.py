@@ -5,7 +5,7 @@ import __spark_entry__ as entrymod
 # Queries whose results depend on data-trained plan constants or
 # hash-based fake extractors — not expressible as static SQL; the driver
 # records the weaker rows-only check for these, deliberately.
-ROWS_ONLY = {"ann_ivf_trained_topk", "multimodal_features", "text_vocab_sketch"}
+ROWS_ONLY = {"ann_ivf_trained_topk", "ann_pq_trained_topk", "multimodal_features"}
 
 
 def test_every_query_has_oracle_or_explicit_waiver():

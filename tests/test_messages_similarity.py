@@ -323,3 +323,108 @@ def test_pq_topk_prefers_identical_vector(spark):
     by_id = {r["neighbor_id"]: r["approx_cos"] for r in out}
     assert by_id[4] == max(by_id.values())
     assert top["approx_cos"] >= by_id[4] - 1e-9
+
+
+def test_trained_pq_codebooks_cut_quantization_error(spark, sf_dir):
+    """Per-subspace k-means must reduce reconstruction MSE vs the fixed
+    md5 codebooks on the real embeddings (measured 0.94 -> 0.55 at
+    sf0.01). Recall@5 on THIS table is not asserted: the synthetic
+    embeddings are isotropic (mean pairwise cosine ~ 0, std 0.125), so
+    ADC recall is quantization-noise-bound and trained ~ fixed (~0.3
+    both) within query-sample noise; the structured-cluster test below
+    asserts the recall win where the data has structure to exploit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(emb, dim=64, m=8, ksub=16, iterations=3)
+    assert len(books) == 8
+    assert all(len(b) == 16 for b in books)
+    assert all(len(e) == 8 for b in books for e in b)
+
+    def mse(bk):
+        unit = F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / similarity.norm(F.col("embedding")),
+        )
+        codes = similarity.pq_encode(F.col("embedding"), 64, 8, 16, bk)
+        rows = emb.select(unit.alias("u"), codes.alias("c")).collect()
+        tot = 0.0
+        for r in rows:
+            rec = [x for s in range(8) for x in bk[s][r["c"][s] - 1]]
+            tot += sum((a - b) ** 2 for a, b in zip(r["u"], rec))
+        return tot / len(rows)
+
+    fixed = similarity.pq_codebooks(8, 16, 8)
+    assert mse(books) < 0.8 * mse(fixed)
+
+
+def test_trained_pq_separates_clusters_where_fixed_leaks(spark):
+    """On clustered data (the regime PQ training exists for), trained
+    codebooks reconstruct each cluster's subvectors well enough that
+    EVERY same-cluster member outranks every cross-cluster one —
+    measured 90/90 vs the fixed md5 codebooks' 86/90 leak. (recall@5 is
+    deliberately NOT the metric: within a tight cluster the exact
+    ranking is decided by sub-quantization-resolution noise, so any PQ
+    quantizer ties there and the tie-break is arbitrary.)"""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        v[axis * 5] += 1.0
+        rows.append((i, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def same_cluster_hits(bk):
+        out = similarity.pq_topk(
+            vecs, queries, dim=dim, k=30, m=4, ksub=8, books=bk
+        ).collect()
+        return sum(1 for r in out if r["neighbor_id"] % 3 == r["query_id"] % 3)
+
+    books = similarity.train_pq_codebooks(
+        vecs, dim=dim, m=4, ksub=8, iterations=8
+    )
+    trained, fixed = same_cluster_hits(books), same_cluster_hits(None)
+    assert trained >= fixed
+    assert trained == 90  # 3 queries x 30-member clusters, zero leakage
+
+
+def test_ivf_pq_composition_candidates_subset_of_cell_probe(spark, sf_dir):
+    """IVF-PQ returns only neighbors from the query's probed cells, and
+    its ADC scores agree with plain PQ on the common candidates (the
+    composition changes the candidate set, not the scoring)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    composed = similarity.ivf_pq_topk(
+        emb, queries, dim=64, k=5, m=8, cells=8, nprobe=2
+    ).collect()
+    cells_of = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id", similarity.ivf_cell(F.col("embedding"), 64).alias("cell")
+        ).collect()
+    }
+    probes = {
+        r["query_id"]: set(r["cells"])
+        for r in queries.select(
+            F.col("query_id"),
+            similarity.ivf_cells(F.col("embedding"), 64, nprobe=2).alias("cells"),
+        ).collect()
+    }
+    assert composed
+    for r in composed:
+        assert cells_of[r["neighbor_id"]] in probes[r["query_id"]]
+    pq_scores = {
+        (r["query_id"], r["neighbor_id"]): r["approx_cos"]
+        for r in similarity.pq_topk(emb, queries, dim=64, k=50, m=8).collect()
+    }
+    for r in composed:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in pq_scores:
+            assert abs(pq_scores[key] - r["approx_cos"]) < 1e-9

@@ -297,3 +297,18 @@ def test_no_heavy_expression_in_pushed_filters(spark, sf_dir):
                     continue
                 offenders.append((name, ls[:80]))
     assert not offenders, offenders
+
+
+def test_ivf_pq_cell_join_cuts_window_input(spark, sf_dir):
+    """The IVF-PQ composition must probe by cell BEFORE ADC ranking: an
+    equi (hash) join on the cell id, NOT the full-corpus nested-loop
+    cross join plain pq_topk uses — so the rank window's input is the
+    probed candidate set, never the whole corpus."""
+    plan = _plan(Q.q_ann_ivf_pq_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    # contrast: the uncomposed PQ baseline IS the full-corpus cross join
+    base = _plan(Q.q_ann_pq_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in base or "CartesianProduct" in base
