@@ -11,10 +11,11 @@ via ``mapInPandas`` over a DataFrame of file paths (the scan runs next to
 the data; no driver I/O). Wildcard path expansion then becomes ``rlike``
 + ``collect_list`` on the long table — pure relational ops.
 
-h5py is not installed in this container, so the reader is gated: with
-h5py present the real walker runs; without it a deterministic fake tree
-(keyed on md5 of the file path) exercises the identical plumbing, schema
-and wildcard semantics.
+Reader fallback chain (per file): h5py when installed -> the pure-python
+``hdf5lite`` reader for files that exist on disk (covers real NeXus files
+like /root/reference/test-data/*.hdf in environments without h5py) -> a
+deterministic fake tree (keyed on md5 of the file path) for synthetic
+paths, exercising the identical plumbing, schema and wildcard semantics.
 
 Retry/backoff for not-yet-closed files (reference clamps delay to
 [1,120] s, /root/reference/src/scicat_nexus_helper.py:70-75) lives inside
@@ -119,6 +120,68 @@ def _walk_h5(
     return rows
 
 
+def _walk_hdf5lite(
+    path: str,
+    max_tries: int = 3,
+    retry_delay: float | list[float] = 3.0,
+) -> list[tuple[str, str, str]]:
+    """Pure-python walker (no h5py): same output rows as ``_walk_h5``,
+    same retry schedule semantics, reading via ``hdf5lite``."""
+    from scicat_ingestor_spark.sources import hdf5lite
+
+    schedule = resolve_retry_delays(retry_delay, max_tries)
+    last_err: Exception | None = None
+    for attempt in range(max_tries + 1):
+        if attempt:
+            time.sleep(schedule[attempt - 1])
+        try:
+            f = hdf5lite.File(path)
+            break
+        except OSError as e:  # file still being written / unreadable
+            last_err = e
+    else:
+        raise last_err  # type: ignore[misc]
+
+    def visit(name, obj):
+        if isinstance(obj, hdf5lite.Dataset):
+            value = obj[()]
+            if isinstance(value, bytes):
+                value = value.decode("utf-8", errors="replace")
+            elif isinstance(value, list):
+                value = [
+                    v.decode("utf-8", errors="replace") if isinstance(v, bytes) else v
+                    for v in value
+                ]
+            unit = obj.attrs.get("units", b"")
+            if isinstance(unit, bytes):
+                unit = unit.decode("utf-8", errors="replace")
+            rows.append(("/" + name, str(value), str(unit)))
+
+    rows: list[tuple] = []
+    with f:
+        f.visititems(visit)
+    return rows
+
+
+def read_rows(
+    path: str,
+    max_tries: int = 3,
+    retry_delay: float | list[float] = 3.0,
+) -> list[tuple[str, str, str]]:
+    """S6 per-file reader with the fallback chain
+    h5py -> hdf5lite (file exists) -> fake tree (synthetic path).
+
+    Parse errors on real files propagate — a malformed file must land in
+    the failure channel (V3/T4), not silently turn into fake data."""
+    import os
+
+    if try_import_h5py() is not None:
+        return _walk_h5(path, max_tries=max_tries, retry_delay=retry_delay)
+    if os.path.exists(path):
+        return _walk_hdf5lite(path, max_tries=max_tries, retry_delay=retry_delay)
+    return fake_tree(path)
+
+
 def fake_tree(path: str) -> list[tuple[str, str, str]]:
     """Deterministic NeXus-shaped tree for environments without h5py.
 
@@ -149,13 +212,12 @@ def scan_files(files_df: DataFrame, path_col: str = "file") -> DataFrame:
     once regardless of how many variables read from it (the reference
     re-reads per variable; scanning once is the columnar win).
     """
-    h5py_available = try_import_h5py() is not None
-
+    
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"file": [], "h5_path": [], "value": [], "unit": []}
             for path in pdf[path_col]:
-                rows = _walk_h5(path) if h5py_available else fake_tree(path)
+                rows = read_rows(path)
                 for h5_path, value, unit in rows:
                     out["file"].append(path)
                     out["h5_path"].append(h5_path)
@@ -180,13 +242,12 @@ def scan_files_wide(files_df: DataFrame, path_col: str = "file") -> DataFrame:
     long table from ``scan_files`` remains the relational view for
     wildcard lookups and ad-hoc queries.
     """
-    h5py_available = try_import_h5py() is not None
-
+    
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             files, maps = [], []
             for path in pdf[path_col]:
-                rows = _walk_h5(path) if h5py_available else fake_tree(path)
+                rows = read_rows(path)
                 files.append(path)
                 maps.append({p: {"value": v, "unit": u} for p, v, u in rows})
             yield pd.DataFrame({"file": files, "nxs": maps})

@@ -22,8 +22,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from scicat_ingestor_spark.sources.hdf5 import (
     LONG_SCHEMA,
-    _walk_h5,
-    fake_tree,
+    read_rows,
     try_import_h5py,
 )
 
@@ -50,7 +49,7 @@ class HDF5DataSourceReader(DataSourceReader):
 
     def read(self, partition: HDF5FilePartition):
         path = partition.path
-        rows = _walk_h5(path) if try_import_h5py() is not None else fake_tree(path)
+        rows = read_rows(path)
         for h5_path, value, unit in rows:
             yield (path, h5_path, value, unit)
 

@@ -5,11 +5,15 @@ clean-room from the public HDF5 File Format Specification
 code; stdlib struct/zlib only.
 
 Scope (enough for real NeXus files like the reference's
-/root/reference/test-data/*.hdf, which this module's tests read):
+/root/reference/test-data/*.hdf, which tests/test_hdf5lite.py reads
+end-to-end — every dataset in both files):
 - superblock v0/v2/v3, object headers v1 and v2 ("OHDR")
-- groups via symbol tables (TREE/SNOD/HEAP) and via link messages
-- datasets: compact, contiguous and chunked (v1 B-tree index) layout,
-  gzip + shuffle filters
+- groups via symbol tables (TREE/SNOD/HEAP), compact link messages, and
+  DENSE link storage (link-info message -> fractal heap "FRHP" of link
+  messages, name-indexed by a v2 B-tree "BTHD" — the layout h5py writes
+  for NeXus trees)
+- datasets: compact, contiguous and chunked layout — message v3 (v1
+  B-tree chunk index) and v4 (single-chunk index), gzip + shuffle filters
 - datatypes: fixed-point, IEEE float, fixed strings, vlen strings
   (global heap), and 1-D/scalar dataspaces (n-D reads return the flat
   list — the walker stringifies anyway)
@@ -295,22 +299,57 @@ class Dataset:
         if body is None:
             raise Hdf5LiteError("no layout message")
         ver = body[0]
-        if ver == 3:
+        if ver in (3, 4):
             cls = body[1]
-            if cls == 0:  # compact
+            if cls == 0:  # compact (v3 == v4)
                 (size,) = struct.unpack_from("<H", body, 2)
                 return body[4 : 4 + size]
-            if cls == 1:  # contiguous
+            if cls == 1:  # contiguous (v3 == v4)
                 addr, size = struct.unpack_from("<QQ", body, 2)
                 if addr == UNDEF:
                     return b"\x00" * (n * dt.size)
                 return data[addr : addr + size]
-            if cls == 2:  # chunked, v1 B-tree
+            if cls == 2 and ver == 3:  # chunked, v1 B-tree index
                 ndims = body[2]
                 (btree,) = struct.unpack_from("<Q", body, 3)
                 chunk_dims = struct.unpack_from(f"<{ndims}I", body, 11)
                 return self._read_chunks(btree, chunk_dims[:-1], n, dt)
+            if cls == 2 and ver == 4:
+                return self._read_chunks_v4(body, n, dt)
         raise Hdf5LiteError(f"layout v{ver}")
+
+    def _read_chunks_v4(self, body: bytes, n: int, dt: _Dtype) -> bytes:
+        """Layout v4 chunked: flags(1), dimensionality(1), dim-size
+        encoded length(1), dims, chunk index type(1), index info, addr(8).
+        Only index type 1 (single chunk) is supported — newer multi-chunk
+        indexes (implicit/fixed/extensible array, v2 btree) raise cleanly
+        so the caller falls back to h5py or the fake tree."""
+        data = self._obj.file._data
+        flags, ndims, enc = body[2], body[3], body[4]
+        off = 5 + ndims * enc
+        index_type = body[off]
+        off += 1
+        if index_type != 1:
+            raise Hdf5LiteError(f"chunk index type {index_type} not supported")
+        if flags & 0x02:  # single chunk with filters: size + filter mask first
+            (csize,) = struct.unpack_from("<Q", body, off)
+            off += 8 + 4
+            (addr,) = struct.unpack_from("<Q", body, off)
+            raw = bytes(data[addr : addr + csize])
+            for fid, cd in reversed(self._filters()):
+                if fid == 1:
+                    raw = zlib.decompress(raw)
+                elif fid == 2:
+                    esize = cd[0]
+                    m = len(raw) // esize
+                    raw = bytes(raw[j * m + k] for k in range(m) for j in range(esize))
+                else:
+                    raise Hdf5LiteError(f"filter {fid}")
+            return raw[: n * dt.size]
+        (addr,) = struct.unpack_from("<Q", body, off)
+        if addr == UNDEF:
+            return b"\x00" * (n * dt.size)
+        return bytes(data[addr : addr + n * dt.size])
 
     def _filters(self) -> list[tuple[int, tuple]]:
         body = self._obj.first(0x0B)
@@ -426,33 +465,59 @@ class Group:
 
             walk(btree)
             return out
-        # v2 group: hard links as link messages (dense storage via
-        # fractal heap is out of scope — raise so callers can fall back)
+        # v2 group: compact hard links as link messages, or dense storage
+        # (link-info message -> fractal heap of link messages indexed by a
+        # name-order v2 B-tree) — the layout both reference test files use
         links = self._obj.all(0x06)
-        if not links and self._obj.first(0x02) is not None:
-            raise Hdf5LiteError("dense link storage not supported")
+        if not links:
+            li = self._obj.first(0x02)
+            if li is not None:
+                lflags = li[1]
+                off = 2 + (8 if lflags & 0x1 else 0)  # max creation index
+                fheap_addr, name_bt = struct.unpack_from("<QQ", li, off)
+                if fheap_addr != UNDEF:
+                    heap = _FractalHeap(self._file, fheap_addr)
+                    # record type 5: hash(4) + managed heap ID(id_len)
+                    for rec in _btree2_records(self._file, name_bt):
+                        body = heap.get(rec[4 : 4 + heap.id_len])
+                        out.append(_parse_link_message(body))
+                    return out
         for body in links:
-            ver, flags = body[0], body[1]
-            off = 2
-            if flags & 0x08:
-                off += 1  # link type (0 = hard)
-            if flags & 0x04:
-                off += 8  # creation order
-            if flags & 0x10:
-                off += 1  # charset
-            ls_size = 1 << (flags & 0x3)
-            length = int.from_bytes(body[off : off + ls_size], "little")
-            off += ls_size
-            name = body[off : off + length].decode("utf-8")
-            off += length
-            (ohdr,) = struct.unpack_from("<Q", body, off)
-            out.append((name, ohdr))
+            out.append(_parse_link_message(body))
         return out
+
+
+def _parse_link_message(body: bytes) -> tuple[str, int]:
+    """Link message (type 0x06) body -> (name, object header address).
+    Hard links only — the NeXus trees the engine reads use nothing else."""
+    flags = body[1]
+    off = 2
+    if flags & 0x08:
+        ltype = body[off]
+        off += 1  # link type byte present
+        if ltype != 0:
+            raise Hdf5LiteError(f"link type {ltype} not supported")
+    if flags & 0x04:
+        off += 8  # creation order
+    if flags & 0x10:
+        off += 1  # charset
+    ls_size = 1 << (flags & 0x3)
+    length = int.from_bytes(body[off : off + ls_size], "little")
+    off += ls_size
+    name = body[off : off + length].decode("utf-8")
+    off += length
+    (ohdr,) = struct.unpack_from("<Q", body, off)
+    return name, ohdr
 
 
 class _FractalHeap:
     """Just enough of the fractal heap to fetch managed objects by heap
-    ID — the storage dense link/attribute storage puts its messages in."""
+    ID — the storage dense link/attribute storage puts its messages in.
+
+    Header field offsets follow the public HDF5 File Format Spec IV.A.1
+    (sig 4, version 1, heap-ID len 2, filter len 2, flags 1, max managed
+    object size 4, then twelve 8-byte counters, then the doubling-table
+    geometry). Verified against h5py-written files."""
 
     def __init__(self, file: "File", addr: int):
         data = file._data
@@ -460,62 +525,46 @@ class _FractalHeap:
             raise Hdf5LiteError("bad fractal heap")
         self._data = data
         (self.id_len,) = struct.unpack_from("<H", data, addr + 5)
-        # fixed-width header fields (8-byte offsets/lengths asserted at open)
-        self.max_man_size, = struct.unpack_from("<I", data, addr + 9)
-        off = addr + 13
-        off += 8 + 8  # next huge id, huge btree addr
-        off += 8 * 4  # free space, fs mgr addr? -> free space amount, addr, managed space, allocated space
-        # precise field walk (spec order):
-        o = addr + 13
-        o += 8  # next huge object id
-        o += 8  # huge objects btree addr
-        o += 8  # amount of free space
-        o += 8  # free space manager addr
-        o += 8  # amount of managed space
-        o += 8  # amount of allocated managed space
-        o += 8  # offset of direct block iterator
-        o += 8  # number of managed objects
-        o += 8 + 8  # huge size, huge count
-        o += 8 + 8  # tiny size, tiny count
-        self.width, = struct.unpack_from("<H", data, o)
-        o += 2
-        self.start_block, = struct.unpack_from("<Q", data, o)
-        o += 8
-        self.max_direct, = struct.unpack_from("<Q", data, o)
-        o += 8
-        self.max_heap_bits, = struct.unpack_from("<H", data, o)
-        o += 2
-        o += 2  # starting # rows in root indirect block
-        self.root_addr, = struct.unpack_from("<Q", data, o)
-        o += 8
-        self.curr_rows, = struct.unpack_from("<H", data, o)
+        (filter_len,) = struct.unpack_from("<H", data, addr + 7)
+        if filter_len:
+            raise Hdf5LiteError("filtered fractal heap not supported")
+        self.flags = data[addr + 9]
+        (self.max_man_size,) = struct.unpack_from("<I", data, addr + 10)
+        # twelve 8-byte fields: next huge id, huge btree addr, free space,
+        # free-space mgr addr, managed space, allocated managed space,
+        # direct-block iterator offset, # managed objects, huge size,
+        # huge count, tiny size, tiny count
+        o = addr + 14 + 12 * 8
+        (self.width,) = struct.unpack_from("<H", data, o)
+        (self.start_block,) = struct.unpack_from("<Q", data, o + 2)
+        (self.max_direct,) = struct.unpack_from("<Q", data, o + 10)
+        (self.max_heap_bits,) = struct.unpack_from("<H", data, o + 18)
+        # o+20: starting # rows in root indirect block (unused for reads)
+        (self.root_addr,) = struct.unpack_from("<Q", data, o + 22)
+        (self.curr_rows,) = struct.unpack_from("<H", data, o + 30)
         self.off_bytes = (self.max_heap_bits + 7) // 8
-        self.has_checksum = bool(data[addr + 4 + 1 + 2 + 4 + 2 - 1])  # flags byte
-        self.flags = data[addr + 12]
 
     def _block_size(self, row: int) -> int:
         return self.start_block if row < 2 else self.start_block << (row - 1)
 
-    def _direct_payload(self, addr: int, size: int) -> tuple[int, int]:
-        """Return (payload file offset, heap offset) of a direct block."""
+    def _block_heap_off(self, addr: int) -> int:
+        """Heap-space offset of a direct block (from its FHDB header).
+        Heap offsets cover the WHOLE block including the header, so a
+        managed object at heap offset X lives at file addr
+        block_addr + (X - block_heap_off)."""
         data = self._data
         if data[addr : addr + 4] != b"FHDB":
             raise Hdf5LiteError("bad direct block")
         o = addr + 5 + 8
-        heap_off = int.from_bytes(data[o : o + self.off_bytes], "little")
-        o += self.off_bytes
-        if self.flags & 0x02:  # blocks are checksummed
-            o += 4
-        return o, heap_off
+        return int.from_bytes(data[o : o + self.off_bytes], "little")
 
     def _blocks(self) -> list[tuple[int, int, int]]:
-        """(heap offset, payload file offset, payload size) of every
-        direct block, walking the root (direct or indirect)."""
+        """(heap offset, file addr, block size) of every direct block,
+        walking the root (direct or indirect)."""
         out = []
         if self.curr_rows == 0:
-            size = self.start_block
-            payload, hoff = self._direct_payload(self.root_addr, size)
-            out.append((hoff, payload, size - (payload - self.root_addr)))
+            addr = self.root_addr
+            out.append((self._block_heap_off(addr), addr, self.start_block))
             return out
         data = self._data
         addr = self.root_addr
@@ -524,12 +573,13 @@ class _FractalHeap:
         o = addr + 5 + 8 + self.off_bytes
         for row in range(self.curr_rows):
             size = self._block_size(row)
+            if size > self.max_direct:
+                raise Hdf5LiteError("nested indirect heap blocks not supported")
             for _ in range(self.width):
                 (child,) = struct.unpack_from("<Q", data, o)
                 o += 8
                 if child != UNDEF:
-                    payload, hoff = self._direct_payload(child, size)
-                    out.append((hoff, payload, size - (payload - child)))
+                    out.append((self._block_heap_off(child), child, size))
         return out
 
     def get(self, heap_id: bytes) -> bytes:
@@ -538,9 +588,9 @@ class _FractalHeap:
             raise Hdf5LiteError("huge/tiny heap objects not supported")
         off = int.from_bytes(heap_id[1 : 1 + self.off_bytes], "little")
         length = int.from_bytes(heap_id[1 + self.off_bytes :], "little")
-        for hoff, payload, size in self._blocks():
+        for hoff, addr, size in self._blocks():
             if hoff <= off < hoff + size:
-                p = payload + (off - hoff)
+                p = addr + (off - hoff)
                 return self._data[p : p + length]
         raise Hdf5LiteError("heap id out of range")
 
@@ -574,10 +624,16 @@ def _btree2_records(file: "File", addr: int) -> list[bytes]:
             return
         if sig != b"BTIN":
             raise Hdf5LiteError("bad btree internal node")
+        if d > 1:
+            # child-pointer field widths depend on a recursive max-record
+            # capacity formula; depth>1 needs ~millions of links per group
+            # — raise cleanly so callers fall back
+            raise Hdf5LiteError("v2 btree depth > 1 not supported")
         # interleaved: child0, rec0, child1, rec1, ... recN-1, childN
-        # child pointer: addr(8) + nrec(n) [+ total (m) if depth>1]
-        n = nrec_size(node_size)  # upper bound on per-node records
-        m = nrec_size(tot_below)
+        # child pointer: addr(8) + nrec(n); n = min bytes for the max
+        # records a leaf can hold ((node_size - 10-byte overhead) / rec)
+        n = nrec_size((node_size - 10) // rec_size)
+        m = 0  # total-below field only present when depth of child > 0
         recs = []
         kids = []
         for i in range(nrec + 1):

@@ -1,0 +1,141 @@
+"""S6 real branch: the pure-python hdf5lite reader against the
+reference's actual NeXus files (/root/reference/test-data/*.hdf).
+
+These files use the modern h5py-written layout — v2 object headers,
+DENSE link storage (fractal heap + v2 B-tree name index), layout-v4
+contiguous datasets, vlen strings — so a green run here means the
+non-fake S6 branch executes end-to-end, matching the reference walker's
+first contact with a real deployment
+(/root/reference/src/scicat_nexus_helper.py:62-95).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from scicat_ingestor_spark.sources import hdf5
+from scicat_ingestor_spark.sources import hdf5lite
+
+CODA = "/root/reference/test-data/small-coda.hdf"
+YMIR = "/root/reference/test-data/small-ymir.hdf"
+
+needs_files = pytest.mark.skipif(
+    not (os.path.exists(CODA) and os.path.exists(YMIR)),
+    reason="reference test-data not mounted",
+)
+
+
+def _walk(path):
+    rows = {}
+    groups = []
+    with hdf5lite.File(path) as f:
+
+        def fn(name, obj):
+            if isinstance(obj, hdf5lite.Dataset):
+                rows["/" + name] = obj[()]
+            else:
+                groups.append(("/" + name, obj.attrs.get("NX_class")))
+
+        f.visititems(fn)
+    return rows, groups
+
+
+@needs_files
+def test_coda_full_walk():
+    rows, groups = _walk(CODA)
+    # every dataset in the file reads without error
+    assert len(rows) == 43
+    # pinned known values (verified against the raw file bytes)
+    assert rows["/entry/title"] == b"odin"
+    assert rows["/entry/start_time"] == b"2024-10-28T09:06:41.186Z"
+    assert rows["/entry/instrument/name"] == b"ODIN"
+    assert rows["/entry/definition"] == b"NXtomo"
+    assert rows["/entry/end_time"] == b"2024-10-28T09:18:14.376Z"
+    assert rows["/entry/entry_identifier"] == b"31010"
+    assert rows["/entry/experiment_identifier"] == b"443503"
+    assert rows["/entry/experiment_description"] == b"CODA Proposal #3"
+    # group attrs decode (dense attribute-carrying v2 object headers)
+    gmap = dict(groups)
+    assert gmap["/entry"] == b"NXentry"
+    assert gmap["/entry/instrument"] == b"NXinstrument"
+    # the wildcard-matchable user_* groups the selector semantics rely on
+    users = [g for g, _ in groups if re.match(r"^/entry/user_[^/]+$", g)]
+    assert len(users) == 6
+    assert all(gmap[u] == b"NXuser" for u in users)
+
+
+@needs_files
+def test_ymir_full_walk():
+    rows, groups = _walk(YMIR)
+    assert len(rows) == 57
+    assert rows["/entry/instrument/name"] == b"YMIR"
+    assert rows["/entry/sample/name"] == b"some sample"
+    assert rows["/entry/title"] == b"october 28th, lego test 1, cont"
+    assert rows["/entry/start_time"] == b"2024-10-28T09:32:35.895Z"
+    # non-ascii link names round-trip (dense-link heap stores utf-8)
+    assert "/entry/user_SørenSchmidt/name" in rows
+
+
+@needs_files
+def test_read_rows_uses_hdf5lite_for_real_files():
+    """The fallback-chain dispatcher routes existing files to hdf5lite
+    (no h5py in this container) and synthetic paths to the fake tree."""
+    rows = hdf5.read_rows(CODA)
+    d = {p: v for p, v, _ in rows}
+    assert d["/entry/instrument/name"] == "ODIN"
+    assert len(rows) == 43
+    # synthetic path -> deterministic fake tree (oracle-backed queries)
+    fake = hdf5.read_rows("/no/such/file.nxs")
+    assert fake == hdf5.fake_tree("/no/such/file.nxs")
+
+
+@needs_files
+def test_scan_files_real_branch(spark):
+    """S6 through Spark: the mapInPandas scan over the REAL files yields
+    the long table, and the S7 wildcard lookup works on real paths."""
+    files_df = spark.createDataFrame([(CODA,), (YMIR,)], "file string")
+    long_df = hdf5.scan_files(files_df)
+    rows = long_df.collect()
+    assert len(rows) == 43 + 57
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"], {})[r["h5_path"]] = r["value"]
+    assert by_file[CODA]["/entry/instrument/name"] == "ODIN"
+    assert by_file[YMIR]["/entry/instrument/name"] == "YMIR"
+    # wildcard semantics over the real tree: all user names in coda
+    pat = hdf5.compile_wildcard("/entry/user_*/name")
+    matched = [
+        r["value"]
+        for r in rows
+        if r["file"] == CODA and re.match(pat, r["h5_path"])
+    ]
+    assert len(matched) == 6
+
+
+@needs_files
+def test_retry_then_open(monkeypatch):
+    """T6 semantics on the hdf5lite branch: transient open errors retry
+    per the delay schedule, then succeed."""
+    calls = {"n": 0}
+    real_file = hdf5lite.File
+
+    def flaky(path, mode="r"):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("file being written")
+        return real_file(path, mode)
+
+    monkeypatch.setattr(hdf5lite, "File", flaky)
+    monkeypatch.setattr(hdf5.time, "sleep", lambda s: None)
+    rows = hdf5._walk_hdf5lite(CODA, max_tries=3, retry_delay=[1, 1, 1])
+    assert calls["n"] == 3 and len(rows) == 43
+
+
+def test_not_hdf5_raises(tmp_path):
+    p = tmp_path / "junk.hdf"
+    p.write_bytes(b"not an hdf5 file at all")
+    with pytest.raises(hdf5lite.Hdf5LiteError):
+        hdf5lite.File(str(p))
