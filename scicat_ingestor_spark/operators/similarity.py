@@ -21,6 +21,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def let(value: Column, body) -> Column:
+    """Let-bind a per-row expression: evaluate ``value`` ONCE per row and
+    pass it to ``body`` as a lambda variable.
+
+    Catalyst does not hoist common subexpressions out of higher-order-
+    function lambdas (HOFs are interpreted, outside whole-stage codegen),
+    and CollapseProject re-inlines single-use column aliases — so an
+    expensive fold referenced inside a ``transform`` lambda re-evaluates
+    per ELEMENT (the measured O(dim^2) pq_encode pitfall, SCALE.md).
+    Wrapping the fold in a one-element ``transform`` makes it a true let:
+    the lambda runs exactly once, and the bound variable is O(1) to read.
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def with_unit(vec: Column, body) -> Column:
+    """Let-bind ``vec``'s unit-normalized form: the norm fold runs once
+    per row, the normalized array is materialized once per row, and
+    ``body`` may reference it any number of times for free."""
+    return let(
+        norm(vec),
+        lambda nrm: let(
+            F.transform(vec, lambda x: x.cast("double") / nrm), body
+        ),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Index-ordered left fold — deterministic double summation."""
     return F.aggregate(
@@ -616,32 +643,39 @@ def pq_encode(
     if books is None:
         books = pq_codebooks(m, ksub, dsub)
     ksub = len(books[0])
+
     # unit-normalize first: approximate IP over unit vectors == cosine,
-    # matching the metric every other ANN path ranks by
-    unit = F.transform(vec, lambda x: x.cast("double") / norm(vec))
-    codes = []
-    for s in range(m):
-        sub = F.slice(unit, s * dsub + 1, dsub)
-        t = F.lit(
-            [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
-        )
-        prods = F.zip_with(
-            sub, t, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
-        )
-        dots = F.aggregate(
-            prods,
-            F.array_repeat(F.lit(0.0), ksub),
-            lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
-        )
-        n2 = F.lit([float(sum(x * x for x in books[s][c])) for c in range(ksub)])
-        scores = F.zip_with(dots, n2, lambda dd, nn: dd * 2 - nn)
-        codes.append(
-            F.coalesce(
-                F.array_position(scores, F.array_max(scores)).cast("int"),
-                F.lit(-1),
+    # matching the metric every other ANN path ranks by. The norm and
+    # the normalized array are LET-BOUND (with_unit) so they evaluate
+    # once per row — the naive transform(vec, x / norm(vec)) form
+    # re-runs the O(dim) norm fold per element, O(dim^2)/row, and was
+    # measured costing ivf_pq 2.2x vs its uncut baseline.
+    def codes_from(unit: Column) -> Column:
+        codes = []
+        for s in range(m):
+            sub = F.slice(unit, s * dsub + 1, dsub)
+            t = F.lit(
+                [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
             )
-        )
-    return F.array(*codes)
+            prods = F.zip_with(
+                sub, t, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
+            )
+            dots = F.aggregate(
+                prods,
+                F.array_repeat(F.lit(0.0), ksub),
+                lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+            )
+            n2 = F.lit([float(sum(x * x for x in books[s][c])) for c in range(ksub)])
+            scores = F.zip_with(dots, n2, lambda dd, nn: dd * 2 - nn)
+            codes.append(
+                F.coalesce(
+                    F.array_position(scores, F.array_max(scores)).cast("int"),
+                    F.lit(-1),
+                )
+            )
+        return F.array(*codes)
+
+    return with_unit(vec, codes_from)
 
 
 def _adc_tables(
@@ -722,11 +756,11 @@ def pq_topk(
         F.col(id_col),
         pq_encode(F.col(vec_col), dim, m, ksub, books).alias("_codes"),
     )
-    qunit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
-    )
     qt = queries.select(
-        F.col(query_id_col), _adc_tables(qunit, m, dsub, books).alias("_tbl")
+        F.col(query_id_col),
+        with_unit(
+            F.col(vec_col), lambda unit: _adc_tables(unit, m, dsub, books)
+        ).alias("_tbl"),
     )
     approx = _adc_score(F.col("_codes"), F.col("_tbl"))
     w = Window.partitionBy(query_id_col).orderBy(
@@ -799,36 +833,38 @@ def train_pq_codebooks(
             )],
             "t array<array<array<double>>>, n2 array<array<double>>",
         )
-        unit = F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
-        )
-        per_sub = []
-        for s in range(m):
-            sub = F.slice(unit, s * dsub + 1, dsub)
-            ts = F.element_at(F.col("t"), s + 1)
-            prods = F.zip_with(
-                sub, ts, lambda x, ws: F.transform(ws, lambda w: x * w)
-            )
-            dots = F.aggregate(
-                prods,
-                F.array_repeat(F.lit(0.0), ksub),
-                lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
-            )
-            scores = F.zip_with(
-                dots, F.element_at(F.col("n2"), s + 1), lambda dd, nn: dd * 2 - nn
-            )
-            per_sub.append(
-                F.struct(
-                    F.lit(s).alias("s"),
-                    F.coalesce(
-                        F.array_position(scores, F.array_max(scores)).cast("int"),
-                        F.lit(-1),
-                    ).alias("code"),
-                    sub.alias("sub"),
+        # norm + unit-normalize let-bound once per row (the naive form
+        # re-runs the norm fold per element — ADVICE r3 #4)
+        def cells_from(unit: Column) -> Column:
+            per_sub = []
+            for s in range(m):
+                sub = F.slice(unit, s * dsub + 1, dsub)
+                ts = F.element_at(F.col("t"), s + 1)
+                prods = F.zip_with(
+                    sub, ts, lambda x, ws: F.transform(ws, lambda w: x * w)
                 )
-            )
+                dots = F.aggregate(
+                    prods,
+                    F.array_repeat(F.lit(0.0), ksub),
+                    lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+                )
+                scores = F.zip_with(
+                    dots, F.element_at(F.col("n2"), s + 1), lambda dd, nn: dd * 2 - nn
+                )
+                per_sub.append(
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.coalesce(
+                            F.array_position(scores, F.array_max(scores)).cast("int"),
+                            F.lit(-1),
+                        ).alias("code"),
+                        sub.alias("sub"),
+                    )
+                )
+            return F.array(*per_sub)
+
         exploded = vectors.crossJoin(F.broadcast(trow)).select(
-            F.explode(F.array(*per_sub)).alias("e")
+            F.explode(with_unit(F.col(vec_col), cells_from)).alias("e")
         )
         rows = (
             exploded.select(
@@ -908,23 +944,19 @@ def ivf_pq_topk(
         ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell"),
         pq_encode(F.col(vec_col), dim, m, ksub, books).alias("_codes"),
     )
-    qunit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / norm(F.col(vec_col))
-    )
+    qtbl = with_unit(
+        F.col(vec_col), lambda unit: _adc_tables(unit, m, dsub, books)
+    ).alias("_tbl")
     if nprobe <= 1:
         cell_col = ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell")
-        qt = queries.select(
-            F.col(query_id_col),
-            cell_col,
-            _adc_tables(qunit, m, dsub, books).alias("_tbl"),
-        )
+        qt = queries.select(F.col(query_id_col), cell_col, qtbl)
     else:
         qt = queries.select(
             F.col(query_id_col),
             F.explode(
                 ivf_cells(F.col(vec_col), dim, cells, centroids, nprobe)
             ).alias("_cell"),
-            _adc_tables(qunit, m, dsub, books).alias("_tbl"),
+            qtbl,
         )
     approx = _adc_score(F.col("_codes"), F.col("_tbl"))
     w = Window.partitionBy(query_id_col).orderBy(
