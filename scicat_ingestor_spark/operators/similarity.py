@@ -21,6 +21,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lit_doubles(obj: list) -> Column:
+    """Nested double-array plan constant via a constant-folded from_json.
+
+    ``F.lit(nested_python_list)`` converts per element over py4j
+    (~0.4 ms/element — 0.5 s of pure plan-BUILD time for one 8x8x16
+    codebook tensor; measured as the dominant cost of the PQ/IVF query
+    family at sf0.1). Encoding the list as ONE json string literal is a
+    single py4j call, and Catalyst's ConstantFolding collapses the
+    JsonToStructs to the identical nested array literal before execution
+    — verified absent from the optimized plan, including inside
+    higher-order-function lambdas. json.dumps emits shortest round-trip
+    reprs, which the JVM parses back to bit-identical doubles (values
+    must be finite — NaN/inf are not JSON)."""
+    import json
+
+    depth = 0
+    probe = obj
+    while isinstance(probe, list):
+        depth += 1
+        probe = probe[0]
+    schema = "double"
+    for _ in range(depth):
+        schema = f"array<{schema}>"
+    return F.from_json(F.lit(json.dumps(obj)), schema)
+
+
 def let(value: Column, body) -> Column:
     """Let-bind a per-row expression: evaluate ``value`` ONCE per row and
     pass it to ``body`` as a lambda variable.
@@ -170,7 +196,7 @@ def hyperplane_signature(
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(w) for w in weights]),
+                lit_doubles([float(w) for w in weights]),
                 lambda x, w: x.cast("double") * w,
             ),
             F.lit(0.0),
@@ -239,7 +265,7 @@ def ivf_cell(
     # ONE nested-array literal, not dim x cells F.lit() calls: the py4j
     # round-trips of the element-wise form dominated trained-IVF plan
     # build (k-means rebuilds this matrix every iteration)
-    transposed = F.lit(
+    transposed = lit_doubles(
         [[float(centroids[c][d]) for c in range(cells)] for d in range(dim)]
     )
     prods = F.zip_with(
@@ -266,7 +292,7 @@ def _ivf_dots(vec: Column, dim: int, cells: int, centroids) -> Column:
     # ONE nested-array literal, not dim x cells F.lit() calls: the py4j
     # round-trips of the element-wise form dominated trained-IVF plan
     # build (k-means rebuilds this matrix every iteration)
-    transposed = F.lit(
+    transposed = lit_doubles(
         [[float(centroids[c][d]) for c in range(cells)] for d in range(dim)]
     )
     prods = F.zip_with(
@@ -650,30 +676,45 @@ def pq_encode(
     # once per row — the naive transform(vec, x / norm(vec)) form
     # re-runs the O(dim) norm fold per element, O(dim^2)/row, and was
     # measured costing ivf_pq 2.2x vs its uncut baseline.
+    # ONE expression for all m subspaces — transform over sequence(0,m-1)
+    # with the codebook folded as a single tensor — instead of a Python
+    # loop appending m copies of the fold (each py4j lambda build costs
+    # ~10 ms; the loop form was ~0.8 s of plan-build time per call)
+    t = lit_doubles(  # t[s][d][c] = books[s][c][d] (per-dim rows)
+        [
+            [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
+            for s in range(m)
+        ]
+    )
+    n2 = lit_doubles(
+        [
+            [float(sum(x * x for x in books[s][c])) for c in range(ksub)]
+            for s in range(m)
+        ]
+    )
+
     def codes_from(unit: Column) -> Column:
-        codes = []
-        for s in range(m):
+        def code_for(s: Column) -> Column:
             sub = F.slice(unit, s * dsub + 1, dsub)
-            t = F.lit(
-                [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
-            )
             prods = F.zip_with(
-                sub, t, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
+                sub,
+                F.element_at(t, s + 1),
+                lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w),
             )
             dots = F.aggregate(
                 prods,
                 F.array_repeat(F.lit(0.0), ksub),
                 lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
             )
-            n2 = F.lit([float(sum(x * x for x in books[s][c])) for c in range(ksub)])
-            scores = F.zip_with(dots, n2, lambda dd, nn: dd * 2 - nn)
-            codes.append(
-                F.coalesce(
-                    F.array_position(scores, F.array_max(scores)).cast("int"),
-                    F.lit(-1),
-                )
+            scores = F.zip_with(
+                dots, F.element_at(n2, s + 1), lambda dd, nn: dd * 2 - nn
             )
-        return F.array(*codes)
+            return F.coalesce(
+                F.array_position(scores, F.array_max(scores)).cast("int"),
+                F.lit(-1),
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
 
     return with_unit(vec, codes_from)
 
@@ -685,23 +726,27 @@ def _adc_tables(
     the query's s-th (unit-normalized) subvector with each of the ksub
     codebook entries — one m x ksub lookup table per query."""
     ksub = len(books[0])
-    tbl_rows = []
-    for s in range(m):
-        sub = F.slice(unit_vec, s * dsub + 1, dsub)
-        t = F.lit(
+    t = lit_doubles(  # t[s][d][c] = books[s][c][d], same tensor as pq_encode
+        [
             [[float(books[s][c][d]) for c in range(ksub)] for d in range(dsub)]
-        )
+            for s in range(m)
+        ]
+    )
+
+    def row_for(s: Column) -> Column:
+        sub = F.slice(unit_vec, s * dsub + 1, dsub)
         prods = F.zip_with(
-            sub, t, lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w)
+            sub,
+            F.element_at(t, s + 1),
+            lambda x, ws: F.transform(ws, lambda w: x.cast("double") * w),
         )
-        tbl_rows.append(
-            F.aggregate(
-                prods,
-                F.array_repeat(F.lit(0.0), ksub),
-                lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
-            )
+        return F.aggregate(
+            prods,
+            F.array_repeat(F.lit(0.0), ksub),
+            lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
         )
-    return F.array(*tbl_rows)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), row_for)
 
 
 def _adc_score(codes: Column, tbl: Column) -> Column:
