@@ -125,6 +125,10 @@ def minhash_lsh_pairs(
     enough that even linear single-task processing straggles. Both emit
     identical rows.
     """
+    if star_strategy not in ("window", "join"):
+        raise ValueError(
+            f"star_strategy must be 'window' or 'join', got {star_strategy!r}"
+        )
     num_hashes = bands * rows_per_band
     # two-step select: materialize the digest array in its own projection —
     # CollapseProject keeps non-cheap expressions referenced 8x in a

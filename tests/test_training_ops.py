@@ -307,3 +307,15 @@ def test_vocab_sketch_within_rsd_of_exact(spark, sf_dir):
         # HLL tail luck. The exact count rides in the same result.
         v, est = r["vocab_exact"], r["vocab_hll"]
         assert abs(est - v) <= max(2, 0.05 * v), (r["source"], est, v)
+
+
+def test_lsh_star_strategy_validation(spark):
+    """Unrecognized star_strategy values raise instead of silently
+    falling through to the join path (ADVICE r3)."""
+    import pytest as _pytest
+
+    from scicat_ingestor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
+    with _pytest.raises(ValueError, match="star_strategy"):
+        minhash_lsh_pairs(docs, "text", "doc_id", star=True, star_strategy="windw")
