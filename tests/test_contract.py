@@ -5,7 +5,13 @@ import __spark_entry__ as entrymod
 # Queries whose results depend on data-trained plan constants or
 # hash-based fake extractors — not expressible as static SQL; the driver
 # records the weaker rows-only check for these, deliberately.
-ROWS_ONLY = {"ann_ivf_trained_topk", "ann_pq_trained_topk", "multimodal_features"}
+ROWS_ONLY = {
+    "ann_ivf_trained_topk",
+    "ann_pq_trained_topk",
+    "multimodal_features",
+    # r4: trained recall rows are data-dependent plan constants (VERDICT r3 #5)
+    "ann_recall_trained_report",
+}
 
 
 def test_every_query_has_oracle_or_explicit_waiver():

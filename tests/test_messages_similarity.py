@@ -393,6 +393,46 @@ def test_trained_pq_separates_clusters_where_fixed_leaks(spark):
     assert trained == 90  # 3 queries x 30-member clusters, zero leakage
 
 
+def test_trained_pq_recall_at_k_beats_fixed_on_clustered_data(spark):
+    """The r2/r3 bar behind ann_recall_trained_report: recall@k of
+    trained codebooks >= fixed ones, measured against the exact
+    brute-force top-k on data with cluster structure (the regime PQ
+    training exists for). Exact top-30 of a 3x30-cluster set is the
+    query's own cluster; a codebook that leaks cross-cluster neighbors
+    loses recall."""
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(90):
+        axis = i % 3
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        v[axis * 5] += 1.0
+        rows.append((i, v))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(vecs, queries, k=30).collect()
+    }
+
+    def recall(bk):
+        got = similarity.pq_topk(
+            vecs, queries, dim=dim, k=30, m=4, ksub=8, books=bk
+        ).collect()
+        return sum((r["query_id"], r["neighbor_id"]) in exact for r in got) / len(
+            exact
+        )
+
+    books = similarity.train_pq_codebooks(vecs, dim=dim, m=4, ksub=8, iterations=8)
+    r_trained, r_fixed = recall(books), recall(None)
+    assert r_trained >= r_fixed
+    assert r_trained > 0.9
+
+
 def test_ivf_pq_composition_candidates_subset_of_cell_probe(spark, sf_dir):
     """IVF-PQ returns only neighbors from the query's probed cells, and
     its ADC scores agree with plain PQ on the common candidates (the
