@@ -1419,3 +1419,16 @@ FROM r WHERE rk <= 5
 
 # re-bind: the recall report now covers the IVF-PQ composition too
 ORACLES["ann_recall_report"] = _recall_oracle()
+
+
+# S6 real branch: the inputs are the two static reference NeXus fixture
+# files, so the correct output is this fixed relation (values verified
+# byte-for-byte by tests/test_hdf5lite.py full walks).
+ORACLES["s6_real_nexus_scan"] = """
+SELECT * FROM (VALUES
+  ('small-coda', 'odin', 'ODIN', 'A Sample',
+   '2024-10-28T09:06:41.186Z', '2024-10-28T09:18:14.376Z', CAST(43 AS BIGINT)),
+  ('small-ymir', 'october 28th, lego test 1, cont', 'YMIR', 'some sample',
+   '2024-10-28T09:32:35.895Z', '2024-10-28T09:34:50.524Z', CAST(57 AS BIGINT))
+) AS t(name, title, instrument, sample_name, start_time, end_time, n_datasets)
+"""

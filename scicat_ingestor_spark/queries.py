@@ -1691,6 +1691,38 @@ def q_s6_hdf5_scan(spark, sf_dir):
     return hdf5.scan_files(files)
 
 
+def q_s6_real_nexus_scan(spark, sf_dir):
+    """S6's REAL branch in the registry: scan the reference's actual
+    NeXus test files (/root/reference/test-data/*.hdf — dense link
+    storage, layout-v4 datasets, vlen strings) through the fallback
+    chain (h5py absent here -> the pure-python hdf5lite reader), then
+    project the key run metadata from the per-file map. The oracle pins
+    the expected values as constants — legitimate because the inputs
+    are static fixture files, so the correct output is a fixed relation.
+    sf_dir is unused: the inputs ARE the NeXus files."""
+    files = spark.createDataFrame(
+        [
+            ("/root/reference/test-data/small-coda.hdf",),
+            ("/root/reference/test-data/small-ymir.hdf",),
+        ],
+        "file string",
+    )
+    wide = hdf5.scan_files_wide(files)
+
+    def get(p):
+        return F.element_at(F.col("nxs"), p).getField("value")
+
+    return wide.select(
+        F.regexp_extract("file", r"([^/]+)\.hdf$", 1).alias("name"),
+        get("/entry/title").alias("title"),
+        get("/entry/instrument/name").alias("instrument"),
+        get("/entry/sample/name").alias("sample_name"),
+        get("/entry/start_time").alias("start_time"),
+        get("/entry/end_time").alias("end_time"),
+        F.size(F.map_keys(F.col("nxs"))).cast("long").alias("n_datasets"),
+    )
+
+
 def q_s8_s9_file_stats(spark, sf_dir):
     """S8+S9: per-file stat + streaming blake2b checksum in one
     mapInPandas pass (/root/reference/src/scicat_dataset.py:532-589);
@@ -2666,4 +2698,5 @@ QUERIES = {
     "q19_disjunctive_revenue": q_q19_disjunctive_revenue,
     # round-4 additions
     "ann_recall_trained_report": q_ann_recall_trained_report,
+    "s6_real_nexus_scan": q_s6_real_nexus_scan,
 }
