@@ -879,34 +879,42 @@ def train_pq_codebooks(
             "t array<array<array<double>>>, n2 array<array<double>>",
         )
         # norm + unit-normalize let-bound once per row (the naive form
-        # re-runs the norm fold per element — ADVICE r3 #4)
+        # re-runs the norm fold per element — ADVICE r3 #4), and ONE
+        # transform over sequence(0, m-1) instead of a Python loop
+        # appending m copies of the assignment fold (the loop form cost
+        # ~0.5 s of py4j plan build PER Lloyd iteration)
         def cells_from(unit: Column) -> Column:
-            per_sub = []
-            for s in range(m):
-                sub = F.slice(unit, s * dsub + 1, dsub)
-                ts = F.element_at(F.col("t"), s + 1)
-                prods = F.zip_with(
-                    sub, ts, lambda x, ws: F.transform(ws, lambda w: x * w)
-                )
-                dots = F.aggregate(
-                    prods,
-                    F.array_repeat(F.lit(0.0), ksub),
-                    lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
-                )
-                scores = F.zip_with(
-                    dots, F.element_at(F.col("n2"), s + 1), lambda dd, nn: dd * 2 - nn
-                )
-                per_sub.append(
-                    F.struct(
-                        F.lit(s).alias("s"),
+            def cell_for(s: Column) -> Column:
+                def from_sub(sub: Column) -> Column:
+                    prods = F.zip_with(
+                        sub,
+                        F.element_at(F.col("t"), s + 1),
+                        lambda x, ws: F.transform(ws, lambda w: x * w),
+                    )
+                    dots = F.aggregate(
+                        prods,
+                        F.array_repeat(F.lit(0.0), ksub),
+                        lambda acc, xs: F.zip_with(acc, xs, lambda a, b: a + b),
+                    )
+                    scores = F.zip_with(
+                        dots,
+                        F.element_at(F.col("n2"), s + 1),
+                        lambda dd, nn: dd * 2 - nn,
+                    )
+                    return F.struct(
+                        s.alias("s"),
                         F.coalesce(
-                            F.array_position(scores, F.array_max(scores)).cast("int"),
+                            F.array_position(scores, F.array_max(scores)).cast(
+                                "int"
+                            ),
                             F.lit(-1),
                         ).alias("code"),
                         sub.alias("sub"),
                     )
-                )
-            return F.array(*per_sub)
+
+                return let(F.slice(unit, s * dsub + 1, dsub), from_sub)
+
+            return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), cell_for)
 
         exploded = vectors.crossJoin(F.broadcast(trow)).select(
             F.explode(with_unit(F.col(vec_col), cells_from)).alias("e")
