@@ -2117,6 +2117,28 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries_df, dim, k=5, centroids=cents)
 
 
+def q_ann_ivf_pq_trained_topk(spark, sf_dir):
+    """The full production IVFADC: TRAINED coarse quantizer (spherical
+    k-means cells) + TRAINED per-subspace PQ codebooks, composed through
+    the same ivf_pq_topk plan as the fixed-constant variant — corpus
+    carries (cell, codes) only, never shuffled; the query broadcasts its
+    probe cells + ADC tables. Completes the trained matrix
+    (ivf_trained, pq_trained, ivf_pq fixed -> ivf_pq trained). Rows-only:
+    both constant sets are data-dependent (driver records the weaker
+    check); plan shape is asserted in tests/test_plans.py alongside the
+    fixed composition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    cents = similarity.train_centroids(emb, dim, k=8, iterations=3)
+    books = similarity.train_pq_codebooks(emb, dim=dim, m=8, ksub=16, iterations=3)
+    queries_df = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
+    out = similarity.ivf_pq_topk(
+        emb, queries_df, dim=dim, k=5, m=8, ksub=16,
+        cells=8, centroids=cents, books=books, nprobe=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature-extract stage feeding ANN: payload bytes ->
     array<float> embedding (extractor stubbed, plumbing real), then
@@ -2699,4 +2721,5 @@ QUERIES = {
     # round-4 additions
     "ann_recall_trained_report": q_ann_recall_trained_report,
     "s6_real_nexus_scan": q_s6_real_nexus_scan,
+    "ann_ivf_pq_trained_topk": q_ann_ivf_pq_trained_topk,
 }

@@ -11,6 +11,7 @@ ROWS_ONLY = {
     "multimodal_features",
     # r4: trained recall rows are data-dependent plan constants (VERDICT r3 #5)
     "ann_recall_trained_report",
+    "ann_ivf_pq_trained_topk",
 }
 
 
