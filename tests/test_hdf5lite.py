@@ -139,3 +139,44 @@ def test_not_hdf5_raises(tmp_path):
     p.write_bytes(b"not an hdf5 file at all")
     with pytest.raises(hdf5lite.Hdf5LiteError):
         hdf5lite.File(str(p))
+
+
+@needs_files
+def test_fuzz_truncation_and_flips_fail_cleanly(tmp_path):
+    """Corrupt HDF5 never hangs or segfaults the reader: every strided
+    prefix truncation and seeded single-byte flip either walks (benign
+    mutation, e.g. inside a string payload) or raises an ordinary
+    exception — which read_rows propagates so the file lands in the
+    ingest failure channel (V3/T4), exactly like a malformed NeXus file
+    should."""
+    import random
+
+    data = open(CODA, "rb").read()
+
+    def attempt(buf):
+        p = tmp_path / "fuzz.hdf"
+        p.write_bytes(buf)
+        try:
+            with hdf5lite.File(str(p)) as f:
+                n = [0]
+
+                def fn(name, obj):
+                    n[0] += 1
+                    if isinstance(obj, hdf5lite.Dataset):
+                        obj[()]
+
+                f.visititems(fn)
+                return n[0]
+        except Exception:
+            return -1  # clean raise -> failure channel
+
+    for n in range(0, len(data), 257):
+        out = attempt(data[:n])
+        assert out == -1 or 0 <= out <= 200
+
+    rng = random.Random(1)
+    for _ in range(150):
+        i = rng.randrange(len(data))
+        mut = data[:i] + bytes([rng.randrange(256)]) + data[i + 1 :]
+        out = attempt(mut)
+        assert out == -1 or 0 <= out <= 200
