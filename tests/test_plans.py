@@ -312,3 +312,18 @@ def test_ivf_pq_cell_join_cuts_window_input(spark, sf_dir):
     # contrast: the uncomposed PQ baseline IS the full-corpus cross join
     base = _plan(Q.q_ann_pq_topk(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in base or "CartesianProduct" in base
+
+
+def test_codebook_literals_constant_fold_before_execution(spark, sf_dir):
+    """The ANN family ships its codebook/centroid tensors as
+    similarity.lit_doubles — a from_json over one string literal that
+    Catalyst's ConstantFolding must collapse to a plain array literal
+    BEFORE execution. If a Spark upgrade ever stops folding
+    JsonToStructs, every corpus row would parse kilobytes of JSON and
+    the whole family silently craters — pin the fold here."""
+    for q in (Q.q_ann_pq_topk, Q.q_ann_ivf_pq_topk, Q.q_ann_lsh_topk):
+        df = q(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "from_json" not in optimized and "jsontostructs" not in optimized.lower(), (
+            f"{q.__name__}: JsonToStructs survived optimization"
+        )
