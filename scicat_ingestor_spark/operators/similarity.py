@@ -986,17 +986,91 @@ def ivf_pq_topk(
     trained centroids/books plug in without changing the plan shape.
 
     Returns (query_id, neighbor_id, approx_cos, rank)."""
+    coded = build_pq_index(
+        vectors,
+        dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        m=m,
+        ksub=ksub,
+        cells=cells,
+        centroids=centroids,
+        books=books,
+    )
+    return ivf_pq_probe(
+        coded,
+        queries,
+        dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        k=k,
+        m=m,
+        ksub=ksub,
+        cells=cells,
+        centroids=centroids,
+        books=books,
+        nprobe=nprobe,
+    )
+
+
+def build_pq_index(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The IVFADC index relation: (id, _cell, _codes) — a few bytes per
+    vector. At 100 TB this is the table you WRITE ONCE (partitioned by
+    `_cell` if you like) and serve many queries from; `ivf_pq_topk`
+    composes it inline for the one-shot case, `ivf_pq_probe` is the
+    serving-side query phase over the stored relation. Measured at x100
+    (SCALE.md): probing the stored index serves 50 queries in 0.83 s vs
+    1.48 s for the full-scan ADC over the same stored codes."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
     if books is None:
         books = pq_codebooks(m, ksub, dsub)
     ksub = len(books[0])
-    coded = vectors.select(
+    return vectors.select(
         F.col(id_col),
         ivf_cell(F.col(vec_col), dim, cells, centroids).alias("_cell"),
         pq_encode(F.col(vec_col), dim, m, ksub, books).alias("_codes"),
     )
+
+
+def ivf_pq_probe(
+    coded: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Query phase over a (stored or inline) PQ index from
+    :func:`build_pq_index`: broadcast each query's probe cells + ADC dot
+    tables, equi-join on `_cell`, score survivors with m table lookups,
+    rank per query. Must be called with the same constants the index was
+    built with."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    if books is None:
+        books = pq_codebooks(m, ksub, dsub)
+    ksub = len(books[0])
     qtbl = with_unit(
         F.col(vec_col), lambda unit: _adc_tables(unit, m, dsub, books)
     ).alias("_tbl")
