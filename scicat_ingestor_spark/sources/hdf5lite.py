@@ -216,9 +216,24 @@ def _pad8(n: int) -> int:
 
 
 class _Attrs:
-    """dict-like over attribute messages (h5py's .attrs.get surface)."""
+    """dict-like over attribute messages (h5py's .attrs.get surface).
+
+    Raises if the object stores attributes DENSELY (attribute-info
+    message 0x15 with a defined fractal heap) — silently returning an
+    empty attr set would drop `units` without a trace; a clean raise
+    makes the caller fall back (h5py) or land the file in the failure
+    channel. h5py only goes dense above 8 attributes per object, which
+    NeXus metadata trees don't reach (both reference files are compact).
+    """
 
     def __init__(self, obj: _Object):
+        ai = obj.first(0x15)
+        if ai is not None:
+            flags = ai[1]
+            off = 2 + (2 if flags & 0x1 else 0)  # max creation index
+            (fheap_addr,) = struct.unpack_from("<Q", ai, off)
+            if fheap_addr != UNDEF:
+                raise Hdf5LiteError("dense attribute storage not supported")
         self._map: dict[str, object] = {}
         for body in obj.all(0x0C):
             try:
