@@ -452,7 +452,10 @@ class Group:
             heap_data_addr, = struct.unpack_from("<Q", data, heap + 24)
 
             def name_at(off: int) -> str:
-                end = data.index(b"\x00", heap_data_addr + off)
+                # .find, not .index: the mmap backing has no .index
+                end = data.find(b"\x00", heap_data_addr + off)
+                if end < 0:
+                    raise Hdf5LiteError("unterminated heap string")
                 return data[heap_data_addr + off : end].decode("utf-8")
 
             def walk(addr: int) -> None:
@@ -679,11 +682,37 @@ class File:
     def __init__(self, path: str, mode: str = "r"):
         if mode != "r":
             raise Hdf5LiteError("read-only")
-        with open(path, "rb") as fh:
-            self._data = fh.read()
+        # mmap, not read(): raw NeXus files carry GBs of event data next
+        # to the KBs of metadata the walker reads — a full read() would
+        # size the Python worker's heap by the file, an mmap touches
+        # only the pages the object headers and small datasets live on.
+        # Slices of an mmap return bytes, so all parsing code is
+        # indifferent to the backing.
+        import mmap
+
+        self._fh = open(path, "rb")
+        try:
+            self._data = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file cannot be mapped
+            self._fh.close()
+            raise Hdf5LiteError("not an HDF5 file") from None
         self._gheaps: dict[int, dict[int, bytes]] = {}
-        root = self._find_root()
-        self._root = Group(self, _Object(self, root), "/")
+        try:
+            root = self._find_root()
+            self._root = Group(self, _Object(self, root), "/")
+        except Exception:
+            self.close()
+            raise
+
+    def close(self) -> None:
+        data = getattr(self, "_data", None)
+        if data is not None:
+            data.close()
+            self._data = None  # type: ignore[assignment]
+        fh = getattr(self, "_fh", None)
+        if fh is not None:
+            fh.close()
+            self._fh = None
 
     def _find_root(self) -> int:
         data = self._data
@@ -748,4 +777,5 @@ class File:
         return self
 
     def __exit__(self, *exc):
+        self.close()
         return False
