@@ -124,9 +124,18 @@ def _walk_hdf5lite(
     path: str,
     max_tries: int = 3,
     retry_delay: float | list[float] = 3.0,
+    max_elements: int = 65536,
 ) -> list[tuple[str, str, str]]:
     """Pure-python walker (no h5py): same output rows as ``_walk_h5``,
-    same retry schedule semantics, reading via ``hdf5lite``."""
+    same retry schedule semantics, reading via ``hdf5lite``.
+
+    Datasets larger than ``max_elements`` are skipped: raw NeXus files
+    put GB-scale event arrays next to the KB-scale metadata the
+    ingestor reads (the reference only ever reads schema-named metadata
+    paths, /root/reference/src/scicat_dataset.py:285-324), and
+    stringifying bulk data into the long table would be both useless
+    and fatal at scale. The file itself is mmap'd, so skipped datasets
+    cost nothing."""
     from scicat_ingestor_spark.sources import hdf5lite
 
     schedule = resolve_retry_delays(retry_delay, max_tries)
@@ -144,6 +153,8 @@ def _walk_hdf5lite(
 
     def visit(name, obj):
         if isinstance(obj, hdf5lite.Dataset):
+            if obj.npoints() > max_elements:
+                return  # bulk data array, not metadata
             value = obj[()]
             if isinstance(value, bytes):
                 value = value.decode("utf-8", errors="replace")

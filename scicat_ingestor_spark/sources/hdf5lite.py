@@ -295,6 +295,14 @@ class Dataset:
         self.name = name
         self.attrs = _Attrs(obj)
 
+    def npoints(self) -> int:
+        """Element count from the dataspace message alone — no data
+        touched, so callers can skip bulk arrays before reading."""
+        ds = self._obj.first(0x01)
+        if ds is None:
+            raise Hdf5LiteError("no dataspace message")
+        return _dataspace_npoints(ds)
+
     def __getitem__(self, key):
         if key != ():
             raise Hdf5LiteError("hdf5lite supports full reads only")
