@@ -1432,3 +1432,26 @@ SELECT * FROM (VALUES
    '2024-10-28T09:32:35.895Z', '2024-10-28T09:34:50.524Z', CAST(57 AS BIGINT))
 ) AS t(name, title, instrument, sample_name, start_time, end_time, n_datasets)
 """
+
+# The parity demo: reference schemas x reference files is a pure
+# function of static fixtures + pinned batch_ts, so the correct output
+# is this fixed relation (cross-checked by the test_hdf5lite walks and
+# test_reference_schemas fixture semantics).
+ORACLES["ingest_real_files_e2e"] = """
+SELECT * FROM (VALUES
+  ('small-coda', 'Test Coda Metadata Schema',
+   '20.500.12269/f22acb1c-950b-11ef-a3ef-fa163e9aae0a', 'odin',
+   'Clara Codarino', 'clara@ess.eu', '443503', 'ess_proposal_443503',
+   'ESS:CODA', '31010',
+   'Anders Pettersson, Fredrik Bolmsten, George ONeill, Jonas Petersson, Massimiliano Novelli, Matt Clarke',
+   CAST(0 AS BIGINT)),
+  ('small-ymir', 'Ymir Metadata Schema',
+   '20.500.12269/90d87f9a-950f-11ef-9101-fa163e943f63',
+   'october 28th, lego test 1, cont - ' || md5('/root/reference/test-data/small-ymir.hdf'),
+   'Max Novelli', 'max@ess.eu', '876380', '876380',
+   'ESS:CODA:YMIR', '11465',
+   'Anders Pettersson, Fredrik Bolmsten, George ONeill, Janos Babik, Jekabs Karklins, Jonas Petersson, Junjie Quan, Massimiliano Novelli, Matt Clarke, Søren Schmidt, Tibor Bukovics, Yoganandan Pandiyan',
+   CAST(0 AS BIGINT))
+) AS t(name, schema_name, pid, dataset_name, owner, owner_email,
+       proposal_id, owner_group, location, run_number, team, n_failures)
+"""

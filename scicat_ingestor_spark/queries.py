@@ -2139,6 +2139,103 @@ def q_ann_ivf_pq_trained_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ingest_real_files_e2e(spark, sf_dir):
+    """THE parity demo: the reference's own small-coda/small-ymir
+    shipped schemas (resources/small-{coda,ymir}.imsc.yml.example),
+    selector-routed (P6, filename:contains) over the reference's own
+    REAL NeXus files, scanned through the non-fake S6 branch (hdf5lite),
+    SC-enriched, compiled, and emitted with ZERO failed variables —
+    including the coda schema's /entry/user_*/name wildcard selector
+    (S7) and join_with_space over the real user group names. batch_ts
+    pinned, ingestor_run_id = md5(path): fully deterministic, so the
+    oracle is the fixed expected relation. sf_dir unused (the inputs
+    ARE the reference files)."""
+    import yaml
+
+    from scicat_ingestor_spark.operators.selectors import with_selected_schema
+    from scicat_ingestor_spark.plans.sc import attach_dimension, make_sc_resolver
+
+    specs = {}
+    for name, inst in (("small-coda", "odin"), ("small-ymir", "ymir")):
+        specs[name] = (
+            MetadataSchema.from_dict(
+                yaml.safe_load(
+                    open(
+                        f"/root/reference/resources/{name}.imsc.yml.example"
+                    ).read()
+                )
+            ),
+            inst,
+        )
+    files = spark.createDataFrame(
+        [(f"/root/reference/test-data/{n}.hdf", n) for n in specs],
+        "file string, name string",
+    )
+    # P6 routing on the real paths: both selectors are filename:contains
+    routed = with_selected_schema(
+        files.withColumn("filename", F.col("file")),
+        [
+            {"id": s.id, "selector": s.selector, "order": s.order}
+            for s, _ in specs.values()
+        ],
+    )
+    proposals = spark.createDataFrame(
+        [
+            ("443503", "Clara", "Codarino", "clara@ess.eu"),
+            ("876380", "Max", "Novelli", "max@ess.eu"),
+        ],
+        "proposalId string, pi_firstname string, pi_lastname string, pi_email string",
+    )
+    resolvers = {
+        "NXS": hdf5.make_nxs_resolver(),
+        "SC": make_sc_resolver(
+            {
+                "proposals": ("proposalId", "pi_firstname", "pi_lastname", "pi_email"),
+                "instruments": ("id", "name"),
+            }
+        ),
+    }
+    bt = F.to_timestamp(F.lit("2024-11-01 00:00:00"))
+    outs = []
+    for name, (schema, inst) in specs.items():
+        grp = routed.filter(F.col("schema_id") == schema.id).select("file", "name")
+        wide = hdf5.scan_files_wide(grp).join(grp, "file").withColumn(
+            "data_file_path", F.col("file")
+        )
+        prop_key = F.element_at(
+            F.col("nxs"), "/entry/experiment_identifier"
+        ).getField("value")
+        instruments = spark.createDataFrame(
+            [(f"id-{inst}", inst)], "id string, name string"
+        )
+        base = attach_dimension(wide, proposals, "proposals", prop_key, "proposalId")
+        base = attach_dimension(base, instruments, "instruments", F.lit(inst), "name")
+        out = compile_schema(
+            schema, file_path_col="data_file_path", batch_ts=bt, resolvers=resolvers
+        )(base)
+        outs.append(
+            out.select(
+                F.col("name"),
+                F.lit(schema.name).alias("schema_name"),
+                F.col("pid").getField("value").alias("pid"),
+                F.col("datasetName").getField("value").alias("dataset_name"),
+                F.col("owner").getField("value").alias("owner"),
+                F.col("ownerEmail").getField("value").alias("owner_email"),
+                F.col("proposalId").getField("value").alias("proposal_id"),
+                F.col("ownerGroup").getField("value").alias("owner_group"),
+                F.col("creationLocation").getField("value").alias("location"),
+                F.element_at(F.col("scientificMetadata"), "run_number")
+                .getField("value")
+                .alias("run_number"),
+                F.element_at(F.col("scientificMetadata"), "acquisition_team_members")
+                .getField("value")
+                .alias("team"),
+                F.size("_failures").cast("long").alias("n_failures"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal feature-extract stage feeding ANN: payload bytes ->
     array<float> embedding (extractor stubbed, plumbing real), then
@@ -2722,4 +2819,5 @@ QUERIES = {
     "ann_recall_trained_report": q_ann_recall_trained_report,
     "s6_real_nexus_scan": q_s6_real_nexus_scan,
     "ann_ivf_pq_trained_topk": q_ann_ivf_pq_trained_topk,
+    "ingest_real_files_e2e": q_ingest_real_files_e2e,
 }
