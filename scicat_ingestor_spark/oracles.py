@@ -1455,3 +1455,62 @@ SELECT * FROM (VALUES
 ) AS t(name, schema_name, pid, dataset_name, owner, owner_email,
        proposal_id, owner_group, location, run_number, team, n_failures)
 """
+
+
+ORACLES["q7_volume_shipping"] = """
+SELECT supp_nation, cust_nation, l_year,
+  CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    year(l_shipdate) AS l_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLES["q8_market_share"] = """
+SELECT o_year,
+  CAST(round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) / sum(volume), 6) AS DOUBLE)
+    AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4)) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND p_type = 'PROMO' AND r_name = 'ASIA'
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+ORACLES["q14_promo_revenue"] = """
+SELECT CAST(round(
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) * 100
+    / sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))),
+  6) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""

@@ -776,6 +776,122 @@ def q_q18_large_orders(spark, sf_dir):
     ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
 
 
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    TWO broadcast nation lookups (aliased dims) + supplier/customer
+    broadcasts around the one big lineitem x orders join; the
+    nation-pair disjunction filters AFTER the joins (it references both
+    sides), everything else pushes into the scans. Grouping on
+    (supp_nation, cust_nation, year) keeps the aggregate tiny."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders", parallel=False)
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    cust = _t(spark, sf_dir, "customer", parallel=False)
+    n1 = _t(spark, sf_dir, "nation", parallel=False).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation", parallel=False).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_money(F.sum(volume)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a nation's share of a region's PROMO-part import
+    volume per year — the widest join chain in the suite (lineitem x
+    orders + part/supplier/customer/nation x2/region broadcasts), with a
+    conditional numerator over the joined volume. The share division
+    happens on DECIMAL sums and rounds to 6, so both engines' arithmetic
+    agrees bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders", parallel=False).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part", parallel=False).filter(
+        F.col("p_type") == "PROMO"
+    )
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    cust = _t(spark, sf_dir, "customer", parallel=False)
+    n1 = _t(spark, sf_dir, "nation", parallel=False).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation", parallel=False).select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_regionkey").alias("n2_region"),
+    )
+    region = _t(spark, sf_dir, "region", parallel=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    volume = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+    )
+    national = F.sum(
+        F.when(F.col("supp_nation") == "NATION_1", volume).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(national / F.sum(volume), 6).cast("double").alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo-type revenue share for one month —
+    lineitem x broadcast part, conditional numerator / total
+    denominator in ONE aggregate pass (no second scan, no self-join).
+    Date bounds push into the lineitem scan, the part join prunes to
+    (p_partkey, p_type)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = _t(spark, sf_dir, "part", parallel=False)
+    volume = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", volume).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(promo * 100 / F.sum(volume), 6)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
 def q_q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape: revenue under a three-branch OR of brand/size/
     quantity bands. The join key (partkey) is shared across branches, so
@@ -2820,4 +2936,7 @@ QUERIES = {
     "s6_real_nexus_scan": q_s6_real_nexus_scan,
     "ann_ivf_pq_trained_topk": q_ann_ivf_pq_trained_topk,
     "ingest_real_files_e2e": q_ingest_real_files_e2e,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q14_promo_revenue": q_q14_promo_revenue,
 }
