@@ -892,6 +892,51 @@ def q_q14_promo_revenue(spark, sf_dir):
     )
 
 
+def q_q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count histogram — LEFT OUTER
+    join (customers with no orders count as 0) then TWO stacked
+    aggregations: per-customer count, then distribution of counts. The
+    outer join shuffles once on custkey; both aggregates keep map-side
+    partials; output is a few dozen rows."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders", parallel=False).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the revenue-view + max-revenue subquery, written
+    as ONE aggregation + an unbounded window max instead of a self-join
+    against a re-evaluated view — the classic decorrelation. Same
+    shuffle the aggregation already does; the window adds no exchange
+    (same key space, single partition over the tiny aggregate)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    per_supp = li.groupBy("l_suppkey").agg(_money(F.sum(revenue)).alias("total_revenue"))
+    w = Window.partitionBy()
+    top = per_supp.withColumn(
+        "_max", F.max("total_revenue").over(w)
+    ).filter(F.col("total_revenue") == F.col("_max"))
+    return (
+        top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape: revenue under a three-branch OR of brand/size/
     quantity bands. The join key (partkey) is shared across branches, so
@@ -2939,4 +2984,6 @@ QUERIES = {
     "q7_volume_shipping": q_q7_volume_shipping,
     "q8_market_share": q_q8_market_share,
     "q14_promo_revenue": q_q14_promo_revenue,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
+    "q15_top_supplier": q_q15_top_supplier,
 }
