@@ -327,3 +327,23 @@ def test_codebook_literals_constant_fold_before_execution(spark, sf_dir):
         assert "from_json" not in optimized and "jsontostructs" not in optimized.lower(), (
             f"{q.__name__}: JsonToStructs survived optimization"
         )
+
+
+def test_q7_q8_broadcast_all_dims(spark, sf_dir):
+    """The TPC-H join chains must broadcast every dimension side and
+    leave only the lineitem x orders join to AQE — no sort-merge of a
+    dim, no nested loop anywhere."""
+    for q, n_bhj in ((Q.q_q7_volume_shipping, 4), (Q.q_q8_market_share, 6)):
+        plan = _plan(q(spark, sf_dir))
+        assert plan.count("BroadcastHashJoin") >= n_bhj, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
+    """Q13's LEFT join must keep customers with no qualifying orders —
+    the c_count=0 bucket exists and the histogram covers every
+    customer exactly once."""
+    rows = Q.q_q13_order_count_distribution(spark, sf_dir).collect()
+    total = sum(r["custdist"] for r in rows)
+    n_cust = Q._t(spark, sf_dir, "customer").count()
+    assert total == n_cust
