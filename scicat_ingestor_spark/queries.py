@@ -2330,6 +2330,7 @@ def q_ann_ivf_pq_trained_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ingest_real_files_e2e(spark, sf_dir):
     """THE parity demo: the reference's own small-coda/small-ymir
     shipped schemas (resources/small-{coda,ymir}.imsc.yml.example),
