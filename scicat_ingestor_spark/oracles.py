@@ -1542,3 +1542,15 @@ FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 ORDER BY s_suppkey
 """
+
+
+ORACLES["q17_small_quantity_revenue"] = """
+SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7 AS DECIMAL(24,6)), 2) AS DOUBLE) AS avg_yearly
+FROM (
+  SELECT l_extendedprice, l_quantity,
+    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+) t
+WHERE l_quantity < 0.5 * avg_qty
+"""

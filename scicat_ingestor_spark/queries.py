@@ -967,6 +967,35 @@ def q_q15_top_supplier(spark, sf_dir):
     )
 
 
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand — the classic correlated scalar subquery (per-part average
+    quantity) DECORRELATED into a window average over the same
+    partition the filter reads. One shuffle on partkey; the brand
+    filter broadcasts into the join and prunes the lineitem side
+    before the window."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part", parallel=False).filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    w = Window.partitionBy("l_partkey")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+        .agg(
+            F.round(
+                (F.sum(_dec(F.col("l_extendedprice"))) / F.lit(7)).cast(
+                    "decimal(24,6)"
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
 def q_q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19 shape: revenue under a three-branch OR of brand/size/
     quantity bands. The join key (partkey) is shared across branches, so
@@ -3017,4 +3046,5 @@ QUERIES = {
     "q14_promo_revenue": q_q14_promo_revenue,
     "q13_order_count_distribution": q_q13_order_count_distribution,
     "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
 }
