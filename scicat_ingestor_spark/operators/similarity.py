@@ -65,11 +65,20 @@ def let(value: Column, body) -> Column:
 def with_unit(vec: Column, body) -> Column:
     """Let-bind ``vec``'s unit-normalized form: the norm fold runs once
     per row, the normalized array is materialized once per row, and
-    ``body`` may reference it any number of times for free."""
+    ``body`` may reference it any number of times for free.
+
+    Zero-norm vectors normalize to NULL elements (not a crash): Spark 4
+    runs ANSI mode by default, where x/0 throws — the when() turns the
+    divisor NULL so the division null-propagates, downstream dots/scores
+    go NULL, and the PQ argmax coalesces to the documented -1 sentinel
+    (ranked nulls-last by every caller)."""
     return let(
         norm(vec),
         lambda nrm: let(
-            F.transform(vec, lambda x: x.cast("double") / nrm), body
+            F.transform(
+                vec, lambda x: x.cast("double") / F.when(nrm != 0, nrm)
+            ),
+            body,
         ),
     )
 
@@ -88,7 +97,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (never an ANSI divide-by-zero crash) when either vector has
+    zero norm — zero vectors are similar to nothing, and callers' rank
+    windows order nulls last / threshold filters drop them."""
+    return let(
+        norm(a) * norm(b),
+        lambda nn: dot(a, b) / F.when(nn != 0, nn),
+    )
 
 
 def brute_force_topk(
@@ -150,9 +165,8 @@ def cosine_pairs_lsh(
         norm(F.col(vec_col)).alias("_nrm"),
     )
     a, b = sig.alias("a"), sig.alias("b")
-    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
-        F.col("a._nrm") * F.col("b._nrm")
-    )
+    nn = F.col("a._nrm") * F.col("b._nrm")
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(nn != 0, nn)
     return (
         a.join(
             b,
@@ -593,9 +607,9 @@ def semantic_dedup_survivors(
         norm(F.col(vec_col)).alias("_nrm"),
     )
     a, b = cv.alias("a"), cv.alias("b")
+    _nn = F.col("a._nrm") * F.col("b._nrm")
     cos = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (F.col("a._nrm") * F.col("b._nrm")),
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(_nn != 0, _nn),
         6,
     )
     dup_ids = (

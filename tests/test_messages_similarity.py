@@ -491,3 +491,56 @@ def test_pq_index_store_and_probe_matches_inline(spark, sf_dir, tmp_path):
         stored, queries, dim=64, k=5, m=8, ksub=16, cells=8, nprobe=2
     ).collect()
     assert sorted(map(tuple, probed)) == sorted(map(tuple, inline))
+
+
+def test_pq_encode_matches_pure_python_reference(spark):
+    """The restructured encode (let-bound unit, sequence-transform over
+    a folded tensor) must agree code-for-code with an independent
+    pure-Python implementation of the same rule (argmax 2*dot - ||cb||^2
+    over unit-normalized subvectors) on seeded random vectors, including
+    the zero-vector sentinel."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    dim, m, ksub = 16, 4, 8
+    dsub = dim // m
+    books = similarity.pq_codebooks(m, ksub, dsub)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(40)]
+    rows.append((98, [0.0] * dim))  # zero norm -> sentinel codes
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in vecs.select(
+            "vec_id",
+            similarity.pq_encode(F.col("embedding"), dim, m, ksub, books).alias(
+                "codes"
+            ),
+        ).collect()
+    }
+
+    def ref_codes(v):
+        nrm = math.sqrt(sum(x * x for x in v))
+        if nrm == 0:
+            return None  # NaN-division path; sentinel asserted separately
+        unit = [x / nrm for x in v]
+        out = []
+        for s in range(m):
+            sub = unit[s * dsub : (s + 1) * dsub]
+            best, best_score = None, None
+            for c in range(ksub):
+                cb = books[s][c]
+                score = 2 * sum(a * b for a, b in zip(sub, cb)) - sum(
+                    b * b for b in cb
+                )
+                if best_score is None or score > best_score:
+                    best, best_score = c + 1, score
+            out.append(best)
+        return out
+
+    for vid, v in rows:
+        if vid == 98:
+            continue
+        assert got[vid] == ref_codes(v), vid
+    # zero vector: every subspace hits the -1 sentinel
+    assert got[98] == [-1] * m
