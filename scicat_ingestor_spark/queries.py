@@ -1716,9 +1716,15 @@ def q_source_mix_rebalance(spark, sf_dir):
     weights = totals.crossJoin(F.broadcast(n_sources)).select(
         "source",
         "actual_tokens",
+        # when() guards the ANSI divide-by-zero for an all-empty-text
+        # source: the null drops out of least() -> keep_prob 1.0,
+        # matching the oracle's float inf path
         F.least(
             F.lit(1.0),
-            F.lit(float(budget_tokens)) / F.col("n") / F.col("actual_tokens"),
+            F.when(
+                F.col("actual_tokens") > 0,
+                F.lit(float(budget_tokens)) / F.col("n") / F.col("actual_tokens"),
+            ),
         ).alias("keep_prob"),
     )
     gate = (
