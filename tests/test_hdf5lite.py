@@ -180,3 +180,24 @@ def test_fuzz_truncation_and_flips_fail_cleanly(tmp_path):
         mut = data[:i] + bytes([rng.randrange(256)]) + data[i + 1 :]
         out = attempt(mut)
         assert out == -1 or 0 <= out <= 200
+
+
+@needs_files
+def test_hdf5_datasource_reads_real_files(spark):
+    """The Spark 4 Python Data Source path (format "hdf5") serves the
+    REAL branch too: one InputPartition per file, same rows as the
+    mapInPandas scan over the reference NeXus files."""
+    from scicat_ingestor_spark.sources.hdf5_datasource import register_hdf5_source
+
+    register_hdf5_source(spark)
+    df = (
+        spark.read.format("hdf5")
+        .option("paths", ",".join([CODA, YMIR]))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.collect()
+    assert len(rows) == 43 + 57
+    vals = {(r["file"], r["h5_path"]): r["value"] for r in rows}
+    assert vals[(CODA, "/entry/instrument/name")] == "ODIN"
+    assert vals[(YMIR, "/entry/sample/name")] == "some sample"
