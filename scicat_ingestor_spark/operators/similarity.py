@@ -33,7 +33,11 @@ def lit_doubles(obj: list) -> Column:
     — verified absent from the optimized plan, including inside
     higher-order-function lambdas. json.dumps emits shortest round-trip
     reprs, which the JVM parses back to bit-identical doubles (values
-    must be finite — NaN/inf are not JSON)."""
+    must be finite — NaN/inf are not JSON; ``allow_nan=False`` makes a
+    non-finite value, e.g. a degenerate k-means cluster producing a NaN
+    centroid, raise HERE at plan-build time instead of emitting the
+    non-standard ``NaN`` token that from_json would silently null out,
+    nulling every downstream score)."""
     import json
 
     depth = 0
@@ -44,7 +48,7 @@ def lit_doubles(obj: list) -> Column:
     schema = "double"
     for _ in range(depth):
         schema = f"array<{schema}>"
-    return F.from_json(F.lit(json.dumps(obj)), schema)
+    return F.from_json(F.lit(json.dumps(obj, allow_nan=False)), schema)
 
 
 def let(value: Column, body) -> Column:

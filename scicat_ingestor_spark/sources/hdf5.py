@@ -77,17 +77,43 @@ def resolve_retry_delays(
     return resolved[:max_tries]
 
 
+def _normalize_h5_value(value):
+    """Shared value normalization for both walkers: decode bytes, turn
+    array-likes into plain Python lists (with bytes elements decoded) so
+    ``str(value)`` is identical whether the row came from h5py (numpy
+    scalars/arrays) or hdf5lite (python scalars/lists). Without this the
+    pinned oracles for ``s6_real_nexus_scan`` / ``ingest_real_files_e2e``
+    — which encode the hdf5lite rendering — would silently break the day
+    h5py appears in the environment."""
+    if isinstance(value, bytes):
+        return value.decode("utf-8", errors="replace")
+    if hasattr(value, "tolist"):  # numpy scalar or array
+        value = value.tolist()
+    if isinstance(value, list):
+        return [
+            v.decode("utf-8", errors="replace") if isinstance(v, bytes) else v
+            for v in value
+        ]
+    return value
+
+
 def _walk_h5(
     path: str,
     max_tries: int = 3,
     retry_delay: float | list[float] = 3.0,
+    max_elements: int = 65536,
 ):
     """Real walker (requires h5py): yield (h5_path, value, unit).
 
     ``retry_delay`` may be a per-attempt list (T6,
     /root/reference/src/scicat_nexus_helper.py:63-95): attempt i sleeps
     schedule[i] before retrying; like the reference, the first open plus
-    max_tries retries."""
+    max_tries retries.
+
+    Emits the SAME rows as ``_walk_hdf5lite`` for the same file: the
+    ``max_elements`` dataspace skip guards against stringifying GB-scale
+    event arrays, and values go through ``_normalize_h5_value`` so numpy
+    rendering never diverges from the pure-python reader."""
     h5py = try_import_h5py()
     if h5py is None:
         raise ImportError("h5py not available; use fake_tree rows")
@@ -106,9 +132,9 @@ def _walk_h5(
 
     def visit(name, obj):
         if isinstance(obj, h5py.Dataset):
-            value = obj[()]
-            if isinstance(value, bytes):
-                value = value.decode("utf-8", errors="replace")
+            if obj.size is not None and obj.size > max_elements:
+                return  # bulk data array, not metadata
+            value = _normalize_h5_value(obj[()])
             unit = obj.attrs.get("units", b"")
             if isinstance(unit, bytes):
                 unit = unit.decode("utf-8", errors="replace")
@@ -138,40 +164,35 @@ def _walk_hdf5lite(
     cost nothing."""
     from scicat_ingestor_spark.sources import hdf5lite
 
-    schedule = resolve_retry_delays(retry_delay, max_tries)
-    last_err: Exception | None = None
-    for attempt in range(max_tries + 1):
-        if attempt:
-            time.sleep(schedule[attempt - 1])
-        try:
-            f = hdf5lite.File(path)
-            break
-        except OSError as e:  # file still being written / unreadable
-            last_err = e
-    else:
-        raise last_err  # type: ignore[misc]
-
     def visit(name, obj):
         if isinstance(obj, hdf5lite.Dataset):
             if obj.npoints() > max_elements:
                 return  # bulk data array, not metadata
-            value = obj[()]
-            if isinstance(value, bytes):
-                value = value.decode("utf-8", errors="replace")
-            elif isinstance(value, list):
-                value = [
-                    v.decode("utf-8", errors="replace") if isinstance(v, bytes) else v
-                    for v in value
-                ]
+            value = _normalize_h5_value(obj[()])
             unit = obj.attrs.get("units", b"")
             if isinstance(unit, bytes):
                 unit = unit.decode("utf-8", errors="replace")
             rows.append(("/" + name, str(value), str(unit)))
 
-    rows: list[tuple] = []
-    with f:
-        f.visititems(visit)
-    return rows
+    schedule = resolve_retry_delays(retry_delay, max_tries)
+    last_err: Exception | None = None
+    for attempt in range(max_tries + 1):
+        if attempt:
+            time.sleep(schedule[attempt - 1])
+        rows: list[tuple] = []
+        try:
+            # The whole open+walk is one attempt: a file still being
+            # written either fails the open (OSError) or parses partway
+            # and raises Hdf5LiteError from a lazy dataset read inside
+            # the walk — both get the backoff schedule; after the final
+            # attempt the error propagates so a genuinely malformed file
+            # lands in the failure channel (V3/T4).
+            with hdf5lite.File(path) as f:
+                f.visititems(visit)
+            return rows
+        except (OSError, hdf5lite.Hdf5LiteError) as e:
+            last_err = e
+    raise last_err  # type: ignore[misc]
 
 
 def read_rows(
@@ -223,7 +244,7 @@ def scan_files(files_df: DataFrame, path_col: str = "file") -> DataFrame:
     once regardless of how many variables read from it (the reference
     re-reads per variable; scanning once is the columnar win).
     """
-    
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"file": [], "h5_path": [], "value": [], "unit": []}
@@ -253,7 +274,7 @@ def scan_files_wide(files_df: DataFrame, path_col: str = "file") -> DataFrame:
     long table from ``scan_files`` remains the relational view for
     wildcard lookups and ad-hoc queries.
     """
-    
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             files, maps = [], []
