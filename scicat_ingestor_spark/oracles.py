@@ -1554,3 +1554,145 @@ FROM (
 ) t
 WHERE l_quantity < 0.5 * avg_qty
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5: the remaining TPC-H plan shapes. The oracle side deliberately
+# keeps the textbook correlated/EXISTS/scalar-subquery SQL forms so the
+# gate proves the Spark decorrelations compute the same relation.
+# ---------------------------------------------------------------------------
+
+ORACLES["q2_min_cost_supplier"] = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+    min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+  round(ps_supplycost, 4) AS supply_cost
+FROM part, supply, supplier, nation, region
+WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey
+  AND p_type = 'LARGE' AND p_size BETWEEN 1 AND 15
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND ps_supplycost = (
+    SELECT min(ps2.ps_supplycost) FROM supply ps2
+    JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE r2.r_name = 'ASIA' AND ps2.ps_partkey = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+ORACLES["q9_product_type_profit"] = """
+SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+    - (CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.6 AS DECIMAL(2,1)))
+      * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) t
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+ORACLES["q11_important_stock"] = """
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS pvalue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT l_partkey AS ps_partkey, CAST(round(pvalue, 2) AS DOUBLE) AS part_value
+FROM pv
+WHERE pvalue * 1000 > (SELECT sum(pvalue) FROM pv)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+ORACLES["q12_late_priority"] = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLES["q16_supplier_part_types"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      FROM lineitem) supply
+JOIN part ON ps_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["q20_part_promotion"] = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, sum(qty) AS part_total FROM pair GROUP BY 1)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+  AND s_suppkey IN (
+    SELECT p.l_suppkey FROM pair p JOIN tot t ON p.l_partkey = t.l_partkey
+    WHERE p.qty * 100 > t.part_total * 15)
+ORDER BY s_name
+"""
+
+ORACLES["q21_suppliers_who_kept_waiting"] = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+ORACLES["q22_global_sales_opportunity"] = """
+WITH c AS (
+  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
+FROM c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT count(*) FROM c c2 WHERE c2.c_acctbal > 0)
+    > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM c c2
+       WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+GROUP BY c_nationkey
+ORDER BY cntrycode
+"""

@@ -945,21 +945,24 @@ def q_q13_order_count_distribution(spark, sf_dir):
 
 
 def q_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape: the revenue-view + max-revenue subquery, written
-    as ONE aggregation + an unbounded window max instead of a self-join
-    against a re-evaluated view — the classic decorrelation. Same
-    shuffle the aggregation already does; the window adds no exchange
-    (same key space, single partition over the tiny aggregate)."""
+    """TPC-H Q15 shape: the revenue-view + max-revenue subquery. The
+    scalar max is a 1-row aggregate over the (already shuffled)
+    per-supplier rollup, broadcast-joined back on the revenue value —
+    NOT an unbounded window: ``Window.partitionBy()`` would funnel the
+    whole per-supplier aggregate through one single-partition WindowExec
+    (millions of suppliers sorted on one task at 100 TB). The rollup is
+    computed once — Spark's ReuseExchange shares the shuffle between the
+    max branch and the probe branch."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     supp = _t(spark, sf_dir, "supplier", parallel=False)
     revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
     per_supp = li.groupBy("l_suppkey").agg(_money(F.sum(revenue)).alias("total_revenue"))
-    w = Window.partitionBy()
-    top = per_supp.withColumn(
-        "_max", F.max("total_revenue").over(w)
-    ).filter(F.col("total_revenue") == F.col("_max"))
+    mx = per_supp.agg(F.max("total_revenue").alias("_max"))
+    top = per_supp.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("_max")
+    ).drop("_max")
     return (
         top.join(F.broadcast(supp), top.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
@@ -1025,6 +1028,319 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
     )
     revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
     return j.filter(branch).agg(_money(F.sum(revenue)).alias("revenue"))
+
+
+def _supply(spark, sf_dir):
+    """Derived supply catalog: the testdata has no partsupp table, so the
+    (part, supplier) relation with a per-pair cost is reconstructed from
+    lineitem — distinct pairs with min observed unit price as the supply
+    cost. One shuffle on (partkey, suppkey); every partsupp-shaped query
+    (Q2/Q11/Q16/Q20 adaptations) starts from this rollup, exactly where
+    partsupp would sit in the join tree."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        # min over doubles is order-independent and bit-identical across
+        # engines (same IEEE division of the same operands)
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier for a part class within a
+    region — the canonical CORRELATED SCALAR SUBQUERY over a join
+    (ps_supplycost = MIN over the same region-restricted supply),
+    decorrelated the classic way: aggregate the region-filtered supply
+    per part (groupBy min), then equi-join back on (partkey, cost).
+    Nation/region/supplier broadcast; the supply rollup shuffles once on
+    (partkey, suppkey) and its min-branch reuses that exchange. No
+    partsupp in the testdata — the supply catalog derives from lineitem
+    (see _supply), preserving the plan shape end-to-end."""
+    supply = _supply(spark, sf_dir)
+    part = _t(spark, sf_dir, "part", parallel=False).filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").between(1, 15)
+    )
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False)
+    region = _t(spark, sf_dir, "region", parallel=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    # region-restricted supply: supplier->nation->region broadcasts
+    regional = (
+        supply.join(F.broadcast(supp), supply.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    min_cost = regional.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("_min_cost")
+    ).select(F.col("ps_partkey").alias("_mc_partkey"), "_min_cost")
+    return (
+        regional.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 4).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape: per-nation per-year profit on a part-name class —
+    the 5-table chain (lineitem x orders for the year, part/supplier/
+    nation broadcast) with a two-term profit expression. No
+    ps_supplycost in the testdata: the cost basis is the part's retail
+    price at a fixed margin (0.6), cast to DECIMAL before the multiply so
+    both engines' sums are exact and order-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders", parallel=False)
+    part = _t(spark, sf_dir, "part", parallel=False).filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False)
+    revenue = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    # 0.6 is exact as decimal(2,1); the whole cost term stays in exact
+    # decimal multiplication — no decimal division, whose result-scale
+    # rules differ between Spark and DuckDB
+    cost = (
+        _dec(F.col("p_retailprice")) * F.lit("0.6").cast("decimal(2,1)")
+    ) * _dec(F.col("l_quantity"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(_money(F.sum(revenue - cost)).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part supply value for one nation, kept only
+    above a fraction of the GLOBAL total — the scalar-subquery threshold.
+    The global total is a 1-row aggregate over the SAME grouped relation
+    broadcast back (ReuseExchange shares the shuffle between the two
+    branches); the comparison is exact decimal-times-integer — no
+    decimal division, whose scale rules differ across engines. Supply
+    value derives from lineitem (no partsupp): sum of extendedprice over
+    the nation's suppliers per part."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False).filter(
+        F.col("n_name") == "NATION_1"
+    )
+    j = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    per_part = j.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice"))).alias("_value")
+    )
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value") * 1000 > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            _money(F.col("_value")).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+def q_q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment counts split by order priority —
+    one big lineitem x orders join with a two-branch conditional
+    aggregation (CASE WHEN inside SUM). No l_shipmode/l_commitdate/
+    l_receiptdate in the testdata: the group key is l_returnflag and
+    "late" is shipped >60 days after the order date (the q4 precedent);
+    the high/low split on o_orderpriority is verbatim Q12."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders", parallel=False)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_q16_supplier_part_types(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part class,
+    excluding a NOT IN supplier set — the anti-join + count(distinct)
+    aggregation. The supply pairs derive from lineitem (no partsupp);
+    the excluded set is suppliers with negative account balance (the
+    testdata's stand-in for the complaints filter, guaranteed non-null
+    keys so NOT IN is a plain LeftAnti). Part dims broadcast; the
+    distinct-count shuffles once on the group key after the semi
+    reduction."""
+    supply = _supply(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    part = _t(spark, sf_dir, "part", parallel=False).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier", parallel=False).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        supply.join(F.broadcast(bad), supply.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), supply.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding a significant share of some
+    promoted part — the NESTED SEMI-JOIN: an inner IN (parts by name
+    prefix) feeding a correlated quantity threshold, whose survivors
+    semi-join into supplier, then a broadcast nation filter. The
+    availqty>half-of-shipped predicate becomes share-of-part-volume
+    (supplier's 1996 quantity > 15% of the part's 1996 total) — exact
+    decimal-times-integer comparison, no division. The per-part total is
+    a second aggregate over the same (partkey, suppkey) rollup, so
+    ReuseExchange shares the shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    red_parts = _t(spark, sf_dir, "part", parallel=False).filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    # inner IN: only lineitems of promoted parts survive (broadcast semi)
+    li_red = li.join(
+        F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey, "left_semi"
+    )
+    per_pair = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("_qty")
+    )
+    per_part = per_pair.groupBy("l_partkey").agg(
+        F.sum("_qty").alias("_part_total")
+    ).select(F.col("l_partkey").alias("_pt_partkey"), "_part_total")
+    significant = per_pair.join(
+        per_part,
+        (F.col("l_partkey") == F.col("_pt_partkey"))
+        & (F.col("_qty") * 100 > F.col("_part_total") * 15),
+    ).select("l_suppkey")
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
+    return (
+        supp.join(significant, supp.s_suppkey == significant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def q_q21_suppliers_who_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: the hardest plan in the suite — EXISTS plus
+    NOT EXISTS self-joins on lineitem. A supplier "kept an order
+    waiting" when: its own line shipped late on a finalized order,
+    ANOTHER supplier has a line on the same order (EXISTS -> LeftSemi
+    with an equi key + inequality residual), and NO OTHER supplier
+    shipped late on it (NOT EXISTS -> LeftAnti, same shape). Both
+    self-joins hash on l_orderkey — two shuffles of the slim
+    (orderkey, suppkey) projection, never a subquery loop. "Late" is
+    the schema-adapted shipped->ordered gap (no l_commitdate /
+    l_receiptdate in the testdata)."""
+    orders = _t(spark, sf_dir, "orders", parallel=False).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = _t(spark, sf_dir, "supplier", parallel=False)
+    nation = _t(spark, sf_dir, "nation", parallel=False).filter(
+        F.col("n_name") == "NATION_3"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    # late lines need the order date: slim join once, reused for l1/l3
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAY")
+    )
+    l1 = late.select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.l2_orderkey) & (l1.l_suppkey != l2.l2_suppkey),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == F.col("l3_orderkey"))
+        & (l1.l_suppkey != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+def q_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance customers above the average
+    who never ordered — SCALAR-AVG SUBQUERY + ANTI-JOIN, grouped by
+    country code. No c_phone in the testdata: the country code IS the
+    nation key (which is what the phone prefix encodes in TPC-H). The
+    above-average predicate is the exact cross-multiplied form
+    (acctbal * count > total) — a broadcast 1-row aggregate, no decimal
+    division; the NOT EXISTS(orders) is a LeftAnti on custkey. TPC-H's
+    "never placed an order" is vacuous in the testdata (every customer
+    orders); the adapted predicate is "no order in the trailing window" —
+    the same anti-join shape with a pushed-down date filter."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    thr = pos.agg(
+        F.sum(_dec(F.col("c_acctbal"))).alias("_total"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    orders = _t(spark, sf_dir, "orders", parallel=False).filter(
+        F.col("o_orderdate") >= "2000-07-01"
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(_dec(F.col("c_acctbal")) * F.col("_cnt") > F.col("_total"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money(F.sum(_dec(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -3053,4 +3369,13 @@ QUERIES = {
     "q13_order_count_distribution": q_q13_order_count_distribution,
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_quantity_revenue": q_q17_small_quantity_revenue,
+    # round-5 additions: the remaining TPC-H plan shapes
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q9_product_type_profit": q_q9_product_type_profit,
+    "q11_important_stock": q_q11_important_stock,
+    "q12_late_priority": q_q12_late_priority,
+    "q16_supplier_part_types": q_q16_supplier_part_types,
+    "q20_part_promotion": q_q20_part_promotion,
+    "q21_suppliers_who_kept_waiting": q_q21_suppliers_who_kept_waiting,
+    "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
 }

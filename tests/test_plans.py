@@ -347,3 +347,81 @@ def test_q13_outer_join_keeps_zero_order_customers(spark, sf_dir):
     total = sum(r["custdist"] for r in rows)
     n_cust = Q._t(spark, sf_dir, "customer").count()
     assert total == n_cust
+
+
+def test_q15_scalar_max_is_broadcast_not_global_window(spark, sf_dir):
+    """Q15's max-revenue subquery must be a 1-row aggregate broadcast
+    back — an unpartitioned Window would funnel the whole per-supplier
+    rollup through ONE task (millions of rows sorted on one partition
+    at 100 TB)."""
+    plan = _plan(Q.q_q15_top_supplier(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q2_correlated_min_is_decorrelated_join(spark, sf_dir):
+    """Q2's per-part min-cost subquery must decorrelate into a groupBy
+    + equi-join back — hash joins only, dims broadcast, never a
+    re-evaluated subquery loop or a nested-loop join."""
+    plan = _plan(Q.q_q2_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's NOT IN (complaint suppliers) must compile to a LeftAnti
+    hash join, not a per-row subquery probe."""
+    plan = _plan(Q.q_q16_supplier_part_types(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_nested_semi_joins(spark, sf_dir):
+    """Q20's two IN-subqueries (promoted parts; significant suppliers)
+    must both be semi joins — the plan has at least two LeftSemi hash
+    joins and no nested loop."""
+    plan = _plan(Q.q_q20_part_promotion(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_and_not_exists_are_hash_self_joins(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS lineitem self-probes must be LeftSemi /
+    LeftAnti hash joins on l_orderkey (equi key + suppkey inequality as
+    residual) — the inequality must NOT force a nested-loop join."""
+    plan = _plan(Q.q_q21_suppliers_who_kept_waiting(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_q22_scalar_threshold_is_one_row_broadcast(spark, sf_dir):
+    """Q11/Q22's global-threshold scalar is a 1-row aggregate joined
+    back via broadcast. The physical form is a BroadcastNestedLoopJoin
+    over a SINGLE-ROW build side (that IS the scalar-subquery physical
+    plan; cost is one comparison per row) — assert the broadcast is
+    there and, critically, that no unpartitioned Window snuck in."""
+    for q in (Q.q_q11_important_stock, Q.q_q22_global_sales_opportunity):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastExchange" in plan, q.__name__
+        assert "Window" not in plan, q.__name__
+
+
+def test_q12_pushes_date_filter_to_scan(spark, sf_dir):
+    """Q12's ship-date window must reach the parquet scan as a pushed
+    filter; the late-shipment predicate (references both sides) stays a
+    post-join residual."""
+    plan = _plan(Q.q_q12_late_priority(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q9_broadcasts_all_dims(spark, sf_dir):
+    """Q9's part/supplier/nation sides must broadcast; only lineitem x
+    orders is left to AQE."""
+    plan = _plan(Q.q_q9_product_type_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
