@@ -68,12 +68,21 @@ def main() -> None:
         "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
 
-    def run(name: str) -> float:
+    def run(name: str) -> tuple[float, float, float]:
+        """One timed pass -> (total, build, exec).
+
+        build = plan construction (py4j expression building — the cost
+        that dominated the sub-second ANN queries in round 4, SCALE.md);
+        exec = noop write of the built DataFrame. Recording both makes
+        round-over-round comparison noise-resistant: a build regression
+        and an execution regression have different fixes."""
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
+        t1 = time.perf_counter()
         # full execution without driver-side materialization of rows
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        t2 = time.perf_counter()
+        return t2 - t0, t1 - t0, t2 - t1
 
     def run_stream(n_batches: int = 4) -> float:
         """Replay the events table through the real streaming shell
@@ -126,10 +135,20 @@ def main() -> None:
 
     # best of three timed runs per query: this box shows 10x co-tenant
     # noise spikes that can hit two consecutive runs; a third sample
-    # makes the recorded number the steady-state one
-    timings: dict[str, float] = {
-        name: round(min(run(name) for _ in range(3)), 4) for name in HEADLINE
-    }
+    # makes the recorded number the steady-state one. Best = the pass
+    # with min TOTAL; its build/exec split is recorded alongside.
+    timings: dict[str, float] = {}
+    build: dict[str, float] = {}
+    execs: dict[str, float] = {}
+
+    def record(name: str, n_runs: int) -> None:
+        t, b, e = min((run(name) for _ in range(n_runs)), key=lambda r: r[0])
+        timings[name] = round(t, 4)
+        build[name] = round(b, 4)
+        execs[name] = round(e, 4)
+
+    for name in HEADLINE:
+        record(name, 3)
     run_stream()  # warm the streaming machinery once
     timings["stream_ingest_replay"] = round(min(run_stream() for _ in range(2)), 4)
 
@@ -141,9 +160,8 @@ def main() -> None:
     rest = [n for n in QUERIES if n not in HEADLINE]
     for name in rest:
         run(name)
-    timings.update(
-        {name: round(min(run(name) for _ in range(2)), 4) for name in rest}
-    )
+    for name in rest:
+        record(name, 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full_line = json.dumps(
         {
@@ -151,6 +169,8 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "build": build,
+            "exec": execs,
             "sf": sf_val,
         },
         separators=(",", ":"),
