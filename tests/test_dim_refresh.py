@@ -1,0 +1,158 @@
+"""SC dimension snapshot-refresh hook (S10 live mode,
+streaming/dim_refresh.py): a stale dimension snapshot picks up new
+catalog rows at the refresh boundary, retries ride the same policy as
+the POST side, and between refreshes the hot path costs nothing."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from scicat_ingestor_spark.plans.sc import attach_dimension
+from scicat_ingestor_spark.streaming.dim_refresh import (
+    SnapshotRefresher,
+    fetch_resource,
+)
+from scicat_ingestor_spark.streaming.rest_sink import RestSinkConfig
+
+
+class _FakeCatalogRead(BaseHTTPRequestHandler):
+    """GET /proposals serves a mutable in-memory collection; scripted
+    5xx failures exercise the retry schedule."""
+
+    proposals: list = []
+    gets: list = []
+    fail_next: list = []
+    lock = threading.Lock()
+
+    def do_GET(self):
+        with self.lock:
+            self.gets.append((self.path, dict(self.headers)))
+            if self.fail_next:
+                code = self.fail_next.pop(0)
+                self.send_response(code)
+                self.end_headers()
+                return
+            body = json.dumps(self.proposals).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def catalog():
+    _FakeCatalogRead.proposals = [
+        {"proposalId": "p1", "title": "first"},
+        {"proposalId": "p2", "title": "second"},
+    ]
+    _FakeCatalogRead.gets = []
+    _FakeCatalogRead.fail_next = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeCatalogRead)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", _FakeCatalogRead
+    srv.shutdown()
+
+
+DDL = "proposalId string, title string"
+
+
+def test_fetch_resource_retries_5xx_and_sends_auth(catalog):
+    base, cat = catalog
+    cfg = RestSinkConfig(base_url=base, token="tok42", retry_delay_s=0.01)
+    cat.fail_next = [503]
+    rows = fetch_resource(cfg, "proposals")
+    assert [r["proposalId"] for r in rows] == ["p1", "p2"]
+    assert len(cat.gets) == 2  # one failed + one successful attempt
+    assert cat.gets[-1][1].get("Authorization") == "Bearer tok42"
+
+
+def test_fetch_resource_gives_up_after_budget(catalog):
+    base, cat = catalog
+    cfg = RestSinkConfig(base_url=base, retries=1, retry_delay_s=0.01)
+    cat.fail_next = [500, 500]
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        fetch_resource(cfg, "proposals")
+
+
+def test_stale_then_refreshed(spark, catalog):
+    """The drift scenario from the round-4 verdict: a proposal created
+    after the stream starts is invisible to the cached snapshot and
+    visible after the refresh boundary — and BETWEEN boundaries no GET
+    is issued (hot path is free)."""
+    base, cat = catalog
+    cfg = RestSinkConfig(base_url=base, retry_delay_s=0.01)
+    r = SnapshotRefresher(
+        spark, cfg, {"proposals": DDL}, refresh_every_n_batches=2
+    )
+
+    snaps = r.snapshots()  # batch 0: initial fetch
+    assert sorted(x["proposalId"] for x in snaps["proposals"].collect()) == [
+        "p1",
+        "p2",
+    ]
+    n_gets = len(cat.gets)
+
+    with cat.lock:
+        cat.proposals.append({"proposalId": "p3", "title": "new"})
+
+    snaps = r.snapshots()  # batch 1: cached — no GET, stale by design
+    assert len(cat.gets) == n_gets
+    assert snaps["proposals"].count() == 2
+
+    snaps = r.snapshots()  # batch 2: due — refreshed
+    assert len(cat.gets) == n_gets + 1
+    assert sorted(x["proposalId"] for x in snaps["proposals"].collect()) == [
+        "p1",
+        "p2",
+        "p3",
+    ]
+
+
+def test_refreshed_snapshot_feeds_dimension_join(spark, catalog):
+    """End-to-end: the refreshed snapshot broadcast-joins into a fact
+    micro-batch via plans.sc.attach_dimension — the late-created
+    proposal resolves after refresh where it was NULL (V3 channel)
+    before."""
+    base, cat = catalog
+    cfg = RestSinkConfig(base_url=base, retry_delay_s=0.01)
+    r = SnapshotRefresher(
+        spark, cfg, {"proposals": DDL}, refresh_every_n_batches=1
+    )
+    batch = spark.createDataFrame([("p3",)], "proposal_id string")
+
+    def title_for(snaps):
+        out = attach_dimension(
+            batch,
+            snaps["proposals"],
+            "proposals",
+            F.col("proposal_id"),
+            "proposalId",
+        )
+        return out.select("_sc_proposals_title").first()[0]
+
+    assert title_for(r.snapshots()) is None  # not in catalog yet
+    with cat.lock:
+        cat.proposals.append({"proposalId": "p3", "title": "late"})
+    r.snapshots()  # advance the cadence counter (cached batch)
+    assert title_for(r.snapshots()) == "late"
+
+
+def test_empty_catalog_keeps_schema(spark, catalog):
+    base, cat = catalog
+    with cat.lock:
+        cat.proposals = []
+    cfg = RestSinkConfig(base_url=base, retry_delay_s=0.01)
+    r = SnapshotRefresher(spark, cfg, {"proposals": DDL})
+    dim = r.snapshots()["proposals"]
+    assert dim.count() == 0
+    assert dim.schema.simpleString() == "struct<proposalId:string,title:string>"
