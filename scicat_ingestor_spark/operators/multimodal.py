@@ -55,8 +55,41 @@ def _unavailable_decode(payload: bytes) -> dict:
     )
 
 
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(payload: bytes) -> dict:
+    """REAL decoder, stdlib-only: parse the PNG signature and IHDR chunk
+    (width/height — the header every PNG must start with, per the PNG
+    spec: 8-byte signature, then the IHDR chunk at offset 8 with
+    big-endian u32 width at byte 16 and height at 20). Malformed input
+    raises ValueError -> the task fails -> the file lands in the ingest
+    failure channel, same contract as a malformed NeXus file (V3/T4).
+
+    This is the registry's proof that the NotImplementedError entries
+    are gates, not the only possible behavior: the identical Arrow-
+    batched mapInPandas plumbing runs a real codec when one is
+    registered."""
+    import struct
+
+    if len(payload) < 24 or payload[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    length, chunk = struct.unpack(">I4s", payload[8:16])
+    if chunk != b"IHDR" or length < 8:
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    if not width or not height:
+        raise ValueError("not a PNG: zero dimension")
+    return {
+        "width": width,
+        "height": height,
+        "feature_hash": hashlib.md5(payload).hexdigest(),
+    }
+
+
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "fake": _fake_decode,
+    "png": _png_decode,  # real stdlib decoder (IHDR header parse)
     "image": _unavailable_decode,  # swap in PIL.Image.open in production
     "audio": _unavailable_decode,
     "video": _unavailable_decode,
