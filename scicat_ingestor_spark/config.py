@@ -108,6 +108,16 @@ class EngineConfig:
     scicat: SciCatConfig = field(default_factory=SciCatConfig)
     health_check: HealthCheckConfig = field(default_factory=HealthCheckConfig)
     streaming: StreamingConfig = field(default_factory=StreamingConfig)
+    # reference LoggingOptions block
+    # (/root/reference/src/scicat_configuration.py:203-223); build the
+    # actual logger with logging_setup.build_logger(cfg.logging)
+    logging: "LoggingOptions" = field(default_factory=lambda: _logging_options())
+
+
+def _logging_options():
+    from scicat_ingestor_spark.logging_setup import LoggingOptions
+
+    return LoggingOptions()
 
 
 def _apply(obj: Any, data: dict, prefix: str, unused: list[str]) -> None:
