@@ -1568,7 +1568,7 @@ WITH supply AS (
     min(l_extendedprice / l_quantity) AS ps_supplycost
   FROM lineitem GROUP BY 1, 2)
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-  round(ps_supplycost, 4) AS supply_cost
+  ps_supplycost AS supply_cost
 FROM part, supply, supplier, nation, region
 WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey
   AND p_type = 'LARGE' AND p_size BETWEEN 1 AND 15
@@ -1608,11 +1608,11 @@ WITH pv AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'NATION_1'
+  WHERE n_name = 'NATION_3'
   GROUP BY l_partkey)
 SELECT l_partkey AS ps_partkey, CAST(round(pvalue, 2) AS DOUBLE) AS part_value
 FROM pv
-WHERE pvalue * 1000 > (SELECT sum(pvalue) FROM pv)
+WHERE pvalue * 10000 > (SELECT sum(pvalue) FROM pv)
 ORDER BY part_value DESC, ps_partkey
 """
 

@@ -4,6 +4,7 @@ file stats."""
 from __future__ import annotations
 
 import hashlib
+import types
 import re
 
 from pyspark.sql import functions as F
@@ -176,3 +177,59 @@ def test_config_retry_schedule():
         open_max_tries=3, open_retry_delay_s=5.0, open_retry_delays=[1, 2]
     )
     assert c.retry_schedule() == [1.0, 2.0, 2.0]
+
+
+def test_walk_h5_normalizes_like_hdf5lite(monkeypatch):
+    """ADVICE r4: both walkers must emit IDENTICAL rows for the same
+    tree. h5py yields numpy scalars/arrays and bytes; a stub h5py module
+    serves a tree of exactly those types and the rows must come out in
+    the plain-python rendering the hdf5lite walker produces (decoded
+    strings, comma-separated list reprs) — with the same max_elements
+    bulk-data skip."""
+    import numpy as np
+
+    class _DS:
+        def __init__(self, value, unit=b"", size=1):
+            self._value = value
+            self.size = size
+            self.attrs = {"units": unit} if unit else {}
+
+        def __getitem__(self, _):
+            return self._value
+
+    class _File:
+        tree = {
+            "entry/title": _DS(b"run 7"),
+            "entry/temp": _DS(np.float64(291.5), unit=b"K"),
+            "entry/counts": _DS(np.array([1, 2, 3]), unit=b"counts", size=3),
+            "entry/team": _DS(np.array([b"ada", b"grace"]), size=2),
+            # GB-scale event array stand-in: must be skipped, not read
+            "entry/events": _DS(None, size=10_000_000),
+        }
+
+        def __init__(self, path, mode):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def visititems(self, fn):
+            for name, obj in self.tree.items():
+                fn(name, obj)
+
+    stub = types.SimpleNamespace(File=_File, Dataset=_DS)
+    monkeypatch.setattr(hdf5, "try_import_h5py", lambda: stub)
+
+    rows = dict(
+        (path, (value, unit))
+        for path, value, unit in hdf5._walk_h5("/fake.nxs")
+    )
+    # plain-python renderings — exactly what _walk_hdf5lite emits
+    assert rows["/entry/title"] == ("run 7", "")
+    assert rows["/entry/temp"] == ("291.5", "K")
+    assert rows["/entry/counts"] == ("[1, 2, 3]", "counts")  # commas, not numpy repr
+    assert rows["/entry/team"] == ("['ada', 'grace']", "")  # decoded bytes
+    assert "/entry/events" not in rows  # max_elements dataspace skip
