@@ -1121,11 +1121,15 @@ def q_q9_product_type_profit(spark, sf_dir):
     cost = (
         _dec(F.col("p_retailprice")) * F.lit("0.6").cast("decimal(2,1)")
     ) * _dec(F.col("l_quantity"))
+    # broadcast part FIRST: the p_name filter keeps ~2% of parts, so the
+    # broadcast hash join cuts lineitem ~43x before the one real shuffle
+    # (the orders join). DataFrame join order is literal (no CBO) —
+    # joining orders first was measured 7x slower at x100 (SCALE.md r5).
     j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
     )
     return (
         j.groupBy(
