@@ -873,10 +873,12 @@ def q_q8_market_share(spark, sf_dir):
         F.col("r_name") == "ASIA"
     )
     volume = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+    # selective broadcast first (p_type keeps 1/6 of parts): cut
+    # lineitem before the one real shuffle — the q9 join-order rule
     j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
