@@ -116,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     for key in unused:
         print(f"warning: unused config key {key}")
 
+    from scicat_ingestor_spark.logging_setup import build_logger
+
+    logger = build_logger(cfg.logging, name="scicat.offline_ingestor")
+    logger.info("starting scicat.offline_ingestor (config ok, %d unused keys)", len(unused))
+
     from scicat_ingestor_spark.session import get_session
 
     spark = get_session("offline_ingestor")
