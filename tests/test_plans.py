@@ -425,3 +425,24 @@ def test_q9_broadcasts_all_dims(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q9_q8_broadcast_reduction_precedes_orders_shuffle(spark, sf_dir):
+    """The join-order rule from the x100 sweep (SCALE.md r5): the
+    selective broadcast part join must sit INSIDE the orders join (cut
+    lineitem before the one real shuffle). DataFrame join order is what
+    executes — joining orders first measured 7x slower at x100. In the
+    optimized-plan tree children print after parents, so the part join
+    line must come after the orders join line."""
+    for q in (Q.q_q9_product_type_profit, Q.q_q8_market_share):
+        tree = q(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        lines = tree.split("\n")
+        i_orders = next(
+            i for i, l in enumerate(lines) if "Join" in l and "= o_orderkey" in l
+        )
+        i_part = next(
+            i for i, l in enumerate(lines) if "Join" in l and "= p_partkey" in l
+        )
+        assert i_part > i_orders, (
+            f"{q.__name__}: part join must be a descendant of the orders join"
+        )
