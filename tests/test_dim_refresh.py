@@ -156,3 +156,26 @@ def test_empty_catalog_keeps_schema(spark, catalog):
     dim = r.snapshots()["proposals"]
     assert dim.count() == 0
     assert dim.schema.simpleString() == "struct<proposalId:string,title:string>"
+
+
+def test_extra_catalog_fields_are_ignored(spark, catalog):
+    """A real catalog returns FULL documents (ownerGroup, createdAt,
+    nested objects...); the explicit dimension schema must project just
+    its columns and ignore the rest — pinned here because a change in
+    createDataFrame's dict handling would break every refresh."""
+    base, cat = catalog
+    with cat.lock:
+        cat.proposals = [
+            {
+                "proposalId": "p9",
+                "title": "rich",
+                "ownerGroup": "ess",
+                "createdAt": "2026-01-01T00:00:00Z",
+                "nested": {"a": 1},
+            }
+        ]
+    cfg = RestSinkConfig(base_url=base, retry_delay_s=0.01)
+    r = SnapshotRefresher(spark, cfg, {"proposals": DDL})
+    dim = r.snapshots()["proposals"]
+    assert dim.columns == ["proposalId", "title"]
+    assert dim.first()["title"] == "rich"
