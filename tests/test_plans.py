@@ -446,3 +446,75 @@ def test_q9_q8_broadcast_reduction_precedes_orders_shuffle(spark, sf_dir):
         assert i_part > i_orders, (
             f"{q.__name__}: part join must be a descendant of the orders join"
         )
+
+
+def test_q21_shape_survives_mega_order_skew(spark):
+    """Skew drill for the EXISTS/NOT-EXISTS self-join shape: one order
+    carries 5000 lines from 40 suppliers (the mega-key the scaled
+    replicas never produce) while normal orders have a handful. The
+    LeftSemi/LeftAnti hash joins on orderkey must complete and agree
+    with a pure-Python oracle of the same rule — a mega-bucket makes
+    this shape slow before it makes it wrong, and AQE's skew-join
+    splitting handles slow; wrong would be a join-condition bug."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    # mega-order 1: suppliers 0..39 round-robin over 5000 lines; only
+    # supplier 7's lines are late
+    for i in range(5000):
+        supp = i % 40
+        rows.append((1, supp, supp == 7))
+    # normal orders: two suppliers each, both late in order 2 (so NOT
+    # EXISTS kills both), single-supplier order 3 (EXISTS kills it),
+    # clean case order 4 (supplier 5 late, supplier 6 on time)
+    rows += [(2, 1, True), (2, 2, True)]
+    rows += [(3, 9, True)]
+    rows += [(4, 5, True), (4, 6, False)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long, late boolean"
+    ).repartition(32)
+
+    l1 = li.filter("late").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"),
+        F.col("l_suppkey").alias("l2_suppkey"),
+    )
+    l3 = li.filter("late").select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+    )
+    waiting = l1.join(
+        l2,
+        (l1.l_orderkey == l2.l2_orderkey) & (l1.l_suppkey != l2.l2_suppkey),
+        "left_semi",
+    ).join(
+        l3,
+        (l1.l_orderkey == F.col("l3_orderkey"))
+        & (l1.l_suppkey != F.col("l3_suppkey")),
+        "left_anti",
+    )
+    got = {
+        (r["l_suppkey"], r["n"])
+        for r in waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # pure-python oracle
+    by_order: dict = {}
+    for ok, sk, late in rows:
+        by_order.setdefault(ok, []).append((sk, late))
+    expect: dict = {}
+    for ok, lines in by_order.items():
+        for sk, late in lines:
+            if not late:
+                continue
+            others = [(s, lt) for s, lt in lines if s != sk]
+            if any(others) and not any(lt for _, lt in others):
+                expect[sk] = expect.get(sk, 0) + 1
+    assert got == {(k, v) for k, v in expect.items()}
+    # the drill's point: supplier 7 waits 125 times inside the
+    # mega-order (its lines are the only late ones there)
+    assert expect[7] == 125
