@@ -106,16 +106,38 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     snapshots = None
+    refresher = None
     if cfg.scicat.dimension_snapshot_dir:
         from scicat_ingestor_spark.plans.sc import load_snapshots
 
         snapshots = load_snapshots(spark, cfg.scicat.dimension_snapshot_dir)
+        if cfg.scicat.snapshot_refresh_batches > 0 and cfg.scicat.host:
+            # live refresh (S10): the parquet snapshots bootstrap the
+            # cache and define each dimension's schema; every N batches
+            # the refresher re-GETs the resources from the catalog —
+            # bounded staleness with zero per-row HTTP
+            from scicat_ingestor_spark.streaming.dim_refresh import (
+                SnapshotRefresher,
+            )
+
+            refresher = SnapshotRefresher(
+                spark,
+                cfg.scicat.rest_sink_config(""),
+                {name: df.schema for name, df in snapshots.items()},
+                refresh_every_n_batches=cfg.scicat.snapshot_refresh_batches,
+            ).seed(snapshots)
+            logger.info(
+                "dimension refresh every %d batches from %s",
+                cfg.scicat.snapshot_refresh_batches,
+                cfg.scicat.host,
+            )
 
     def transform(batch):
         batch = drop_writer_errors(batch) if "error_encountered" in batch.columns else batch
         file_col = "file_name" if "file_name" in batch.columns else "file"
         files = batch.select(F.col(file_col).alias("file"))
-        return ingest_files(batch.sparkSession, files, schemas, snapshots=snapshots)
+        dims = refresher.snapshots() if refresher is not None else snapshots
+        return ingest_files(batch.sparkSession, files, schemas, snapshots=dims)
 
     if cfg.scicat.sink_mode == "live":
         # live catalog mode: POST datasets from foreachBatch with the

@@ -71,6 +71,10 @@ class SciCatConfig:
     sink_mode: str = "snapshot"
     post_retries: int = 3
     post_retry_delay_s: float = 0.5
+    # live-refresh the dimension snapshots from `host` every N
+    # micro-batches (0 = snapshot-only; see streaming/dim_refresh). The
+    # parquet snapshots stay the bootstrap + schema source either way.
+    snapshot_refresh_batches: int = 0
 
     def rest_sink_config(self, endpoint: str = "datasets"):
         """The live-mode sink config for this catalog connection."""

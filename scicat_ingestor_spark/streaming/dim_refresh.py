@@ -89,16 +89,19 @@ def fetch_resource(
 class SnapshotRefresher:
     """foreachBatch-time dimension refresh.
 
-    ``resources`` maps resource name -> Spark schema DDL for the
-    dimension rows (explicit schema: an empty catalog answer must not
-    degrade the join schema). Call :meth:`snapshots` at the top of the
-    foreachBatch body; it refreshes when due and otherwise returns the
-    cached dict unchanged.
+    ``resources`` maps resource name -> Spark schema (DDL string or
+    StructType) for the dimension rows (explicit schema: an empty
+    catalog answer must not degrade the join schema; extra fields in
+    the catalog documents are projected away). Call :meth:`snapshots`
+    at the top of the foreachBatch body; it refreshes when due and
+    otherwise returns the cached dict unchanged. :meth:`seed` an
+    initial snapshot dict (e.g. from the parquet dir) to defer the
+    first live GET to the first refresh boundary.
     """
 
     spark: SparkSession
     cfg: RestSinkConfig
-    resources: dict[str, str]
+    resources: dict  # name -> DDL str | StructType
     refresh_every_n_batches: int = 10
     max_age_s: float | None = None
     queries: dict[str, str] = field(default_factory=dict)
@@ -120,6 +123,17 @@ class SnapshotRefresher:
         ):
             return True
         return False
+
+    def seed(self, snapshots: dict[str, DataFrame]) -> "SnapshotRefresher":
+        """Bootstrap the cache from already-loaded snapshots (e.g. the
+        parquet dir) so batch 0 serves immediately and the first
+        catalog GET happens at the first refresh boundary — a catalog
+        outage at stream start then degrades to snapshot-only instead
+        of failing the stream."""
+        self._cache.update(snapshots)
+        self._batches_since = 0
+        self._refreshed_at = time.monotonic()
+        return self
 
     def refresh(self) -> dict[str, DataFrame]:
         """Unconditional re-fetch of every resource."""

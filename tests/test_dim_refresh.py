@@ -179,3 +179,25 @@ def test_extra_catalog_fields_are_ignored(spark, catalog):
     dim = r.snapshots()["proposals"]
     assert dim.columns == ["proposalId", "title"]
     assert dim.first()["title"] == "rich"
+
+
+def test_seeded_refresher_defers_first_get(spark, catalog):
+    """The online-app wiring: seed() bootstraps from parquet snapshots
+    (StructType schemas) so batch 0 serves WITHOUT touching the
+    catalog; the first GET lands at the refresh boundary and replaces
+    the seeded dimension."""
+    base, cat = catalog
+    cfg = RestSinkConfig(base_url=base, retry_delay_s=0.01)
+    seeded = spark.createDataFrame(
+        [("p0", "from-parquet")], DDL
+    )
+    r = SnapshotRefresher(
+        spark, cfg, {"proposals": seeded.schema}, refresh_every_n_batches=2
+    ).seed({"proposals": seeded})
+
+    assert len(cat.gets) == 0
+    assert r.snapshots()["proposals"].first()["proposalId"] == "p0"  # batch 1
+    assert len(cat.gets) == 0  # still the seed
+    dim = r.snapshots()["proposals"]  # batch 2: boundary -> live GET
+    assert len(cat.gets) == 1
+    assert sorted(x["proposalId"] for x in dim.collect()) == ["p1", "p2"]
