@@ -201,3 +201,68 @@ def test_seeded_refresher_defers_first_get(spark, catalog):
     dim = r.snapshots()["proposals"]  # batch 2: boundary -> live GET
     assert len(cat.gets) == 1
     assert sorted(x["proposalId"] for x in dim.collect()) == ["p1", "p2"]
+
+
+def test_refresher_inside_real_stream(spark, catalog, tmp_path):
+    """Full streaming e2e: a foreachBatch pipeline (the online-app
+    wiring) refreshes the dimension every micro-batch; the catalog
+    serves a different title per GET, so successive batches must join
+    against successively fresher dimensions — stale-then-refreshed
+    inside a REAL stream, not a hand-driven loop."""
+    from scicat_ingestor_spark.streaming.pipeline import run_ingest_stream
+
+    base, cat = catalog
+
+    # each GET serves a new catalog state: title = version number
+    version = {"n": 0}
+    orig_do_get = cat.do_GET
+
+    def versioned_get(self):
+        with cat.lock:
+            version["n"] += 1
+            cat.proposals = [
+                {"proposalId": "p1", "title": f"v{version['n']}"}
+            ]
+        orig_do_get(self)
+
+    cat.do_GET = versioned_get
+    try:
+        src = str(tmp_path / "src")
+        spark.range(8).select(
+            F.col("id").alias("event_id"), F.lit("p1").alias("proposal_id")
+        ).repartition(8).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        cfg = RestSinkConfig(base_url=base, retry_delay_s=0.01)
+        r = SnapshotRefresher(
+            spark, cfg, {"proposals": DDL}, refresh_every_n_batches=1
+        )
+        out = str(tmp_path / "out")
+
+        def transform(batch):
+            dim = r.snapshots()["proposals"]
+            return batch.join(
+                F.broadcast(dim),
+                batch.proposal_id == dim.proposalId,
+                "left",
+            ).select("event_id", "title")
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = run_ingest_stream(stream, transform, sink, str(tmp_path / "ck"),
+                              trigger_once=True)
+        q.awaitTermination(120)
+
+        titles = {row["title"] for row in spark.read.parquet(out).collect()}
+        # 8 files / 2 per trigger = 4 micro-batches, one refresh each:
+        # the joined dimension version must ADVANCE across batches
+        assert len(titles) >= 2, titles
+        assert version["n"] >= 2
+    finally:
+        cat.do_GET = orig_do_get
