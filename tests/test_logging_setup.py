@@ -151,3 +151,38 @@ def test_build_logger_timestamped_file_name(tmp_path, monkeypatch):
     logger.info("x")
     names = [p.name for p in tmp_path.glob("ts_test_*.log")]
     assert len(names) == 1 and names[0] != "ts_test.log"
+
+
+def test_gelf_chunker_property(udp_listener):
+    """Property: any payload size reassembles exactly (hypothesis over
+    the chunk boundary region)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sock, port = udp_listener
+    h = GelfUdpHandler("127.0.0.1", port)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(min_value=0, max_value=30000))
+    def check(n):
+        import os
+
+        payload = os.urandom(n)
+        frames = list(h._chunks(payload))
+        if len(frames) == 1 and not frames[0].startswith(_GELF_CHUNK_MAGIC):
+            assert frames[0] == payload
+            return
+        parts = {}
+        mid = None
+        for f in frames:
+            assert f[:2] == _GELF_CHUNK_MAGIC
+            this_mid, seq, count = f[2:10], f[10], f[11]
+            mid = mid or this_mid
+            assert this_mid == mid  # all chunks share the message id
+            assert count == len(frames) <= 128
+            parts[seq] = f[12:]
+        assert sorted(parts) == list(range(len(frames)))
+        assert b"".join(parts[i] for i in sorted(parts)) == payload
+
+    check()
+    h.close()
