@@ -88,6 +88,114 @@ def minhash_signature_cols(digests: Column, num_hashes: int) -> list[Column]:
     ]
 
 
+def lsh_band_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Banded MinHash bucket stream: one row per (doc, band) with the
+    band signature — the shared prefix of every LSH composition here
+    (all-pairs, star edges, stored index, incremental probe).
+
+    Returns (id_col, band INT, sig STRING).
+    """
+    num_hashes = bands * rows_per_band
+    # two-step select: materialize the digest array in its own projection —
+    # CollapseProject keeps non-cheap expressions referenced 8x in a
+    # separate stage, so the md5 work runs once per shingle, not per hash
+    digests = ensure_parallelism(df).select(
+        F.col(id_col),
+        shingle_digests(word_shingles(F.col(text_col), shingle_n)).alias("_dg"),
+    )
+    sig = digests.select(
+        F.col(id_col), *minhash_signature_cols(F.col("_dg"), num_hashes)
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def build_lsh_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The stored LSH index of an existing corpus: the DISTINCT
+    (band, sig) bucket keys. Build once, write bucketed on (band, sig);
+    incremental crawls probe it without ever rescanning the corpus —
+    the dedup analogue of the ``build_pq_index``/``ivf_pq_probe``
+    serving split. At 100 TB the index is |corpus|·bands rows of two
+    short columns, ~1e-4 of corpus bytes.
+    """
+    return (
+        lsh_band_buckets(df, text_col, id_col, shingle_n, bands, rows_per_band)
+        .select("band", "sig")
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Admit only the new documents that are near-dup-free against an
+    existing corpus AND within the increment itself — the incremental
+    form of MinHash-LSH dedup (dedup the new crawl WITHOUT re-clustering
+    the whole corpus).
+
+    A new doc is rejected when (a) any of its band buckets collides with
+    a bucket of the indexed corpus, or (b) a lower-id doc of the same
+    increment shares a bucket (first-occurrence-wins, the same rule as
+    the window-star representative). Returns the admitted rows of
+    ``new_docs`` unchanged.
+
+    Scale shape: the corpus-side cost is a pre-built index
+    (``build_lsh_index``); the probe shuffles only the increment —
+    a left-semi equi-join on (band, sig) against the index, a window
+    min inside the same bucket shuffle for the intra-increment rule,
+    and a final anti join keyed on the id. Rejects are bounded by the
+    increment size, so the anti join broadcasts under AQE whenever the
+    increment is small.
+    """
+    from pyspark.sql import Window as _W
+
+    buckets = lsh_band_buckets(
+        new_docs, text_col, id_col, shingle_n, bands, rows_per_band
+    )
+    hit_base = (
+        buckets.join(index, ["band", "sig"], "left_semi").select(id_col).distinct()
+    )
+    w = _W.partitionBy("band", "sig")
+    hit_inc = (
+        buckets.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) > F.col("_min_id"))
+        .select(id_col)
+        .distinct()
+    )
+    rejects = hit_base.unionByName(hit_inc)
+    return new_docs.join(rejects, id_col, "left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -129,29 +237,7 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"star_strategy must be 'window' or 'join', got {star_strategy!r}"
         )
-    num_hashes = bands * rows_per_band
-    # two-step select: materialize the digest array in its own projection —
-    # CollapseProject keeps non-cheap expressions referenced 8x in a
-    # separate stage, so the md5 work runs once per shingle, not per hash
-    digests = ensure_parallelism(df).select(
-        F.col(id_col),
-        shingle_digests(word_shingles(F.col(text_col), shingle_n)).alias("_dg"),
-    )
-    sig = digests.select(
-        F.col(id_col), *minhash_signature_cols(F.col("_dg"), num_hashes)
-    )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = lsh_band_buckets(df, text_col, id_col, shingle_n, bands, rows_per_band)
     if star:
         if star_strategy == "window":
             # ONE shuffle of the bucket stream: unbounded window min

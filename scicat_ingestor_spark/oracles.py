@@ -413,6 +413,24 @@ FROM pairs p JOIN shv a ON p.id_a = a.doc_id JOIN shv b ON p.id_b = b.doc_id
 WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
 """,
+    "dedup_incremental": f"""
+WITH {_MINHASH_PAIR_CTES},
+base AS (SELECT DISTINCT band, sig FROM bk WHERE doc_id % 5 <> 0),
+inc AS (SELECT doc_id, band, sig FROM bk WHERE doc_id % 5 = 0),
+hit_base AS (
+  SELECT DISTINCT i.doc_id FROM inc i
+  JOIN base b ON i.band = b.band AND i.sig = b.sig
+),
+bucket_min AS (SELECT band, sig, min(doc_id) AS min_id FROM inc GROUP BY band, sig),
+hit_inc AS (
+  SELECT DISTINCT i.doc_id FROM inc i
+  JOIN bucket_min m ON i.band = m.band AND i.sig = m.sig AND i.doc_id > m.min_id
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM hit_base h WHERE h.doc_id = d.doc_id)
+  AND NOT EXISTS (SELECT 1 FROM hit_inc h WHERE h.doc_id = d.doc_id)
+""",
     "dedup_survivors": f"""
 WITH RECURSIVE {_MINHASH_PAIR_CTES},
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),

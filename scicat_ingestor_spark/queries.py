@@ -1459,6 +1459,26 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup dedup: the new crawl (doc_id % 5 == 0)
+    probed against the stored LSH index of the existing corpus
+    (doc_id % 5 != 0) — admit only docs with no band-bucket collision
+    against the corpus and first-occurrence-wins inside the increment.
+    The 100 TB operating mode: the corpus is never rescanned, only its
+    (band, sig) index is joined; everything shuffled is increment-sized.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup.build_lsh_index(
+        base, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+    )
+    admitted = dedup.incremental_dedup(
+        inc, index, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+    )
+    return admitted.select("doc_id", "lang", "source")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping-window chunking (size 200 chars, stride 150) for
     context-window-bound downstream consumers (embedding, indexing).
@@ -3313,6 +3333,7 @@ QUERIES = {
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_incremental": q_dedup_incremental,
     "chunk_documents": q_chunk_documents,
     "source_quota_sample": q_source_quota_sample,
     "ann_cosine_topk": q_ann_cosine_topk,

@@ -518,3 +518,14 @@ def test_q21_shape_survives_mega_order_skew(spark):
     # the drill's point: supplier 7 waits 125 times inside the
     # mega-order (its lines are the only late ones there)
     assert expect[7] == 125
+
+
+def test_dedup_incremental_probe_shape(spark, sf_dir):
+    """The incremental probe must be equi-joins only: a LeftSemi against
+    the index on (band, sig), a LeftAnti on the id — never a nested-loop
+    — and the base corpus must contribute nothing but the index side."""
+    plan = _plan(Q.q_dedup_incremental(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

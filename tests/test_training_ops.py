@@ -319,3 +319,56 @@ def test_lsh_star_strategy_validation(spark):
     docs = spark.createDataFrame([("d1", "a b c")], "doc_id string, text string")
     with _pytest.raises(ValueError, match="star_strategy"):
         minhash_lsh_pairs(docs, "text", "doc_id", star=True, star_strategy="windw")
+
+
+def test_incremental_dedup_admits_only_collision_free(spark, sf_dir):
+    """dedup_incremental invariants the oracle can't express directly:
+    (a) no admitted doc shares any LSH band bucket with the base corpus,
+    (b) of any intra-increment bucket collision group the min id alone
+    may survive, (c) the probe is idempotent — re-probing the admitted
+    set against the same index admits everything again... EXCEPT docs
+    whose only rejection cause was an intra-increment collision with a
+    doc that itself got rejected (the documented first-occurrence rule
+    is one-pass, not iterative), so idempotence is asserted as a
+    superset, and exactly on the base-collision rule."""
+    from scicat_ingestor_spark.operators import dedup
+    from scicat_ingestor_spark.queries import q_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    admitted = {r.doc_id for r in q_dedup_incremental(spark, sf_dir).collect()}
+    assert admitted  # the split always leaves collision-free docs
+
+    base_keys = {
+        (r.band, r.sig)
+        for r in dedup.build_lsh_index(base, "text", "doc_id").collect()
+    }
+    inc_buckets = [
+        (r.doc_id, r.band, r.sig)
+        for r in dedup.lsh_band_buckets(inc, "text", "doc_id").collect()
+    ]
+    # (a) zero base collisions among the admitted
+    for doc_id, band, sig in inc_buckets:
+        if doc_id in admitted:
+            assert (band, sig) not in base_keys
+    # (b) first-occurrence-wins inside the increment
+    bucket_min = {}
+    for doc_id, band, sig in inc_buckets:
+        k = (band, sig)
+        bucket_min[k] = min(bucket_min.get(k, doc_id), doc_id)
+    for doc_id, band, sig in inc_buckets:
+        if doc_id in admitted:
+            assert doc_id == bucket_min[(band, sig)]
+    # (c) re-probing the admitted set admits every one of them
+    again = dedup.incremental_dedup(
+        inc.join(
+            spark.createDataFrame([(d,) for d in admitted], "doc_id bigint"),
+            "doc_id",
+            "left_semi",
+        ),
+        dedup.build_lsh_index(base, "text", "doc_id"),
+        "text",
+        "doc_id",
+    )
+    assert {r.doc_id for r in again.collect()} == admitted
