@@ -576,6 +576,33 @@ SELECT coalesce(source, '<all>') AS source,
   CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY ROLLUP (source, lang)
 """,
+    "events_pivot_daily": """
+SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY 1
+""",
+    "events_user_running": """
+SELECT event_id, user_id,
+  row_number() OVER w AS rn,
+  CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+    AS moving_value_3,
+  epoch_ms(ts::TIMESTAMP) - epoch_ms(lag(ts::TIMESTAMP) OVER w) AS gap_ms
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+""",
+    "text_groupsets_stats": """
+SELECT coalesce(source, '<all>') AS source,
+  coalesce(lang, '<all>') AS lang,
+  count(*) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY GROUPING SETS ((source, lang), (source), ())
+""",
     "text_cube_stats": """
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,

@@ -1700,6 +1700,73 @@ def q_text_cube_stats(spark, sf_dir):
     )
 
 
+def q_events_pivot_daily(spark, sf_dir):
+    """Daily activity matrix: one row per day, one count column per
+    event type — the relational PIVOT over a closed vocabulary.
+
+    Deliberately NOT ``df.groupBy(day).pivot(type, values)``: even with
+    the value list pinned, Spark plans pivot as TWO aggregate phases —
+    groupBy(day, type) + a pivotfirst re-aggregation on day — i.e. two
+    exchanges (measured on this query). With a pinned vocabulary the
+    conditional-aggregate form ``sum(when(type == t, 1))`` collapses to
+    ONE shuffle on day with full map-side partial aggregation, a stable
+    schema, and zeros (not nulls) for absent combinations for free.
+    Reach for the built-in pivot only when the value set is open."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return ev.groupBy(day.alias("day")).agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(t)
+            for t in types
+        ]
+    )
+
+
+def q_events_user_running(spark, sf_dir):
+    """Per-user running analytics over the event stream: event index
+    (row_number), 3-row moving value sum (ROWS frame), and gap to the
+    previous event in ms (lag) — the ordered-window family on a properly
+    keyed partition. PARTITION BY user_id keeps every window
+    shuffle-parallel (contrast: the q15 global-window anti-pattern);
+    (ts, event_id) ordering makes ties deterministic cross-engine."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        _money(F.sum(_dec(F.col("value"))).over(wf)).alias("moving_value_3"),
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))).alias(
+            "gap_ms"
+        ),
+    )
+
+
+def q_text_groupsets_stats(spark, sf_dir):
+    """Explicit GROUPING SETS ((source, lang), (source), ()) — the
+    subtotal shape between rollup and cube: per-pair detail, per-source
+    subtotal, grand total, and nothing else. One pass, one shuffle; the
+    per-lang set cube would add is simply absent from the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupingSets([["source", "lang"], ["source"], []], "source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: keep ~N% per language, gated on
     a content-hash of the doc id — reproducible across runs, retries and
@@ -3322,6 +3389,8 @@ QUERIES = {
     "o3_latest_dataset": q_o3_latest_dataset,
     "t8_hourly_rollup": q_t8_hourly_rollup,
     "t8_sessionize": q_t8_sessionize,
+    "events_pivot_daily": q_events_pivot_daily,
+    "events_user_running": q_events_user_running,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
@@ -3344,6 +3413,7 @@ QUERIES = {
     "text_corpus_stats": q_text_corpus_stats,
     "text_rollup_stats": q_text_rollup_stats,
     "text_cube_stats": q_text_cube_stats,
+    "text_groupsets_stats": q_text_groupsets_stats,
     "text_vocab_sketch": q_text_vocab_sketch,
     "sample_stratified": q_sample_stratified,
     "text_quantile_filter": q_text_quantile_filter,

@@ -529,3 +529,24 @@ def test_dedup_incremental_probe_shape(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_events_window_family_stays_partitioned(spark, sf_dir):
+    """The ordered-window query must never degrade to a single-partition
+    global window (the q15 anti-pattern this repo removed)."""
+    plan = _plan(Q.q_events_user_running(spark, sf_dir))
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+    # one exchange keyed on user_id serves every window function
+    assert plan.count("hashpartitioning(") == 1
+
+
+def test_pivot_is_single_pass(spark, sf_dir):
+    """The closed-vocabulary conditional-aggregate form must plan ONE
+    exchange with map-side partial aggregation — the built-in pivot()
+    plans two aggregate phases even with its value list pinned (that is
+    why the query avoids it; see its docstring)."""
+    plan = _plan(Q.q_events_pivot_daily(spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1
+    assert "pivotfirst" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2
