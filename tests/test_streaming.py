@@ -540,3 +540,69 @@ def test_watermarked_session_window_matches_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream INNER join with watermarks on both sides and a
+    time-range condition — the streaming form of the click->purchase
+    attribution join (batch: q_range_join_click_purchase). Watermarks
+    bound the join state Spark must keep (clicks older than the range +
+    delay are dropped from state); the inner join emits matches as they
+    arrive, so an availableNow drain must reproduce the batch interval
+    join row-for-row."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").limit(4000)
+    ts_type = dict(events.dtypes).get("ts")
+    if ts_type == "bigint":
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.mode("overwrite").parquet(c_src)
+    purchases.write.mode("overwrite").parquet(p_src)
+
+    cond = F.expr(
+        "c_user = p_user AND click_ts <= purchase_ts"
+        " AND click_ts > purchase_ts - INTERVAL 1 HOUR"
+    )
+    cs = spark.read.parquet(c_src)
+    ps = spark.read.parquet(p_src)
+    want = sorted(
+        map(
+            tuple,
+            ps.join(cs, cond).select("purchase_id", "click_id").collect(),
+        )
+    )
+    assert len(want) > 0  # the testdata always has same-hour click/purchase
+
+    out = str(tmp_path / "ss_out")
+    stream = (
+        spark.readStream.schema(ps.schema)
+        .parquet(p_src)
+        .withWatermark("purchase_ts", "2 hours")
+        .join(
+            spark.readStream.schema(cs.schema)
+            .parquet(c_src)
+            .withWatermark("click_ts", "2 hours"),
+            cond,
+        )
+        .select("purchase_id", "click_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ss_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == want
