@@ -1032,14 +1032,31 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
     return j.filter(branch).agg(_money(F.sum(revenue)).alias("revenue"))
 
 
-def _supply(spark, sf_dir):
+def _supply(spark, sf_dir, parts=None):
     """Derived supply catalog: the testdata has no partsupp table, so the
     (part, supplier) relation with a per-pair cost is reconstructed from
     lineitem — distinct pairs with min observed unit price as the supply
     cost. One shuffle on (partkey, suppkey); every partsupp-shaped query
     (Q2/Q11/Q16/Q20 adaptations) starts from this rollup, exactly where
-    partsupp would sit in the join tree."""
+    partsupp would sit in the join tree.
+
+    ``parts``: when the caller only consumes supply rows of a filtered
+    part class, pass that dim here — a broadcast LeftSemi on the
+    lineitem SCAN cuts the rollup's shuffle by the part selectivity
+    before any exchange (the q9 join-order rule applied below an
+    aggregate; per-part aggregates are untouched by dropping other
+    parts, so this is semantics-free). Measured at sf0.1: q2 1.86 ->
+    1.66 s, q16 1.80 -> 1.55 s — modest here, but the rollup's shuffle
+    volume now scales with the part-class selectivity instead of the
+    corpus. Callers needing every part (Q11's global threshold) pass
+    nothing."""
     li = _t(spark, sf_dir, "lineitem")
+    if parts is not None:
+        li = li.join(
+            F.broadcast(parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
@@ -1059,10 +1076,10 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     (partkey, suppkey) and its min-branch reuses that exchange. No
     partsupp in the testdata — the supply catalog derives from lineitem
     (see _supply), preserving the plan shape end-to-end."""
-    supply = _supply(spark, sf_dir)
     part = _t(spark, sf_dir, "part", parallel=False).filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").between(1, 15)
     )
+    supply = _supply(spark, sf_dir, parts=part)
     supp = _t(spark, sf_dir, "supplier", parallel=False)
     nation = _t(spark, sf_dir, "nation", parallel=False)
     region = _t(spark, sf_dir, "region", parallel=False).filter(
@@ -1214,12 +1231,12 @@ def q_q16_supplier_part_types(spark, sf_dir):
     keys so NOT IN is a plain LeftAnti). Part dims broadcast; the
     distinct-count shuffles once on the group key after the semi
     reduction."""
-    supply = _supply(spark, sf_dir).select("ps_partkey", "ps_suppkey")
     part = _t(spark, sf_dir, "part", parallel=False).filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
     )
+    supply = _supply(spark, sf_dir, parts=part).select("ps_partkey", "ps_suppkey")
     bad = _t(spark, sf_dir, "supplier", parallel=False).filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
