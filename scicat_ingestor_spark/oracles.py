@@ -596,6 +596,25 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
 """,
+    "events_funnel": """
+WITH pu AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) AS t_view,
+    min(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END) AS t_click,
+    min(CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+             AND t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+    AS clicked_after_view,
+  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+             AND t_click >= t_view AND t_purchase IS NOT NULL
+             AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchased_after_click
+FROM pu
+""",
     "text_groupsets_stats": """
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,

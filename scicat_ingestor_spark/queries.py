@@ -1763,6 +1763,39 @@ def q_events_user_running(spark, sf_dir):
     )
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: how many
+    users reached each stage IN ORDER (a later-stage event only counts
+    if it happens after the user's first earlier-stage event). The
+    scalable shape: ONE groupBy(user) computing first-timestamps as
+    conditional min aggregates (map-side combinable, no self-joins, no
+    per-user sort), then the ordering predicate as scan-local boolean
+    algebra, then a tiny global count-sum. The classic funnel-by-3-way
+    self-join would shuffle the fact table three times; this shuffles
+    it once."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(s1.cast("bigint")).alias("viewed"),
+        F.sum(s2.cast("bigint")).alias("clicked_after_view"),
+        F.sum(s3.cast("bigint")).alias("purchased_after_click"),
+    )
+
+
 def q_text_groupsets_stats(spark, sf_dir):
     """Explicit GROUPING SETS ((source, lang), (source), ()) — the
     subtotal shape between rollup and cube: per-pair detail, per-source
@@ -3408,6 +3441,7 @@ QUERIES = {
     "t8_sessionize": q_t8_sessionize,
     "events_pivot_daily": q_events_pivot_daily,
     "events_user_running": q_events_user_running,
+    "events_funnel": q_events_funnel,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,
