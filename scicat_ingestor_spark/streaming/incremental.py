@@ -1,0 +1,90 @@
+"""Streaming incremental dedup: admit new documents against a stored
+LSH index, updating the index with every admitted micro-batch.
+
+The batch operator (``operators.dedup.incremental_dedup``) dedups one
+increment against a static corpus index. This stream form closes the
+production loop: each micro-batch is probed against base-corpus PLUS
+previously-admitted buckets, survivors are appended to the corpus, and
+their bucket keys to the index — so batch N+1 is deduped against
+everything the corpus actually contains after batch N.
+
+Cross-batch semantics is deliberately admitted-only: a doc colliding
+solely with an earlier REJECTED doc is admitted, because the corpus
+only holds admitted docs — that is the correct production rule, and it
+differs from the batch operator's one-shot lower-id rule exactly when
+a collision chain crosses batches. Inside one micro-batch the batch
+operator's first-occurrence-wins rule applies unchanged. The global
+invariant either way: base ∪ admitted is pairwise bucket-collision-free
+against admitted (tested in tests/test_streaming.py).
+
+Scale shape (100 TB): the index relation is |corpus|·bands rows of two
+short columns (~1e-4 of corpus bytes); each micro-batch shuffles only
+increment-sized data (the probe's semi-join + bucket window), and both
+appends are increment-sized. Replay safety: the corpus append is the
+anti-join-guarded ``idempotent_append`` (exactly-once rows under
+at-least-once foreachBatch); a replayed index append can only duplicate
+(band, sig) keys, which the probe's semi-join is insensitive to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from scicat_ingestor_spark.operators import dedup
+from scicat_ingestor_spark.streaming.pipeline import idempotent_append
+
+INDEX_SCHEMA = "band int, sig string"
+
+
+def dedup_batch_against_index(
+    batch: DataFrame,
+    index_path: str,
+    admitted_path: str,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> None:
+    """foreachBatch body: probe -> append admitted -> append their keys.
+
+    Seed ``index_path`` with ``build_lsh_index(base_corpus)`` before
+    starting the stream; an absent index means an empty corpus."""
+    spark = batch.sparkSession
+    try:
+        index = spark.read.parquet(index_path).select("band", "sig")
+    except Exception:  # no corpus yet — everything passes the base probe
+        index = spark.createDataFrame([], INDEX_SCHEMA)
+    admitted = dedup.incremental_dedup(
+        batch, index, text_col, id_col, shingle_n, bands, rows_per_band
+    )
+    # localCheckpoint: admitted feeds BOTH appends; materializing once
+    # keeps the probe from running twice and — critical for correctness —
+    # pins the admitted set before the index it was computed against is
+    # mutated by the second append
+    admitted = admitted.localCheckpoint()
+    idempotent_append(admitted, admitted_path, id_col)
+    dedup.build_lsh_index(
+        admitted, text_col, id_col, shingle_n, bands, rows_per_band
+    ).write.mode("append").parquet(index_path)
+
+
+def run_incremental_dedup_stream(
+    stream_df: DataFrame,
+    index_path: str,
+    admitted_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    **lsh_kwargs,
+):
+    """Wire a document stream through the probe-admit-index loop."""
+    writer = stream_df.writeStream.foreachBatch(
+        lambda b, _bid: dedup_batch_against_index(
+            b, index_path, admitted_path, text_col, id_col, **lsh_kwargs
+        )
+    ).option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -372,3 +372,29 @@ def test_incremental_dedup_admits_only_collision_free(spark, sf_dir):
         "doc_id",
     )
     assert {r.doc_id for r in again.collect()} == admitted
+
+
+def test_lsh_index_store_and_probe_matches_inline(spark, sf_dir, tmp_path):
+    """The serving shape: build_lsh_index written to parquet and probed
+    must admit exactly what the inline composition admits — the index
+    is a pure relation, so persisting it changes nothing."""
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    inline = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            inc, dedup.build_lsh_index(base, "text", "doc_id"), "text", "doc_id"
+        ).collect()
+    }
+    path = str(tmp_path / "lsh_index")
+    dedup.build_lsh_index(base, "text", "doc_id").write.parquet(path)
+    stored = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            inc, spark.read.parquet(path), "text", "doc_id"
+        ).collect()
+    }
+    assert stored == inline and inline
