@@ -808,35 +808,50 @@ def q_q18_large_orders(spark, sf_dir):
 
 def q_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
-    TWO broadcast nation lookups (aliased dims) + supplier/customer
-    broadcasts around the one big lineitem x orders join; the
-    nation-pair disjunction filters AFTER the joins (it references both
-    sides), everything else pushes into the scans. Grouping on
-    (supp_nation, cust_nation, year) keeps the aggregate tiny."""
+    The nation-pair disjunction only filters AFTER the joins (it
+    references both sides) — but it IMPLIES each side's nation is one
+    of the two traded nations, so the join-order rule applies twice
+    below the big shuffle: suppliers and customers are restricted to
+    the 2/25 trade nations and broadcast-joined onto lineitem and
+    orders respectively BEFORE the lineitem x orders shuffle, cutting
+    BOTH shuffle sides by the nation selectivity. The residual pair
+    disjunction (which cross-references the sides) still runs after.
+    Grouping on (supp_nation, cust_nation, year) keeps the aggregate
+    tiny."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
     )
     orders = _t(spark, sf_dir, "orders", parallel=False)
     supp = _t(spark, sf_dir, "supplier", parallel=False)
     cust = _t(spark, sf_dir, "customer", parallel=False)
-    n1 = _t(spark, sf_dir, "nation", parallel=False).select(
-        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    trade = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = (
+        _t(spark, sf_dir, "nation", parallel=False)
+        .filter(trade)
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
     )
-    n2 = _t(spark, sf_dir, "nation", parallel=False).select(
-        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation", parallel=False)
+        .filter(trade)
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
     )
     volume = _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
     pair = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
-        .filter(pair)
+    li_red = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(n1), supp.s_nationkey == F.col("n1_key")
     )
+    orders_red = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    j = li_red.join(
+        orders_red, li_red.l_orderkey == orders_red.o_orderkey
+    ).filter(pair)
     return (
         j.groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
