@@ -157,6 +157,7 @@ def incremental_dedup(
     shingle_n: int = 2,
     bands: int = 4,
     rows_per_band: int = 2,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Admit only the new documents that are near-dup-free against an
     existing corpus AND within the increment itself — the incremental
@@ -169,30 +170,52 @@ def incremental_dedup(
     the window-star representative). Returns the admitted rows of
     ``new_docs`` unchanged.
 
+    Both rules resolve in ONE pass over ONE (band, sig) shuffle: index
+    keys ride along as tagged rows in the same union, so the bucket
+    window computes base-presence and the increment min-id together —
+    the increment's shingle/md5/minhash digests run exactly once (a
+    first draft probed base hits with a separate semi-join; its branch
+    had no exchange to reuse, so the digest pipeline ran twice).
+
     Scale shape: the corpus-side cost is a pre-built index
-    (``build_lsh_index``); the probe shuffles only the increment —
-    a left-semi equi-join on (band, sig) against the index, a window
-    min inside the same bucket shuffle for the intra-increment rule,
-    and a final anti join keyed on the id. Rejects are bounded by the
-    increment size, so the anti join broadcasts under AQE whenever the
-    increment is small.
+    (``build_lsh_index``) — stored bucketed on (band, sig) it reads
+    co-partitioned, so only the increment shuffles; rejects are
+    increment-bounded, so the final anti join broadcasts under AQE
+    whenever the increment is small.
+
+    ``buckets``: pre-computed ``lsh_band_buckets(new_docs, ...)``, for
+    callers that also need the bucket stream (the streaming loop reuses
+    it for the index append instead of re-digesting the admitted docs).
     """
     from pyspark.sql import Window as _W
 
-    buckets = lsh_band_buckets(
-        new_docs, text_col, id_col, shingle_n, bands, rows_per_band
-    )
-    hit_base = (
-        buckets.join(index, ["band", "sig"], "left_semi").select(id_col).distinct()
+    if buckets is None:
+        buckets = lsh_band_buckets(
+            new_docs, text_col, id_col, shingle_n, bands, rows_per_band
+        )
+    id_type = dict(new_docs.dtypes)[id_col]
+    tagged = buckets.withColumn("_is_base", F.lit(False)).unionByName(
+        index.select(
+            F.lit(None).cast(id_type).alias(id_col),
+            "band",
+            "sig",
+            F.lit(True).alias("_is_base"),
+        )
     )
     w = _W.partitionBy("band", "sig")
-    hit_inc = (
-        buckets.withColumn("_min_id", F.min(id_col).over(w))
-        .filter(F.col(id_col) > F.col("_min_id"))
+    flagged = tagged.withColumn(
+        "_has_base", F.max(F.col("_is_base")).over(w)
+    ).withColumn(
+        "_min_id", F.min(F.when(~F.col("_is_base"), F.col(id_col))).over(w)
+    )
+    rejects = (
+        flagged.filter(
+            ~F.col("_is_base")
+            & (F.col("_has_base") | (F.col(id_col) > F.col("_min_id")))
+        )
         .select(id_col)
         .distinct()
     )
-    rejects = hit_base.unionByName(hit_inc)
     return new_docs.join(rejects, id_col, "left_anti")
 
 

@@ -597,21 +597,23 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
 """,
     "events_funnel": """
-WITH pu AS (
-  SELECT user_id,
-    min(CASE WHEN event_type = 'view' THEN ts::TIMESTAMP END) AS t_view,
-    min(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END) AS t_click,
-    min(CASE WHEN event_type = 'purchase' THEN ts::TIMESTAMP END) AS t_purchase
-  FROM events GROUP BY user_id
-)
+WITH e1 AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+         OVER (PARTITION BY user_id) AS t_view FROM e1),
+w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL
+                      AND ts >= t_view THEN ts END)
+         OVER (PARTITION BY user_id) AS t_click FROM w1),
+w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL
+                      AND ts >= t_click THEN ts END)
+         OVER (PARTITION BY user_id) AS t_purchase FROM w2),
+pu AS (SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+         min(t_purchase) AS t_purchase
+       FROM w3 GROUP BY user_id)
 SELECT count(*) AS n_users,
   CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
-  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-             AND t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS clicked_after_view,
-  CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
-             AND t_click >= t_view AND t_purchase IS NOT NULL
-             AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT)
+  CAST(sum(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
     AS purchased_after_click
 FROM pu
 """,

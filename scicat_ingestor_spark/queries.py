@@ -1808,34 +1808,45 @@ def q_events_user_running(spark, sf_dir):
 
 def q_events_funnel(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase: how many
-    users reached each stage IN ORDER (a later-stage event only counts
-    if it happens after the user's first earlier-stage event). The
-    scalable shape: ONE groupBy(user) computing first-timestamps as
-    conditional min aggregates (map-side combinable, no self-joins, no
-    per-user sort), then the ordering predicate as scan-local boolean
-    algebra, then a tiny global count-sum. The classic funnel-by-3-way
-    self-join would shuffle the fact table three times; this shuffles
-    it once."""
+    users reached each stage IN ORDER — a stage-k event counts iff it
+    happens at/after the user's stage-(k-1) completion time, where each
+    completion time is the EARLIEST qualifying event (so a click before
+    the first view doesn't complete stage 2, but a later click still
+    does). Three stacked per-user window mins, each conditioned on the
+    previous stage's time — one hash exchange on user_id serves all
+    three Window nodes AND the final per-user collapse (same key), then
+    a tiny global count-sum. The classic funnel-by-3-way self-join
+    would shuffle the fact table three times; this shuffles it once."""
+    from pyspark.sql import Window as W
+
     ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
 
-    def first_ts(t):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    def stage_ts(t, after=None):
+        cond = F.col("event_type") == t
+        if after is not None:
+            cond = cond & F.col(after).isNotNull() & (F.col("ts") >= F.col(after))
+        return F.min(F.when(cond, F.col("ts"))).over(w)
 
-    per_user = ev.groupBy("user_id").agg(
-        first_ts("view").alias("t_view"),
-        first_ts("click").alias("t_click"),
-        first_ts("purchase").alias("t_purchase"),
+    staged = (
+        ev.withColumn("t_view", stage_ts("view"))
+        .withColumn("t_click", stage_ts("click", after="t_view"))
+        .withColumn("t_purchase", stage_ts("purchase", after="t_click"))
     )
-    s1 = F.col("t_view").isNotNull()
-    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
-    s3 = s2 & F.col("t_purchase").isNotNull() & (
-        F.col("t_purchase") >= F.col("t_click")
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
     )
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(s1.cast("bigint")).alias("viewed"),
-        F.sum(s2.cast("bigint")).alias("clicked_after_view"),
-        F.sum(s3.cast("bigint")).alias("purchased_after_click"),
+        F.sum(F.col("t_view").isNotNull().cast("bigint")).alias("viewed"),
+        F.sum(F.col("t_click").isNotNull().cast("bigint")).alias(
+            "clicked_after_view"
+        ),
+        F.sum(F.col("t_purchase").isNotNull().cast("bigint")).alias(
+            "purchased_after_click"
+        ),
     )
 
 

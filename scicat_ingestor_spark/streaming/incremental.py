@@ -50,23 +50,38 @@ def dedup_batch_against_index(
 
     Seed ``index_path`` with ``build_lsh_index(base_corpus)`` before
     starting the stream; an absent index means an empty corpus."""
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     try:
         index = spark.read.parquet(index_path).select("band", "sig")
-    except Exception:  # no corpus yet — everything passes the base probe
+    except AnalysisException as e:
+        # ONLY the documented no-corpus-yet case may fall back to an
+        # empty index; any other read failure (IO, permissions,
+        # throttling) must fail the batch — admitting a micro-batch
+        # unprobed would permanently pollute the corpus
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         index = spark.createDataFrame([], INDEX_SCHEMA)
+    # the bucket stream is computed ONCE (localCheckpoint) and feeds the
+    # probe AND the index append — no re-digesting of admitted docs; the
+    # admitted checkpoint additionally pins the probe result before the
+    # index it was computed against is mutated by the second append
+    buckets = dedup.lsh_band_buckets(
+        batch, text_col, id_col, shingle_n, bands, rows_per_band
+    ).localCheckpoint()
     admitted = dedup.incremental_dedup(
-        batch, index, text_col, id_col, shingle_n, bands, rows_per_band
-    )
-    # localCheckpoint: admitted feeds BOTH appends; materializing once
-    # keeps the probe from running twice and — critical for correctness —
-    # pins the admitted set before the index it was computed against is
-    # mutated by the second append
-    admitted = admitted.localCheckpoint()
+        batch, index, text_col, id_col, shingle_n, bands, rows_per_band,
+        buckets=buckets,
+    ).localCheckpoint()
     idempotent_append(admitted, admitted_path, id_col)
-    dedup.build_lsh_index(
-        admitted, text_col, id_col, shingle_n, bands, rows_per_band
-    ).write.mode("append").parquet(index_path)
+    (
+        buckets.join(admitted.select(id_col), id_col, "left_semi")
+        .select("band", "sig")
+        .distinct()
+        .write.mode("append")
+        .parquet(index_path)
+    )
 
 
 def run_incremental_dedup_stream(

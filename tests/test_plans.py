@@ -521,14 +521,32 @@ def test_q21_shape_survives_mega_order_skew(spark):
 
 
 def test_dedup_incremental_probe_shape(spark, sf_dir):
-    """The incremental probe must be equi-joins only: a LeftSemi against
-    the index on (band, sig), a LeftAnti on the id — never a nested-loop
-    — and the base corpus must contribute nothing but the index side."""
+    """The incremental probe resolves BOTH rules (base collision,
+    intra-increment first-occurrence) in one (band, sig) bucket shuffle
+    — tagged index keys ride the same union, so the increment's digest
+    pipeline appears ONCE in the plan — and rejects leave via a LeftAnti
+    equi-join, never a nested loop."""
     plan = _plan(Q.q_dedup_incremental(spark, sf_dir))
-    assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # registry query derives the corpus index inline, so the full plan
+    # carries exactly two bucket exchanges (index distinct + probe
+    # window) and two digest pipelines (one per side) — the probe side
+    # in isolation is pinned below
+    assert plan.count("hashpartitioning(band") == 2
+    assert plan.count("md5") == 4
+
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = Q._t(spark, sf_dir, "documents")
+    index = spark.createDataFrame([(0, "x")], "band int, sig string")
+    probe = _plan(dedup.incremental_dedup(docs, index, "text", "doc_id"))
+    # ONE bucket shuffle resolves both rejection rules, and the
+    # increment's shingle digest pipeline is planned exactly once
+    # (shingle_digests = two md5 calls per shingle)
+    assert probe.count("hashpartitioning(band") == 1
+    assert probe.count("md5") == 2
 
 
 def test_events_window_family_stays_partitioned(spark, sf_dir):

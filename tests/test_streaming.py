@@ -666,3 +666,35 @@ def test_streaming_incremental_dedup_loop(spark, sf_dir, tmp_path):
     shutil.rmtree(ck)
     drain()
     assert spark.read.parquet(admitted_path).count() == len(got)
+
+
+def test_incremental_dedup_index_read_failures(spark, sf_dir, tmp_path):
+    """The empty-index fallback is reserved for the documented
+    no-corpus-yet case (PATH_NOT_FOUND): a missing index admits the
+    batch and bootstraps the index; any OTHER index read failure must
+    fail the batch — silently admitting an unprobed micro-batch would
+    permanently pollute the corpus."""
+    import pytest
+
+    from scicat_ingestor_spark.streaming import incremental
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(20)
+    index_path = str(tmp_path / "no_index_yet")
+    admitted_path = str(tmp_path / "admitted")
+    incremental.dedup_batch_against_index(
+        batch, index_path, admitted_path, "text", "doc_id"
+    )
+    n = spark.read.parquet(admitted_path).count()
+    assert 0 < n <= 20  # bootstrap: only intra-batch dups rejected
+    assert spark.read.parquet(index_path).count() > 0
+
+    broken = tmp_path / "broken_index"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        incremental.dedup_batch_against_index(
+            batch, str(broken), str(tmp_path / "admitted2"), "text", "doc_id"
+        )
+    assert not (tmp_path / "admitted2").exists()  # nothing was admitted

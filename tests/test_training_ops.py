@@ -329,8 +329,9 @@ def test_incremental_dedup_admits_only_collision_free(spark, sf_dir):
     set against the same index admits everything again... EXCEPT docs
     whose only rejection cause was an intra-increment collision with a
     doc that itself got rejected (the documented first-occurrence rule
-    is one-pass, not iterative), so idempotence is asserted as a
-    superset, and exactly on the base-collision rule."""
+    is one-pass, not iterative) — but the admitted set is pairwise
+    bucket-disjoint by construction, so re-probing it must return
+    EXACTLY the same set, which is what (c) asserts."""
     from scicat_ingestor_spark.operators import dedup
     from scicat_ingestor_spark.queries import q_dedup_incremental
 
