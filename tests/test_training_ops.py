@@ -399,3 +399,36 @@ def test_lsh_index_store_and_probe_matches_inline(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stored == inline and inline
+
+
+def test_incremental_dedup_supports_string_ids(spark):
+    """The probe's tagged-union null row casts to the caller's id type —
+    pin the non-numeric path (string ids order lexicographically, so
+    first-occurrence-wins means lowest string)."""
+    from scicat_ingestor_spark.operators import dedup
+
+    rows = [
+        ("a", "alpha beta gamma delta"),
+        ("b", "alpha beta gamma delta"),      # dup of a (same text)
+        ("c", "totally different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    empty_index = spark.createDataFrame([], "band int, sig string")
+    admitted = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            docs, empty_index, "text", "doc_id"
+        ).collect()
+    }
+    assert admitted == {"a", "c"}
+    # and with a/c indexed as the corpus, only nothing-like-them enters
+    index = dedup.build_lsh_index(
+        docs.filter(F.col("doc_id") != "b"), "text", "doc_id"
+    )
+    again = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            docs.filter(F.col("doc_id") == "b"), index, "text", "doc_id"
+        ).collect()
+    }
+    assert again == set()
