@@ -568,3 +568,14 @@ def test_pivot_is_single_pass(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1
     assert "pivotfirst" not in plan.lower()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_funnel_windows_share_one_keyed_exchange(spark, sf_dir):
+    """All three stage windows and the per-user collapse must ride ONE
+    user_id hash exchange — and none may degrade to an unpartitioned
+    window. (The closing global count-sum is a scalar aggregate over
+    per-user rows; its SinglePartition exchange is the correct shape,
+    not a window hazard.)"""
+    plan = _plan(Q.q_events_funnel(spark, sf_dir))
+    assert "No Partition Defined" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
