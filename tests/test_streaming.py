@@ -698,3 +698,32 @@ def test_incremental_dedup_index_read_failures(spark, sf_dir, tmp_path):
             batch, str(broken), str(tmp_path / "admitted2"), "text", "doc_id"
         )
     assert not (tmp_path / "admitted2").exists()  # nothing was admitted
+
+
+def test_compact_parquet_preserves_content(spark, sf_dir, tmp_path):
+    """Compaction after a fragmented append history: row-identical
+    content, file count collapsed to the size target, original
+    recoverable from .bak when asked for."""
+    from scicat_ingestor_spark.streaming import maintenance
+
+    path = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    for i in range(8):  # 8 appends -> 8 file groups
+        docs.filter(F.col("doc_id") % 8 == i).write.mode("append").parquet(path)
+
+    import os
+
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before >= 8
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    n = maintenance.compact_parquet(spark, path, target_mb=64, keep_backup=True)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n == 1 and n_after == 1  # tiny dir -> one right-sized file
+    assert sorted(
+        map(tuple, spark.read.parquet(path + ".bak").collect())
+    ) == before
