@@ -58,6 +58,14 @@ def main() -> None:
     n = spark.read.parquet(f"{work}/admitted").count()
     print(f"streaming loop: {n} docs admitted across 3 micro-batches")
 
+    # ---- maintenance window: the loop appended one file set per batch;
+    # compact both sinks before the next drain (safe here: stream done)
+    from scicat_ingestor_spark.streaming import maintenance  # noqa: E402
+
+    for p in (index_dir, f"{work}/admitted"):
+        files = maintenance.compact_parquet(spark, p)
+        print(f"compacted {p} -> {files} file(s)")
+
 
 if __name__ == "__main__":
     main()
