@@ -617,6 +617,24 @@ SELECT count(*) AS n_users,
     AS purchased_after_click
 FROM pu
 """,
+    "supplier_pareto": """
+WITH r AS (
+  SELECT l_suppkey AS suppkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        * CAST(1 - l_discount AS DECIMAL(18,4))) AS rev
+  FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT sum(rev) AS total FROM r),
+c AS (SELECT suppkey, rev,
+        sum(rev) OVER (ORDER BY rev DESC, suppkey
+                       ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r)
+SELECT suppkey,
+  CAST(round(rev, 2) AS DOUBLE) AS revenue,
+  CAST(round(cum, 2) AS DOUBLE) AS cum_revenue,
+  ((cum - rev) * 5 < total * 4) AS in_top80
+FROM c, t
+""",
     "text_groupsets_stats": """
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,

@@ -1871,6 +1871,47 @@ def q_text_groupsets_stats(spark, sf_dir):
     )
 
 
+def q_supplier_pareto(spark, sf_dir):
+    """Pareto analysis: suppliers ranked by revenue with a GLOBAL
+    cumulative revenue and a top-80%% flag — the classic warehouse
+    running-total. The naive form is an unpartitioned
+    ``Window.orderBy``: one task sorts and scans every supplier (the
+    q15 anti-pattern). This runs the scale form instead —
+    ``operators.windows.running_total``: range-partition on the total
+    order (revenue desc, suppkey tiebreak), cumsum within partitions,
+    prefix offsets from the config-bounded per-partition totals via a
+    triangular join. The 80%% cut is an exact integer-scaled decimal
+    comparison ((cum - rev)·5 < total·4 — a row is in the top-80 band
+    if the share BEFORE it is under 80%%), no decimal division."""
+    from scicat_ingestor_spark.operators import windows
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            _dec(F.col("l_extendedprice")) * _dec(1 - F.col("l_discount"), 4)
+        ).alias("rev")
+    )
+    cum = windows.running_total(
+        rev,
+        "rev",
+        [F.col("rev").desc(), F.col("suppkey").asc()],
+        out_col="cum",
+    )
+    total = rev.agg(F.sum("rev").alias("_total"))
+    return (
+        cum.join(F.broadcast(total))
+        .select(
+            "suppkey",
+            F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+            F.round(F.col("cum"), 2).cast("double").alias("cum_revenue"),
+            ((F.col("cum") - F.col("rev")) * 5 < F.col("_total") * 4).alias(
+                "in_top80"
+            ),
+        )
+        .orderBy(F.desc("revenue"), "suppkey")
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: keep ~N% per language, gated on
     a content-hash of the doc id — reproducible across runs, retries and
@@ -3496,6 +3537,7 @@ QUERIES = {
     "events_pivot_daily": q_events_pivot_daily,
     "events_user_running": q_events_user_running,
     "events_funnel": q_events_funnel,
+    "supplier_pareto": q_supplier_pareto,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,

@@ -579,3 +579,21 @@ def test_funnel_windows_share_one_keyed_exchange(spark, sf_dir):
     plan = _plan(Q.q_events_funnel(spark, sf_dir))
     assert "No Partition Defined" not in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_pareto_running_total_has_no_global_window(spark, sf_dir):
+    """The distributed prefix sum must never plan the single-partition
+    global window the naive cumulative sum would: every Window node is
+    keyed (the in-partition cumsum on _rt_pid), the total order rides a
+    RangePartitioning exchange, and the offset relation joins broadcast."""
+    plan = _plan(Q.q_supplier_pareto(spark, sf_dir))
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+    assert "rangepartitioning" in plan.lower()
+    # every window is keyed on the range-partition id
+    import re
+
+    specs = re.findall(r"Arguments: \[sum.*?windowspecdefinition\(([^,]*),", plan)
+    assert specs  # the cumsum window must exist
+    for args in specs:
+        assert "_rt_pid" in args

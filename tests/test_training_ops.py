@@ -432,3 +432,31 @@ def test_incremental_dedup_supports_string_ids(spark):
         ).collect()
     }
     assert again == set()
+
+
+def test_running_total_matches_sequential_prefix_sum(spark):
+    """The two-pass distributed prefix sum must equal the sequential
+    cumsum for any partition count — including partitions the range
+    exchange leaves empty and a partition count larger than the data."""
+    from decimal import Decimal
+
+    from scicat_ingestor_spark.operators import windows
+
+    rows = [(i, Decimal(v)) for i, v in enumerate([5, 1, 4, 4, 2, 9, 0, 7, 3, 6])]
+    df = spark.createDataFrame(rows, "k int, v decimal(18,2)")
+    expected = {}
+    acc = Decimal(0)
+    for k, v in sorted(rows, key=lambda r: (-r[1], r[0])):
+        acc += v
+        expected[k] = acc
+    for n_parts in (1, 3, 64):
+        got = {
+            r.k: r.running_total
+            for r in windows.running_total(
+                df,
+                "v",
+                [F.col("v").desc(), F.col("k").asc()],
+                num_partitions=n_parts,
+            ).collect()
+        }
+        assert got == expected, n_parts
