@@ -114,7 +114,10 @@ class GelfUdpHandler(logging.Handler):
         if len(payload) <= _MAX_DATAGRAM:
             yield payload
             return
-        n = math.ceil(len(payload) / _MAX_DATAGRAM)
+        # chunk header is 12 bytes (2 magic + 8 id + seq + count); slice the
+        # body so header + body stays inside the datagram budget
+        body_max = _MAX_DATAGRAM - 12
+        n = math.ceil(len(payload) / body_max)
         if n > _MAX_CHUNKS:
             raise ValueError(f"GELF message needs {n} chunks (max {_MAX_CHUNKS})")
         # unique-enough message id: pid + counter + monotonic-ish time
@@ -126,7 +129,7 @@ class GelfUdpHandler(logging.Handler):
             self._msg_counter,
         )
         for seq in range(n):
-            body = payload[seq * _MAX_DATAGRAM : (seq + 1) * _MAX_DATAGRAM]
+            body = payload[seq * body_max : (seq + 1) * body_max]
             yield _GELF_CHUNK_MAGIC + msg_id + bytes([seq, n]) + body
 
     def emit(self, record: logging.LogRecord) -> None:
@@ -192,15 +195,15 @@ def build_logger(
             )
         )
 
+    if options.verbose:
+        logger.addHandler(logging.StreamHandler())
+
     level = getattr(logging, str(options.logging_level).upper(), logging.INFO)
     logger.setLevel(level)
     for handler in logger.handlers:
         handler.setLevel(level)
         handler.setFormatter(formatter)
 
-    if options.verbose:
-        stream = logging.StreamHandler()
-        stream.setLevel(level)
-        logger.addHandler(stream)
-
+    # self-contained: never double-emit through an app-configured root
+    logger.propagate = False
     return logger

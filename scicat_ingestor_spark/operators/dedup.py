@@ -170,52 +170,52 @@ def incremental_dedup(
     the window-star representative). Returns the admitted rows of
     ``new_docs`` unchanged.
 
-    Both rules resolve in ONE pass over ONE (band, sig) shuffle: index
-    keys ride along as tagged rows in the same union, so the bucket
-    window computes base-presence and the increment min-id together —
-    the increment's shingle/md5/minhash digests run exactly once (a
-    first draft probed base hits with a separate semi-join; its branch
-    had no exchange to reuse, so the digest pipeline ran twice).
+    The two rules take two different physical shapes on purpose:
+
+    - base collision = a **left_semi equi-join** of the increment's
+      buckets against the index. The index NEVER enters a window
+      exchange — stored bucketed on (band, sig) it joins co-partitioned
+      with zero index-side shuffle, so per probe only increment-sized
+      data moves. (An earlier form unioned tagged index rows into the
+      bucket window; a union discards bucketed-scan output partitioning,
+      so the FULL |corpus|·bands index re-shuffled on every probe —
+      exactly the shape that breaks at 100 TB micro-batch cadence.)
+    - intra-increment first-occurrence = a min-id window over the
+      increment's buckets alone (increment-sized exchange).
+
+    The increment's shingle/md5/minhash digests run exactly once: the
+    bucket stream is ``localCheckpoint``-ed before feeding both rules
+    (the two branches get different pushed filters, so Catalyst's
+    ReuseExchange cannot unify them; the checkpoint is the deterministic
+    fix, and it is the same materialization the streaming loop already
+    does to reuse buckets for its index append).
 
     Scale shape: the corpus-side cost is a pre-built index
-    (``build_lsh_index``) — stored bucketed on (band, sig) it reads
-    co-partitioned, so only the increment shuffles; rejects are
-    increment-bounded, so the final anti join broadcasts under AQE
-    whenever the increment is small.
+    (``build_lsh_index``); rejects are increment-bounded, so the final
+    anti join broadcasts under AQE whenever the increment is small.
 
     ``buckets``: pre-computed ``lsh_band_buckets(new_docs, ...)``, for
     callers that also need the bucket stream (the streaming loop reuses
     it for the index append instead of re-digesting the admitted docs).
+    Pass it already checkpointed/cached; raw lazy buckets are
+    checkpointed here.
     """
     from pyspark.sql import Window as _W
 
     if buckets is None:
         buckets = lsh_band_buckets(
             new_docs, text_col, id_col, shingle_n, bands, rows_per_band
-        )
-    id_type = dict(new_docs.dtypes)[id_col]
-    tagged = buckets.withColumn("_is_base", F.lit(False)).unionByName(
-        index.select(
-            F.lit(None).cast(id_type).alias(id_col),
-            "band",
-            "sig",
-            F.lit(True).alias("_is_base"),
-        )
-    )
+        ).localCheckpoint()
     w = _W.partitionBy("band", "sig")
-    flagged = tagged.withColumn(
-        "_has_base", F.max(F.col("_is_base")).over(w)
-    ).withColumn(
-        "_min_id", F.min(F.when(~F.col("_is_base"), F.col(id_col))).over(w)
-    )
-    rejects = (
-        flagged.filter(
-            ~F.col("_is_base")
-            & (F.col("_has_base") | (F.col(id_col) > F.col("_min_id")))
-        )
+    intra = (
+        buckets.withColumn("_min_id", F.min(F.col(id_col)).over(w))
+        .filter(F.col(id_col) > F.col("_min_id"))
         .select(id_col)
-        .distinct()
     )
+    base_hits = buckets.join(
+        index.select("band", "sig"), ["band", "sig"], "left_semi"
+    ).select(id_col)
+    rejects = intra.unionByName(base_hits).distinct()
     return new_docs.join(rejects, id_col, "left_anti")
 
 

@@ -19,11 +19,17 @@ against admitted (tested in tests/test_streaming.py).
 
 Scale shape (100 TB): the index relation is |corpus|·bands rows of two
 short columns (~1e-4 of corpus bytes); each micro-batch shuffles only
-increment-sized data (the probe's semi-join + bucket window), and both
-appends are increment-sized. Replay safety: the corpus append is the
+increment-sized data (the probe's semi-join against the bucketed index
++ the increment-local bucket window), and both appends are
+increment-sized. Replay safety: the corpus append is the
 anti-join-guarded ``idempotent_append`` (exactly-once rows under
 at-least-once foreachBatch); a replayed index append can only duplicate
-(band, sig) keys, which the probe's semi-join is insensitive to.
+(band, sig) keys, which the probe's semi-join is insensitive to —
+duplicates are then swept by the content-aware maintenance pass
+(``maintenance.distinct_compact_parquet``), which the loop runs every
+``compact_index_every_n_batches`` micro-batches (the ``dim_refresh``
+cadence pattern): without it, at-least-once replays grow the index
+without bound even though probes stay correct.
 """
 
 from __future__ import annotations
@@ -31,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from scicat_ingestor_spark.operators import dedup
+from scicat_ingestor_spark.streaming import maintenance
 from scicat_ingestor_spark.streaming.pipeline import idempotent_append
 
 INDEX_SCHEMA = "band int, sig string"
@@ -92,14 +99,36 @@ def run_incremental_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    compact_index_every_n_batches: int = 0,
     **lsh_kwargs,
 ):
-    """Wire a document stream through the probe-admit-index loop."""
-    writer = stream_df.writeStream.foreachBatch(
-        lambda b, _bid: dedup_batch_against_index(
+    """Wire a document stream through the probe-admit-index loop.
+
+    ``compact_index_every_n_batches`` > 0 runs the content-aware index
+    maintenance pass (DISTINCT (band, sig) rewrite + file merge,
+    ``maintenance.distinct_compact_parquet``) after every N completed
+    micro-batches — between batches, never concurrent with a probe, so
+    the swap's brief path-absence window (see maintenance module
+    docstring) cannot race a reader. Replay-duplicated keys never
+    change probe results; this bounds index BYTES, not correctness."""
+    batches_done = {"n": 0}
+
+    def _body(b: DataFrame, _bid: int) -> None:
+        dedup_batch_against_index(
             b, index_path, admitted_path, text_col, id_col, **lsh_kwargs
         )
-    ).option("checkpointLocation", checkpoint)
+        batches_done["n"] += 1
+        if (
+            compact_index_every_n_batches > 0
+            and batches_done["n"] % compact_index_every_n_batches == 0
+        ):
+            maintenance.distinct_compact_parquet(
+                b.sparkSession, index_path, key_columns=["band", "sig"]
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_body).option(
+        "checkpointLocation", checkpoint
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

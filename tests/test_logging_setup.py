@@ -169,6 +169,9 @@ def test_gelf_chunker_property(udp_listener):
 
         payload = os.urandom(n)
         frames = list(h._chunks(payload))
+        # every emitted datagram — chunk header INCLUDED — stays inside
+        # the module's 8000-byte budget (some Graylog inputs enforce 8192)
+        assert all(len(f) <= 8000 for f in frames)
         if len(frames) == 1 and not frames[0].startswith(_GELF_CHUNK_MAGIC):
             assert frames[0] == payload
             return

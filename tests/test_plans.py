@@ -521,32 +521,37 @@ def test_q21_shape_survives_mega_order_skew(spark):
 
 
 def test_dedup_incremental_probe_shape(spark, sf_dir):
-    """The incremental probe resolves BOTH rules (base collision,
-    intra-increment first-occurrence) in one (band, sig) bucket shuffle
-    — tagged index keys ride the same union, so the increment's digest
-    pipeline appears ONCE in the plan — and rejects leave via a LeftAnti
+    """The incremental probe's two rules take their scale-correct
+    physical shapes: base collision = LeftSemi equi-join against the
+    index (the index NEVER rides a window exchange — a union into the
+    bucket window would re-shuffle the full |corpus|·bands index per
+    probe), intra-increment first-occurrence = a window over the
+    checkpointed increment buckets alone. Rejects leave via a LeftAnti
     equi-join, never a nested loop."""
     plan = _plan(Q.q_dedup_incremental(spark, sf_dir))
+    assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # registry query derives the corpus index inline, so the full plan
-    # carries exactly two bucket exchanges (index distinct + probe
-    # window) and two digest pipelines (one per side) — the probe side
-    # in isolation is pinned below
+    # the increment's digest pipeline ran ONCE at bucket checkpoint
+    # time (shingle_digests = two md5 calls); the only md5s left in the
+    # plan are the inline index build's — the probe side scans the
+    # checkpointed RDD
+    assert plan.count("md5") == 2
+    # bucket-keyed exchanges: index-build distinct + increment window;
+    # the full index never re-partitions for the probe
     assert plan.count("hashpartitioning(band") == 2
-    assert plan.count("md5") == 4
 
     from scicat_ingestor_spark.operators import dedup
 
     docs = Q._t(spark, sf_dir, "documents")
     index = spark.createDataFrame([(0, "x")], "band int, sig string")
     probe = _plan(dedup.incremental_dedup(docs, index, "text", "doc_id"))
-    # ONE bucket shuffle resolves both rejection rules, and the
-    # increment's shingle digest pipeline is planned exactly once
-    # (shingle_digests = two md5 calls per shingle)
-    assert probe.count("hashpartitioning(band") == 1
-    assert probe.count("md5") == 2
+    # digest-once is literal: the probe plan holds ZERO md5 calls (the
+    # bucket stream was materialized by localCheckpoint), and both
+    # rejection rules read the same checkpointed scan
+    assert probe.count("md5") == 0
+    assert "ExistingRDD" in probe
 
 
 def test_events_window_family_stays_partitioned(spark, sf_dir):
