@@ -3,10 +3,16 @@
 Design: media payloads ride as ``binary`` columns with a
 ``media_meta STRUCT<kind, mime, width, height, sample_rate, n_frames>``
 sidecar. Decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas iterators over ``mapInPandas`` — the Spark-side
-plumbing (schema, partitioning, batch shape) is real; the actual codec
-call is stubbed (image/audio libraries are not in this container) behind
-``DECODERS`` with a deterministic fake so plans and tests are exact.
+Arrow-batched pandas iterators over ``mapInPandas``.
+
+``DECODERS`` carries REAL stdlib-only header decoders for PNG (IHDR),
+JPEG (SOFn frame header), GIF (logical screen descriptor) and BMP
+(BITMAPINFOHEADER), plus ``auto`` magic-byte dispatch across them —
+these execute in the data plane under the SQL oracle gate. Full pixel
+decode / resampling / av demuxing genuinely need external codec
+libraries absent from this container; those registry entries stay as
+clearly-marked ``NotImplementedError`` gates next to a deterministic
+``fake`` so plans and tests are exact either way.
 
 At scale: payload columns are large — partition sizing must come from
 ``spark.sql.files.maxPartitionBytes`` on the parquet side, and decode
@@ -87,13 +93,247 @@ def _png_decode(payload: bytes) -> dict:
     }
 
 
+def _jpeg_decode(payload: bytes) -> dict:
+    """REAL decoder, stdlib-only: walk the JPEG segment stream from SOI
+    to the first SOF marker (SOF0 baseline / SOF2 progressive / any
+    other SOFn except the DHT/JPG/DAC exclusions) and read the frame
+    header's big-endian height/width (precision byte, then u16 height,
+    u16 width — ITU T.81 §B.2.2). Each non-standalone segment carries a
+    u16 length that INCLUDES its own two bytes; standalone markers
+    (TEM, RSTn) have none. Malformed input raises ValueError — same
+    failure-channel contract as :func:`_png_decode`."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    sof_markers = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"not a JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > len(payload):
+            raise ValueError("not a JPEG: truncated segment")
+        if marker in sof_markers:
+            if seg_len < 7:
+                raise ValueError("not a JPEG: short SOF")
+            _precision, height, width = struct.unpack(
+                ">BHH", payload[pos + 4 : pos + 9]
+            )
+            if not width or not height:
+                raise ValueError("not a JPEG: zero dimension")
+            return {
+                "format": "jpeg",
+                "width": width,
+                "height": height,
+                "feature_hash": hashlib.md5(payload).hexdigest(),
+            }
+        pos += 2 + seg_len
+    raise ValueError("not a JPEG: no SOF frame header")
+
+
+def _gif_decode(payload: bytes) -> dict:
+    """REAL decoder, stdlib-only: GIF87a/GIF89a signature + the logical
+    screen descriptor's little-endian u16 width/height at bytes 6-9
+    (GIF89a spec §17-18)."""
+    import struct
+
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad signature")
+    width, height = struct.unpack("<HH", payload[6:10])
+    if not width or not height:
+        raise ValueError("not a GIF: zero dimension")
+    return {
+        "format": "gif",
+        "width": width,
+        "height": height,
+        "feature_hash": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def _bmp_decode(payload: bytes) -> dict:
+    """REAL decoder, stdlib-only: 'BM' magic + BITMAPINFOHEADER's
+    little-endian i32 width/height at offsets 18/22 (height may be
+    negative for top-down rows — the dimension is its magnitude)."""
+    import struct
+
+    if len(payload) < 26 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    width, height = struct.unpack("<ii", payload[18:26])
+    if not width or not height:
+        raise ValueError("not a BMP: zero dimension")
+    return {
+        "format": "bmp",
+        "width": abs(width),
+        "height": abs(height),
+        "feature_hash": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def _sniff_decode(payload: bytes) -> dict:
+    """Magic-byte dispatch across the real decoders — the data-plane
+    entry point when a table mixes formats (the usual 100 TB shape:
+    one binary column, format known only per row)."""
+    if payload[:8] == _PNG_SIGNATURE:
+        out = _png_decode(payload)
+        out["format"] = "png"
+        return out
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_decode(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(payload)
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload)
+    raise ValueError("unrecognized media signature")
+
+
 DECODERS: dict[str, Callable[[bytes], dict]] = {
     "fake": _fake_decode,
     "png": _png_decode,  # real stdlib decoder (IHDR header parse)
+    "jpeg": _jpeg_decode,  # real stdlib decoder (SOF frame header)
+    "gif": _gif_decode,  # real stdlib decoder (logical screen descriptor)
+    "bmp": _bmp_decode,  # real stdlib decoder (BITMAPINFOHEADER)
+    "auto": _sniff_decode,  # magic-byte dispatch over the real decoders
+    # full pixel decode / resampling and av demuxing genuinely need
+    # external codec libraries — these stay as gates:
     "image": _unavailable_decode,  # swap in PIL.Image.open in production
     "audio": _unavailable_decode,
     "video": _unavailable_decode,
 }
+
+
+# --- deterministic real-bytes builders (test/data-plane harness) -----------
+#
+# Fully-formed minimal files where stdlib allows: the PNG carries a real
+# zlib IDAT and per-chunk CRCs (decodable by any compliant reader); the
+# GIF is signature + logical screen descriptor + trailer; the JPEG is
+# SOI + JFIF APP0 + SOF0 + EOI (structurally valid headers; no entropy-
+# coded scan — building one needs real huffman tables, i.e. a codec).
+
+
+def make_png(width: int, height: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(
+        b"\x00" + bytes((x * 37 + y * 101) % 256 for x in range(3 * width))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        (1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+
+
+def make_gif(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+MEDIA_BUILDERS: dict[str, Callable[[int, int], bytes]] = {
+    "png": make_png,
+    "jpeg": make_jpeg,
+    "gif": make_gif,
+}
+
+# the deterministic id -> media rule shared by the Spark synthesizer and
+# the SQL oracle: format cycles png/jpeg/gif, dims derive from the id
+_SYNTH_KINDS = ("png", "jpeg", "gif")
+
+
+def synth_dims(media_id: int) -> tuple[str, int, int]:
+    return (
+        _SYNTH_KINDS[media_id % 3],
+        (media_id % 16) + 1,
+        ((media_id // 16) % 16) + 1,
+    )
+
+
+def fixture_media_rows(n: int = 24) -> list[tuple[int, bytes]]:
+    """A FIXED media fixture: ``n`` payloads built by the deterministic
+    builders, independent of scale factor — the constants-oracle input
+    for the feature-extract query (the s6_real_nexus_scan precedent:
+    static fixture in, pinned VALUES out). Only the pure-struct.pack
+    builders (jpeg/gif) are used so the bytes are spec-determined —
+    make_png embeds a zlib stream whose exact bytes are an
+    implementation detail of the zlib build, which must not leak into
+    a pinned oracle."""
+    rows = []
+    for mid in range(n):
+        kind = ("jpeg", "gif")[mid % 2]
+        w, h = (mid % 16) + 1, ((mid // 16) % 16) + 1
+        rows.append((mid, MEDIA_BUILDERS[kind](w, h)))
+    return rows
+
+
+def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Data-plane synthesizer: one REAL media payload per input row
+    (format/dims from :func:`synth_dims`), Arrow-batched and
+    partition-preserving — the harness that lets the real decoders run
+    under the SQL oracle gate (the oracle recomputes the id -> dims
+    rule; the engine must recover it from the actual bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads = [], []
+            for mid in pdf[id_col]:
+                kind, w, h = synth_dims(int(mid))
+                kinds.append(kind)
+                payloads.append(MEDIA_BUILDERS[kind](w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": payloads,
+                    "media_meta": [
+                        {
+                            "kind": k,
+                            "mime": f"image/{k}",
+                            "width": None,
+                            "height": None,
+                            "sample_rate": None,
+                            "n_frames": None,
+                        }
+                        for k in kinds
+                    ],
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema=f"media_id long, payload binary, media_meta struct<{MEDIA_META_SCHEMA}>"
+    )
 
 
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -126,7 +366,13 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": kinds,
+                    # a real decoder reports the format it actually
+                    # parsed (the sniffing "auto" path); fall back to
+                    # the metadata sidecar for stand-ins
+                    "kind": [
+                        d.get("format") or k
+                        for d, k in zip(decoded, kinds)
+                    ],
                     "width": decoded.map(lambda d: d["width"]),
                     "height": decoded.map(lambda d: d["height"]),
                     "feature_hash": decoded.map(lambda d: d["feature_hash"]),

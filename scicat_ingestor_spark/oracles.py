@@ -788,6 +788,17 @@ SELECT doc_id AS media_id, 'fake' AS kind,
   octet_length(encode(text)) AS n_bytes
 FROM h
 """,
+    # the engine decodes REAL bytes (png/jpeg/gif headers built from the
+    # deterministic id -> dims rule); the oracle recomputes the rule in
+    # SQL — a header-parse bug in any decoder breaks the value hash
+    "multimodal_decode_real": """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       ELSE 'gif' END AS kind,
+  CAST((doc_id % 16) + 1 AS INTEGER) AS width,
+  CAST(((doc_id // 16) % 16) + 1 AS INTEGER) AS height
+FROM documents
+""",
     "multimodal_frames": """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
 w AS (SELECT doc_id,
@@ -1508,6 +1519,28 @@ ORACLES["ann_recall_report"] = _recall_oracle()
 # S6 real branch: the inputs are the two static reference NeXus fixture
 # files, so the correct output is this fixed relation (values verified
 # byte-for-byte by tests/test_hdf5lite.py full walks).
+# multimodal_features runs over the FIXED jpeg/gif fixture
+# (operators/multimodal.fixture_media_rows — sf-independent, pure
+# struct.pack bytes), so its correct output is a constant: extract ->
+# brute-force cosine top-3 for the 4 fixture queries, pinned VALUES
+# (the s6_real_nexus_scan precedent). Regenerate by running the query.
+ORACLES["multimodal_features"] = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT),  CAST(0 AS BIGINT),  CAST(1.0 AS DOUBLE),      1),
+  (CAST(0 AS BIGINT),  CAST(5 AS BIGINT),  CAST(0.823057 AS DOUBLE), 2),
+  (CAST(0 AS BIGINT),  CAST(22 AS BIGINT), CAST(0.782411 AS DOUBLE), 3),
+  (CAST(6 AS BIGINT),  CAST(6 AS BIGINT),  CAST(1.0 AS DOUBLE),      1),
+  (CAST(6 AS BIGINT),  CAST(12 AS BIGINT), CAST(0.835963 AS DOUBLE), 2),
+  (CAST(6 AS BIGINT),  CAST(8 AS BIGINT),  CAST(0.677465 AS DOUBLE), 3),
+  (CAST(12 AS BIGINT), CAST(12 AS BIGINT), CAST(1.0 AS DOUBLE),      1),
+  (CAST(12 AS BIGINT), CAST(6 AS BIGINT),  CAST(0.835963 AS DOUBLE), 2),
+  (CAST(12 AS BIGINT), CAST(23 AS BIGINT), CAST(0.396258 AS DOUBLE), 3),
+  (CAST(18 AS BIGINT), CAST(18 AS BIGINT), CAST(1.0 AS DOUBLE),      1),
+  (CAST(18 AS BIGINT), CAST(17 AS BIGINT), CAST(0.762266 AS DOUBLE), 2),
+  (CAST(18 AS BIGINT), CAST(20 AS BIGINT), CAST(0.561356 AS DOUBLE), 3)
+) AS t(query_id, neighbor_id, cosine, rank)
+"""
+
 ORACLES["s6_real_nexus_scan"] = """
 SELECT * FROM (VALUES
   ('small-coda', 'odin', 'ODIN', 'A Sample',

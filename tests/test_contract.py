@@ -8,10 +8,10 @@ import __spark_entry__ as entrymod
 ROWS_ONLY = {
     "ann_ivf_trained_topk",
     "ann_pq_trained_topk",
-    "multimodal_features",
     # r4: trained recall rows are data-dependent plan constants (VERDICT r3 #5)
     "ann_recall_trained_report",
     "ann_ivf_pq_trained_topk",
+    # r6: multimodal_features graduated to a constants oracle (fixed fixture)
 }
 
 

@@ -156,3 +156,90 @@ def test_png_decoder_unit():
         multimodal._png_decode(b"JFIF" + png)
     with pytest.raises(ValueError, match="IHDR"):
         multimodal._png_decode(png[:8] + b"\x00\x00\x00\x08IDAT" + png[16:])
+
+
+def test_jpeg_decoder_unit():
+    """SOF walk: skips APP0/COM segments, honors standalone markers,
+    reads the frame header of SOF0 and SOF2, rejects malformed input."""
+    jpg = multimodal.make_jpeg(1920, 1080)
+    d = multimodal._jpeg_decode(jpg)
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 1920, 1080)
+    # progressive (SOF2) parses the same frame header
+    prog = jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    d2 = multimodal._jpeg_decode(prog)
+    assert (d2["width"], d2["height"]) == (1920, 1080)
+    # a COM segment and a standalone RST before the SOF must be skipped
+    import struct
+
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    with_com = jpg[:2] + com + b"\xff\xd0" + jpg[2:]
+    assert multimodal._jpeg_decode(with_com)["width"] == 1920
+    with pytest.raises(ValueError, match="bad SOI"):
+        multimodal._jpeg_decode(b"GIF89a")
+    with pytest.raises(ValueError, match="no SOF"):
+        multimodal._jpeg_decode(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._jpeg_decode(jpg[:10])
+
+
+def test_gif_bmp_decoder_unit():
+    gif = multimodal.make_gif(320, 200)
+    d = multimodal._gif_decode(gif)
+    assert (d["format"], d["width"], d["height"]) == ("gif", 320, 200)
+    assert multimodal._gif_decode(b"GIF87a" + gif[6:])["width"] == 320
+    with pytest.raises(ValueError, match="bad signature"):
+        multimodal._gif_decode(b"GIF88a" + gif[6:])
+    import struct
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 17, -9, 1, 24, 0, 8, 0, 0, 0, 0)
+    )
+    d = multimodal._bmp_decode(bmp)
+    # negative height = top-down rows; the dimension is its magnitude
+    assert (d["format"], d["width"], d["height"]) == ("bmp", 17, 9)
+    with pytest.raises(ValueError, match="bad magic"):
+        multimodal._bmp_decode(b"XX" + bmp[2:])
+
+
+def test_auto_decoder_dispatches_on_magic_bytes(spark):
+    """The sniffing path decodes a mixed-format batch and reports the
+    format it actually parsed (kind comes from the bytes, not the
+    metadata sidecar)."""
+    rows = [
+        (0, multimodal.make_png(7, 3)),
+        (1, multimodal.make_jpeg(31, 15)),
+        (2, multimodal.make_gif(5, 9)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary").select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.lit("mystery").alias("kind"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("media_meta"),
+    )
+    got = {
+        r.media_id: (r.kind, r.width, r.height)
+        for r in multimodal.decode_media(df, decoder="auto").collect()
+    }
+    assert got == {0: ("png", 7, 3), 1: ("jpeg", 31, 15), 2: ("gif", 5, 9)}
+    with pytest.raises(Exception, match="unrecognized media signature"):
+        multimodal._sniff_decode(b"not a media file")
+
+
+def test_fixture_media_rows_are_stable():
+    """The constants oracle for multimodal_features pins these exact
+    bytes: pure struct.pack builders only (no zlib stream whose bytes
+    depend on the zlib build), and the fixture must never drift."""
+    import hashlib as _h
+
+    rows = multimodal.fixture_media_rows()
+    assert len(rows) == 24
+    assert all(p[:2] in (b"\xff\xd8", b"GI") for _, p in rows)
+    digest = _h.md5(b"".join(p for _, p in rows)).hexdigest()
+    assert digest == "d54b32f601ee9e09f14fccb03e4735b6"
