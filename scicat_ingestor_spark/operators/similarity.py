@@ -351,6 +351,7 @@ def train_centroids(
     vec_col: str = "embedding",
     iterations: int = 5,
     tol: float = 1e-4,
+    quantize: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means for IVF centroids, pure DataFrame ops.
 
@@ -358,6 +359,14 @@ def train_centroids(
     unit-normalized centroids == cosine), so trained cells are exactly
     what ``ivf_cell`` will reproduce. Deterministic: init is the fixed
     md5 centroid matrix, updates are exact means — no sampling, no rand.
+
+    ``quantize``: round every mean coordinate (and every normalized
+    centroid coordinate) to this many decimals per iteration. Floating
+    means are engine- and partition-order-sensitive in the last bits;
+    quantizing makes the trained constants REPRODUCIBLE across engines,
+    which is what lets the trained-ANN queries carry a real SQL oracle
+    (the DuckDB twin unrolls the same iterations and rounds the same
+    way). 1e-7 is far below any meaningful centroid resolution.
 
     Per iteration, ONE job: assignment is a computed column (no
     shuffle on the corpus), then `posexplode` + `groupBy(cell, pos)`
@@ -395,8 +404,12 @@ def train_centroids(
                 new_cents.append(cents[c])
                 continue
             v = [mean.get(d, 0.0) for d in range(dim)]
+            if quantize is not None:
+                v = [round(x, quantize) for x in v]
             n = math.sqrt(sum(x * x for x in v))
             v = [x / n for x in v] if n > 0 else cents[c]
+            if quantize is not None and n > 0:
+                v = [round(x, quantize) for x in v]
             shift = max(
                 shift, max(abs(a - b) for a, b in zip(v, cents[c]))
             )
@@ -855,6 +868,7 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     iterations: int = 5,
     tol: float = 1e-4,
+    quantize: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means for PQ codebooks — the production recall
     path the fixed md5 codebooks stand in for (pq_codebooks measured
@@ -874,8 +888,10 @@ def train_pq_codebooks(
     relation so every iteration reuses the SAME generated code (the
     literal-matrix form recompiles Janino per iteration — the measured
     k-means pitfall in SCALE.md). Deterministic init (fixed scaled md5
-    codebooks), exact means — results are data-dependent plan constants,
-    so queries built on them register rows-only, like trained IVF.
+    codebooks); with ``quantize`` set the means are rounded per
+    iteration, making the constants reproducible across engines (see
+    train_centroids) — that is what lets the trained queries carry
+    real SQL oracles.
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -963,6 +979,9 @@ def train_pq_codebooks(
                     entries.append(books[s][c])
                     continue
                 v = [mean.get(d, 0.0) for d in range(dsub)]
+                if quantize is not None:
+                    # reproducible across engines — see train_centroids
+                    v = [round(x, quantize) for x in v]
                 shift = max(
                     shift, max(abs(a - b) for a, b in zip(v, books[s][c]))
                 )

@@ -1516,6 +1516,224 @@ FROM r WHERE rk <= 5
 ORACLES["ann_recall_report"] = _recall_oracle()
 
 
+# --- trained-ANN oracles: the k-means training REPLAYED in SQL -------------
+#
+# train_centroids / train_pq_codebooks are deterministic AND reproducible
+# (fixed init, exactly 3 iterations, means quantized to 7 decimals each
+# step — floating-sum order noise is killed before it can diverge), so
+# the "data-dependent plan constants" are in fact a pure function of the
+# table, expressible as unrolled Lloyd-iteration CTEs. This graduates
+# the whole trained family off the rows-only waiver list: a training bug
+# in EITHER engine breaks the value hash. Cross-engine bit-identity of
+# the constants themselves is additionally pinned by
+# tests/test_training_ops.py::test_trained_constants_match_duckdb.
+
+
+def _trained_cents_ctes(k: int = 8, dim: int = 64, iters: int = 3, q: int = 7):
+    """Unrolled spherical-k-means CTEs over a CTE ``v(vec_id, e)``:
+    assignment = argmax dot (ties to the lowest cell, Spark's
+    array_position rule), means rounded to ``q`` decimals, normalize,
+    round again; empty/zero-norm cells keep their previous centroid.
+    Returns (ctes_sql, final_cte_name) with tc{i}/ta{i}/tm{i}/tl{i}
+    names reserved."""
+    from scicat_ingestor_spark.operators.similarity import centroid_weights
+
+    init_rows = ",".join(
+        "(%d, [%s])" % (c + 1, ",".join(repr(x) for x in centroid_weights(c, dim)))
+        for c in range(k)
+    )
+    ctes = [f"tc0(cell, cent) AS (SELECT * FROM (VALUES {init_rows}))"]
+    prev = "tc0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+ta{i} AS (SELECT vec_id, e, cell FROM (
+  SELECT v.vec_id, v.e, c.cell,
+    row_number() OVER (PARTITION BY v.vec_id
+      ORDER BY list_dot_product(v.e, c.cent) DESC, c.cell) AS rn
+  FROM v CROSS JOIN {prev} c) WHERE rn = 1),
+tm{i} AS (SELECT cell, pos, round(avg(e[pos]), {q}) AS m
+  FROM ta{i} CROSS JOIN range(1, {dim + 1}) t(pos) GROUP BY cell, pos),
+tl{i} AS (SELECT cell, list(m ORDER BY pos) AS ml FROM tm{i} GROUP BY cell),
+tc{i} AS (SELECT p.cell,
+    CASE WHEN l.cell IS NULL OR list_dot_product(l.ml, l.ml) = 0 THEN p.cent
+         ELSE list_transform(l.ml,
+                x -> round(x / sqrt(list_dot_product(l.ml, l.ml)), {q}))
+    END AS cent
+  FROM {prev} p LEFT JOIN tl{i} l USING (cell))""")
+        prev = f"tc{i}"
+    return ",\n".join(ctes), prev
+
+
+def _trained_books_ctes(
+    m: int = 8, ksub: int = 16, dsub: int = 8, iters: int = 3, q: int = 7
+):
+    """Unrolled per-subspace L2-k-means CTEs over ``v(vec_id, e)``:
+    unit-normalize, slice into m subvectors, assign by argmax
+    2*dot - ||entry||^2 (ties to the lowest code), means rounded to
+    ``q`` decimals; empty cells keep their entry. Returns
+    (ctes_sql, final_cte_name); also defines vu/subs for reuse by the
+    serving SQL."""
+    from scicat_ingestor_spark.operators.similarity import pq_codebooks
+
+    books = pq_codebooks(m, ksub, dsub)
+    init_rows = ",".join(
+        "(%d, %d, [%s])" % (s, c + 1, ",".join(repr(x) for x in books[s][c]))
+        for s in range(m)
+        for c in range(ksub)
+    )
+    ctes = [
+        "vu AS (SELECT vec_id,"
+        " list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v)",
+        f"subs AS (SELECT vec_id, s, u[s*{dsub}+1:(s+1)*{dsub}] AS sub"
+        f" FROM vu CROSS JOIN range(0, {m}) t(s))",
+        f"bk0(s, code, cent) AS (SELECT * FROM (VALUES {init_rows}))",
+    ]
+    prev = "bk0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+pa{i} AS (SELECT vec_id, s, sub, code FROM (
+  SELECT sub.vec_id, sub.s, sub.sub, b.code,
+    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      ORDER BY 2*list_dot_product(sub.sub, b.cent)
+               - list_dot_product(b.cent, b.cent) DESC, b.code) AS rn
+  FROM subs sub JOIN {prev} b USING (s)) WHERE rn = 1),
+pm{i} AS (SELECT s, code, pos, round(avg(sub[pos]), {q}) AS m
+  FROM pa{i} CROSS JOIN range(1, {dsub + 1}) t(pos) GROUP BY s, code, pos),
+pl{i} AS (SELECT s, code, list(m ORDER BY pos) AS ml FROM pm{i} GROUP BY s, code),
+bk{i} AS (SELECT p.s, p.code, COALESCE(l.ml, p.cent) AS cent
+  FROM {prev} p LEFT JOIN pl{i} l USING (s, code))""")
+        prev = f"bk{i}"
+    return ",\n".join(ctes), prev
+
+
+_TC_CTES, _TC = _trained_cents_ctes()
+_BK_CTES, _BK = _trained_books_ctes()
+
+# serving fragments shared by the trained oracles: corpus cell / codes /
+# query tables computed from the TRAINED constants CTEs
+_TRAINED_CELL = f"""
+tcv AS (SELECT vec_id, e, cell FROM (
+  SELECT v.vec_id, v.e, c.cell,
+    row_number() OVER (PARTITION BY v.vec_id
+      ORDER BY list_dot_product(v.e, c.cent) DESC, c.cell) AS rn
+  FROM v CROSS JOIN {_TC} c) WHERE rn = 1)"""
+
+_TRAINED_CODES = f"""
+pserve AS (SELECT vec_id, s, sub, code FROM (
+  SELECT sub.vec_id, sub.s, sub.sub, b.code,
+    row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      ORDER BY 2*list_dot_product(sub.sub, b.cent)
+               - list_dot_product(b.cent, b.cent) DESC, b.code) AS rn
+  FROM subs sub JOIN {_BK} b USING (s)) WHERE rn = 1),
+pcodes AS (SELECT vec_id, list(code ORDER BY s) AS codes
+  FROM pserve GROUP BY vec_id)"""
+
+
+def _trained_qtbl(pred: str) -> str:
+    """Per-query ADC dot tables (m lists of ksub dots, code order)
+    against the trained codebooks, for query rows matching ``pred``."""
+    return f"""
+qt AS (SELECT sub.vec_id AS query_id, sub.s,
+         list(list_dot_product(sub.sub, b.cent) ORDER BY b.code) AS trow
+       FROM subs sub JOIN {_BK} b USING (s) WHERE {pred}
+       GROUP BY sub.vec_id, sub.s),
+qtbl AS (SELECT query_id, list(trow ORDER BY s) AS tbl FROM qt GROUP BY query_id)"""
+
+
+ORACLES["ann_ivf_trained_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_TC_CTES},
+{_TRAINED_CELL},
+q AS (SELECT vec_id AS query_id, e AS qe, cell FROM tcv WHERE vec_id % 997 = 0),
+sc AS (SELECT q.query_id, c.vec_id,
+        list_dot_product(c.e, q.qe)
+          / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM tcv c JOIN q ON c.cell = q.cell),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+"""
+
+ORACLES["ann_pq_trained_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_BK_CTES},
+{_TRAINED_CODES},
+{_trained_qtbl("sub.vec_id < 3")},
+sc AS (SELECT q.query_id, c.vec_id,
+        list_sum(list_transform(range(1, 9), i -> q.tbl[i][c.codes[i]])) AS a
+      FROM pcodes c CROSS JOIN qtbl q),
+r AS (SELECT query_id, vec_id AS neighbor_id, a,
+        row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(a, 6) AS approx_cos, rk AS rank
+FROM r WHERE rk <= 5
+"""
+
+ORACLES["ann_ivf_pq_trained_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_TC_CTES},
+{_BK_CTES},
+{_TRAINED_CELL},
+{_TRAINED_CODES},
+{_trained_qtbl("sub.vec_id < 3")},
+qd AS (SELECT v.vec_id AS query_id,
+         list(list_dot_product(v.e, c.cent) ORDER BY c.cell) AS d
+       FROM v CROSS JOIN {_TC} c WHERE v.vec_id < 3 GROUP BY v.vec_id),
+q1 AS (SELECT query_id, d, list_position(d, list_max(d)) AS c1 FROM qd),
+q2 AS (SELECT q1.query_id, qtbl.tbl, q1.c1,
+        list_position(
+          list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END),
+          list_max(
+            list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END))
+        ) AS c2
+      FROM q1 JOIN qtbl ON q1.query_id = qtbl.query_id),
+cc AS (SELECT t.vec_id, t.cell, p.codes
+       FROM tcv t JOIN pcodes p USING (vec_id)),
+sc AS (SELECT q.query_id, c.vec_id,
+        list_sum(list_transform(range(1, 9), i -> q.tbl[i][c.codes[i]])) AS a
+      FROM cc c JOIN q2 q ON c.cell IN (q.c1, q.c2)),
+r AS (SELECT query_id, vec_id AS neighbor_id, a,
+        row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS rk
+      FROM sc)
+SELECT query_id, neighbor_id, round(a, 6) AS approx_cos, rk AS rank
+FROM r WHERE rk <= 5
+"""
+
+
+def _recall_trained_oracle() -> str:
+    """ann_recall_trained_report's SQL twin, composed exactly like
+    _recall_oracle from the now-oracled trained method queries."""
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, query_id, neighbor_id FROM ({ORACLES[o]})"
+        for m, o in (
+            ("pq", "ann_pq_topk"),
+            ("pq_trained", "ann_pq_trained_topk"),
+            ("ivf", "ann_ivf_topk"),
+            ("ivf_trained", "ann_ivf_trained_topk"),
+        )
+    )
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({ORACLES["ann_cosine_topk"]})),
+ap AS ({parts}),
+hit AS (SELECT ap.method, ap.query_id, count(*) AS n_hit
+        FROM ap JOIN exact USING (query_id, neighbor_id)
+        GROUP BY ap.method, ap.query_id),
+base AS (SELECT m.method, e.query_id, count(*) AS n_exact
+         FROM exact e
+         CROSS JOIN (VALUES ('pq'), ('pq_trained'), ('ivf'), ('ivf_trained')) m(method)
+         GROUP BY m.method, e.query_id)
+SELECT b.method, b.query_id, b.n_exact,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.method = h.method AND b.query_id = h.query_id
+"""
+
+
+ORACLES["ann_recall_trained_report"] = _recall_trained_oracle()
+
+
 # S6 real branch: the inputs are the two static reference NeXus fixture
 # files, so the correct output is this fixed relation (values verified
 # byte-for-byte by tests/test_hdf5lite.py full walks).

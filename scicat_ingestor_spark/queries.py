@@ -129,18 +129,24 @@ def _trained(spark, sf_dir: str, kind: str):
     dataset is the honest cost model, not a benchmark shortcut. Same
     session-object keying as :func:`_compiled` (results are plain
     Python lists, valid across sessions, but keying on the session
-    keeps eviction semantics identical). Deterministic: fixed init,
-    exact means — every recompute yields the same constants."""
+    keeps eviction semantics identical). Deterministic AND reproducible:
+    fixed init, exactly 3 iterations (tol=0 — no data-dependent early
+    break), and per-iteration quantization of the means to 7 decimals —
+    floating-sum order noise is killed at every step, so ANY engine
+    unrolling the same iterations computes bit-identical constants.
+    That is what lets the trained queries carry real SQL oracles
+    (oracles._trained_cents_ctes / _trained_books_ctes replay the
+    training in DuckDB)."""
     key = (spark, sf_dir, kind)
     if key not in _TRAINED_CACHE:
         emb = _t(spark, sf_dir, "embeddings")
         if kind == "centroids":
             _TRAINED_CACHE[key] = similarity.train_centroids(
-                emb, 64, k=8, iterations=3
+                emb, 64, k=8, iterations=3, tol=0.0, quantize=7
             )
         elif kind == "books":
             _TRAINED_CACHE[key] = similarity.train_pq_codebooks(
-                emb, dim=64, m=8, ksub=16, iterations=3
+                emb, dim=64, m=8, ksub=16, iterations=3, tol=0.0, quantize=7
             )
         else:
             raise ValueError(kind)
@@ -2667,9 +2673,9 @@ def q_ann_pq_trained_topk(spark, sf_dir):
     (operators.similarity.train_pq_codebooks) instead of the fixed md5
     codebooks — the production recall path (fixed codebooks measured
     recall@5 0.27; training adapts entries to the real subvector
-    distribution). Same ADC plan shape. No SQL oracle: trained
-    codebooks are data-dependent plan constants (driver records the
-    rows-only check), like ann_ivf_trained_topk."""
+    distribution). Same ADC plan shape. Oracle-backed as of r6 (the
+    DuckDB twin replays the quantized per-subspace training), like
+    ann_ivf_trained_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     books = _trained(spark, sf_dir, "books")
     queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
@@ -2740,12 +2746,11 @@ def q_ann_recall_report(spark, sf_dir):
 def q_ann_recall_trained_report(spark, sf_dir):
     """Recall@k of the TRAINED quantization methods next to their
     fixed-codebook baselines (VERDICT r3 task 5): one recall row per
-    (method, query) for pq / pq_trained / ivf / ivf_trained. Rows-only:
-    trained codebooks and centroids are data-dependent plan constants,
-    so no static SQL twin exists (same waiver as ann_pq_trained_topk);
-    the trained >= fixed claim on clustered data is asserted in
-    tests/test_messages_similarity.py, and the fixed-method report
-    stays fully oracle-backed in ann_recall_report."""
+    (method, query) for pq / pq_trained / ivf / ivf_trained.
+    Oracle-backed as of r6 (composed from the now-oracled trained
+    method twins, same shape as ann_recall_report's); the trained >=
+    fixed claim on clustered data is asserted in
+    tests/test_messages_similarity.py."""
     return _recall_rows(
         spark,
         sf_dir,
@@ -2914,9 +2919,10 @@ def q_ingest_coda_real(spark, sf_dir):
 def q_ann_ivf_trained_topk(spark, sf_dir):
     """IVF ANN with centroids TRAINED by DataFrame-native spherical
     k-means (operators.similarity.train_centroids) instead of the fixed
-    hash centroids — same plan shape, data-adapted cells. No SQL oracle:
-    the trained centroids are data-dependent plan constants (driver
-    records the rows-only check)."""
+    hash centroids — same plan shape, data-adapted cells. Oracle-backed
+    as of r6: training is reproducible (quantized means), so the DuckDB
+    twin replays the same Lloyd iterations as unrolled CTEs and must
+    reach the same top-k."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = 64
     cents = _trained(spark, sf_dir, "centroids")
@@ -2930,10 +2936,10 @@ def q_ann_ivf_pq_trained_topk(spark, sf_dir):
     the same ivf_pq_topk plan as the fixed-constant variant — corpus
     carries (cell, codes) only, never shuffled; the query broadcasts its
     probe cells + ADC tables. Completes the trained matrix
-    (ivf_trained, pq_trained, ivf_pq fixed -> ivf_pq trained). Rows-only:
-    both constant sets are data-dependent (driver records the weaker
-    check); plan shape is asserted in tests/test_plans.py alongside the
-    fixed composition."""
+    (ivf_trained, pq_trained, ivf_pq fixed -> ivf_pq trained).
+    Oracle-backed as of r6: both trained constant sets replay in SQL;
+    plan shape is asserted in tests/test_plans.py alongside the fixed
+    composition."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = 64
     cents = _trained(spark, sf_dir, "centroids")

@@ -2,17 +2,13 @@
 
 import __spark_entry__ as entrymod
 
-# Queries whose results depend on data-trained plan constants or
-# hash-based fake extractors — not expressible as static SQL; the driver
-# records the weaker rows-only check for these, deliberately.
-ROWS_ONLY = {
-    "ann_ivf_trained_topk",
-    "ann_pq_trained_topk",
-    # r4: trained recall rows are data-dependent plan constants (VERDICT r3 #5)
-    "ann_recall_trained_report",
-    "ann_ivf_pq_trained_topk",
-    # r6: multimodal_features graduated to a constants oracle (fixed fixture)
-}
+# Queries whose results are not expressible as SQL over the tables —
+# the driver records the weaker rows-only check for these, deliberately.
+# r6: EMPTY. The trained-ANN family graduated to real SQL oracles
+# (training is reproducible — quantized means — so oracles.py replays
+# the Lloyd iterations as unrolled CTEs), and multimodal_features to a
+# constants oracle over its fixed fixture.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_explicit_waiver():

@@ -460,3 +460,49 @@ def test_running_total_matches_sequential_prefix_sum(spark):
             ).collect()
         }
         assert got == expected, n_parts
+
+
+def test_trained_constants_match_duckdb(spark):
+    """The reproducibility contract behind the trained-ANN SQL oracles:
+    Spark's quantized k-means (means rounded to 7 decimals per
+    iteration, tol=0, fixed init) and the DuckDB unrolled-CTE replay
+    (oracles._trained_cents_ctes / _trained_books_ctes) produce
+    BIT-IDENTICAL constants."""
+    import duckdb
+
+    from scicat_ingestor_spark import oracles
+    from scicat_ingestor_spark.queries import _trained
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    base = "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+
+    ctes, final = oracles._trained_cents_ctes()
+    duck_cents = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"WITH {base},\n{ctes}\nSELECT cell, cent FROM {final}"
+        ).fetchall()
+    }
+    cents = _trained(spark, sf, "centroids")
+    assert all(
+        cents[c][d] == duck_cents[c + 1][d] for c in range(8) for d in range(64)
+    )
+
+    bctes, bfinal = oracles._trained_books_ctes()
+    duck_books = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            f"WITH {base},\n{bctes}\nSELECT s, code, cent FROM {bfinal}"
+        ).fetchall()
+    }
+    books = _trained(spark, sf, "books")
+    assert all(
+        books[s][c][d] == duck_books[(s, c + 1)][d]
+        for s in range(8)
+        for c in range(16)
+        for d in range(8)
+    )
