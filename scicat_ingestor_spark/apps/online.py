@@ -151,11 +151,21 @@ def main(argv: list[str] | None = None) -> int:
         def sink(batch, batch_id):
             idempotent_append(batch, args.out, "pid")
 
-    query = run_ingest_stream(
-        messages, transform, sink, args.checkpoint, trigger_once=args.once
+    # daemon resilience (reference system_helpers parity): a transient
+    # sink/source failure in one micro-batch restarts the stream from
+    # its checkpoint instead of killing the daemon; a persistent
+    # failure exhausts the bounded budget and exits 1; ctrl-C exits 0
+    from scicat_ingestor_spark.streaming.resilience import await_with_restarts
+
+    return await_with_restarts(
+        lambda: run_ingest_stream(
+            messages, transform, sink, args.checkpoint, trigger_once=args.once
+        ),
+        logger,
+        max_restarts=cfg.ingestion.max_stream_restarts,
+        restart_window_s=cfg.ingestion.stream_restart_window_s,
+        backoff_s=cfg.ingestion.stream_restart_backoff_s,
     )
-    query.awaitTermination()
-    return 0
 
 
 if __name__ == "__main__":

@@ -85,11 +85,17 @@ def main(argv: list[str] | None = None) -> int:
         # anti-join on the sample key = the reference's exists-check (J6)
         idempotent_append(batch, args.out, "sample_key")
 
-    query = run_ingest_stream(
-        stream, transform, sink, args.checkpoint, trigger_once=args.once
+    from scicat_ingestor_spark.streaming.resilience import await_with_restarts
+
+    return await_with_restarts(
+        lambda: run_ingest_stream(
+            stream, transform, sink, args.checkpoint, trigger_once=args.once
+        ),
+        logger,
+        max_restarts=cfg.ingestion.max_stream_restarts,
+        restart_window_s=cfg.ingestion.stream_restart_window_s,
+        backoff_s=cfg.ingestion.stream_restart_backoff_s,
     )
-    query.awaitTermination()
-    return 0
 
 
 if __name__ == "__main__":

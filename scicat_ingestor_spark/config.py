@@ -58,6 +58,12 @@ class IngestionConfig:
     dry_run: bool = False
     max_offsets_per_trigger: int = 10_000  # T3 bounded work per micro-batch
     file_handling: FileHandlingConfig = field(default_factory=FileHandlingConfig)
+    # daemon-loop resilience (reference system_helpers parity): restart
+    # the stream on transient failures, at most max_stream_restarts
+    # times within stream_restart_window_s, backoff between attempts
+    max_stream_restarts: int = 5
+    stream_restart_window_s: float = 600.0
+    stream_restart_backoff_s: float = 2.0
 
 
 @dataclass
