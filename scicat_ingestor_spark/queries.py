@@ -1608,6 +1608,7 @@ def _emb_queries(spark, sf_dir, predicate):
     )
 
 
+@_compiled
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = _emb_queries(spark, sf_dir, F.col("vec_id") < 3)
@@ -2599,6 +2600,7 @@ def q_p8_null_drop_json(spark, sf_dir):
     return ev.select("event_id", payload.alias("payload"))
 
 
+@_compiled
 def q_ann_lsh_topk(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucket join + exact re-rank
     within bucket (recall < 1 by construction)."""
@@ -2608,6 +2610,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ann_ivf_topk(spark, sf_dir):
     """ANN scale path #2: IVF — Voronoi cells of fixed centroids, probe
     the query's cell, exact re-rank inside (recall < 1 by construction;
@@ -2618,6 +2621,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ann_ivf_nprobe_topk(spark, sf_dir):
     """Multi-probe IVF (nprobe=2): the query fans out to its two best
     cells — double the candidates, strictly better recall, corpus side
@@ -2628,6 +2632,7 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ann_lsh_multi_topk(spark, sf_dir):
     """Multi-table LSH (L=4 OR-composed hyperplane tables): the recall
     lever of the LSH family — miss probability p^L instead of p — with
@@ -2639,6 +2644,7 @@ def q_ann_lsh_multi_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ann_pq_topk(spark, sf_dir):
     """ANN scale path #3: product quantization with asymmetric-distance
     scoring — the memory-bound regime. Corpus vectors collapse to m=8
@@ -2652,6 +2658,7 @@ def q_ann_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ann_ivf_pq_topk(spark, sf_dir):
     """IVF-PQ (IVFADC): the composed memory-bound 100 TB ANN query —
     corpus rows carry only (cell id, m=8 codes), the cell equi-join
@@ -2668,6 +2675,7 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
 def q_ann_pq_trained_topk(spark, sf_dir):
     """PQ ANN with per-subspace k-means codebooks
     (operators.similarity.train_pq_codebooks) instead of the fixed md5
@@ -2916,6 +2924,7 @@ def q_ingest_coda_real(spark, sf_dir):
     )
 
 
+@_compiled
 def q_ann_ivf_trained_topk(spark, sf_dir):
     """IVF ANN with centroids TRAINED by DataFrame-native spherical
     k-means (operators.similarity.train_centroids) instead of the fixed
@@ -2930,6 +2939,7 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries_df, dim, k=5, centroids=cents)
 
 
+@_compiled
 def q_ann_ivf_pq_trained_topk(spark, sf_dir):
     """The full production IVFADC: TRAINED coarse quantizer (spherical
     k-means cells) + TRAINED per-subspace PQ codebooks, composed through
