@@ -967,3 +967,128 @@ def test_await_with_restarts_clean_drain_exits_zero(spark, tmp_path):
     assert rc == 0
     assert spark.read.parquet(out).count() == 30
     assert any("normally" in m for _, m in log.events)
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """VERDICT r5 task 7: the stateful streaming funnel
+    (stateful.funnel_stage_times), drained over a 3-file replay with
+    arrival order DIFFERENT from event order, converges to exactly the
+    batch q_events_funnel counts — the order-insensitive update rule at
+    work."""
+    import scicat_ingestor_spark.queries as Q
+    from scicat_ingestor_spark.streaming.stateful import funnel_stage_times
+
+    want = Q.q_events_funnel(spark, sf_dir).collect()[0].asDict()
+
+    ev = Q._t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_long")
+    )
+    src = str(tmp_path / "fsrc")
+    # shuffle arrival order: partition by a hash so each user's events
+    # split across micro-batches in non-event-time order
+    ev.repartition(3, F.col("ts_long") % 3).write.parquet(src)
+
+    out = str(tmp_path / "fout")
+    q = (
+        funnel_stage_times(
+            spark.readStream.schema(
+                "user_id long, event_type string, ts_long long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "fck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from pyspark.sql import Window as W
+
+    snap = spark.read.parquet(out)
+    latest = (
+        snap.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("version"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+    )
+    got = latest.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("bigint")).alias("viewed"),
+        F.sum(F.col("t_click").isNotNull().cast("bigint")).alias(
+            "clicked_after_view"
+        ),
+        F.sum(F.col("t_purchase").isNotNull().cast("bigint")).alias(
+            "purchased_after_click"
+        ),
+    ).collect()[0].asDict()
+    assert got == want
+
+
+def test_streaming_retention_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming cohort retention: per-user stateful (cohort, weeks)
+    snapshots, latest-per-user, re-aggregated — must equal the batch
+    q_retention_cohorts matrix even when a user's earliest week arrives
+    LAST (cohort re-assignment via corrected snapshots)."""
+    import scicat_ingestor_spark.queries as Q
+    from scicat_ingestor_spark.streaming.stateful import retention_first_seen
+
+    want = {
+        (r.cohort, r.week, r.n_users, r.week_offset)
+        for r in Q.q_retention_cohorts(spark, sf_dir).collect()
+    }
+
+    ev = Q._t(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("long").alias("week_long"),
+    )
+    src = str(tmp_path / "rtsrc")
+    # reverse-ish arrival: later weeks in earlier files for many users
+    ev.repartition(3, F.col("week_long")).write.parquet(src)
+
+    out = str(tmp_path / "rtout")
+    q = (
+        retention_first_seen(
+            spark.readStream.schema("user_id long, week_long long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "rtck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from pyspark.sql import Window as W
+
+    snap = spark.read.parquet(out)
+    latest = (
+        snap.withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("version"))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "cohort", F.explode("weeks").alias("week"))
+    )
+    got = {
+        (r.cohort, r.week, r.n_users, r.week_offset)
+        for r in (
+            latest.groupBy("cohort", "week")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .withColumn("week_offset", F.floor((F.col("week") - F.col("cohort")) / 604800))
+            .withColumn("cohort", F.date_format(F.col("cohort").cast("timestamp"), "yyyy-MM-dd"))
+            .withColumn("week", F.date_format(F.col("week").cast("timestamp"), "yyyy-MM-dd"))
+        ).collect()
+    }
+    assert got == want

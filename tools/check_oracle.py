@@ -84,9 +84,63 @@ def type_mismatches(spark_tbl, oracle_tbl):
     ]
 
 
+def _chunked_main(sf_dir: str, chunk: int, only: set) -> None:
+    """Round-gate mode (VERDICT r5 task 6): run the whole registry at a
+    bigger SF in chunks of ``chunk`` queries, each in a FRESH python/JVM
+    subprocess — one long session at sf0.1 accumulates broadcast blocks
+    and plan caches across ~125 queries; per-chunk isolation keeps the
+    sweep's memory flat and one chunk's crash from masking the rest."""
+    import subprocess
+
+    import __spark_entry__ as entrymod
+
+    names = sorted(only or entrymod.queries())
+    chunks = [names[i : i + chunk] for i in range(0, len(names), chunk)]
+    n_pass = 0
+    failed: list[str] = []
+    for i, batch in enumerate(chunks):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), sf_dir, *batch],
+            capture_output=True,
+            text=True,
+        )
+        for line in proc.stdout.splitlines():
+            line = line.rsplit("\r", 1)[-1]
+            if line.startswith(("PASS", "FAIL", "SKIP")):
+                print(line)
+                if line.startswith("PASS"):
+                    n_pass += 1
+                elif line.startswith("FAIL"):
+                    failed.append(line.split()[1].rstrip(":"))
+        if proc.returncode != 0 and not any(
+            line.startswith("FAIL") for line in proc.stdout.splitlines()
+        ):
+            print(f"FAIL chunk {i}: subprocess died rc={proc.returncode}")
+            print(proc.stderr[-2000:])
+            failed.append(f"chunk{i}")
+        print(f"-- chunk {i + 1}/{len(chunks)} done ({n_pass} passed so far)")
+    print(f"\n{n_pass} passed, {len(failed)} failures"
+          + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    chunk = 0
+    if "--chunk" in args:
+        i = args.index("--chunk")
+        chunk = int(args[i + 1])
+        del args[i : i + 2]
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = f"/root/testdata/sf{args[i + 1]}"
+        del args[i : i + 2]
+        args.insert(0, sf_dir)
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if chunk:
+        _chunked_main(sf_dir, chunk, only)
+        return
 
     import duckdb
 
