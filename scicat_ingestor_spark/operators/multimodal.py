@@ -176,6 +176,90 @@ def _bmp_decode(payload: bytes) -> dict:
     }
 
 
+def _wav_decode(payload: bytes) -> dict:
+    """REAL audio decoder, stdlib-only: RIFF/WAVE container walk to the
+    fmt chunk (sample rate, channels) and the data chunk (frame count =
+    data bytes / block align). Chunks are word-aligned (odd sizes pad
+    one byte). The audio analogue of the image header parsers: metadata
+    without pixel/PCM decode."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+    ):
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    sample_rate = channels = block_align = None
+    n_frames = None
+    while pos + 8 <= len(payload):
+        tag, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("not a WAV: short fmt chunk")
+            _fmt, channels, sample_rate, _br, block_align, _bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif tag == b"data":
+            if not block_align:
+                raise ValueError("not a WAV: data before fmt")
+            n_frames = size // block_align
+        pos += 8 + size + (size & 1)  # word alignment
+    if sample_rate is None or n_frames is None:
+        raise ValueError("not a WAV: missing fmt or data chunk")
+    return {
+        "format": "wav",
+        "width": channels,  # channel count rides the width slot
+        "height": 0,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "feature_hash": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def gif_frame_count(payload: bytes) -> int:
+    """REAL GIF block walk: count image descriptors (0x2C). Validates
+    the block grammar — extensions (0x21) skip their sub-blocks, image
+    descriptors skip the optional local color table + LZW sub-blocks —
+    so a truncated file raises instead of under-counting silently."""
+    _gif_decode(payload)  # header validation
+    pos = 10
+    flags = payload[pos]
+    pos += 3  # flags, bg color, aspect
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return frames
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 9 > len(payload):
+                raise ValueError("not a GIF: truncated image descriptor")
+            lflags = payload[pos + 8]
+            pos += 9
+            if lflags & 0x80:  # local color table
+                pos += 3 * (2 << (lflags & 0x07))
+            pos += 1  # LZW minimum code size
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        else:
+            raise ValueError(f"not a GIF: unknown block 0x{block:02x}")
+    raise ValueError("not a GIF: missing trailer")
+
+
 def _sniff_decode(payload: bytes) -> dict:
     """Magic-byte dispatch across the real decoders — the data-plane
     entry point when a table mixes formats (the usual 100 TB shape:
@@ -190,6 +274,8 @@ def _sniff_decode(payload: bytes) -> dict:
         return _gif_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _wav_decode(payload)
     raise ValueError("unrecognized media signature")
 
 
@@ -199,11 +285,12 @@ DECODERS: dict[str, Callable[[bytes], dict]] = {
     "jpeg": _jpeg_decode,  # real stdlib decoder (SOF frame header)
     "gif": _gif_decode,  # real stdlib decoder (logical screen descriptor)
     "bmp": _bmp_decode,  # real stdlib decoder (BITMAPINFOHEADER)
+    "wav": _wav_decode,  # real stdlib decoder (RIFF fmt/data chunk walk)
     "auto": _sniff_decode,  # magic-byte dispatch over the real decoders
-    # full pixel decode / resampling and av demuxing genuinely need
-    # external codec libraries — these stay as gates:
+    # full pixel decode / resampling and PCM/av demux-decode genuinely
+    # need external codec libraries — these stay as gates:
     "image": _unavailable_decode,  # swap in PIL.Image.open in production
-    "audio": _unavailable_decode,
+    "audio": _unavailable_decode,  # swap in soundfile/librosa (PCM decode)
     "video": _unavailable_decode,
 }
 
@@ -263,20 +350,65 @@ def make_gif(width: int, height: int) -> bytes:
     return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
 
 
+def make_gif_frames(width: int, height: int, n_frames: int) -> bytes:
+    """GIF with ``n_frames`` image descriptors, each carrying a minimal
+    LZW data stream (1-byte sub-block + terminator) — enough structure
+    for a block-grammar walk (gif_frame_count) to count frames."""
+    import struct
+
+    frame = (
+        b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"  # no local color table
+        + b"\x02"  # LZW minimum code size
+        + b"\x01\x00"  # one 1-byte sub-block, then terminator
+        + b"\x00"
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00"
+        + frame * n_frames
+        + b"\x3b"
+    )
+
+
+def make_wav(channels: int, n_frames: int, sample_rate: int = 8000) -> bytes:
+    """Fully-formed 16-bit PCM WAV: RIFF header, fmt chunk, data chunk
+    of ``n_frames`` frames of deterministic samples."""
+    import struct
+
+    block_align = channels * 2
+    data = bytes((i * 31) % 256 for i in range(n_frames * block_align))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 MEDIA_BUILDERS: dict[str, Callable[[int, int], bytes]] = {
     "png": make_png,
     "jpeg": make_jpeg,
     "gif": make_gif,
+    "wav": make_wav,  # (channels, n_frames)
 }
 
 # the deterministic id -> media rule shared by the Spark synthesizer and
-# the SQL oracle: format cycles png/jpeg/gif, dims derive from the id
-_SYNTH_KINDS = ("png", "jpeg", "gif")
+# the SQL oracle: format cycles png/jpeg/gif/wav, dims derive from the
+# id (for wav: width slot = channels, height slot = frame count -> the
+# decoder reports channels in width and 0 in height)
+_SYNTH_KINDS = ("png", "jpeg", "gif", "wav")
 
 
 def synth_dims(media_id: int) -> tuple[str, int, int]:
     return (
-        _SYNTH_KINDS[media_id % 3],
+        _SYNTH_KINDS[media_id % 4],
         (media_id % 16) + 1,
         ((media_id // 16) % 16) + 1,
     )
@@ -320,7 +452,7 @@ def synthesize_media(df: DataFrame, id_col: str) -> DataFrame:
                     "media_meta": [
                         {
                             "kind": k,
-                            "mime": f"image/{k}",
+                            "mime": "audio/wav" if k == "wav" else f"image/{k}",
                             "width": None,
                             "height": None,
                             "sample_rate": None,
@@ -471,6 +603,40 @@ def resize_media(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=RESIZE_OUT_SCHEMA)
+
+
+def count_frames(df: DataFrame) -> DataFrame:
+    """REAL frame counting: walk each GIF payload's block grammar
+    (gif_frame_count) inside an Arrow-batched mapInPandas —
+    (media_id, payload, ...) -> (media_id, n_frames). Malformed input
+    raises (failure-channel contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": pdf["payload"].map(
+                        lambda b: gif_frame_count(bytes(b))
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema="media_id long, n_frames int")
+
+
+def frame_sample_real(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling over REAL frame counts: count via the GIF block
+    walk, then explode the frame index range and keep every Nth — the
+    explode is post-count so payload bytes never shuffle (the same
+    stance as the stub frame_sample, now with a real demux-count)."""
+    counted = count_frames(df)
+    return counted.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1)
+        ).alias("frame_idx"),
+    ).filter(F.col("frame_idx") % every_n == 0)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:

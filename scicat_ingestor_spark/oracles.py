@@ -793,11 +793,22 @@ FROM h
     # SQL — a header-parse bug in any decoder breaks the value hash
     "multimodal_decode_real": """
 SELECT doc_id AS media_id,
-  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-       ELSE 'gif' END AS kind,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       WHEN 2 THEN 'gif' ELSE 'wav' END AS kind,
   CAST((doc_id % 16) + 1 AS INTEGER) AS width,
-  CAST(((doc_id // 16) % 16) + 1 AS INTEGER) AS height
+  CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+       ELSE ((doc_id // 16) % 16) + 1 END AS INTEGER) AS height
 FROM documents
+""",
+    # real GIF block-grammar walk: the engine counts image descriptors
+    # in generated multi-frame GIFs; the oracle recomputes the
+    # id -> frame-count rule
+    "multimodal_frames_real": """
+SELECT doc_id AS media_id, CAST(g AS BIGINT) AS frame_idx
+FROM (SELECT doc_id,
+        unnest(generate_series(0, CAST(doc_id % 7 AS INT))) AS g
+      FROM documents)
+WHERE g % 2 = 0
 """,
     "multimodal_frames": """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),

@@ -2414,17 +2414,53 @@ def q_multimodal_decode(spark, sf_dir):
 
 def q_multimodal_decode_real(spark, sf_dir):
     """REAL media decode in the data plane: one fully-formed payload
-    per document (PNG with zlib IDAT + CRCs / JPEG SOF0 / GIF LSD,
-    format cycling on doc_id), decoded by magic-byte dispatch across
-    the stdlib header decoders. The oracle recomputes the id -> dims
-    rule in SQL; the engine must recover dims from the actual bytes —
-    a header-parse bug in ANY of the three decoders breaks the hash."""
+    per document (PNG with zlib IDAT + CRCs / JPEG SOF0 / GIF LSD /
+    16-bit PCM WAV, format cycling on doc_id), decoded by magic-byte
+    dispatch across the stdlib header decoders. The oracle recomputes
+    the id -> dims rule in SQL; the engine must recover dims from the
+    actual bytes — a header-parse bug in ANY of the four decoders
+    breaks the hash (WAV reports channels in the width slot, 0
+    height)."""
     from scicat_ingestor_spark.operators.multimodal import synthesize_media
 
     docs = _t(spark, sf_dir, "documents")
     media = synthesize_media(docs.select("doc_id"), "doc_id")
     return decode_media(media, decoder="auto").select(
         "media_id", "kind", "width", "height"
+    )
+
+
+def q_multimodal_frames_real(spark, sf_dir):
+    """Frame sampling over REAL frame counts: each document gets a GIF
+    with (doc_id % 7) + 1 image descriptors (make_gif_frames), the
+    engine counts them by walking the block grammar and keeps every
+    2nd frame index. The oracle recomputes the id -> frame-count rule;
+    a block-walk bug (missed descriptor, swallowed sub-block) breaks
+    the hash."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_gif_frames(
+                            (int(i) % 16) + 1, 2, (int(i) % 7) + 1
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.frame_sample_real(media, every_n=2).withColumn(
+        "frame_idx", F.col("frame_idx").cast("long")
     )
 
 
@@ -3617,6 +3653,7 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_frames_real": q_multimodal_frames_real,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
     "s6_hdf5_scan": q_s6_hdf5_scan,
     "s8_s9_file_stats": q_s8_s9_file_stats,

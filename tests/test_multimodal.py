@@ -243,3 +243,39 @@ def test_fixture_media_rows_are_stable():
     assert all(p[:2] in (b"\xff\xd8", b"GI") for _, p in rows)
     digest = _h.md5(b"".join(p for _, p in rows)).hexdigest()
     assert digest == "d54b32f601ee9e09f14fccb03e4735b6"
+
+
+def test_wav_decoder_unit():
+    """RIFF chunk walk: fmt + data, word alignment, malformed input."""
+    wav = multimodal.make_wav(2, 1000, sample_rate=44100)
+    d = multimodal._wav_decode(wav)
+    assert d["format"] == "wav"
+    assert (d["width"], d["sample_rate"], d["n_frames"]) == (2, 44100, 1000)
+    # an odd-sized unknown chunk before fmt must be skipped with padding
+    import struct
+
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    padded = wav[:12] + odd + wav[12:]
+    padded = b"RIFF" + struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert multimodal._wav_decode(padded)["n_frames"] == 1000
+    with pytest.raises(ValueError, match="bad RIFF"):
+        multimodal._wav_decode(b"RIFX" + wav[4:])
+    with pytest.raises(ValueError, match="missing fmt"):
+        multimodal._wav_decode(wav[:12])
+    # auto-dispatch finds wav too
+    assert multimodal._sniff_decode(wav)["format"] == "wav"
+
+
+def test_gif_frame_count_unit():
+    g3 = multimodal.make_gif_frames(5, 2, 3)
+    assert multimodal.gif_frame_count(g3) == 3
+    g1 = multimodal.make_gif_frames(1, 1, 1)
+    assert multimodal.gif_frame_count(g1) == 1
+    # an extension block before the frames is skipped, not counted
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control extension
+    with_ext = g3[:13] + ext + g3[13:]
+    assert multimodal.gif_frame_count(with_ext) == 3
+    with pytest.raises(ValueError, match="missing trailer"):
+        multimodal.gif_frame_count(g3[:-1])
+    with pytest.raises(ValueError, match="unknown block"):
+        multimodal.gif_frame_count(g3[:13] + b"\x7f" + g3[13:])
