@@ -46,6 +46,9 @@ def main() -> None:
     # ---- streaming loop: micro-batches probe AND update the index
     src = f"{work}/crawl_src"
     crawl.repartition(3).write.parquet(src)
+    # compact_index_every_n_batches: the content-aware maintenance pass
+    # (DISTINCT (band, sig) rewrite) runs between micro-batches — bounds
+    # index bytes against replay-duplicated keys without touching probes
     q = incremental.run_incremental_dedup_stream(
         spark.readStream.schema(crawl.schema)
         .option("maxFilesPerTrigger", 1)
@@ -53,18 +56,19 @@ def main() -> None:
         index_dir,
         f"{work}/admitted",
         f"{work}/ck",
+        compact_index_every_n_batches=3,
     )
     q.awaitTermination(180)
     n = spark.read.parquet(f"{work}/admitted").count()
     print(f"streaming loop: {n} docs admitted across 3 micro-batches")
 
-    # ---- maintenance window: the loop appended one file set per batch;
-    # compact both sinks before the next drain (safe here: stream done)
+    # ---- maintenance window: the corpus sink appended one file set per
+    # batch; compact it before the next drain (safe here: stream done).
+    # The index was already DISTINCT-compacted by the loop's cadence.
     from scicat_ingestor_spark.streaming import maintenance  # noqa: E402
 
-    for p in (index_dir, f"{work}/admitted"):
-        files = maintenance.compact_parquet(spark, p)
-        print(f"compacted {p} -> {files} file(s)")
+    files = maintenance.compact_parquet(spark, f"{work}/admitted")
+    print(f"compacted {work}/admitted -> {files} file(s)")
 
 
 if __name__ == "__main__":
