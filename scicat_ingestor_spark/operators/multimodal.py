@@ -198,6 +198,11 @@ def _wav_decode(payload: bytes) -> dict:
             "<I", payload[pos + 4 : pos + 8]
         )[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # declared chunk size runs past the payload: a truncated
+            # file must raise (the shared failure-channel contract),
+            # never under-report silently or leak a struct.error
+            raise ValueError(f"not a WAV: truncated {tag!r} chunk")
         if tag == b"fmt ":
             if size < 16:
                 raise ValueError("not a WAV: short fmt chunk")
@@ -226,7 +231,9 @@ def gif_frame_count(payload: bytes) -> int:
     the block grammar — extensions (0x21) skip their sub-blocks, image
     descriptors skip the optional local color table + LZW sub-blocks —
     so a truncated file raises instead of under-counting silently."""
-    _gif_decode(payload)  # header validation
+    _gif_decode(payload)  # header validation (>= 10 bytes from here)
+    if len(payload) < 13:
+        raise ValueError("not a GIF: truncated logical screen descriptor")
     pos = 10
     flags = payload[pos]
     pos += 3  # flags, bg color, aspect

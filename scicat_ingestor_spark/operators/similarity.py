@@ -344,6 +344,16 @@ def ivf_cells(
     )
 
 
+def _snap(x: float, bits: int) -> float:
+    """Snap to the 2^-bits binary grid: round(x * 2^bits) / 2^bits with
+    EXACT scaling (ldexp) — both multiplications are exact in IEEE
+    doubles, so any engine computing the same expression gets the same
+    double (ties at exact grid midpoints are measure-zero)."""
+    import math
+
+    return math.ldexp(float(round(math.ldexp(x, bits))), -bits)
+
+
 def train_centroids(
     vectors: DataFrame,
     dim: int,
@@ -351,7 +361,7 @@ def train_centroids(
     vec_col: str = "embedding",
     iterations: int = 5,
     tol: float = 1e-4,
-    quantize: int | None = None,
+    quantize_bits: int | None = None,
 ) -> list[list[float]]:
     """Spherical k-means for IVF centroids, pure DataFrame ops.
 
@@ -360,13 +370,22 @@ def train_centroids(
     what ``ivf_cell`` will reproduce. Deterministic: init is the fixed
     md5 centroid matrix, updates are exact means — no sampling, no rand.
 
-    ``quantize``: round every mean coordinate (and every normalized
-    centroid coordinate) to this many decimals per iteration. Floating
-    means are engine- and partition-order-sensitive in the last bits;
-    quantizing makes the trained constants REPRODUCIBLE across engines,
-    which is what lets the trained-ANN queries carry a real SQL oracle
-    (the DuckDB twin unrolls the same iterations and rounds the same
-    way). 1e-7 is far below any meaningful centroid resolution.
+    ``quantize_bits``: snap every mean coordinate (and every
+    normalized centroid coordinate) to the 2^-bits binary grid per
+    iteration — x -> round(x * 2^bits) / 2^bits. Floating means are
+    engine- and partition-order-sensitive in the last bits; quantizing
+    makes the trained constants REPRODUCIBLE across engines, which is
+    what lets the trained-ANN queries carry a real SQL oracle (the
+    DuckDB twin unrolls the same iterations and quantizes the same
+    way). The grid is binary ON PURPOSE: multiplying/dividing by a
+    power of two is EXACT in IEEE doubles, so both engines perform the
+    identical operation — a decimal round() is computed differently by
+    Python (correctly rounded) and DuckDB (scaled multiply), a
+    divergence class this eliminates; the only remaining risk is a
+    mean landing within the engines' sum-order noise (~1 ulp) of a
+    grid midpoint, measure-zero in practice and pinned by the
+    bit-identity test. 2^-24 (~6e-8) is far below any meaningful
+    centroid resolution.
 
     Per iteration, ONE job: assignment is a computed column (no
     shuffle on the corpus), then `posexplode` + `groupBy(cell, pos)`
@@ -404,12 +423,12 @@ def train_centroids(
                 new_cents.append(cents[c])
                 continue
             v = [mean.get(d, 0.0) for d in range(dim)]
-            if quantize is not None:
-                v = [round(x, quantize) for x in v]
+            if quantize_bits is not None:
+                v = [_snap(x, quantize_bits) for x in v]
             n = math.sqrt(sum(x * x for x in v))
             v = [x / n for x in v] if n > 0 else cents[c]
-            if quantize is not None and n > 0:
-                v = [round(x, quantize) for x in v]
+            if quantize_bits is not None and n > 0:
+                v = [_snap(x, quantize_bits) for x in v]
             shift = max(
                 shift, max(abs(a - b) for a, b in zip(v, cents[c]))
             )
@@ -868,7 +887,7 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     iterations: int = 5,
     tol: float = 1e-4,
-    quantize: int | None = None,
+    quantize_bits: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means for PQ codebooks — the production recall
     path the fixed md5 codebooks stand in for (pq_codebooks measured
@@ -888,10 +907,10 @@ def train_pq_codebooks(
     relation so every iteration reuses the SAME generated code (the
     literal-matrix form recompiles Janino per iteration — the measured
     k-means pitfall in SCALE.md). Deterministic init (fixed scaled md5
-    codebooks); with ``quantize`` set the means are rounded per
-    iteration, making the constants reproducible across engines (see
-    train_centroids) — that is what lets the trained queries carry
-    real SQL oracles.
+    codebooks); with ``quantize_bits`` set the means snap to a binary
+    grid per iteration, making the constants reproducible across
+    engines (see train_centroids) — that is what lets the trained
+    queries carry real SQL oracles.
     """
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
@@ -979,9 +998,9 @@ def train_pq_codebooks(
                     entries.append(books[s][c])
                     continue
                 v = [mean.get(d, 0.0) for d in range(dsub)]
-                if quantize is not None:
+                if quantize_bits is not None:
                     # reproducible across engines — see train_centroids
-                    v = [round(x, quantize) for x in v]
+                    v = [_snap(x, quantize_bits) for x in v]
                 shift = max(
                     shift, max(abs(a - b) for a, b in zip(v, books[s][c]))
                 )

@@ -1530,8 +1530,10 @@ ORACLES["ann_recall_report"] = _recall_oracle()
 # --- trained-ANN oracles: the k-means training REPLAYED in SQL -------------
 #
 # train_centroids / train_pq_codebooks are deterministic AND reproducible
-# (fixed init, exactly 3 iterations, means quantized to 7 decimals each
-# step — floating-sum order noise is killed before it can diverge), so
+# (fixed init, exactly 3 iterations, means snapped to the 2^-24 binary
+# grid each step — floating-sum order noise is killed before it can
+# diverge, and the snap itself is the IDENTICAL exact-scaling operation
+# in both engines, unlike a decimal round), so
 # the "data-dependent plan constants" are in fact a pure function of the
 # table, expressible as unrolled Lloyd-iteration CTEs. This graduates
 # the whole trained family off the rows-only waiver list: a training bug
@@ -1540,13 +1542,17 @@ ORACLES["ann_recall_report"] = _recall_oracle()
 # tests/test_training_ops.py::test_trained_constants_match_duckdb.
 
 
-def _trained_cents_ctes(k: int = 8, dim: int = 64, iters: int = 3, q: int = 7):
+def _trained_cents_ctes(k: int = 8, dim: int = 64, iters: int = 3, bits: int = 24):
     """Unrolled spherical-k-means CTEs over a CTE ``v(vec_id, e)``:
     assignment = argmax dot (ties to the lowest cell, Spark's
-    array_position rule), means rounded to ``q`` decimals, normalize,
-    round again; empty/zero-norm cells keep their previous centroid.
-    Returns (ctes_sql, final_cte_name) with tc{i}/ta{i}/tm{i}/tl{i}
-    names reserved."""
+    array_position rule), means snapped to the 2^-bits binary grid
+    (round(x * 2^bits) / 2^bits — both scalings EXACT in IEEE doubles,
+    so this is the identical operation similarity._snap performs; a
+    decimal round() would be computed differently by the two engines),
+    normalize, snap again; empty/zero-norm cells keep their previous
+    centroid. Returns (ctes_sql, final_cte_name) with
+    tc{i}/ta{i}/tm{i}/tl{i} names reserved."""
+    g = float(1 << bits)
     from scicat_ingestor_spark.operators.similarity import centroid_weights
 
     init_rows = ",".join(
@@ -1562,13 +1568,13 @@ ta{i} AS (SELECT vec_id, e, cell FROM (
     row_number() OVER (PARTITION BY v.vec_id
       ORDER BY list_dot_product(v.e, c.cent) DESC, c.cell) AS rn
   FROM v CROSS JOIN {prev} c) WHERE rn = 1),
-tm{i} AS (SELECT cell, pos, round(avg(e[pos]), {q}) AS m
+tm{i} AS (SELECT cell, pos, round(avg(e[pos]) * {g}) / {g} AS m
   FROM ta{i} CROSS JOIN range(1, {dim + 1}) t(pos) GROUP BY cell, pos),
 tl{i} AS (SELECT cell, list(m ORDER BY pos) AS ml FROM tm{i} GROUP BY cell),
 tc{i} AS (SELECT p.cell,
     CASE WHEN l.cell IS NULL OR list_dot_product(l.ml, l.ml) = 0 THEN p.cent
          ELSE list_transform(l.ml,
-                x -> round(x / sqrt(list_dot_product(l.ml, l.ml)), {q}))
+                x -> round(x / sqrt(list_dot_product(l.ml, l.ml)) * {g}) / {g})
     END AS cent
   FROM {prev} p LEFT JOIN tl{i} l USING (cell))""")
         prev = f"tc{i}"
@@ -1576,14 +1582,15 @@ tc{i} AS (SELECT p.cell,
 
 
 def _trained_books_ctes(
-    m: int = 8, ksub: int = 16, dsub: int = 8, iters: int = 3, q: int = 7
+    m: int = 8, ksub: int = 16, dsub: int = 8, iters: int = 3, bits: int = 24
 ):
     """Unrolled per-subspace L2-k-means CTEs over ``v(vec_id, e)``:
     unit-normalize, slice into m subvectors, assign by argmax
-    2*dot - ||entry||^2 (ties to the lowest code), means rounded to
-    ``q`` decimals; empty cells keep their entry. Returns
-    (ctes_sql, final_cte_name); also defines vu/subs for reuse by the
-    serving SQL."""
+    2*dot - ||entry||^2 (ties to the lowest code), means snapped to
+    the 2^-bits binary grid (see _trained_cents_ctes); empty cells
+    keep their entry. Returns (ctes_sql, final_cte_name); also defines
+    vu/subs for reuse by the serving SQL."""
+    g = float(1 << bits)
     from scicat_ingestor_spark.operators.similarity import pq_codebooks
 
     books = pq_codebooks(m, ksub, dsub)
@@ -1608,7 +1615,7 @@ pa{i} AS (SELECT vec_id, s, sub, code FROM (
       ORDER BY 2*list_dot_product(sub.sub, b.cent)
                - list_dot_product(b.cent, b.cent) DESC, b.code) AS rn
   FROM subs sub JOIN {prev} b USING (s)) WHERE rn = 1),
-pm{i} AS (SELECT s, code, pos, round(avg(sub[pos]), {q}) AS m
+pm{i} AS (SELECT s, code, pos, round(avg(sub[pos]) * {g}) / {g} AS m
   FROM pa{i} CROSS JOIN range(1, {dsub + 1}) t(pos) GROUP BY s, code, pos),
 pl{i} AS (SELECT s, code, list(m ORDER BY pos) AS ml FROM pm{i} GROUP BY s, code),
 bk{i} AS (SELECT p.s, p.code, COALESCE(l.ml, p.cent) AS cent

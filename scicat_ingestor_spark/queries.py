@@ -131,7 +131,8 @@ def _trained(spark, sf_dir: str, kind: str):
     Python lists, valid across sessions, but keying on the session
     keeps eviction semantics identical). Deterministic AND reproducible:
     fixed init, exactly 3 iterations (tol=0 — no data-dependent early
-    break), and per-iteration quantization of the means to 7 decimals —
+    break), and per-iteration quantization of the means to the 2^-24
+    binary grid (exact scaling in IEEE doubles, see similarity._snap) —
     floating-sum order noise is killed at every step, so ANY engine
     unrolling the same iterations computes bit-identical constants.
     That is what lets the trained queries carry real SQL oracles
@@ -142,11 +143,11 @@ def _trained(spark, sf_dir: str, kind: str):
         emb = _t(spark, sf_dir, "embeddings")
         if kind == "centroids":
             _TRAINED_CACHE[key] = similarity.train_centroids(
-                emb, 64, k=8, iterations=3, tol=0.0, quantize=7
+                emb, 64, k=8, iterations=3, tol=0.0, quantize_bits=24
             )
         elif kind == "books":
             _TRAINED_CACHE[key] = similarity.train_pq_codebooks(
-                emb, dim=64, m=8, ksub=16, iterations=3, tol=0.0, quantize=7
+                emb, dim=64, m=8, ksub=16, iterations=3, tol=0.0, quantize_bits=24
             )
         else:
             raise ValueError(kind)
@@ -1525,6 +1526,7 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+@_compiled
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup dedup: the new crawl (doc_id % 5 == 0)
     probed against the stored LSH index of the existing corpus

@@ -57,9 +57,19 @@ def dedup_batch_against_index(
 
     Seed ``index_path`` with ``build_lsh_index(base_corpus)`` before
     starting the stream; an absent index means an empty corpus."""
+    import os
+
     from pyspark.errors import AnalysisException
 
     spark = batch.sparkSession
+    # crash recovery BEFORE the no-corpus-yet fallback: a compaction
+    # that died between its two swap renames leaves the index only at
+    # .bak — treating that as "empty corpus" would admit the whole
+    # micro-batch unprobed and permanently pollute the corpus. Restore
+    # first; only a path with no backup either is a genuinely new corpus.
+    bak = index_path + ".bak"
+    if not os.path.exists(index_path) and os.path.isdir(bak):
+        os.rename(bak, index_path)
     try:
         index = spark.read.parquet(index_path).select("band", "sig")
     except AnalysisException as e:
@@ -109,18 +119,22 @@ def run_incremental_dedup_stream(
     ``maintenance.distinct_compact_parquet``) after every N completed
     micro-batches — between batches, never concurrent with a probe, so
     the swap's brief path-absence window (see maintenance module
-    docstring) cannot race a reader. Replay-duplicated keys never
-    change probe results; this bounds index BYTES, not correctness."""
-    batches_done = {"n": 0}
+    docstring) cannot race a reader. The cadence keys off the stream's
+    OWN batch_id, not a process counter: batch ids are monotone across
+    restarts and stable under replay, so a daemon that restarts every
+    few batches (exactly the at-least-once regime that creates the
+    duplicates) still compacts on schedule — a replayed boundary batch
+    just re-runs the idempotent DISTINCT rewrite. Replay-duplicated
+    keys never change probe results; this bounds index BYTES, not
+    correctness."""
 
-    def _body(b: DataFrame, _bid: int) -> None:
+    def _body(b: DataFrame, bid: int) -> None:
         dedup_batch_against_index(
             b, index_path, admitted_path, text_col, id_col, **lsh_kwargs
         )
-        batches_done["n"] += 1
         if (
             compact_index_every_n_batches > 0
-            and batches_done["n"] % compact_index_every_n_batches == 0
+            and (bid + 1) % compact_index_every_n_batches == 0
         ):
             maintenance.distinct_compact_parquet(
                 b.sparkSession, index_path, key_columns=["band", "sig"]

@@ -89,3 +89,10 @@ def await_with_restarts(
                 backoff_s,
             )
             time.sleep(backoff_s)
+        except Exception:
+            # anything that is not a stream failure (a Py4J gateway
+            # drop, a wrapped JVM error) — the reference's unlisted-
+            # exception branch: log the traceback, exit 1, never die
+            # with a raw stderr trace outside the logging pipeline
+            logger.exception("unexpected daemon failure; exiting")
+            return 1

@@ -105,8 +105,10 @@ def funnel_stage_times(
     Emits the user's current (t_view, t_click, t_purchase) with a
     monotone per-user ``version`` each time state changes; downstream
     keeps the max-version row per user (a tiny dim-style compaction).
-    Timestamps ride as LONGs (any monotone encoding — micros, nanos);
-    prepare with ``F.col(ts).cast("long")``."""
+    Timestamps ride as LONGs and the encoding must be INJECTIVE as
+    well as monotone (micros/nanos — ``F.unix_micros(ts)``); a
+    seconds cast collapses sub-second ordering and can admit a click
+    that batch semantics reject."""
     s1, s2, s3 = stages
 
     def upd(key, rows: Iterator[pd.DataFrame], state: GroupState):

@@ -262,6 +262,12 @@ def test_wav_decoder_unit():
         multimodal._wav_decode(b"RIFX" + wav[4:])
     with pytest.raises(ValueError, match="missing fmt"):
         multimodal._wav_decode(wav[:12])
+    # truncation anywhere raises ValueError, never struct.error or a
+    # silent over-count from the declared data size (review finding r6)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._wav_decode(wav[:22])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal._wav_decode(multimodal.make_wav(2, 100)[:-20])
     # auto-dispatch finds wav too
     assert multimodal._sniff_decode(wav)["format"] == "wav"
 
@@ -277,5 +283,7 @@ def test_gif_frame_count_unit():
     assert multimodal.gif_frame_count(with_ext) == 3
     with pytest.raises(ValueError, match="missing trailer"):
         multimodal.gif_frame_count(g3[:-1])
+    with pytest.raises(ValueError, match="truncated logical screen"):
+        multimodal.gif_frame_count(g1[:10])
     with pytest.raises(ValueError, match="unknown block"):
         multimodal.gif_frame_count(g3[:13] + b"\x7f" + g3[13:])

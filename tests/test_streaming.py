@@ -981,7 +981,9 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     want = Q.q_events_funnel(spark, sf_dir).collect()[0].asDict()
 
     ev = Q._t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.col("ts").cast("long").alias("ts_long")
+        # unix_micros: injective monotone encoding — a seconds cast
+        # would collapse sub-second ordering (review finding r6)
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_long")
     )
     src = str(tmp_path / "fsrc")
     # shuffle arrival order: partition by a hash so each user's events
@@ -1092,3 +1094,84 @@ def test_streaming_retention_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_await_with_restarts_catches_non_stream_exceptions(tmp_path):
+    """A Py4J gateway drop / wrapped JVM error is not a
+    StreamingQueryException — it must still exit 1 through the logging
+    pipeline, never escape as a raw traceback (reference
+    handle_daemon_loop_exceptions' unlisted-exception branch)."""
+    from scicat_ingestor_spark.streaming.resilience import await_with_restarts
+
+    class _BrokenQuery:
+        def awaitTermination(self):
+            raise RuntimeError("py4j gateway dropped")
+
+        def stop(self):
+            pass
+
+    log = _ListLogger()
+    rc = await_with_restarts(lambda: _BrokenQuery(), log)
+    assert rc == 1
+    assert any("unexpected daemon failure" in m for _, m in log.events)
+
+
+def test_incremental_batch_restores_index_backup_before_fallback(
+    spark, sf_dir, tmp_path
+):
+    """Crash-during-compaction recovery (review finding r6): with the
+    index present only at .bak (a compaction died between its two swap
+    renames), the next micro-batch must RESTORE the backup and probe
+    against it — not take the empty-corpus fallback and admit the
+    whole increment unprobed."""
+    import os
+
+    from scicat_ingestor_spark.operators import dedup
+    from scicat_ingestor_spark.streaming import incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0).limit(40)
+    index_path = str(tmp_path / "idx")
+    dedup.build_lsh_index(base, "text", "doc_id").write.parquet(index_path)
+    want = {
+        r.doc_id
+        for r in dedup.incremental_dedup(
+            inc, spark.read.parquet(index_path), "text", "doc_id"
+        ).collect()
+    }
+    assert want < {r.doc_id for r in inc.collect()}  # some rejects exist
+
+    os.rename(index_path, index_path + ".bak")  # simulate the crash gap
+    incremental.dedup_batch_against_index(
+        inc, index_path, str(tmp_path / "adm"), "text", "doc_id"
+    )
+    got = {r.doc_id for r in spark.read.parquet(str(tmp_path / "adm")).collect()}
+    assert got == want  # probed against the RESTORED index
+    assert os.path.isdir(index_path)
+
+
+def test_check_oracle_cli_rejects_false_green_invocations():
+    """The round gate must never pass while checking nothing (review
+    finding r6): unknown query names and positional-plus---sf
+    ambiguity exit nonzero before any Spark work."""
+    import subprocess
+    import sys as _sys
+
+    def run(*args):
+        return subprocess.run(
+            [_sys.executable, "tools/check_oracle.py", *args],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=300,
+        )
+
+    r = run("/root/testdata/sf0.001", "no_such_query_xyz")
+    assert r.returncode != 0 and "unknown query" in (r.stdout + r.stderr)
+    r = run("/root/testdata/sf0.001", "--sf", "0.01")
+    assert r.returncode != 0 and "not both" in (r.stdout + r.stderr)
+    r = run("--chunk")
+    assert r.returncode != 0

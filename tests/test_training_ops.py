@@ -464,10 +464,10 @@ def test_running_total_matches_sequential_prefix_sum(spark):
 
 def test_trained_constants_match_duckdb(spark):
     """The reproducibility contract behind the trained-ANN SQL oracles:
-    Spark's quantized k-means (means rounded to 7 decimals per
-    iteration, tol=0, fixed init) and the DuckDB unrolled-CTE replay
-    (oracles._trained_cents_ctes / _trained_books_ctes) produce
-    BIT-IDENTICAL constants."""
+    Spark's quantized k-means (means snapped to the 2^-24 binary grid
+    per iteration — exact scaling, similarity._snap — tol=0, fixed
+    init) and the DuckDB unrolled-CTE replay (oracles._trained_cents_ctes
+    / _trained_books_ctes) produce BIT-IDENTICAL constants."""
     import duckdb
 
     from scicat_ingestor_spark import oracles

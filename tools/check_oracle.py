@@ -129,15 +129,34 @@ def main():
     chunk = 0
     if "--chunk" in args:
         i = args.index("--chunk")
+        if i + 1 >= len(args):
+            sys.exit("--chunk needs a value")
         chunk = int(args[i + 1])
         del args[i : i + 2]
+    sf_flag = None
     if "--sf" in args:
         i = args.index("--sf")
-        sf_dir = f"/root/testdata/sf{args[i + 1]}"
+        if i + 1 >= len(args):
+            sys.exit("--sf needs a value")
+        sf_flag = f"/root/testdata/sf{args[i + 1]}"
         del args[i : i + 2]
-        args.insert(0, sf_dir)
+    # a positional sf_dir and --sf together would silently turn the
+    # positional into a never-matching query filter — a gate that
+    # passes while checking nothing; reject the ambiguity instead
+    if sf_flag is not None and args and args[0].startswith("/"):
+        sys.exit("give either a positional sf_dir or --sf, not both")
+    if sf_flag is not None:
+        args.insert(0, sf_flag)
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+
+    import __spark_entry__ as entrymod
+
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # same false-green class: a typo'd query name must not yield
+        # an empty, passing run
+        sys.exit(f"unknown query name(s): {sorted(unknown)}")
     if chunk:
         _chunked_main(sf_dir, chunk, only)
         return
