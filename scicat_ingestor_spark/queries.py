@@ -1465,6 +1465,7 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     )
 
 
+@_compiled
 def q_dedup_clusters(spark, sf_dir):
     """Dedup endgame: LSH candidate pairs -> connected components
     (iterative min-label propagation; cluster_id = min reachable id)."""
@@ -1509,6 +1510,7 @@ def q_dedup_lsh_jaccard_verified(spark, sf_dir):
     )
 
 
+@_compiled
 def q_dedup_survivors(spark, sf_dir):
     """The user-facing end of the dedup story: the corpus with every
     non-canonical near-dup member removed (canonical = min doc_id of its
@@ -2080,6 +2082,7 @@ def q_text_decontaminate(spark, sf_dir):
     )
 
 
+@_compiled
 def q_text_decontaminate_bloom(spark, sf_dir):
     """Decontamination with a Bloom-filter prefilter — the scale path
     when the eval suite is too big to broadcast as exact strings. Build
