@@ -132,12 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         from scicat_ingestor_spark.plans.sc import load_snapshots
 
         snapshots = load_snapshots(spark, cfg.scicat.dimension_snapshot_dir)
-    out = ingest_files(spark, args.files.split(","), schemas, snapshots=snapshots)
-    if cfg.ingestion.dry_run:
-        print(out.count(), "dataset rows (dry run)")
-    else:
-        out.write.mode("append").parquet(args.out)
-    return 0
+
+    def work():
+        out = ingest_files(
+            spark, args.files.split(","), schemas, snapshots=snapshots
+        )
+        if cfg.ingestion.dry_run:
+            print(out.count(), "dataset rows (dry run)")
+        else:
+            out.write.mode("append").parquet(args.out)
+
+    # reference handle_exceptions parity: a failed run logs the full
+    # traceback through the logging pipeline and exits 1, never a raw
+    # stderr trace
+    from scicat_ingestor_spark.streaming.resilience import guarded
+
+    return guarded(work, logger)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,21 @@ from typing import Callable
 from pyspark.errors.exceptions.base import StreamingQueryException
 
 
+def guarded(body: Callable[[], object], logger) -> int:
+    """Batch-CLI exception parity (the reference's ``handle_exceptions``
+    context manager): run ``body``; an exception logs the full traceback
+    through the structured logging pipeline and yields exit code 1, a
+    clean finish yields 0. KeyboardInterrupt propagates (the caller's
+    ``raise SystemExit(main())`` surfaces it as 130, the conventional
+    interrupt code)."""
+    try:
+        body()
+    except Exception:
+        logger.exception("ingestor failed; exiting")
+        return 1
+    return 0
+
+
 def await_with_restarts(
     start: Callable[[], "object"],
     logger,

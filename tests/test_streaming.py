@@ -1175,3 +1175,18 @@ def test_check_oracle_cli_rejects_false_green_invocations():
     assert r.returncode != 0 and "not both" in (r.stdout + r.stderr)
     r = run("--chunk")
     assert r.returncode != 0
+
+
+def test_guarded_batch_cli_exit_codes():
+    """Reference handle_exceptions parity for batch CLIs: exceptions
+    log the traceback and exit 1, clean completion exits 0."""
+    from scicat_ingestor_spark.streaming.resilience import guarded
+
+    log = _ListLogger()
+    assert guarded(lambda: None, log) == 0
+
+    def boom():
+        raise RuntimeError("ingest failed")
+
+    assert guarded(boom, log) == 1
+    assert any("ingestor failed" in m for _, m in log.events)
