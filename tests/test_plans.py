@@ -528,7 +528,10 @@ def test_dedup_incremental_probe_shape(spark, sf_dir):
     probe), intra-increment first-occurrence = a window over the
     checkpointed increment buckets alone. Rejects leave via a LeftAnti
     equi-join, never a nested loop."""
-    plan = _plan(Q.q_dedup_incremental(spark, sf_dir))
+    # bypass the @_compiled memo: a memoized DataFrame may have been
+    # executed by an earlier test, and formatted explain of an executed
+    # AQE plan prints final+initial trees (every node counted twice)
+    plan = _plan(Q.q_dedup_incremental.__wrapped__(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
