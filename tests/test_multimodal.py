@@ -287,3 +287,53 @@ def test_gif_frame_count_unit():
         multimodal.gif_frame_count(g1[:10])
     with pytest.raises(ValueError, match="unknown block"):
         multimodal.gif_frame_count(g3[:13] + b"\x7f" + g3[13:])
+
+
+def test_decoder_fuzz_only_valueerror_escapes():
+    """Failure-channel fuzz: every decoder, fed random bytes and
+    random mutations/truncations of VALID files, either returns a dict
+    or raises ValueError — NEVER IndexError/struct.error/KeyError
+    (those would escape mapInPandas as unclassified executor errors
+    instead of landing in the ingest failure channel)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = [
+        multimodal.make_png(7, 3),
+        multimodal.make_jpeg(31, 15),
+        multimodal.make_gif(5, 9),
+        multimodal.make_gif_frames(4, 4, 3),
+        multimodal.make_wav(2, 50),
+    ]
+    decoders = [
+        multimodal._png_decode,
+        multimodal._jpeg_decode,
+        multimodal._gif_decode,
+        multimodal._bmp_decode,
+        multimodal._wav_decode,
+        multimodal._sniff_decode,
+        multimodal.gif_frame_count,
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.data())
+    def check(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:  # pure random bytes
+            payload = data.draw(st.binary(max_size=200))
+        else:
+            base = bytearray(data.draw(st.sampled_from(valid)))
+            if mode == 1:  # truncate
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:  # mutate a few bytes
+                for _ in range(data.draw(st.integers(1, 4))):
+                    i = data.draw(st.integers(0, len(base) - 1))
+                    base[i] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        for dec in decoders:
+            try:
+                dec(payload)
+            except ValueError:
+                pass  # the contract
+
+    check()
