@@ -1190,3 +1190,83 @@ def test_guarded_batch_cli_exit_codes():
 
     assert guarded(boom, log) == 1
     assert any("ingestor failed" in m for _, m in log.events)
+
+
+def test_streaming_ann_index_matches_batch_and_replays_safely(
+    spark, sf_dir, tmp_path
+):
+    """Streaming IVFADC index maintenance (streaming/ann_index.py):
+    after a 3-batch drain the stored index is row-identical to
+    build_pq_index over the whole input, a replay (same checkpoint AND
+    fresh checkpoint) appends nothing, and ivf_pq_probe over the
+    streamed index equals the probe over the batch-built index."""
+    from scicat_ingestor_spark.operators import similarity
+    from scicat_ingestor_spark.streaming import ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    consts_path = str(tmp_path / "ann_constants.json")
+    # trained constants frozen at index birth — the production model
+    cents = similarity.train_centroids(emb, 64, k=8, iterations=2, quantize_bits=24)
+    books = similarity.train_pq_codebooks(
+        emb, dim=64, m=8, ksub=16, iterations=2, quantize_bits=24
+    )
+    ann_index.save_ann_constants(
+        consts_path, dim=64, m=8, ksub=16, cells=8, centroids=cents, books=books
+    )
+    loaded = ann_index.load_ann_constants(consts_path)
+    assert loaded["centroids"] == cents and loaded["books"] == books  # exact
+
+    src = str(tmp_path / "vec_src")
+    emb.repartition(3).write.parquet(src)
+    index_path = str(tmp_path / "pq_index")
+    ck = str(tmp_path / "ck")
+
+    def drain(checkpoint):
+        q = ann_index.run_ann_index_stream(
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path,
+            consts_path,
+            checkpoint,
+        )
+        q.awaitTermination(180)
+
+    drain(ck)
+    streamed = spark.read.parquet(index_path)
+    want = similarity.build_pq_index(
+        emb, 64, m=8, ksub=16, cells=8, centroids=cents, books=books
+    )
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    n = streamed.count()
+    drain(ck)  # drained checkpoint: no new batches
+    assert spark.read.parquet(index_path).count() == n
+    drain(str(tmp_path / "ck2"))  # fresh checkpoint: anti-join absorbs all
+    assert spark.read.parquet(index_path).count() == n
+
+    # serving equality over the streamed index
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_pq_probe(
+        spark.read.parquet(index_path), queries, 64,
+        m=8, ksub=16, cells=8, centroids=cents, books=books, nprobe=2,
+    )
+    ref = similarity.ivf_pq_probe(
+        want, queries, 64,
+        m=8, ksub=16, cells=8, centroids=cents, books=books, nprobe=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    # missing/corrupt constants fail loudly, never encode with defaults
+    import pytest
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"dim": 64}')
+    with pytest.raises(ValueError, match="missing"):
+        ann_index.load_ann_constants(str(bad))
