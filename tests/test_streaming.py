@@ -1270,3 +1270,72 @@ def test_streaming_ann_index_matches_batch_and_replays_safely(
     bad.write_text('{"dim": 64}')
     with pytest.raises(ValueError, match="missing"):
         ann_index.load_ann_constants(str(bad))
+
+
+def test_funnel_update_rule_property():
+    """The order-insensitivity proof behind funnel_stage_times, pinned
+    as a property: for random per-user event sets, random arrival
+    orders, and random micro-batch splits, the converged state equals
+    the batch sequential-funnel semantics (t_view = min view;
+    t_click = min click >= t_view; t_purchase = min purchase >=
+    t_click). Pure-Python replica of the state machine — no Spark, so
+    hypothesis can afford thousands of cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def batch_semantics(events):
+        views = [t for k, t in events if k == "view"]
+        v = min(views) if views else None
+        clicks = [t for k, t in events if k == "click" and v is not None and t >= v]
+        c = min(clicks) if clicks else None
+        purch = [t for k, t in events if k == "purchase" and c is not None and t >= c]
+        p = min(purch) if purch else None
+        return v, c, p
+
+    def stream_semantics(batches):
+        v = c = p = None
+        pend_c, pend_p = [], []
+        for batch in batches:
+            for kind, ts in batch:
+                if kind == "view":
+                    v = ts if v is None else min(v, ts)
+                elif kind == "click":
+                    pend_c.append(ts)
+                else:
+                    pend_p.append(ts)
+            if v is not None and pend_c:
+                qual = [x for x in pend_c if x >= v]
+                if qual:
+                    c = min(qual) if c is None else min(c, min(qual))
+                pend_c = [x for x in pend_c if x < v and (c is None or x < c)]
+            if c is not None and pend_p:
+                qual = [x for x in pend_p if x >= c]
+                if qual:
+                    p = min(qual) if p is None else min(p, min(qual))
+                pend_p = [x for x in pend_p if x < c and (p is None or x < p)]
+        return v, c, p
+
+    events_st = st.lists(
+        st.tuples(
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(0, 30),
+        ),
+        max_size=12,
+    )
+
+    @settings(max_examples=2000, deadline=None)
+    @given(events_st, st.data())
+    def check(events, data):
+        order = data.draw(st.permutations(events))
+        cuts = sorted(
+            data.draw(
+                st.lists(st.integers(0, len(order)), max_size=3)
+            )
+        )
+        batches, prev = [], 0
+        for cut in cuts + [len(order)]:
+            batches.append(order[prev:cut])
+            prev = cut
+        assert stream_semantics(batches) == batch_semantics(events)
+
+    check()
