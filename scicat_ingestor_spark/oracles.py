@@ -810,6 +810,14 @@ FROM (SELECT doc_id,
       FROM documents)
 WHERE g % 2 = 0
 """,
+    # image near-dedup e2e: identical payload bytes within a doc_id%97
+    # group must collapse to the group's min id through the synth ->
+    # extract -> LSH -> verify -> anti-join chain
+    "multimodal_dedup_images": """
+SELECT doc_id FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 97) AS m
+  FROM documents) WHERE doc_id = m
+""",
     "multimodal_frames": """
 WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
 w AS (SELECT doc_id,

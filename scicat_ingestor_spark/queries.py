@@ -2469,6 +2469,55 @@ def q_multimodal_frames_real(spark, sf_dir):
     )
 
 
+def q_multimodal_dedup_images(spark, sf_dir):
+    """Image near-dedup end-to-end — the multimodal flagship
+    composition: synthesize real payload bytes where documents in the
+    same group (doc_id % 97) share IDENTICAL bytes, extract embeddings
+    (hash extractor standing in for the vision model; identical bytes
+    -> identical vectors), find near-dup pairs with the LSH-bucketed
+    cosine operator (exact verify at >= 0.999 inside buckets only),
+    keep the lowest id per duplicate cluster. The oracle recomputes
+    survivors from the group rule — a break ANYWHERE in the synth ->
+    extract -> LSH -> verify -> anti-join chain changes the hash
+    (e.g. a feature extractor that stops being content-deterministic,
+    or an LSH bucketing that splits identical vectors).
+
+    Scale shape: candidates form only inside signature buckets (never
+    the n^2 cross join), features are Arrow-batched mapInPandas, and
+    the survivor anti-join broadcasts the (small) loser set."""
+    from scicat_ingestor_spark.operators.multimodal import MEDIA_BUILDERS
+    from scicat_ingestor_spark.operators.similarity import cosine_pairs_lsh
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                g = int(i) % 97
+                kind = ("jpeg", "gif")[g % 2]  # pure-struct builders
+                payloads.append(MEDIA_BUILDERS[kind]((g % 16) + 1, (g // 16) + 1))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    from scicat_ingestor_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    vecs = extract_features(media, dim=16).select(
+        F.col("media_id").alias("vec_id"),
+        F.col("feature").cast("array<double>").alias("embedding"),
+    )
+    pairs = cosine_pairs_lsh(vecs, dim=16, threshold=0.999, bits=4)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing: decode -> explode frame index list ->
     keep every Nth frame. The explode happens post-decode so payload
@@ -3657,6 +3706,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "multimodal_dedup_images": q_multimodal_dedup_images,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frames_real": q_multimodal_frames_real,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
