@@ -1,4 +1,7 @@
-"""Custom stateful streaming operator: cross-batch key dedup.
+"""Custom stateful streaming operators: cross-batch key dedup, the
+order-insensitive streaming funnel, and cohort-retention snapshots —
+the `applyInPandasWithState` carriers (state shards by key with the
+natural shuffle, checkpointed with the query, restored on restart).
 
 The reference achieves idempotency by probing the catalog before every
 insert (J4/J5 anti-joins,
