@@ -302,3 +302,55 @@ def test_snapshot_join_takes_first_on_duplicate_keys(spark, tmp_path):
         inst = json.loads(r["dataset_json"])["instrumentId"]
         value = inst["value"] if isinstance(inst, dict) else inst
         assert value.endswith("a")  # deterministic first match
+
+
+def test_online_app_restarts_through_transient_sink_failure(
+    spark, tmp_path, monkeypatch
+):
+    """App-level wiring of the daemon restart loop (unit-tested in
+    test_streaming): the online daemon's sink fails ONCE, the stream
+    restarts from its checkpoint, the drain completes with exit code 0
+    and exactly-once rows; a persistent failure exhausts the budget
+    and exits 1."""
+    from scicat_ingestor_spark.apps import online
+    from scicat_ingestor_spark.streaming.pipeline import idempotent_append
+
+    src = str(tmp_path / "replay")
+    spark.createDataFrame(
+        [(f"job-{i}", f"/data/run_{i}.nxs", False) for i in range(5)],
+        "job_id string, file_name string, error_encountered boolean",
+    ).write.parquet(src)
+
+    calls = {"n": 0}
+
+    def flaky_append(batch, path, key):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient catalog outage (injected)")
+        idempotent_append(batch, path, key)
+
+    monkeypatch.setattr(online, "idempotent_append", flaky_append)
+    argv = [
+        "--schemas-dir", _schema_dir(tmp_path),
+        "--out", str(tmp_path / "out"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--source-dir", src,
+        "--once",
+        "--set", "ingestion.stream_restart_backoff_s=0.1",
+    ]
+    assert online.main(argv) == 0
+    assert calls["n"] >= 2  # failed once, then the restart completed
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
+
+    def always_broken(batch, path, key):
+        raise RuntimeError("persistent outage (injected)")
+
+    monkeypatch.setattr(online, "idempotent_append", always_broken)
+    argv2 = list(argv)
+    argv2[argv2.index("--checkpoint") + 1] = str(tmp_path / "ck_broken")
+    argv2[argv2.index("--out") + 1] = str(tmp_path / "out_broken")
+    argv2 += ["--set", "ingestion.max_stream_restarts=1"]
+    assert online.main(argv2) == 1
+    import os
+
+    assert not os.path.exists(str(tmp_path / "out_broken"))
