@@ -1,16 +1,17 @@
 #!/usr/bin/env python3
-"""IVFADC serving example: build the PQ index once, probe it per query
-batch — the amortized regime the composition exists for (SCALE.md
-"where IVF-PQ actually wins": probe 0.83 s vs full-scan 1.48 s per
-50-query batch at x100).
+"""IVFADC serving example: train constants once, persist them, keep the
+stored index current with the streaming encode-append loop
+(streaming/ann_index.py), and probe it — the ANN analogue of
+examples/incremental_dedup.py.
 
 Usage:
-    python examples/ann_serving.py [sf_dir] [index_dir]
+    python examples/ann_serving.py [sf_dir] [work_dir]
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -19,30 +20,62 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from scicat_ingestor_spark.operators import similarity  # noqa: E402
 from scicat_ingestor_spark.session import get_session  # noqa: E402
+from scicat_ingestor_spark.streaming import ann_index  # noqa: E402
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    index_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_pq_index"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_serving"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
     spark = get_session("ann_serving")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim, m, ksub, cells = 64, 8, 16, 8
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
 
-    # ---- index build (once; at scale: partitionBy("_cell") and append)
-    similarity.build_pq_index(
-        emb, dim, m=m, ksub=ksub, cells=cells
-    ).write.mode("overwrite").parquet(index_dir)
-    print(f"index written to {index_dir}")
+    # ---- offline: train once, FREEZE the constants next to the index
+    cents = similarity.train_centroids(emb, 64, k=8, iterations=3, quantize_bits=24)
+    books = similarity.train_pq_codebooks(
+        emb, dim=64, m=8, ksub=16, iterations=3, quantize_bits=24
+    )
+    consts = f"{work}/ann_constants.json"
+    ann_index.save_ann_constants(
+        consts, dim=64, m=8, ksub=16, cells=8, centroids=cents, books=books
+    )
+    print(f"constants frozen at {consts}")
 
-    # ---- serving (per query batch; the corpus embeddings never reload)
-    index = spark.read.parquet(index_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    # ---- streaming: new vectors encode + append as they arrive
+    src = f"{work}/vec_src"
+    emb.repartition(3).write.parquet(src)
+    q = ann_index.run_ann_index_stream(
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        f"{work}/pq_index",
+        consts,
+        f"{work}/ck",
+    )
+    q.awaitTermination(180)
+    n = spark.read.parquet(f"{work}/pq_index").count()
+    print(f"index holds {n} coded vectors after the drain")
+
+    # ---- serving: probe the stored relation with the same constants
+    loaded = ann_index.load_ann_constants(consts)
+    queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    topk = similarity.ivf_pq_probe(
-        index, queries, dim, k=5, m=m, ksub=ksub, cells=cells, nprobe=2
+    top = similarity.ivf_pq_probe(
+        spark.read.parquet(f"{work}/pq_index"),
+        queries,
+        loaded["dim"],
+        m=loaded["m"],
+        ksub=loaded["ksub"],
+        cells=loaded["cells"],
+        centroids=loaded["centroids"],
+        books=loaded["books"],
+        nprobe=2,
     )
-    topk.show(25, truncate=False)
+    top.show(15, truncate=False)
     spark.stop()
 
 

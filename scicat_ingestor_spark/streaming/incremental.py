@@ -126,7 +126,10 @@ def run_incremental_dedup_stream(
     duplicates) still compacts on schedule — a replayed boundary batch
     just re-runs the idempotent DISTINCT rewrite. Replay-duplicated
     keys never change probe results; this bounds index BYTES, not
-    correctness."""
+    correctness. The rewrite's rename-swap needs a LOCAL/posix index
+    path (it refuses URI paths up front — see the maintenance module
+    docstring); on object stores leave the cadence at 0 and compact to
+    a new path from a scheduled job instead."""
 
     def _body(b: DataFrame, bid: int) -> None:
         dedup_batch_against_index(
