@@ -26,6 +26,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    num_partitions: int | None = None,
+    out_col: str = "rank",
+) -> DataFrame:
+    """``row_number()`` over a TOTAL order (``order_cols`` must include a
+    unique tiebreaker) without the single-partition window the naive
+    ``Window.orderBy(...)`` form plans. A rank is just the running total
+    of a constant 1, so this reuses the two-pass distributed prefix sum:
+    range exchange on the order, per-partition ``row_number``, offsets
+    from the config-bounded per-partition counts."""
+    marked = df.withColumn("_gr_one", F.lit(1).cast("bigint"))
+    return running_total(
+        marked, "_gr_one", order_cols, num_partitions, out_col
+    ).drop("_gr_one")
+
+
 def running_total(
     df: DataFrame,
     value_col: str,

@@ -635,6 +635,34 @@ SELECT suppkey,
   ((cum - rev) * 5 < total * 4) AS in_top80
 FROM c, t
 """,
+    "corpus_shuffle": """
+WITH r AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY md5('r6:' || doc_id::VARCHAR), doc_id)
+      AS shuffle_rank
+  FROM documents
+)
+SELECT doc_id, shuffle_rank,
+  CAST((shuffle_rank - 1) % 16 AS INT) AS shard_id
+FROM r
+""",
+    "shard_by_token_budget": """
+WITH b AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    md5('r6:' || doc_id::VARCHAR) AS k
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
+         AS BIGINT) AS cum_tokens
+  FROM b
+)
+SELECT doc_id, n_tokens, cum_tokens,
+  CAST((cum_tokens - n_tokens) // 4096 AS INT) AS shard_id
+FROM c
+""",
     "text_groupsets_stats": """
 SELECT coalesce(source, '<all>') AS source,
   coalesce(lang, '<all>') AS lang,

@@ -1923,6 +1923,69 @@ def q_supplier_pareto(spark, sf_dir):
     )
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic seeded global shuffle + round-robin shard
+    assignment — the export step every training-data pipeline runs last:
+    fix a reproducible random order (md5 of seed:doc_id — stable across
+    runs, retries and engines, unlike ``df.orderBy(rand())``) and deal
+    documents into N equal shards for the dataloader. The global
+    ``row_number`` is the q15 anti-pattern if written as an
+    unpartitioned window; this uses ``operators.windows.global_rank``
+    (distributed prefix sum over a constant 1): the only data-sized
+    shuffle is the range exchange the total order requires anyway.
+    Round-robin over the shuffled order keeps shard sizes within one
+    document of each other with zero knowledge of N up front."""
+    from scicat_ingestor_spark.operators import windows
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("r6:"), F.col("doc_id").cast("string")))
+    ranked = windows.global_rank(
+        docs.select("doc_id", key.alias("_k")),
+        [F.col("_k").asc(), F.col("doc_id").asc()],
+        out_col="shuffle_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_rank",
+        ((F.col("shuffle_rank") - 1) % 16).cast("int").alias("shard_id"),
+    )
+
+
+def q_shard_by_token_budget(spark, sf_dir):
+    """Token-budget shard packing: after the seeded shuffle order, cut
+    the corpus into contiguous shards of ~4096 whitespace tokens each —
+    the planner step before writing fixed-budget training shards. A doc
+    lands in ``floor(prefix_tokens / budget)``: greedy contiguous fill,
+    so every shard except the last is guaranteed to reach its budget
+    boundary. The prefix sum is ``operators.windows.running_total``
+    (range exchange + per-partition cumsum + config-bounded offsets) —
+    never a single-partition window. The shard id is integer division
+    (``div``), not float ``floor(a/b)``, so there is no FP rounding
+    seam between engines."""
+    from scicat_ingestor_spark.operators import windows
+    from scicat_ingestor_spark.operators.text import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("r6:"), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        key.alias("_k"),
+        whitespace_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    cum = windows.running_total(
+        base,
+        "n_tokens",
+        [F.col("_k").asc(), F.col("doc_id").asc()],
+        out_col="cum_tokens",
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.expr("(cum_tokens - n_tokens) div 4096").cast("int").alias("shard_id"),
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: keep ~N% per language, gated on
     a content-hash of the doc id — reproducible across runs, retries and
@@ -3667,6 +3730,8 @@ QUERIES = {
     "events_user_running": q_events_user_running,
     "events_funnel": q_events_funnel,
     "supplier_pareto": q_supplier_pareto,
+    "corpus_shuffle": q_corpus_shuffle,
+    "shard_by_token_budget": q_shard_by_token_budget,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,

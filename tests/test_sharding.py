@@ -1,0 +1,74 @@
+"""Export-sharding family: deterministic seeded shuffle + token-budget
+shard packing (the last step of a training-data pipeline before shard
+write-out). Both ride the distributed prefix sum in operators/windows.py
+— the invariants here are the ones the SQL oracle cannot see: shard-size
+balance, budget-boundary guarantees, determinism across invocations, and
+the no-global-window plan shape."""
+
+from pyspark.sql import functions as F
+
+import scicat_ingestor_spark.queries as Q
+from scicat_ingestor_spark.operators import windows
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_rank_is_row_number_over_total_order(spark):
+    df = spark.range(0, 1000).withColumn("k", F.expr("id * 37 % 1000"))
+    out = windows.global_rank(df, [F.col("k").asc()], out_col="r")
+    rows = {r.k: r.r for r in out.collect()}
+    # k is a permutation of 0..999, so rank(k) == k + 1
+    assert rows == {k: k + 1 for k in range(1000)}
+
+
+def test_corpus_shuffle_ranks_and_shard_balance(spark, sf_dir):
+    out = Q.q_corpus_shuffle(spark, sf_dir).collect()
+    n = len(out)
+    assert sorted(r.shuffle_rank for r in out) == list(range(1, n + 1))
+    sizes = {}
+    for r in out:
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + 1
+    assert set(sizes) == set(range(min(16, n)))
+    # round-robin over the shuffled order: shard sizes differ by <= 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_corpus_shuffle_deterministic_across_invocations(spark, sf_dir):
+    a = {r.doc_id: (r.shuffle_rank, r.shard_id)
+         for r in Q.q_corpus_shuffle(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.shuffle_rank, r.shard_id)
+         for r in Q.q_corpus_shuffle(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_token_budget_shards_reach_their_boundary(spark, sf_dir):
+    budget = 4096
+    rows = sorted(
+        Q.q_shard_by_token_budget(spark, sf_dir).collect(),
+        key=lambda r: r.cum_tokens,
+    )
+    assert rows[-1].cum_tokens == sum(r.n_tokens for r in rows)
+    shard_ids = [r.shard_id for r in rows]
+    # contiguous fill: shard ids are nondecreasing along the shuffle
+    # order and cover 0..max with no gaps
+    assert shard_ids == sorted(shard_ids)
+    assert set(shard_ids) == set(range(shard_ids[-1] + 1))
+    # every shard except the last crosses its budget boundary: its last
+    # doc's cumulative count reaches (s+1)*budget (greedy contiguous
+    # fill can under-fill only the final shard)
+    last_cum = {}
+    for r in rows:
+        last_cum[r.shard_id] = r.cum_tokens
+    for s, cum in last_cum.items():
+        if s != shard_ids[-1]:
+            assert cum >= (s + 1) * budget
+
+
+def test_sharding_plans_have_no_global_window(spark, sf_dir):
+    for fn in (Q.q_corpus_shuffle, Q.q_shard_by_token_budget):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Window" in plan
+        assert "No Partition Defined" not in plan
+        assert "rangepartitioning" in plan.lower()
