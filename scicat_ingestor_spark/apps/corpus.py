@@ -157,6 +157,15 @@ def main(argv: list[str] | None = None) -> int:
         help="run the full hygiene pipeline (adds repetition gate, PII "
         "scrub and global line dedup)",
     )
+    ap.add_argument(
+        "--export-shards",
+        metavar="DIR",
+        help="after the hygiene stages, seeded-shuffle the survivors and "
+        "write one parquet directory per token-budget shard (replaces "
+        "the pack stage's bin map as the endgame — pack emits offsets, "
+        "this emits the physical shard layout)",
+    )
+    ap.add_argument("--shard-budget", type=int, default=4096)
     ap.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
 
@@ -168,6 +177,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.stage
         else (FULL_STAGES if args.full else STAGES)
     )
+    if args.export_shards:
+        # shard export needs the text column, which pack projects away
+        stages = tuple(s for s in stages if s != "pack")
     out = prep_corpus(
         spark.read.parquet(args.docs),
         stages=stages,
@@ -177,6 +189,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.dry_run:
         print(out.count(), "rows (dry run)")
+    elif args.export_shards:
+        from scicat_ingestor_spark.operators.sharding import export_shards
+
+        export_shards(out, args.export_shards, budget=args.shard_budget)
     else:
         out.write.mode("overwrite").parquet(args.out)
     return 0

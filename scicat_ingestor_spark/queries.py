@@ -1935,20 +1935,9 @@ def q_corpus_shuffle(spark, sf_dir):
     shuffle is the range exchange the total order requires anyway.
     Round-robin over the shuffled order keeps shard sizes within one
     document of each other with zero knowledge of N up front."""
-    from scicat_ingestor_spark.operators import windows
+    from scicat_ingestor_spark.operators.sharding import seeded_shuffle
 
-    docs = _t(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.lit("r6:"), F.col("doc_id").cast("string")))
-    ranked = windows.global_rank(
-        docs.select("doc_id", key.alias("_k")),
-        [F.col("_k").asc(), F.col("doc_id").asc()],
-        out_col="shuffle_rank",
-    )
-    return ranked.select(
-        "doc_id",
-        "shuffle_rank",
-        ((F.col("shuffle_rank") - 1) % 16).cast("int").alias("shard_id"),
-    )
+    return seeded_shuffle(_t(spark, sf_dir, "documents"), n_shards=16)
 
 
 def q_shard_by_token_budget(spark, sf_dir):
@@ -1962,28 +1951,9 @@ def q_shard_by_token_budget(spark, sf_dir):
     never a single-partition window. The shard id is integer division
     (``div``), not float ``floor(a/b)``, so there is no FP rounding
     seam between engines."""
-    from scicat_ingestor_spark.operators import windows
-    from scicat_ingestor_spark.operators.text import whitespace_token_count
+    from scicat_ingestor_spark.operators.sharding import token_budget_shards
 
-    docs = _t(spark, sf_dir, "documents")
-    key = F.md5(F.concat(F.lit("r6:"), F.col("doc_id").cast("string")))
-    base = docs.select(
-        "doc_id",
-        key.alias("_k"),
-        whitespace_token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-    )
-    cum = windows.running_total(
-        base,
-        "n_tokens",
-        [F.col("_k").asc(), F.col("doc_id").asc()],
-        out_col="cum_tokens",
-    )
-    return cum.select(
-        "doc_id",
-        "n_tokens",
-        "cum_tokens",
-        F.expr("(cum_tokens - n_tokens) div 4096").cast("int").alias("shard_id"),
-    )
+    return token_budget_shards(_t(spark, sf_dir, "documents"), budget=4096)
 
 
 def q_sample_stratified(spark, sf_dir):
