@@ -490,6 +490,34 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3
 """,
+    "dedup_recall_report": f"""
+WITH {_MINHASH_PAIR_CTES},
+sax AS (SELECT doc_id AS s_id, unnest(shingles) AS g FROM sh
+        WHERE doc_id % 7 = 0),
+cax AS (SELECT doc_id AS other_id, unnest(shingles) AS g FROM sh),
+cand AS (SELECT DISTINCT s_id, other_id FROM sax JOIN cax USING (g)
+         WHERE s_id <> other_id),
+exact AS (
+  SELECT c.s_id, c.other_id,
+    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))), 6) AS j
+  FROM cand c JOIN sh a ON c.s_id = a.doc_id JOIN sh b ON c.other_id = b.doc_id
+),
+op AS (SELECT DISTINCT s_id, other_id FROM (
+         SELECT id_a AS s_id, id_b AS other_id FROM pairs
+         UNION ALL SELECT id_b, id_a FROM pairs)
+       WHERE s_id % 7 = 0),
+mk AS (SELECT e.j, CASE WHEN op.s_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       FROM exact e LEFT JOIN op USING (s_id, other_id) WHERE e.j >= 0.5),
+th AS (SELECT unnest([0.5::DOUBLE, 0.7::DOUBLE, 0.9::DOUBLE]) AS threshold)
+SELECT threshold,
+  count(*) AS n_exact,
+  CAST(sum(hit) AS BIGINT) AS n_found,
+  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+FROM mk JOIN th ON mk.j >= th.threshold
+GROUP BY threshold
+""",
     "dedup_ngram_jaccard": """
 WITH p AS (SELECT doc_id, lang,
   list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS sh FROM documents)

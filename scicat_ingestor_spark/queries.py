@@ -1597,6 +1597,84 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_recall_report(spark, sf_dir):
+    """Candidate-generation recall of the MinHash+LSH pipeline vs exact
+    ground truth — the dedup analogue of ``ann_recall_report`` (every
+    approximate method in this repo ships with its measured-accuracy
+    diagnostic). Ground truth for a ~1/7 sample of documents: ALL pairs
+    with exact 2-gram Jaccard >= threshold, found exhaustively via a
+    shared-shingle blocking join (a pair with J > 0 shares at least one
+    shingle, so blocking on the shingle loses nothing above any positive
+    threshold — never an n^2 cross join, the shuffle is keyed on the
+    shingle). The LSH side is the same bands=4/rows=2 candidate
+    generation ``dedup_lsh_jaccard_verified`` uses. One row per
+    threshold: ground-truth pair count, how many LSH surfaced, recall.
+
+    Scale shape: sampling the query side (the ANN-report discipline)
+    keeps ground truth linear in the corpus instead of quadratic;
+    everything else is the production candidate path itself."""
+    docs = _t(spark, sf_dir, "documents")
+    shv = docs.select("doc_id", dedup.word_shingles(F.col("text"), 2).alias("s"))
+    sx = shv.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("s_id"), F.explode("s").alias("g")
+    )
+    cx = shv.select(F.col("doc_id").alias("other_id"), F.explode("s").alias("g"))
+    cand = (
+        sx.join(cx, "g")
+        .filter(F.col("s_id") != F.col("other_id"))
+        .select("s_id", "other_id")
+        .distinct()
+    )
+    a = shv.select(F.col("doc_id").alias("s_id"), F.col("s").alias("sa"))
+    b = shv.select(F.col("doc_id").alias("other_id"), F.col("s").alias("sb"))
+    exact = (
+        cand.join(a, "s_id")
+        .join(b, "other_id")
+        .select(
+            "s_id",
+            "other_id",
+            F.round(
+                dedup.jaccard_similarity(F.col("sa"), F.col("sb")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
+    )
+    found = (
+        pairs.select(F.col("id_a").alias("s_id"), F.col("id_b").alias("other_id"))
+        .union(
+            pairs.select(F.col("id_b").alias("s_id"), F.col("id_a").alias("other_id"))
+        )
+        .filter(F.col("s_id") % 7 == 0)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    marked = exact.join(found, ["s_id", "other_id"], "left")
+    return (
+        marked.select(
+            "jaccard",
+            F.coalesce("_hit", F.lit(0)).alias("_hit"),
+            F.explode(
+                F.array(F.lit(0.5), F.lit(0.7), F.lit(0.9))
+            ).alias("threshold"),
+        )
+        .filter(F.col("jaccard") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum("_hit").alias("n_found"),
+        )
+        .select(
+            "threshold",
+            "n_exact",
+            "n_found",
+            F.round(F.col("n_found") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -3711,6 +3789,7 @@ QUERIES = {
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
+    "dedup_recall_report": q_dedup_recall_report,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_incremental": q_dedup_incremental,

@@ -118,6 +118,20 @@ def test_corpus_cli_export_shards(spark, sf_dir, tmp_path):
     assert "text" in back.columns and "shard_id" in back.columns
 
 
+def test_dedup_recall_report_shape_and_bounds(spark, sf_dir):
+    """The dedup-candidate recall diagnostic: one row per threshold,
+    found <= exact, recall in (0, 1], and at this corpus's dup
+    similarity (~0.99) the bands=4/rows=2 config must not miss pairs —
+    (1 - s^2)^4 is ~1e-8 at s=0.99, so recall below 1.0 here means the
+    candidate path broke, not that LSH got unlucky."""
+    rows = Q.q_dedup_recall_report(spark, sf_dir).collect()
+    assert {r.threshold for r in rows} <= {0.5, 0.7, 0.9}
+    assert rows, "sample must intersect ground-truth dup pairs"
+    for r in rows:
+        assert 0 < r.n_found <= r.n_exact
+        assert r.recall == 1.0
+
+
 def test_sharding_plans_have_no_global_window(spark, sf_dir):
     for fn in (Q.q_corpus_shuffle, Q.q_shard_by_token_budget):
         plan = _plan(fn(spark, sf_dir))
