@@ -180,22 +180,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.export_shards:
         # shard export needs the text column, which pack projects away
         stages = tuple(s for s in stages if s != "pack")
-    out = prep_corpus(
-        spark.read.parquet(args.docs),
-        stages=stages,
-        min_tokens=args.min_tokens,
-        eval_mod=args.eval_mod,
-        capacity=args.capacity,
-    )
-    if args.dry_run:
-        print(out.count(), "rows (dry run)")
-    elif args.export_shards:
-        from scicat_ingestor_spark.operators.sharding import export_shards
+    def work():
+        out = prep_corpus(
+            spark.read.parquet(args.docs),
+            stages=stages,
+            min_tokens=args.min_tokens,
+            eval_mod=args.eval_mod,
+            capacity=args.capacity,
+        )
+        if args.dry_run:
+            print(out.count(), "rows (dry run)")
+        elif args.export_shards:
+            from scicat_ingestor_spark.operators.sharding import export_shards
 
-        export_shards(out, args.export_shards, budget=args.shard_budget)
-    else:
-        out.write.mode("overwrite").parquet(args.out)
-    return 0
+            export_shards(out, args.export_shards, budget=args.shard_budget)
+        else:
+            out.write.mode("overwrite").parquet(args.out)
+
+    # same handle_exceptions parity as the offline ingestor: failures
+    # log a full traceback and exit 1 instead of a raw stderr trace
+    import logging
+
+    from scicat_ingestor_spark.streaming.resilience import guarded
+
+    return guarded(work, logging.getLogger("scicat.corpus_prep"))
 
 
 if __name__ == "__main__":

@@ -132,6 +132,17 @@ def test_dedup_recall_report_shape_and_bounds(spark, sf_dir):
         assert r.recall == 1.0
 
 
+def test_corpus_cli_guarded_exit_code(spark, tmp_path):
+    """handle_exceptions parity for the corpus CLI: a bad input path
+    logs through the logging pipeline and exits 1, never a raw trace."""
+    from scicat_ingestor_spark.apps.corpus import main
+
+    rc = main(
+        ["--docs", str(tmp_path / "nope.parquet"), "--out", str(tmp_path / "o")]
+    )
+    assert rc == 1
+
+
 def test_sharding_plans_have_no_global_window(spark, sf_dir):
     for fn in (Q.q_corpus_shuffle, Q.q_shard_by_token_budget):
         plan = _plan(fn(spark, sf_dir))
