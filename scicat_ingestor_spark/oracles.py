@@ -663,6 +663,39 @@ SELECT suppkey,
   ((cum - rev) * 5 < total * 4) AS in_top80
 FROM c, t
 """,
+    "source_drift_psi": """
+WITH g AS (
+  SELECT source, least(n_chars // 100, 9) AS bin,
+         (doc_id % 5 = 0) AS is_a
+  FROM documents
+),
+cnt AS (
+  SELECT source, bin,
+    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM g GROUP BY source, bin
+),
+bins AS (
+  SELECT source, b.bin FROM (SELECT DISTINCT source FROM documents)
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b
+),
+fl AS (
+  SELECT bins.source, bins.bin,
+    coalesce(cnt.ca, 0) AS ca, coalesce(cnt.cb, 0) AS cb
+  FROM bins LEFT JOIN cnt ON bins.source = cnt.source AND bins.bin = cnt.bin
+),
+tt AS (SELECT source, sum(ca) AS ta, sum(cb) AS tb FROM fl GROUP BY source)
+SELECT fl.source,
+  CAST(max(ta) AS BIGINT) AS n_prev,
+  CAST(max(tb) AS BIGINT) AS n_curr,
+  round(sum(
+    (CAST(ca + 1 AS DOUBLE) / (ta + 10) - CAST(cb + 1 AS DOUBLE) / (tb + 10))
+    * ln((CAST(ca + 1 AS DOUBLE) / (ta + 10))
+         / (CAST(cb + 1 AS DOUBLE) / (tb + 10)))
+  ), 6) AS psi
+FROM fl JOIN tt ON fl.source = tt.source
+GROUP BY fl.source
+""",
     "corpus_shuffle": """
 WITH r AS (
   SELECT doc_id,

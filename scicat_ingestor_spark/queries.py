@@ -2034,6 +2034,58 @@ def q_shard_by_token_budget(spark, sf_dir):
     return token_budget_shards(_t(spark, sf_dir, "documents"), budget=4096)
 
 
+def q_source_drift_psi(spark, sf_dir):
+    """Snapshot-drift monitoring: Population Stability Index of the
+    document-length distribution per source, between two corpus
+    snapshots (doc_id %% 5 == 0 as the 'previous dump' vs the rest — the
+    same split convention the incremental-dedup family uses). The
+    production use: a new CommonCrawl-style dump whose length profile
+    shifts against the last one is the first sign a source's extraction
+    broke; PSI > 0.2 is the conventional act threshold.
+
+    PSI = sum over bins of (p - q) * ln(p / q), with Laplace-smoothed
+    shares over a FIXED 10-bin length histogram (smoothing keeps empty
+    bins defined without epsilon hacks and stays engine-exact as a
+    rational before the one ln). Scale shape: the bin is a scan-local
+    integer division, counts are one bounded-cardinality groupBy
+    (sources x 10 bins) with map-side combine, the per-source totals
+    broadcast back — the corpus is read once and never reshuffled."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "source",
+        F.least(F.expr("n_chars div 100"), F.lit(9)).alias("bin"),
+        (F.col("doc_id") % 5 == 0).alias("is_a"),
+    )
+    cnt = g.groupBy("source", "bin").agg(
+        F.sum(F.col("is_a").cast("bigint")).alias("ca"),
+        F.sum((~F.col("is_a")).cast("bigint")).alias("cb"),
+    )
+    bins = (
+        docs.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
+    )
+    full = (
+        bins.join(cnt, ["source", "bin"], "left")
+        .fillna(0, ["ca", "cb"])
+    )
+    tot = full.groupBy("source").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    p = (F.col("ca") + 1) / (F.col("ta") + 10)
+    q = (F.col("cb") + 1) / (F.col("tb") + 10)
+    return (
+        full.join(F.broadcast(tot), "source")
+        .select("source", "ta", "tb", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.max("ta").alias("n_prev"),
+            F.max("tb").alias("n_curr"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling: keep ~N% per language, gated on
     a content-hash of the doc id — reproducible across runs, retries and
@@ -3780,6 +3832,7 @@ QUERIES = {
     "supplier_pareto": q_supplier_pareto,
     "corpus_shuffle": q_corpus_shuffle,
     "shard_by_token_budget": q_shard_by_token_budget,
+    "source_drift_psi": q_source_drift_psi,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "q5_local_supplier_volume": q_q5_local_supplier_volume,

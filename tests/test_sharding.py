@@ -132,6 +132,27 @@ def test_dedup_recall_report_shape_and_bounds(spark, sf_dir):
         assert r.recall == 1.0
 
 
+def test_source_drift_psi_separates_stable_from_drifted(spark, tmp_path):
+    """PSI semantics on constructed data: a source whose length profile
+    is identical across the two snapshots scores near zero; a source
+    whose new dump shifted from ~100-char to ~900-char docs scores far
+    above the conventional 0.2 act threshold."""
+    rows = []
+    for i in range(1000):
+        rows.append((i, "x", "en", "stable", (i * 13) % 1000))
+        drifted = 100 if i % 5 == 0 else 900
+        rows.append((i + 100000, "x", "en", "drift", drifted))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r.psi
+        for r in Q.q_source_drift_psi(spark, str(tmp_path)).collect()
+    }
+    assert got["stable"] < 0.05
+    assert got["drift"] > 1.0
+
+
 def test_corpus_cli_guarded_exit_code(spark, tmp_path):
     """handle_exceptions parity for the corpus CLI: a bad input path
     logs through the logging pipeline and exits 1, never a raw trace."""
