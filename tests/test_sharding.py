@@ -132,6 +132,56 @@ def test_dedup_recall_report_shape_and_bounds(spark, sf_dir):
         assert r.recall == 1.0
 
 
+def test_token_budget_shards_match_sequential_model(spark):
+    """Model check: the distributed shard packer must agree row-for-row
+    with the obvious sequential algorithm (sort by the md5 key, running
+    token total, shard = prefix div budget) on randomized corpora —
+    including all-empty docs, huge single docs, and budget-exact runs."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from scicat_ingestor_spark.operators.sharding import token_budget_shards
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=300),
+            min_size=1,
+            max_size=60,
+            unique=False,
+        ),
+        st.sampled_from([7, 64, 100]),
+    )
+    def check(word_counts, budget):
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in enumerate(word_counts)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.cum_tokens, r.shard_id)
+            for r in token_budget_shards(df, budget=budget, seed="t").collect()
+        }
+        # model: whitespace_token_count(F.split(trim, \s+)) counts the
+        # empty string as ONE token (split yields [''])
+        toks = {i: max(n, 1) for i, n in enumerate(word_counts)}
+        order = sorted(
+            toks,
+            key=lambda i: (hashlib.md5(f"t:{i}".encode()).hexdigest(), i),
+        )
+        cum = 0
+        want = {}
+        for i in order:
+            prefix = cum
+            cum += toks[i]
+            want[i] = (toks[i], cum, prefix // budget)
+        assert got == want
+
+    check()
+
+
 def test_source_drift_psi_separates_stable_from_drifted(spark, tmp_path):
     """PSI semantics on constructed data: a source whose length profile
     is identical across the two snapshots scores near zero; a source
