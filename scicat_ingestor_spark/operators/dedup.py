@@ -704,6 +704,68 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(F.lit(0.0))
 
 
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join without the quadratic
+    blow-up: prefix filtering with a rarest-first global token order
+    (the public PPJoin/prefix-filter family — Chaudhuri et al. 2006,
+    Xiao et al. 2008). Unlike MinHash+LSH this misses nothing; unlike
+    ``ngram_jaccard_pairs`` it never forms the all-pairs product.
+
+    Math: order the shingle universe by ascending document frequency
+    (shingle string as tiebreak). For a set X, prefix(X) = its first
+    ``|X| - ceil(t*|X|) + 1`` shingles in that order. J(A,B) >= t
+    forces ``|A n B| >= t*max(|A|,|B|)``, and sharing that many
+    elements forces the two prefixes to intersect — so candidate pairs
+    only need to form where PREFIX tokens collide. Because the order is
+    rarest-first, prefixes carry the rare shingles: the hot-shingle
+    cross product that makes naive shared-shingle blocking effectively
+    quadratic on dup-dense corpora (measured: the x100 replica corpus,
+    SCALE.md) never forms.
+
+    Shuffles, all keyed and bounded: explode -> groupBy(shingle) for
+    frequencies, one per-doc window for prefix ranks, an equi-join on
+    the prefix shingle for candidates, and id-keyed joins for the exact
+    verify. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+    """
+    from pyspark.sql import Window
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    )
+    sized = sh.withColumn("_sz", F.size("_sh"))
+    ex = sized.select("_id", "_sz", F.explode("_sh").alias("_g"))
+    freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = ex.join(freq, "_g").withColumn(
+        "_pos",
+        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_g")),
+    )
+    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    pref = ranked.filter(F.col("_pos") <= prefix_len).select("_id", "_g")
+    a, b = pref.alias("pfa"), pref.alias("pfb")
+    cand = (
+        a.join(b, "_g")
+        .filter(F.col("pfa._id") < F.col("pfb._id"))
+        .select(
+            F.col("pfa._id").alias("id_a"), F.col("pfb._id").alias("id_b")
+        )
+        .distinct()
+    )
+    sim = jaccard_similarity(F.col("_sha"), F.col("_shb"))
+    return (
+        cand.join(sized.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sized.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

@@ -490,6 +490,19 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3
 """,
+    "dedup_jaccard_ssjoin": """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+           FROM documents),
+s2 AS (SELECT doc_id,
+  list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+    i -> concat_ws(' ', toks[i], toks[i+1]))) AS s FROM w)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+""",
     "dedup_recall_report": f"""
 WITH {_MINHASH_PAIR_CTES},
 sax AS (SELECT doc_id AS s_id, unnest(shingles) AS g FROM sh

@@ -1597,47 +1597,57 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_jaccard_ssjoin(spark, sf_dir):
+    """EXACT similarity self-join at scale — the deterministic
+    alternative to MinHash+LSH and the scale-correct replacement for
+    the ``dedup_ngram_jaccard`` quadratic baseline: prefix filtering
+    with a rarest-first token order (PPJoin family) finds every pair
+    with 2-gram Jaccard >= 0.5 while only ever joining on PREFIX
+    shingles, so hot shingles never form a cross product. The oracle is
+    the brute-force all-pairs definition — a different algorithm
+    producing the same exhaustive answer, the strongest cross-check."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=2
+    )
+
+
 def q_dedup_recall_report(spark, sf_dir):
     """Candidate-generation recall of the MinHash+LSH pipeline vs exact
     ground truth — the dedup analogue of ``ann_recall_report`` (every
     approximate method in this repo ships with its measured-accuracy
     diagnostic). Ground truth for a ~1/7 sample of documents: ALL pairs
-    with exact 2-gram Jaccard >= threshold, found exhaustively via a
-    shared-shingle blocking join (a pair with J > 0 shares at least one
-    shingle, so blocking on the shingle loses nothing above any positive
-    threshold — never an n^2 cross join, the shuffle is keyed on the
-    shingle). The LSH side is the same bands=4/rows=2 candidate
+    with exact 2-gram Jaccard >= threshold, found exhaustively by the
+    prefix-filtered similarity join (``dedup_jaccard_ssjoin``'s
+    operator — rarest-first prefix blocking, provably lossless at the
+    threshold). The LSH side is the same bands=4/rows=2 candidate
     generation ``dedup_lsh_jaccard_verified`` uses. One row per
     threshold: ground-truth pair count, how many LSH surfaced, recall.
 
-    Scale shape: sampling the query side (the ANN-report discipline)
-    keeps ground truth linear in the corpus instead of quadratic;
-    everything else is the production candidate path itself."""
+    The oracle recomputes ground truth with a DIFFERENT exhaustive
+    algorithm (naive shared-shingle blocking in SQL), so the gate
+    cross-checks the two algorithms against each other. First draft of
+    the Spark side used the naive blocking too — measured effectively
+    quadratic on the dup-dense x100 replica corpus (hot shingles;
+    SCALE.md), which is why the prefix filter exists."""
     docs = _t(spark, sf_dir, "documents")
-    shv = docs.select("doc_id", dedup.word_shingles(F.col("text"), 2).alias("s"))
-    sx = shv.filter(F.col("doc_id") % 7 == 0).select(
-        F.col("doc_id").alias("s_id"), F.explode("s").alias("g")
+    truth = dedup.prefix_filtered_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.5, shingle_n=2
     )
-    cx = shv.select(F.col("doc_id").alias("other_id"), F.explode("s").alias("g"))
-    cand = (
-        sx.join(cx, "g")
-        .filter(F.col("s_id") != F.col("other_id"))
-        .select("s_id", "other_id")
-        .distinct()
-    )
-    a = shv.select(F.col("doc_id").alias("s_id"), F.col("s").alias("sa"))
-    b = shv.select(F.col("doc_id").alias("other_id"), F.col("s").alias("sb"))
     exact = (
-        cand.join(a, "s_id")
-        .join(b, "other_id")
-        .select(
-            "s_id",
-            "other_id",
-            F.round(
-                dedup.jaccard_similarity(F.col("sa"), F.col("sb")), 6
-            ).alias("jaccard"),
+        truth.select(
+            F.col("id_a").alias("s_id"),
+            F.col("id_b").alias("other_id"),
+            "jaccard",
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .union(
+            truth.select(
+                F.col("id_b").alias("s_id"),
+                F.col("id_a").alias("other_id"),
+                "jaccard",
+            )
+        )
+        .filter(F.col("s_id") % 7 == 0)
     )
     pairs = dedup.minhash_lsh_pairs(
         docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
@@ -3843,6 +3853,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_recall_report": q_dedup_recall_report,
+    "dedup_jaccard_ssjoin": q_dedup_jaccard_ssjoin,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_incremental": q_dedup_incremental,

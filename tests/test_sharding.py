@@ -182,6 +182,45 @@ def test_token_budget_shards_match_sequential_model(spark):
     check()
 
 
+def test_prefix_filtered_jaccard_is_exhaustive_under_hot_shingles(spark):
+    """The adversarial case for shared-shingle blocking: every doc
+    carries the same hot phrase, so naive blocking would form the full
+    n^2 product — the prefix filter must dodge that AND still find
+    exactly the brute-force pair set."""
+    from scicat_ingestor_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    rows = []
+    for i in range(120):
+        # hot phrase shared by all docs + a cluster-specific body:
+        # docs in the same cluster-of-4 are near-identical
+        body = " ".join(f"c{i // 4}w{j}" for j in range(12))
+        extra = f"v{i % 4}"
+        rows.append((i, f"the common header {body} {extra}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in prefix_filtered_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.5, shingle_n=2
+        ).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = set()
+    for a in range(120):
+        for b in range(a + 1, 120):
+            inter = len(sets[a] & sets[b])
+            if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
+                want.add((a, b))
+    assert want, "constructed corpus must contain true near-dup pairs"
+    assert got == want
+
+
 def test_source_drift_psi_separates_stable_from_drifted(spark, tmp_path):
     """PSI semantics on constructed data: a source whose length profile
     is identical across the two snapshots scores near zero; a source

@@ -34,6 +34,9 @@ DEFAULT_QUERIES = [
     "range_join_click_purchase",
     "retention_cohorts",
     "dedup_clusters",
+    "corpus_shuffle",
+    "shard_by_token_budget",
+    "source_drift_psi",
 ]
 
 DIRS = {
