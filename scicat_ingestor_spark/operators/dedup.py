@@ -732,6 +732,17 @@ def prefix_filtered_jaccard_pairs(
     frequencies, one per-doc window for prefix ranks, an equi-join on
     the prefix shingle for candidates, and id-keyed joins for the exact
     verify. Returns (id_a, id_b, jaccard) with jaccard >= threshold.
+
+    Applicability (measured, SCALE.md): candidate cost is
+    sum over shingles of (prefix-df)^2 — near-linear when the shingle
+    universe discriminates (natural text: Zipf tail of rare shingles),
+    DEGENERATE when it does not (a tiny-vocabulary corpus where every
+    shingle is hot: the x10 replica corpus has 1,241 distinct bigrams
+    with df~3k each -> 1.6e9 collision rows; no token-blocking exact
+    scheme survives that regime, which is the formal case for LSH as
+    the production near-dup path). Pick ``shingle_n`` large enough that
+    shingles are rare — on the test corpus 4-grams discriminate while
+    2-grams do not — or use MinHash+LSH when exactness is negotiable.
     """
     from pyspark.sql import Window
 
@@ -747,11 +758,29 @@ def prefix_filtered_jaccard_pairs(
         F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_g")),
     )
     prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
-    pref = ranked.filter(F.col("_pos") <= prefix_len).select("_id", "_g")
+    pref = ranked.filter(F.col("_pos") <= prefix_len).select(
+        "_id", "_g", "_pos", "_sz"
+    )
     a, b = pref.alias("pfa"), pref.alias("pfb")
+    # PPJoin prunes, both lossless at the threshold:
+    # - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+    # - positional filter: all common shingles beyond the FIRST one (in
+    #   the global order) sit after this collision's positions on both
+    #   sides, so overlap <= 1 + min(remaining); J >= t needs overlap
+    #   >= t/(1+t) * (|A|+|B|). The first-common collision of a true
+    #   pair always survives, so filtering each collision row is safe.
+    sza, szb = F.col("pfa._sz"), F.col("pfb._sz")
+    overlap_needed = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (sza + szb)
+    )
+    overlap_bound = 1 + F.least(
+        sza - F.col("pfa._pos"), szb - F.col("pfb._pos")
+    )
     cand = (
         a.join(b, "_g")
         .filter(F.col("pfa._id") < F.col("pfb._id"))
+        .filter((F.lit(threshold) * sza <= szb) & (F.lit(threshold) * szb <= sza))
+        .filter(overlap_bound >= overlap_needed)
         .select(
             F.col("pfa._id").alias("id_a"), F.col("pfb._id").alias("id_b")
         )

@@ -494,8 +494,8 @@ SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3
 WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
            FROM documents),
 s2 AS (SELECT doc_id,
-  list_distinct(list_transform(range(1, greatest(len(toks)-1, 1)+1),
-    i -> concat_ws(' ', toks[i], toks[i+1]))) AS s FROM w)
+  list_distinct(list_transform(range(1, greatest(len(toks)-3, 1)+1),
+    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3]))) AS s FROM w)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard

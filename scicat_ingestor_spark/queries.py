@@ -1602,13 +1602,18 @@ def q_dedup_jaccard_ssjoin(spark, sf_dir):
     alternative to MinHash+LSH and the scale-correct replacement for
     the ``dedup_ngram_jaccard`` quadratic baseline: prefix filtering
     with a rarest-first token order (PPJoin family) finds every pair
-    with 2-gram Jaccard >= 0.5 while only ever joining on PREFIX
-    shingles, so hot shingles never form a cross product. The oracle is
-    the brute-force all-pairs definition — a different algorithm
-    producing the same exhaustive answer, the strongest cross-check."""
+    with 4-gram Jaccard >= 0.5 while only ever joining on PREFIX
+    shingles, so hot shingles never form a cross product. 4-grams, not
+    2-grams: prefix filtering needs a discriminating shingle universe
+    (see the operator docstring's measured applicability note — this
+    corpus has only ~1.2k distinct bigrams, a regime where every
+    token-blocking exact scheme degenerates and LSH is the answer).
+    The oracle is the brute-force all-pairs definition — a different
+    algorithm producing the same exhaustive answer, the strongest
+    cross-check."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.prefix_filtered_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.5, shingle_n=2
+        docs, "text", "doc_id", threshold=0.5, shingle_n=4
     )
 
 
