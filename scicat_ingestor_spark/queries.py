@@ -1608,9 +1608,11 @@ def q_dedup_jaccard_ssjoin(spark, sf_dir):
     (see the operator docstring's measured applicability note — this
     corpus has only ~1.2k distinct bigrams, a regime where every
     token-blocking exact scheme degenerates and LSH is the answer).
-    The oracle is the brute-force all-pairs definition — a different
-    algorithm producing the same exhaustive answer, the strongest
-    cross-check."""
+    The oracle recomputes the answer with an INDEPENDENT exhaustive
+    algorithm (plain shared-shingle blocking, no frequency order or
+    prunes); the brute-force all-pairs definition was additionally
+    verified equivalent at sf0.001/0.01 before being retired from the
+    sf0.1 gate for DuckDB cost (see oracles.py comment)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.prefix_filtered_jaccard_pairs(
         docs, "text", "doc_id", threshold=0.5, shingle_n=4
