@@ -757,7 +757,13 @@ def prefix_filtered_jaccard_pairs(
         "_pos",
         F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_g")),
     )
-    prefix_len = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    # same 1e-9 slack as the prunes below: an FP round-UP in
+    # ceil(t*|X|) would shorten the prefix below the lemma's bound
+    prefix_len = (
+        F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9))
+        + 1
+    )
     pref = ranked.filter(F.col("_pos") <= prefix_len).select(
         "_id", "_g", "_pos", "_sz"
     )
@@ -770,8 +776,13 @@ def prefix_filtered_jaccard_pairs(
     #   >= t/(1+t) * (|A|+|B|). The first-common collision of a true
     #   pair always survives, so filtering each collision row is safe.
     sza, szb = F.col("pfa._sz"), F.col("pfb._sz")
+    # 1e-9 slack: thresholds like 0.7 are not exact in binary, and a
+    # last-ulp round-UP in t*|A| or ceil(t/(1+t)*(|A|+|B|)) would drop a
+    # true boundary pair. The slack only weakens the prune by at most
+    # one integer step — losslessness is the invariant that matters.
+    eps = 1e-9
     overlap_needed = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (sza + szb)
+        F.lit(threshold / (1.0 + threshold)) * (sza + szb) - F.lit(eps)
     )
     overlap_bound = 1 + F.least(
         sza - F.col("pfa._pos"), szb - F.col("pfb._pos")
@@ -779,7 +790,10 @@ def prefix_filtered_jaccard_pairs(
     cand = (
         a.join(b, "_g")
         .filter(F.col("pfa._id") < F.col("pfb._id"))
-        .filter((F.lit(threshold) * sza <= szb) & (F.lit(threshold) * szb <= sza))
+        .filter(
+            (F.lit(threshold) * sza - F.lit(eps) <= szb)
+            & (F.lit(threshold) * szb - F.lit(eps) <= sza)
+        )
         .filter(overlap_bound >= overlap_needed)
         .select(
             F.col("pfa._id").alias("id_a"), F.col("pfb._id").alias("id_b")

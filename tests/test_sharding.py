@@ -199,26 +199,28 @@ def test_prefix_filtered_jaccard_is_exhaustive_under_hot_shingles(spark):
         extra = f"v{i % 4}"
         rows.append((i, f"the common header {body} {extra}"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {
-        (r.id_a, r.id_b)
-        for r in prefix_filtered_jaccard_pairs(
-            df, "text", "doc_id", threshold=0.5, shingle_n=2
-        ).collect()
-    }
 
     def shingles(t):
         toks = t.lower().split()
         return {" ".join(toks[i : i + 2]) for i in range(max(len(toks) - 1, 1))}
 
     sets = {i: shingles(t) for i, t in rows}
-    want = set()
-    for a in range(120):
-        for b in range(a + 1, 120):
-            inter = len(sets[a] & sets[b])
-            if inter / (len(sets[a]) + len(sets[b]) - inter) >= 0.5:
-                want.add((a, b))
-    assert want, "constructed corpus must contain true near-dup pairs"
-    assert got == want
+    # 0.7 exercises the non-dyadic-threshold FP slack in the prunes
+    for thr in (0.5, 0.7):
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filtered_jaccard_pairs(
+                df, "text", "doc_id", threshold=thr, shingle_n=2
+            ).collect()
+        }
+        want = set()
+        for a in range(120):
+            for b in range(a + 1, 120):
+                inter = len(sets[a] & sets[b])
+                if inter / (len(sets[a]) + len(sets[b]) - inter) >= thr:
+                    want.add((a, b))
+        assert want, "constructed corpus must contain true near-dup pairs"
+        assert got == want
 
 
 def test_source_drift_psi_separates_stable_from_drifted(spark, tmp_path):
