@@ -20,6 +20,8 @@ Scale notes (designed for 1000-executor clusters):
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -710,6 +712,7 @@ def prefix_filtered_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 2,
+    probe_filter: Callable[[Column], Column] | None = None,
 ) -> DataFrame:
     """EXACT all-pairs Jaccard similarity join without the quadratic
     blow-up: prefix filtering with a rarest-first global token order
@@ -743,6 +746,15 @@ def prefix_filtered_jaccard_pairs(
     the production near-dup path). Pick ``shingle_n`` large enough that
     shingles are rare — on the test corpus 4-grams discriminate while
     2-grams do not — or use MinHash+LSH when exactness is negotiable.
+
+    ``probe_filter`` (a predicate builder over the id column) restricts
+    the candidate join's LEFT side to a probe subset: the result is
+    then every ORDERED pair ``(id_a in probe, id_b anything, id_a !=
+    id_b)`` with J >= t — exhaustive for pairs touching the probe set
+    (the prefix lemma is per-pair, so filtering one side loses nothing
+    for those pairs), at ~|probe|/|corpus| of the candidate volume.
+    Ground-truth sampling (dedup_recall_report) is the intended use.
+    Prefix ranks still come from FULL-corpus frequencies either way.
     """
     from pyspark.sql import Window
 
@@ -767,7 +779,6 @@ def prefix_filtered_jaccard_pairs(
     pref = ranked.filter(F.col("_pos") <= prefix_len).select(
         "_id", "_g", "_pos", "_sz"
     )
-    a, b = pref.alias("pfa"), pref.alias("pfb")
     # PPJoin prunes, both lossless at the threshold:
     # - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
     # - positional filter: all common shingles beyond the FIRST one (in
@@ -775,6 +786,17 @@ def prefix_filtered_jaccard_pairs(
     #   sides, so overlap <= 1 + min(remaining); J >= t needs overlap
     #   >= t/(1+t) * (|A|+|B|). The first-common collision of a true
     #   pair always survives, so filtering each collision row is safe.
+    probe = (
+        pref
+        if probe_filter is None
+        else pref.filter(probe_filter(F.col("_id")))
+    )
+    a, b = probe.alias("pfa"), pref.alias("pfb")
+    pair_pred = (
+        F.col("pfa._id") < F.col("pfb._id")
+        if probe_filter is None
+        else F.col("pfa._id") != F.col("pfb._id")
+    )
     sza, szb = F.col("pfa._sz"), F.col("pfb._sz")
     # 1e-9 slack: thresholds like 0.7 are not exact in binary, and a
     # last-ulp round-UP in t*|A| or ceil(t/(1+t)*(|A|+|B|)) would drop a
@@ -789,7 +811,7 @@ def prefix_filtered_jaccard_pairs(
     )
     cand = (
         a.join(b, "_g")
-        .filter(F.col("pfa._id") < F.col("pfb._id"))
+        .filter(pair_pred)
         .filter(
             (F.lit(threshold) * sza - F.lit(eps) <= szb)
             & (F.lit(threshold) * szb - F.lit(eps) <= sza)

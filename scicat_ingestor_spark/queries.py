@@ -1638,23 +1638,20 @@ def q_dedup_recall_report(spark, sf_dir):
     quadratic on the dup-dense x100 replica corpus (hot shingles;
     SCALE.md), which is why the prefix filter exists."""
     docs = _t(spark, sf_dir, "documents")
-    truth = dedup.prefix_filtered_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.5, shingle_n=2
-    )
-    exact = (
-        truth.select(
-            F.col("id_a").alias("s_id"),
-            F.col("id_b").alias("other_id"),
-            "jaccard",
-        )
-        .union(
-            truth.select(
-                F.col("id_b").alias("s_id"),
-                F.col("id_a").alias("other_id"),
-                "jaccard",
-            )
-        )
-        .filter(F.col("s_id") % 7 == 0)
+    # probe-shaped ground truth: the sample restricts the candidate
+    # join's LEFT side inside the operator (~1/7 of the candidate
+    # volume), not a post-filter over all pairs
+    exact = dedup.prefix_filtered_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        shingle_n=2,
+        probe_filter=lambda c: c % 7 == 0,
+    ).select(
+        F.col("id_a").alias("s_id"),
+        F.col("id_b").alias("other_id"),
+        "jaccard",
     )
     pairs = dedup.minhash_lsh_pairs(
         docs, "text", "doc_id", shingle_n=2, bands=4, rows_per_band=2
