@@ -490,6 +490,23 @@ p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          OR substr(a.simhash, 49, 16) = substr(b.simhash, 49, 16))
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p WHERE hamming <= 3
 """,
+    "dedup_duplicate_spans": """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+sp AS (SELECT doc_id,
+  unnest(list_transform(range(1, greatest(len(toks)-7, 1)+1),
+    i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                            toks[i+4], toks[i+5], toks[i+6], toks[i+7])))) AS h
+  FROM w),
+df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sp GROUP BY h)
+SELECT sp.doc_id,
+  count(*) AS n_spans,
+  CAST(sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  round(CAST(sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS dup_frac
+FROM sp JOIN df USING (h)
+GROUP BY sp.doc_id
+""",
     # independent algorithm: NO frequency order, NO prefix/positional
     # pruning — plain shared-shingle blocking (lossless: J > 0 forces a
     # shared 4-gram) + exact verify. Brute-force all-pairs was verified

@@ -1619,6 +1619,47 @@ def q_dedup_jaccard_ssjoin(spark, sf_dir):
     )
 
 
+def q_dedup_duplicate_spans(spark, sf_dir):
+    """Substring-level exact dedup signal (the Lee et al. 2022 'exact
+    substring' axis, complementary to document-level MinHash): slide an
+    8-token window over every document, hash each span, and flag spans
+    whose hash occurs in MORE THAN ONE document — per doc, the count of
+    spans, duplicated spans, and the duplicated fraction (the
+    train-time signal for span-level cut-out). 8 tokens, not 2: span
+    hashes must discriminate (the corpus's bigram universe does not —
+    SCALE.md's tiny-vocab negative result).
+
+    Scale shape: the rolling windows are a scan-local array transform
+    (no self-join); the only shuffle is groupBy(span-hash) with
+    map-side combine, and doc-frequency flags join back on the hash.
+    Everything is linear in total tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    n = 8
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    spans = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    ex = docs.select("doc_id", F.explode(spans).alias("h"))
+    # a span is duplicated if it occurs in >1 DOCUMENT (within-doc
+    # repeats are the text_repetition family's business, not dedup's)
+    docfreq = ex.distinct().groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    flagged = ex.join(docfreq, "h").select(
+        "doc_id", (F.col("ndocs") > 1).cast("bigint").alias("dup")
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("dup").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def q_dedup_recall_report(spark, sf_dir):
     """Candidate-generation recall of the MinHash+LSH pipeline vs exact
     ground truth — the dedup analogue of ``ann_recall_report`` (every
@@ -3858,6 +3899,7 @@ QUERIES = {
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_recall_report": q_dedup_recall_report,
     "dedup_jaccard_ssjoin": q_dedup_jaccard_ssjoin,
+    "dedup_duplicate_spans": q_dedup_duplicate_spans,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_incremental": q_dedup_incremental,

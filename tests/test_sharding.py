@@ -244,6 +244,36 @@ def test_source_drift_psi_separates_stable_from_drifted(spark, tmp_path):
     assert got["drift"] > 1.0
 
 
+def test_duplicate_spans_flags_cross_doc_substrings(spark, tmp_path):
+    """Substring-dedup semantics on constructed data: two docs sharing
+    a 10-token run have exactly the shared 8-gram windows flagged;
+    within-doc repetition alone flags nothing (that is the repetition
+    family's business); a unique doc scores zero."""
+    shared = " ".join(f"s{j}" for j in range(10))
+    rows = [
+        (0, shared + " tailA0 tailA1"),
+        (1, "headB0 headB1 " + shared),
+        (2, " ".join(f"u{j}" for j in range(12))),           # unique
+        (3, "r0 r1 r2 r3 r4 r5 r6 r7 r0 r1 r2 r3 r4 r5 r6 r7"),  # self-repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.select("doc_id", "text", F.lit("en").alias("lang"),
+                   F.lit("x").alias("source"), F.length("text").alias("n_chars"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in Q.q_dedup_duplicate_spans(spark, str(tmp_path)).collect()
+    }
+    # 12 tokens -> 5 windows of 8; the 10 shared tokens give 3 shared
+    # windows per doc
+    assert got[0] == (5, 3)
+    assert got[1] == (5, 3)
+    assert got[2] == (5, 0)
+    # 16 tokens -> 9 windows; the repeat makes windows recur WITHIN the
+    # doc only, so none are cross-doc duplicated
+    assert got[3] == (9, 0)
+
+
 def test_corpus_cli_guarded_exit_code(spark, tmp_path):
     """handle_exceptions parity for the corpus CLI: a bad input path
     logs through the logging pipeline and exits 1, never a raw trace."""
