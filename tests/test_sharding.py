@@ -285,6 +285,26 @@ def test_corpus_cli_guarded_exit_code(spark, tmp_path):
     assert rc == 1
 
 
+def test_bench_diff_flags_only_out_of_band(tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    from bench_diff import diff, load
+
+    old = {"value": 10.0, "queries": {"a": 1.0, "b": 1.0, "gone": 1.0},
+           "build": {"a": 0.2, "b": 0.2}, "exec": {"a": 0.8, "b": 0.8}}
+    new = {"value": 11.0, "queries": {"a": 1.1, "b": 2.0, "fresh": 0.5},
+           "build": {"a": 0.2, "b": 1.0}, "exec": {"a": 0.9, "b": 1.0}}
+    for name, doc in (("old.json", old), ("new.json", new)):
+        (tmp_path / name).write_text(json.dumps(doc) + "\n")
+    rep = diff(load(str(tmp_path / "old.json")),
+               load(str(tmp_path / "new.json")), band=1.3)
+    assert [f["query"] for f in rep["flagged"]] == ["b"]
+    assert rep["flagged"][0]["build_delta"] == 0.8  # build, not exec, regressed
+    assert rep["added"] == ["fresh"] and rep["removed"] == ["gone"]
+
+
 def test_sharding_plans_have_no_global_window(spark, sf_dir):
     for fn in (Q.q_corpus_shuffle, Q.q_shard_by_token_budget):
         plan = _plan(fn(spark, sf_dir))
