@@ -626,8 +626,12 @@ def semantic_dedup_survivors(
     - cell is scan-local; the only wide exchange is the in-cell
       self-join (shuffle on cell, bounded by cluster granularity —
       production raises `cells` so buckets stay executor-sized),
-    - the duplicate-id set is a distinct projection of the pair result,
-      small by construction, and broadcast for the anti-join.
+    - the duplicate-id set is a distinct projection of the pair result;
+      it is O(dup_rate x corpus), so it is NOT force-broadcast — AQE
+      picks broadcast when the measured size fits and a shuffle anti
+      otherwise (same policy as q_dedup_survivors; the pairs-side OOM
+      measured for dedup_lsh_jaccard_verified on the dup-dense x100
+      replica is the exact regime a forced broadcast dies in).
     The keep-lowest-id rule is the pairwise form of SemDeDup's
     keep-one-per-near-dup-group: deterministic, engine-independent, and
     exactly expressible as NOT EXISTS in the SQL oracle.
@@ -658,9 +662,7 @@ def semantic_dedup_survivors(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    return cv.join(F.broadcast(dup_ids), id_col, "left_anti").select(
-        id_col, "cell"
-    )
+    return cv.join(dup_ids, id_col, "left_anti").select(id_col, "cell")
 
 
 # ---------------------------------------------------------------------------
