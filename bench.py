@@ -9,6 +9,11 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is fully executed via a count-style collect (no result
 materialization to the driver beyond the aggregate), timed after a
 warm-up pass of the parquet footer reads.
+
+`--diagnostics` additionally times the recall-report queries (pure
+measurement tools, excluded from the default loops so the per-round
+signal concentrates on pipeline shapes); they land in a separate
+"diagnostics" map in bench_out.json, never in the headline total.
 """
 
 from __future__ import annotations
@@ -55,6 +60,18 @@ HEADLINE = [
     "pack_sequences",
     "corpus_prep_e2e",
     "asof_last_click",
+]
+
+# Recall/quality DIAGNOSTICS: measurement tools, not pipeline shapes —
+# dedup_recall_report alone was 55% of the non-headline loop's cost in
+# r6, drowning the per-round regression signal for the queries that
+# actually model production plans. They stay in the oracle gate
+# (tools/check_oracle.py runs the full registry); bench times them only
+# under --diagnostics, recorded in a separate map.
+DIAGNOSTICS = [
+    "dedup_recall_report",
+    "ann_recall_report",
+    "ann_recall_trained_report",
 ]
 
 
@@ -156,12 +173,21 @@ def main() -> None:
 
     # full-registry coverage: every remaining queries() entry timed too
     # (warm-up + best of two), so round-over-round regressions are
-    # visible per operator family, not just for the headliners
-    rest = [n for n in QUERIES if n not in HEADLINE]
+    # visible per operator family, not just for the headliners.
+    # Diagnostics run only when asked — their cost is measurement, not
+    # pipeline, and it buried the rest-loop signal (VERDICT r6 task 7).
+    with_diag = "--diagnostics" in sys.argv
+    skip = set(HEADLINE) | (set() if with_diag else set(DIAGNOSTICS))
+    rest = [n for n in QUERIES if n not in skip]
     for name in rest:
         run(name)
     for name in rest:
         record(name, 2)
+    diagnostics = {
+        n: timings.pop(n) for n in DIAGNOSTICS if n in timings
+    }
+    for n in diagnostics:
+        build.pop(n, None), execs.pop(n, None)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full_line = json.dumps(
         {
@@ -171,6 +197,7 @@ def main() -> None:
             "queries": timings,
             "build": build,
             "exec": execs,
+            **({"diagnostics": diagnostics} if diagnostics else {}),
             "sf": sf_val,
         },
         separators=(",", ":"),

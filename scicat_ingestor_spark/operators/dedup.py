@@ -397,6 +397,7 @@ def simhash_hamming_pairs(
     max_hamming: int | None = None,
     star: bool = False,
     pair_split: int | None = None,
+    split_threshold: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded SimHash — the Hamming-distance
     form the algorithm is actually for (exact-signature grouping misses
@@ -424,8 +425,19 @@ def simhash_hamming_pairs(
     filter, so a hot bucket's m^2/2 pair expansion spreads over
     g(g+1)/2 tasks instead of ONE. Replication costs g x rows and ~4x
     total probe work — pay it when buckets are known to be huge (the
-    dup-dense regime); the refinement at 100 TB is a first pass that
-    counts bucket sizes and splits only the hot ones.
+    dup-dense regime).
+
+    ``split_threshold=t`` is the auto form of that knob (the two-pass
+    refinement): a census pass counts bucket sizes (one partial-agg
+    shuffle whose output is bucket-count-sized, collected to the driver
+    — at most corpus/t keys by construction), then ONLY buckets with
+    more than t members take the triangle split (factor ``pair_split``
+    if given, else 8); every other row keeps the plain single-shuffle
+    join with zero replication. With no hot bucket the returned plan is
+    EXACTLY the unsplit plan — the census adds no operator to the data
+    path (pinned by tests/test_plans.py). This is the production
+    default: dup-dense corpora pay the split only where the m^2/2
+    expansion actually concentrates, uniform corpora pay nothing.
 
     ``star=True`` links every bucket member to the bucket minimum
     instead of emitting all pairs — linear output for mega-buckets,
@@ -437,13 +449,16 @@ def simhash_hamming_pairs(
     """
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
-    if star and pair_split and pair_split > 1:
+    if star and (
+        (pair_split and pair_split > 1) or split_threshold is not None
+    ):
         # pair_split spreads the all-PAIRS expansion; star mode never
         # expands pairs (linear bucket-min edges), so the combination is
         # a caller mistake — fail loudly instead of silently ignoring it
         raise ValueError(
-            "pair_split applies to all-pairs mode only; star=True emits "
-            "linear bucket-min edges and has no pair expansion to split"
+            "pair_split/split_threshold apply to all-pairs mode only; "
+            "star=True emits linear bucket-min edges and has no pair "
+            "expansion to split"
         )
     if max_hamming is None:
         max_hamming = bands - 1
@@ -522,7 +537,6 @@ def simhash_hamming_pairs(
             .filter(F.col("hamming") <= max_hamming)
             .distinct()
         )
-    a, b = banded.alias("a"), banded.alias("b")
     # shuffle_hash pins a shuffle join: both sides are the SAME subplan,
     # so the exchange is materialized ONCE and both inputs read that
     # shuffle (an AQE broadcast would recompute the signature fold for
@@ -533,54 +547,80 @@ def simhash_hamming_pairs(
     # first matching band — the carried per-band values make "no
     # earlier band matched" a codegen'd filter — and skip the distinct
     # entirely (measured 6.0 s -> 2.3 s at sf0.1).
-    if pair_split and pair_split > 1:
-        g = pair_split
-        grp = F.pmod(F.xxhash64(F.col("id")), F.lit(g)).cast("int")
-        cells = F.filter(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("ci"), F.lit(j).alias("cj"))
-                    for i in range(g)
-                    for j in range(i, g)
-                ]
-            ),
-            lambda c: (c["ci"] == grp) | (c["cj"] == grp),
-        )
-        banded = (
-            banded.withColumn("grp", grp)
-            .withColumn("cell", F.explode(cells))
-            .select("*", F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj"))
-            .drop("cell")
-        )
-        a, b = banded.alias("a"), banded.alias("b")
-    first_match = F.lit(True)
-    for j in range(bands - 1):
-        first_match = first_match & (
-            (F.col("a.band") <= j)
-            | (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
-        )
-    join_key = (
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.id") < F.col("b.id"))
-    )
-    if pair_split and pair_split > 1:
-        # exactly-once: the pair's canonical cell is (min grp, max grp)
+    def all_pairs(bnd: DataFrame, g: int | None) -> DataFrame:
+        if g and g > 1:
+            grp = F.pmod(F.xxhash64(F.col("id")), F.lit(g)).cast("int")
+            cells = F.filter(
+                F.array(
+                    *[
+                        F.struct(F.lit(i).alias("ci"), F.lit(j).alias("cj"))
+                        for i in range(g)
+                        for j in range(i, g)
+                    ]
+                ),
+                lambda c: (c["ci"] == grp) | (c["cj"] == grp),
+            )
+            bnd = (
+                bnd.withColumn("grp", grp)
+                .withColumn("cell", F.explode(cells))
+                .select(
+                    "*", F.col("cell.ci").alias("ci"), F.col("cell.cj").alias("cj")
+                )
+                .drop("cell")
+            )
+        a, b = bnd.alias("a"), bnd.alias("b")
+        first_match = F.lit(True)
+        for j in range(bands - 1):
+            first_match = first_match & (
+                (F.col("a.band") <= j)
+                | (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
+            )
         join_key = (
-            join_key
-            & (F.col("a.ci") == F.col("b.ci"))
-            & (F.col("a.cj") == F.col("b.cj"))
-            & (F.least(F.col("a.grp"), F.col("b.grp")) == F.col("a.ci"))
-            & (F.greatest(F.col("a.grp"), F.col("b.grp")) == F.col("a.cj"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id"))
         )
-    joined = a.join(b.hint("shuffle_hash"), join_key).filter(first_match)
-    return joined.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        ham_of(F.col("a.h1"), F.col("a.h2"), F.col("b.h1"), F.col("b.h2")).alias(
-            "hamming"
-        ),
-    ).filter(F.col("hamming") <= max_hamming)
+        if g and g > 1:
+            # exactly-once: the pair's canonical cell is (min grp, max grp)
+            join_key = (
+                join_key
+                & (F.col("a.ci") == F.col("b.ci"))
+                & (F.col("a.cj") == F.col("b.cj"))
+                & (F.least(F.col("a.grp"), F.col("b.grp")) == F.col("a.ci"))
+                & (F.greatest(F.col("a.grp"), F.col("b.grp")) == F.col("a.cj"))
+            )
+        joined = a.join(b.hint("shuffle_hash"), join_key).filter(first_match)
+        return joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham_of(
+                F.col("a.h1"), F.col("a.h2"), F.col("b.h1"), F.col("b.h2")
+            ).alias("hamming"),
+        ).filter(F.col("hamming") <= max_hamming)
+
+    if split_threshold is not None:
+        # two-pass auto-split: census the bucket sizes, split only the
+        # hot ones. Splitting hot/cold keeps exactly-once intact: a
+        # pair's FIRST matching band bucket lives in exactly one of the
+        # two subsets, and the first-match filter reads the carried
+        # band VALUES (bv0..), not bucket membership, so the other
+        # subset's join rejects the pair at any later matching band.
+        g = pair_split if (pair_split and pair_split > 1) else 8
+        hot_rows = (
+            banded.groupBy("band", "bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > split_threshold)
+            .select("band", "bkey")
+            .collect()
+        )
+        if not hot_rows:
+            return all_pairs(banded, None)
+        hot_keys = [f"{r['band']}:{r['bkey']}" for r in hot_rows]
+        key = F.concat_ws(":", F.col("band"), F.col("bkey"))
+        return all_pairs(banded.filter(~key.isin(hot_keys)), None).unionByName(
+            all_pairs(banded.filter(key.isin(hot_keys)), g)
+        )
+    return all_pairs(banded, pair_split)
 
 
 def simhash_dedup_groups(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
@@ -838,32 +878,108 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float = 0.5,
     shingle_n: int = 1,
+    max_block: int | None = None,
+    oversize: str = "raise",
 ) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs only form inside a blocking
     key (e.g. language), keeping the join quadratic only per-block. At
     100 TB you'd feed this the LSH candidates instead of raw blocks; the
     expression core is identical.
 
+    ``max_block`` is the block-size ceiling (r7 guard): a census pass
+    counts block sizes before the join is built, and any block with more
+    than ``max_block`` members — whose m^2/2 pair expansion would
+    silently go quadratic (a single-language corpus makes one block the
+    whole corpus) — either fails loudly (``oversize="raise"``, the
+    default: this operator is the documented exact BASELINE, and a
+    baseline that silently degrades into an n^2 job at scale is worse
+    than one that refuses) or is routed through MinHash-LSH candidates
+    with exact-Jaccard verification (``oversize="route"``: linear-ish
+    candidate volume, recall bounded by the LSH banding instead of
+    exhaustive — the docstring's own 100 TB recommendation, made
+    explicit). Blocks at or under the ceiling always take the exact
+    join, so small-block results are unchanged.
+
     Returns (id_a, id_b, jaccard) for pairs >= threshold.
     """
+    if oversize not in ("raise", "route"):
+        raise ValueError(f"oversize={oversize!r} not in ('raise', 'route')")
     prepped = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
-    a = prepped.alias("a")
-    b = prepped.alias("b")
-    sim = jaccard_similarity(F.col("a._sh"), F.col("b._sh"))
-    return (
-        a.join(
-            b,
-            (F.col("a._blk") == F.col("b._blk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def exact_pairs(p: DataFrame) -> DataFrame:
+        a, b = p.alias("a"), p.alias("b")
+        sim = jaccard_similarity(F.col("a._sh"), F.col("b._sh"))
+        return (
+            a.join(
+                b,
+                (F.col("a._blk") == F.col("b._blk"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(sim, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
+
+    if max_block is None:
+        return exact_pairs(prepped)
+    # census: one partial-agg shuffle, output is block-count-sized; the
+    # oversized set is at most corpus/max_block keys by construction
+    hot = [
+        r["_blk"]
+        for r in prepped.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block)
+        .select("_blk")
+        .collect()
+    ]
+    if not hot:
+        return exact_pairs(prepped)
+    if oversize == "raise":
+        raise ValueError(
+            f"ngram_jaccard_pairs: {len(hot)} block(s) exceed "
+            f"max_block={max_block} (first: {hot[:5]!r}); the all-pairs "
+            "join would be quadratic in those blocks. Use "
+            "oversize='route' to send them through MinHash-LSH "
+            "candidates, or use minhash_lsh_pairs directly."
+        )
+    cold = exact_pairs(prepped.filter(~F.col("_blk").isin(hot)))
+    # route: LSH candidates inside the oversized blocks, then the same
+    # exact verify — linear-ish candidates, banding-bounded recall
+    hot_docs = df.filter(F.col(block_col).isin(hot))
+    cand = minhash_lsh_pairs(hot_docs, text_col, id_col, shingle_n=shingle_n)
+    sh = prepped.filter(F.col("_blk").isin(hot))
+    routed = (
+        cand.join(
+            sh.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_blk").alias("_blk_a"),
+                F.col("_sh").alias("_sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_blk").alias("_blk_b"),
+                F.col("_sh").alias("_sh_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("_blk_a") == F.col("_blk_b"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("jaccard"),
+            "id_a",
+            "id_b",
+            F.round(
+                jaccard_similarity(F.col("_sh_a"), F.col("_sh_b")), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return cold.unionByName(routed)

@@ -94,10 +94,17 @@ def export_shards(
     so the join back to the full rows broadcasts when the increment is
     small and hash-joins on the id otherwise; the write clusters each
     shard's rows with ``repartition(shard_id)`` so every shard directory
-    is a handful of contiguous files, not one sliver per task."""
+    is a handful of contiguous files, not one sliver per task.
+
+    The shard map's ``n_tokens`` wins over any pre-existing column of
+    that name on ``docs`` (pack-stage output and enriched doc tables
+    carry one): the input's copy is dropped before the join, otherwise
+    the duplicate column fails the parquet write."""
     shards = token_budget_shards(
         docs, budget=budget, id_col=id_col, text_col=text_col, seed=seed
     ).select(id_col, "n_tokens", "shard_id")
+    if "n_tokens" in docs.columns:
+        docs = docs.drop("n_tokens")
     (
         docs.join(shards, id_col)
         .repartition(F.col("shard_id"))

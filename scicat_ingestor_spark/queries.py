@@ -1458,10 +1458,18 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     point): the band key space is 2^16, so buckets stay tiny and the
     in-bucket pair expansion is linear-ish. (A 16-bit signature with
     4-bit bands puts the WHOLE corpus into <=64 buckets — measured 109 s
-    at sf0.1 vs ~1 s for this plan, and quadratic death at 100 TB.)"""
+    at sf0.1 vs ~1 s for this plan, and quadratic death at 100 TB.)
+
+    split_threshold=2000 is the auto hot-bucket guard (r7): a census
+    pass counts bucket sizes and only buckets past ~2M-pair expansion
+    take the triangle split — this corpus has none at gate scale, so
+    the plan IS the unsplit single-shuffle join (pinned in
+    tests/test_plans.py); the dup-dense x100 replica trips it and
+    spreads each mega-bucket over g(g+1)/2 tasks (SCALE.md)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_hamming_pairs(
-        docs, "text", "doc_id", bits=64, bands=4, max_hamming=3, pair_split=8
+        docs, "text", "doc_id", bits=64, bands=4, max_hamming=3,
+        pair_split=8, split_threshold=2000,
     )
 
 
@@ -1591,9 +1599,16 @@ def q_source_quota_sample(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
+    """The documented quadratic BASELINE — per-block all-pairs exact
+    Jaccard, contrast query for the LSH/ssjoin paths. max_block (r7)
+    is the census guard: the gate corpora's lang blocks are far below
+    the ceiling (result unchanged at every SF), but a single-language
+    corpus at 100x would make one block ~the corpus and the join n^2 —
+    the guard raises instead of silently running that job."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", "lang", threshold=0.5, shingle_n=1
+        docs, "text", "doc_id", "lang", threshold=0.5, shingle_n=1,
+        max_block=20_000,
     )
 
 

@@ -237,6 +237,32 @@ def test_semantic_dedup_no_forced_broadcast(spark, sf_dir):
     assert "LeftAnti" in plan
 
 
+def test_simhash_auto_split_no_hot_path_is_unsplit_plan(spark, sf_dir):
+    """The split_threshold census must add NOTHING to the data path when
+    no bucket is hot: the returned plan is the unsplit plan, modulo
+    expression-id/lambda-variable numbering. (The census itself is a
+    separate small job at build time, not an operator in this plan.)"""
+    import re
+
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    kw = dict(bits=16, bands=4)
+    base = dedup.simhash_hamming_pairs(docs, "text", "doc_id", **kw)
+    auto = dedup.simhash_hamming_pairs(
+        docs, "text", "doc_id", split_threshold=10**9, **kw
+    )
+
+    def canon(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+L?", "#x", s)
+        return re.sub(r"\blambda [a-z]+_\d+", "lambda v_n", s)
+
+    assert canon(auto) == canon(base)
+    # and no triangle-split artifacts anywhere (no grp/cell explode)
+    assert "ci#" not in auto._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_q6_pushes_all_predicates_and_prunes(spark, sf_dir):
     plan = _plan(Q.q_q6_forecast_revenue(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan

@@ -93,6 +93,23 @@ def test_export_shards_roundtrip(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_export_shards_tolerates_preexisting_n_tokens(spark, sf_dir, tmp_path):
+    """Pack-stage output / enriched doc tables already carry n_tokens;
+    export_shards must drop the input's copy instead of producing a
+    duplicate column that fails the parquet write (ADVICE r6)."""
+    from scicat_ingestor_spark.operators.sharding import export_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tokens", F.lit(-1).cast("bigint")  # stale value: must be replaced
+    )
+    out = str(tmp_path / "shards_pre")
+    export_shards(docs, out, budget=4096)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.columns.count("n_tokens") == 1
+    assert back.filter(F.col("n_tokens") < 0).count() == 0  # recomputed
+
+
 def test_corpus_cli_export_shards(spark, sf_dir, tmp_path):
     """CLI endgame: --export-shards drops the pack projection, runs the
     hygiene stages, and writes shard_id= partition directories."""

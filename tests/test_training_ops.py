@@ -190,6 +190,96 @@ def test_lsh_megabucket_star_keeps_edges_linear(spark):
     assert top["count"] == n_dupes  # the whole class is one component
 
 
+def test_simhash_auto_split_exactly_once(spark):
+    """split_threshold auto mode must emit the exact same pair set as
+    the unsplit and manual-split forms — hot buckets take the triangle
+    split, cold buckets the plain join, and a pair whose first matching
+    band is hot while a later band is cold (or vice versa) must still
+    appear exactly once."""
+    from scicat_ingestor_spark.operators.dedup import simhash_hamming_pairs
+
+    # one mega duplicate class (hot bucket in every band) + organic docs
+    dupe = "an identical boilerplate document repeated across the corpus"
+    rows = [(f"d{i:04d}", dupe + ("" if i % 3 else " tail")) for i in range(60)]
+    rows += [(f"u{i:04d}", f"unique doc {i} " + " ".join(f"t{i}{j}" for j in range(8)))
+             for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    kw = dict(bits=64, bands=4, max_hamming=3)
+    base = sorted(map(tuple, simhash_hamming_pairs(
+        docs, "text", "doc_id", **kw).collect()))
+    assert base, "fixture regression: no near-dup pairs"
+    # threshold low enough that the dupe-class buckets are hot
+    auto = sorted(map(tuple, simhash_hamming_pairs(
+        docs, "text", "doc_id", split_threshold=10, pair_split=3, **kw
+    ).collect()))
+    assert auto == base
+    # threshold above every bucket: no split, still identical
+    cold = sorted(map(tuple, simhash_hamming_pairs(
+        docs, "text", "doc_id", split_threshold=10**9, **kw).collect()))
+    assert cold == base
+
+
+def test_simhash_auto_split_rejects_star(spark):
+    import pytest
+
+    from scicat_ingestor_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(
+            docs, "text", "doc_id", star=True, split_threshold=5
+        )
+
+
+def test_ngram_jaccard_block_guard_raises_on_mega_block(spark):
+    """The quadratic-baseline guard: a block past max_block must fail
+    loudly (default) instead of silently building the n^2 join."""
+    import pytest
+
+    from scicat_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, "same lang", f"doc {i} words w{i % 7} w{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    with pytest.raises(ValueError, match="max_block"):
+        ngram_jaccard_pairs(docs, "text", "doc_id", "lang", max_block=100)
+    # under the ceiling: guard is a no-op, result identical to unguarded
+    base = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang").collect()))
+    ok = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", max_block=1000).collect()))
+    assert ok == base
+
+
+def test_ngram_jaccard_block_guard_routes_through_lsh(spark):
+    """oversize='route': the mega-block goes through LSH candidates +
+    exact verify (subset of the exhaustive pairs, every emitted jaccard
+    exact); small blocks keep the exhaustive join untouched."""
+    from scicat_ingestor_spark.operators.dedup import ngram_jaccard_pairs
+
+    dupe = "an identical boilerplate sentence repeated across documents"
+    rows = [(i, "big", dupe + (" tail" if i % 2 else "")) for i in range(120)]
+    rows += [(1000 + i, "small", f"unique text {i} " + " ".join(
+        f"t{i}{j}" for j in range(6))) for i in range(10)]
+    rows += [(2000, "small", "twin small-block doc alpha beta"),
+             (2001, "small", "twin small-block doc alpha beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    exhaustive = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang").collect()}
+    routed = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", max_block=50, oversize="route"
+    ).collect()}
+    # routed pairs are a subset with exact (identical) jaccard values
+    assert routed, "route produced no pairs"
+    for k, v in routed.items():
+        assert k in exhaustive and exhaustive[k] == v
+    # the small-block twin pair survives exactly (cold path untouched)
+    assert (2000, 2001) in routed
+    # the boilerplate mega-block still yields near-dup pairs via LSH
+    assert any(a < 1000 and b < 1000 for a, b in routed)
+
+
 def test_repetition_gate_flags_duplicated_lines(spark):
     from scicat_ingestor_spark.operators import text as T
 

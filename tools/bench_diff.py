@@ -15,6 +15,7 @@ either a fix or an explanation, not an automatic failure.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
@@ -23,8 +24,9 @@ def load(path: str) -> dict:
     """Accept either bench.py's bench_out.json (one JSON line) or the
     driver's BENCH_r{N}.json wrapper, whose "tail" field captures the
     last ~2000 stdout chars — extract the embedded compact line from
-    it (the tail may clip the line's HEAD, so scan for the last parse
-    that yields a queries map)."""
+    it (the tail may clip the line's HEAD, so scan for the LAST parse
+    that yields a queries map: an earlier run's bench-like line can
+    also be present in the captured tail)."""
     with open(path) as fh:
         doc = json.load(fh)
     if "queries" in doc:
@@ -39,8 +41,7 @@ def load(path: str) -> dict:
         except Exception:
             continue
         if isinstance(cand, dict) and "queries" in cand:
-            best = cand
-            break
+            best = cand  # keep scanning: the LAST parseable line wins
     if not best:
         sys.exit(f"{path}: no bench line with a queries map found")
     return best
@@ -87,14 +88,17 @@ def diff(old: dict, new: dict, band: float) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    band = 1.3
-    if "--band" in sys.argv:
-        band = float(sys.argv[sys.argv.index("--band") + 1])
-        args = [a for a in args if a != str(band)]
-    if len(args) != 2:
-        sys.exit(__doc__)
-    report = diff(load(args[0]), load(args[1]), band)
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument("old", help="baseline bench_out.json or BENCH_r{N}.json")
+    ap.add_argument("new", help="candidate bench_out.json or BENCH_r{N}.json")
+    ap.add_argument(
+        "--band", type=float, default=1.3,
+        help="noise band: flag ratios outside [1/band, band] (default 1.3)",
+    )
+    ns = ap.parse_args()
+    report = diff(load(ns.old), load(ns.new), ns.band)
     print(json.dumps(report, indent=2))
 
 
