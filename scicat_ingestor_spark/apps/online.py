@@ -86,7 +86,12 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.source_dir:
         schema = spark.read.parquet(args.source_dir).schema
-        stream = spark.readStream.schema(schema).parquet(args.source_dir)
+        reader = spark.readStream.schema(schema)
+        if cfg.ingestion.max_files_per_trigger > 0:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(cfg.ingestion.max_files_per_trigger)
+            )
+        stream = reader.parquet(args.source_dir)
         messages = stream  # replay rows are already wrdn-shaped
     else:
         raw = wrdn_stream(

@@ -57,6 +57,10 @@ class IngestionConfig:
     schemas_directory: str = ""
     dry_run: bool = False
     max_offsets_per_trigger: int = 10_000  # T3 bounded work per micro-batch
+    # replay-source twin of max_offsets_per_trigger: files per
+    # micro-batch for --source-dir runs (0 = drain all at once). The
+    # soak test uses 1 to force one micro-batch per replay file.
+    max_files_per_trigger: int = 0
     file_handling: FileHandlingConfig = field(default_factory=FileHandlingConfig)
     # daemon-loop resilience (reference system_helpers parity): restart
     # the stream on transient failures, at most max_stream_restarts

@@ -354,3 +354,109 @@ def test_online_app_restarts_through_transient_sink_failure(
     import os
 
     assert not os.path.exists(str(tmp_path / "out_broken"))
+
+
+@pytest.mark.slow
+def test_online_soak_100_batches_with_health_hammer(spark, tmp_path):
+    """Soak parity with the reference stress test
+    (/root/reference/tests/_scicat_stress_test.py:26-31,178-264 — 1
+    msg/s x 300 s while hammering /health at 5 Hz, asserting survival):
+    replay >=100 micro-batches through the online daemon
+    (maxFilesPerTrigger=1, availableNow cadence so the whole soak fits
+    in minutes) with a concurrent 5 Hz /health poller. Asserts exit 0,
+    zero dropped and zero duplicated rows, and every health response
+    during the drain is 200."""
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from scicat_ingestor_spark.apps.online import main
+
+    from pyspark.sql import functions as F
+
+    n_msgs = 100
+    src = str(tmp_path / "replay")
+    # range(n, numPartitions=n) pins EXACTLY one row per partition ->
+    # n parquet files; with maxFilesPerTrigger=1 each file is its own
+    # micro-batch (round-robin repartition leaves empty partitions and
+    # writes fewer files)
+    spark.range(0, n_msgs, 1, numPartitions=n_msgs).select(
+        F.concat(F.lit("job-"), F.col("id")).alias("job_id"),
+        F.concat(F.lit("/data/run_"), F.col("id"), F.lit(".nxs")).alias(
+            "file_name"
+        ),
+        F.lit(False).alias("error_encountered"),
+    ).write.parquet(src)
+    n_files = len(spark.read.parquet(src).inputFiles())
+    assert n_files >= n_msgs  # one micro-batch per file
+
+    out = tmp_path / "out"
+    out.mkdir()  # storage probe needs the dir to exist from t0
+    port = 18427
+    url = f"http://127.0.0.1:{port}/health"
+    statuses: list[int] = []
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def poll_once() -> int:
+        try:
+            with urllib.request.urlopen(url, timeout=5) as resp:
+                return resp.status
+        except urllib.error.HTTPError as err:  # 503 raises HTTPError
+            return err.code
+
+    def hammer() -> None:
+        # reference wait_for_health: server comes up with the app
+        deadline = time.monotonic() + 60
+        while not stop.is_set() and time.monotonic() < deadline:
+            try:
+                statuses.append(poll_once())
+                break
+            except Exception:
+                time.sleep(0.2)
+        while not stop.is_set():
+            try:
+                statuses.append(poll_once())
+            except Exception as exc:  # connection-level failure
+                errors.append(str(exc))
+            stop.wait(0.2)  # 5 Hz, the reference's health_interval
+
+    poller = threading.Thread(target=hammer, name="health-hammer", daemon=True)
+    poller.start()
+    try:
+        rc = main(
+            [
+                "--schemas-dir", _schema_dir(tmp_path),
+                "--out", str(out),
+                "--checkpoint", str(tmp_path / "ck"),
+                "--source-dir", src,
+                "--once",
+                "--set", "ingestion.max_files_per_trigger=1",
+                "--set", "health_check.enabled=true",
+                "--set", f"health_check.port={port}",
+            ]
+        )
+    finally:
+        stop.set()
+        poller.join(timeout=10)
+
+    assert rc == 0
+    assert not errors, f"health endpoint dropped connections: {errors[:3]}"
+    assert statuses, "health poller never reached the endpoint"
+    assert all(s == 200 for s in statuses), (
+        f"non-200 health during drain: {sorted(set(statuses))}, "
+        f"{len([s for s in statuses if s != 200])}/{len(statuses)} bad"
+    )
+    # >=100 micro-batches actually ran: one commit per drained file
+    import os
+
+    commits = os.listdir(str(tmp_path / "ck" / "commits"))
+    assert len([c for c in commits if not c.startswith(".")]) >= n_msgs
+    # zero dropped, zero duplicated
+    rows = spark.read.parquet(str(out))
+    assert rows.count() == n_msgs
+    assert rows.select("pid").distinct().count() == n_msgs
+    # sustained polling throughout, not one lucky probe (the drain takes
+    # minutes; 5 Hz should land hundreds of samples)
+    assert len(statuses) >= 50
