@@ -431,9 +431,11 @@ def simhash_hamming_pairs(
     refinement): a census pass counts bucket sizes (one partial-agg
     shuffle whose output is bucket-count-sized, collected to the driver
     — at most corpus/t keys by construction), then ONLY buckets with
-    more than t members take the triangle split (factor ``pair_split``
-    if given, else 8); every other row keeps the plain single-shuffle
-    join with zero replication. With no hot bucket the returned plan is
+    more than t members take the triangle split, with the factor sized
+    FROM the census (g = ceil(max_bucket/t), capped at 64) so each
+    cell carries ~t rows — ``pair_split`` overrides g when given;
+    every other row keeps the plain single-shuffle join with zero
+    replication. With no hot bucket the returned plan is
     EXACTLY the unsplit plan — the census adds no operator to the data
     path (pinned by tests/test_plans.py). This is the production
     default: dup-dense corpora pay the split only where the m^2/2
@@ -605,16 +607,26 @@ def simhash_hamming_pairs(
         # two subsets, and the first-match filter reads the carried
         # band VALUES (bv0..), not bucket membership, so the other
         # subset's join rejects the pair at any later matching band.
-        g = pair_split if (pair_split and pair_split > 1) else 8
         hot_rows = (
             banded.groupBy("band", "bkey")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > split_threshold)
-            .select("band", "bkey")
+            .select("band", "bkey", "n")
             .collect()
         )
         if not hot_rows:
             return all_pairs(banded, None)
+        if pair_split and pair_split > 1:
+            g = pair_split
+        else:
+            # size g from the census so each triangle cell carries
+            # ~split_threshold rows: cell work is (m/g)^2/2, so a fixed
+            # g leaves (m/g)^2 ~ m^2/64 in ONE task for a mega-bucket —
+            # measured as a multi-minute straggler on the x100 replica.
+            # Cap at 64 (2080 cells) to bound the replication factor
+            # and the plan-literal size.
+            max_hot = max(r["n"] for r in hot_rows)
+            g = min(64, max(2, -(-max_hot // split_threshold)))
         hot_keys = [f"{r['band']}:{r['bkey']}" for r in hot_rows]
         key = F.concat_ws(":", F.col("band"), F.col("bkey"))
         return all_pairs(banded.filter(~key.isin(hot_keys)), None).unionByName(

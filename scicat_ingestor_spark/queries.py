@@ -1462,14 +1462,16 @@ def q_dedup_simhash_hamming(spark, sf_dir):
 
     split_threshold=2000 is the auto hot-bucket guard (r7): a census
     pass counts bucket sizes and only buckets past ~2M-pair expansion
-    take the triangle split — this corpus has none at gate scale, so
-    the plan IS the unsplit single-shuffle join (pinned in
-    tests/test_plans.py); the dup-dense x100 replica trips it and
-    spreads each mega-bucket over g(g+1)/2 tasks (SCALE.md)."""
+    take the triangle split, with the split factor sized from the
+    census so each cell carries ~threshold rows — this corpus has no
+    hot bucket at gate scale, so the plan IS the unsplit
+    single-shuffle join (pinned in tests/test_plans.py); the dup-dense
+    x100 replica trips it and spreads each mega-bucket over g(g+1)/2
+    tasks (SCALE.md)."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_hamming_pairs(
         docs, "text", "doc_id", bits=64, bands=4, max_hamming=3,
-        pair_split=8, split_threshold=2000,
+        split_threshold=2000,
     )
 
 

@@ -263,6 +263,76 @@ def test_simhash_auto_split_no_hot_path_is_unsplit_plan(spark, sf_dir):
     assert "ci#" not in auto._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_gate_filter_stays_above_repartition(spark, sf_dir):
+    """Catalyst pin (VERDICT r6 #3a): gate()'s tautological
+    spark_partition_id() conjunct must keep the CPU-heavy filter ABOVE
+    the parallelism-restoring repartition — a Spark upgrade that starts
+    pushing partition-dependent predicates would silently re-serialize
+    the regex folds onto the one-task scan (measured 2.9 s of 6.3 s at
+    sf0.1, util.py:25-48). The plain-filter control proves the test
+    discriminates: without gate() the same predicate IS pushed below."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators.util import ensure_parallelism, gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cond = F.length("text") > 50
+
+    def order(df):
+        lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        fi = next(i for i, l in enumerate(lines) if "Filter" in l)
+        ri = next(i for i, l in enumerate(lines) if "Repartition" in l)
+        return fi, ri
+
+    gfi, gri = order(gate(ensure_parallelism(docs), cond))
+    assert gfi < gri, "gate() filter was pushed below the repartition"
+    pfi, pri = order(ensure_parallelism(docs).filter(cond))
+    assert pfi > pri, (
+        "control broke: plain filters are no longer pushed through "
+        "Repartition — re-audit whether gate() is still needed"
+    )
+
+
+def test_simhash_fold_single_eval_and_shuffle_reuse(spark, sf_dir):
+    """Catalyst pins (VERDICT r6 #3b/#3c) for the banded-SimHash
+    self-join: (b) the signature fold is evaluated once per join SIDE
+    (md5 appears exactly twice in the optimized plan — the coalesce'd
+    non-null band keys fold the inferred isnotnull to TRUE; a regression
+    re-runs the fold inside the scan stage, measured 4.5 s of 5.2 s at
+    sf0.1), and (c) at runtime the second side reads the first side's
+    shuffle (ReusedExchange in the final adaptive plan), so the fold
+    executes ONCE total."""
+    df = Q.q_dedup_simhash_hamming(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("md5(") == 2, f"fold count drifted: {opt.count('md5(')}"
+    df.collect()  # AQE finalizes stage reuse only on the df's own action
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 1, (
+        "self-join no longer reuses the banded-signature shuffle"
+    )
+
+
+def test_ivf_cell_fold_count_pinned(spark, sf_dir):
+    """Catalyst pin (VERDICT r6 #3b): the IVF cell assignment
+    (array_position over the centroid-dot fold) appears exactly once
+    per consumer subplan — 2 for ann_ivf_topk (query + corpus side),
+    3 for dedup_semantic (join a/b + survivors projection). An inferred
+    isnotnull(<fold>) pushed into the scan would raise these counts;
+    a Spark upgrade that changes them means re-measuring the
+    computed-join-key behavior (SCALE.md 'Computed join keys')."""
+    expected = {"ann_ivf_topk": 2, "dedup_semantic": 3}
+    got = {}
+    for name, want in expected.items():
+        opt = (
+            Q.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        got[name] = opt.count("array_position(")
+    assert got == expected, got
+
+
 def test_q6_pushes_all_predicates_and_prunes(spark, sf_dir):
     plan = _plan(Q.q_q6_forecast_revenue(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
