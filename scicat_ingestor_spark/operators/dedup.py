@@ -437,9 +437,18 @@ def simhash_hamming_pairs(
     every other row keeps the plain single-shuffle join with zero
     replication. With no hot bucket the returned plan is
     EXACTLY the unsplit plan — the census adds no operator to the data
-    path (pinned by tests/test_plans.py). This is the production
-    default: dup-dense corpora pay the split only where the m^2/2
-    expansion actually concentrates, uniform corpora pay nothing.
+    path (pinned by tests/test_plans.py).
+
+    Set ``t`` from the single-task envelope, NOT low "to be safe": the
+    measured A/B (SCALE.md r7; dup-dense x100 replica, max bucket 96k,
+    1.755e9 verified pairs) has the UNSPLIT join 4.3x faster — a
+    bucket's m^2/2 expansion is streamed by whole-stage codegen at
+    ~1e8 candidates/s/core, so the split's census pass (one extra
+    corpus read + signature fold) and g-times hot-row replication only
+    amortize once ONE task's emission would run for many minutes:
+    m^2/2 >~ 1e10, i.e. t ~ 200k members. The guard is insurance
+    against the pathological bucket (m in the millions -> single-task
+    days), not a default accelerator.
 
     ``star=True`` links every bucket member to the bucket minimum
     instead of emitting all pairs — linear output for mega-buckets,

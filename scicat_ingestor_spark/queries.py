@@ -1460,18 +1460,21 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     4-bit bands puts the WHOLE corpus into <=64 buckets — measured 109 s
     at sf0.1 vs ~1 s for this plan, and quadratic death at 100 TB.)
 
-    split_threshold=2000 is the auto hot-bucket guard (r7): a census
-    pass counts bucket sizes and only buckets past ~2M-pair expansion
-    take the triangle split, with the split factor sized from the
-    census so each cell carries ~threshold rows — this corpus has no
-    hot bucket at gate scale, so the plan IS the unsplit
-    single-shuffle join (pinned in tests/test_plans.py); the dup-dense
-    x100 replica trips it and spreads each mega-bucket over g(g+1)/2
-    tasks (SCALE.md)."""
+    split_threshold=200_000 is the auto hot-bucket guard (r7), sized
+    from measurement: the A/B on the dup-dense x100 replica (max
+    bucket 96k members, 1.755B verified pairs) showed the UNSPLIT
+    single-shuffle join streams a mega-bucket's expansion through
+    codegen ~4.3x faster than any triangle split (SCALE.md r7) — the
+    split's census pass and gx row replication only pay off once a
+    single bucket's m^2/2 emission exceeds the ~10^10-candidate
+    single-task envelope (m ~ 200k). Below the threshold the plan IS
+    the unsplit join (pinned in tests/test_plans.py); above it the
+    split bounds the straggler instead of letting one task run for
+    hours."""
     docs = _t(spark, sf_dir, "documents")
     return dedup.simhash_hamming_pairs(
         docs, "text", "doc_id", bits=64, bands=4, max_hamming=3,
-        split_threshold=2000,
+        split_threshold=200_000,
     )
 
 
