@@ -951,10 +951,13 @@ def ngram_jaccard_pairs(
     if max_block is None:
         return exact_pairs(prepped)
     # census: one partial-agg shuffle, output is block-count-sized; the
-    # oversized set is at most corpus/max_block keys by construction
+    # oversized set is at most corpus/max_block keys by construction.
+    # Count on the RAW input, not `prepped` — block sizes don't need
+    # the shingle fold, and running it in the census doubled the
+    # query's exec cost (measured 4.2 s -> 6.8 s at sf0.1).
     hot = [
         r["_blk"]
-        for r in prepped.groupBy("_blk")
+        for r in df.groupBy(F.col(block_col).alias("_blk"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_block)
         .select("_blk")
