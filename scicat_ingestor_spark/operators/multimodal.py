@@ -8,11 +8,17 @@ Arrow-batched pandas iterators over ``mapInPandas``.
 ``DECODERS`` carries REAL stdlib-only header decoders for PNG (IHDR),
 JPEG (SOFn frame header), GIF (logical screen descriptor) and BMP
 (BITMAPINFOHEADER), plus ``auto`` magic-byte dispatch across them —
-these execute in the data plane under the SQL oracle gate. Full pixel
-decode / resampling / av demuxing genuinely need external codec
-libraries absent from this container; those registry entries stay as
-clearly-marked ``NotImplementedError`` gates next to a deterministic
-``fake`` so plans and tests are exact either way.
+these execute in the data plane under the SQL oracle gate. CONTENT
+decode is also real where the stdlib suffices (r7): uncompressed
+24-bit BMP pixel decode (``bmp_pixel_stats``/``decode_pixels``) and
+16-bit PCM WAV sample decode (``wav_pcm_stats``/``decode_pcm``) parse
+the actual pixel/sample bytes — per-channel means, peaks and
+position-weighted checksums that the SQL oracle recomputes
+closed-form. Pixel decode for COMPRESSED formats (PNG IDAT inflate ->
+unfilter, JPEG entropy decode) and av demuxing genuinely need external
+codec libraries absent from this container; those registry entries
+stay as clearly-marked ``NotImplementedError`` gates next to a
+deterministic ``fake`` so plans and tests are exact either way.
 
 At scale: payload columns are large — partition sizing must come from
 ``spark.sql.files.maxPartitionBytes`` on the parquet side, and decode
@@ -380,6 +386,220 @@ def make_gif_frames(width: int, height: int, n_frames: int) -> bytes:
     )
 
 
+def make_bmp(width: int, height: int) -> bytes:
+    """Fully-formed 24-bit uncompressed BMP (BI_RGB, bottom-up rows,
+    4-byte row stride), pure struct.pack — spec-determined bytes, safe
+    for pinned oracles. Pixel (x, y) channel c (0=B,1=G,2=R) is the
+    CLOSED-FORM value ``(x*7 + y*13 + c*29) % 256`` so a SQL oracle can
+    recompute content statistics of the decoded pixels exactly."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray(
+            (x * 7 + y * 13 + c * 29) % 256
+            for x in range(width)
+            for c in range(3)
+        )
+        row.extend(b"\x00" * (stride - len(row)))
+        rows += row
+    off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    return bytes(head + info + rows)
+
+
+def bmp_pixel_stats(payload: bytes) -> dict:
+    """REAL pixel decode, stdlib-only: walk the uncompressed 24-bit
+    BI_RGB pixel array (bottom-up or top-down via the height sign,
+    4-byte row stride) and reduce to content statistics — per-channel
+    integer sums (exact means) and a position-weighted checksum
+    ``sum((x + y*width) * B(x,y))`` that breaks on any row-order,
+    stride, or channel-offset bug a plain mean would mask. This is the
+    honest-boundary shrink for r7: BMP needs no codec, so its pixel
+    path is real; compressed formats stay gated."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    width, height_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"pixel decode implemented for uncompressed 24-bit BMP only "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    if width <= 0 or height_raw == 0:
+        raise ValueError("not a BMP: bad dimensions")
+    height = abs(height_raw)
+    stride = (width * 3 + 3) & ~3
+    need = data_off + stride * height
+    if len(payload) < need:
+        raise ValueError("not a BMP: truncated pixel array")
+    sums = [0, 0, 0]
+    pos_checksum = 0
+    for row_idx in range(height):
+        # bottom-up (positive height): stored row 0 is image row h-1
+        y = (height - 1 - row_idx) if height_raw > 0 else row_idx
+        base = data_off + row_idx * stride
+        row = payload[base : base + width * 3]
+        for x in range(width):
+            b = row[x * 3]
+            sums[0] += b
+            sums[1] += row[x * 3 + 1]
+            sums[2] += row[x * 3 + 2]
+            pos_checksum += (x + y * width) * b
+    # integer sums, NOT python-rounded means: Python round() is
+    # banker's, SQL round is half-up — at n=128 the mean lands exactly
+    # on a 7th-decimal tie and the engines disagree. The Spark wrapper
+    # divides+rounds JVM-side (F.round == DuckDB round semantics).
+    return {
+        "width": width,
+        "height": height,
+        "sum_b": sums[0],
+        "sum_g": sums[1],
+        "sum_r": sums[2],
+        "pos_checksum": pos_checksum,
+    }
+
+
+def wav_pcm_stats(payload: bytes) -> dict:
+    """REAL PCM decode, stdlib-only: decode the 16-bit little-endian
+    samples of the data chunk (interleaved channels) and reduce to
+    content statistics — exact mean |sample|, peak |sample|, and the
+    position-weighted checksum ``sum(k * |s_k|)`` that breaks on any
+    byte-offset or interleave bug. 16-bit PCM needs no codec, so the
+    sample path is real; lossy audio stays gated."""
+    import struct
+
+    meta = _wav_decode(payload)  # validates the container, finds chunks
+    # re-walk for the data body (the header decode intentionally does
+    # not keep payload slices around)
+    pos, data = 12, b""
+    bits = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if bits != 16:
+        raise NotImplementedError(
+            f"PCM decode implemented for 16-bit samples only (bits={bits})"
+        )
+    n_samples = len(data) // 2
+    samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
+    abs_sum = peak = pos_checksum = 0
+    for k, s in enumerate(samples):
+        a = -s if s < 0 else s
+        abs_sum += a
+        pos_checksum += k * a
+        if a > peak:
+            peak = a
+    # integer reductions only — division+rounding happens JVM-side in
+    # the Spark wrapper (see bmp_pixel_stats on round() semantics)
+    return {
+        "channels": meta["width"],  # _wav_decode's channel slot
+        "sample_rate": meta["sample_rate"],
+        "n_samples": n_samples,
+        "abs_sum": abs_sum,
+        "peak": peak,
+        "pos_checksum": pos_checksum,
+    }
+
+
+_PIXELS_RAW_SCHEMA = (
+    "media_id long, width int, height int, sum_b long, sum_g long, "
+    "sum_r long, pos_checksum long"
+)
+
+
+def decode_pixels(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL pixel decode over (media_id, payload) rows of
+    uncompressed 24-bit BMPs. Partition-preserving mapInPandas,
+    decode-late like every media stage. The Python stage emits exact
+    integer channel sums; the mean division + rounding is a JVM
+    expression (F.round half-up == SQL round — Python's banker's
+    round diverges at the n=128 tie)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [bmp_pixel_stats(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        k: [s[k] for s in stats]
+                        for k in (
+                            "width", "height", "sum_b", "sum_g",
+                            "sum_r", "pos_checksum",
+                        )
+                    },
+                }
+            )
+
+    raw = df.mapInPandas(run, schema=_PIXELS_RAW_SCHEMA)
+    n = (F.col("width") * F.col("height")).cast("double")
+    return raw.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("sum_b") / n, 6).alias("mean_b"),
+        F.round(F.col("sum_g") / n, 6).alias("mean_g"),
+        F.round(F.col("sum_r") / n, 6).alias("mean_r"),
+        "pos_checksum",
+    )
+
+
+_PCM_RAW_SCHEMA = (
+    "media_id long, channels int, sample_rate int, n_samples long, "
+    "abs_sum long, peak int, pos_checksum long"
+)
+
+
+def decode_pcm(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL PCM decode over (media_id, payload) rows of
+    16-bit WAVs. Partition-preserving mapInPandas; integer reductions
+    in Python, mean division + rounding JVM-side (see decode_pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_pcm_stats(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        k: [s[k] for s in stats]
+                        for k in (
+                            "channels", "sample_rate", "n_samples",
+                            "abs_sum", "peak", "pos_checksum",
+                        )
+                    },
+                }
+            )
+
+    raw = df.mapInPandas(run, schema=_PCM_RAW_SCHEMA)
+    return raw.select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round(F.col("abs_sum") / F.col("n_samples").cast("double"), 6).alias(
+            "mean_abs"
+        ),
+        "peak",
+        "pos_checksum",
+    )
+
+
 def make_wav(channels: int, n_frames: int, sample_rate: int = 8000) -> bytes:
     """Fully-formed 16-bit PCM WAV: RIFF header, fmt chunk, data chunk
     of ``n_frames`` frames of deterministic samples."""
@@ -403,6 +623,7 @@ MEDIA_BUILDERS: dict[str, Callable[[int, int], bytes]] = {
     "png": make_png,
     "jpeg": make_jpeg,
     "gif": make_gif,
+    "bmp": make_bmp,
     "wav": make_wav,  # (channels, n_frames)
 }
 

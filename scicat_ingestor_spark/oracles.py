@@ -927,6 +927,48 @@ SELECT doc_id AS media_id,
        ELSE ((doc_id // 16) % 16) + 1 END AS INTEGER) AS height
 FROM documents
 """,
+    # REAL pixel decode (r7): the engine parses the BMP pixel array;
+    # the oracle recomputes per-channel means and the position-weighted
+    # checksum from the closed-form pixel rule (x*7 + y*13 + c*29) % 256
+    # via generate_series — no bytes involved, pure math twin
+    "multimodal_pixels_real": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((x.g*7 + y.g*13) % 256 AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST((x.g*7 + y.g*13 + 29) % 256 AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST((x.g*7 + y.g*13 + 58) % 256 AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * ((x.g*7 + y.g*13) % 256)) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
+    # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
+    # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
+    # sample from the byte rule and reduces the same statistics
+    "multimodal_pcm_real": """
+SELECT media_id,
+  CAST(channels AS INTEGER) AS channels,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  round(avg(CAST(abs(v) AS DOUBLE)), 6) AS mean_abs,
+  CAST(max(abs(v)) AS INTEGER) AS peak,
+  CAST(sum(s.k * abs(v)) AS BIGINT) AS pos_checksum
+FROM (
+  SELECT d.media_id, d.channels, s.k,
+    ((2*s.k*31) % 256) + (((2*s.k + 1)*31) % 256) * 256
+      - CASE WHEN (((2*s.k + 1)*31) % 256) >= 128 THEN 65536 ELSE 0 END
+      AS v, s.k AS kk
+  FROM (SELECT doc_id AS media_id, (doc_id % 3) + 1 AS channels,
+               ((doc_id % 11) + 2) * 8 AS frames FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.channels*d.frames - 1))
+             AS k) s
+) s
+GROUP BY media_id, channels
+""",
     # real GIF block-grammar walk: the engine counts image descriptors
     # in generated multi-frame GIFs; the oracle recomputes the
     # id -> frame-count rule

@@ -2707,6 +2707,74 @@ def q_multimodal_frames_real(spark, sf_dir):
     )
 
 
+def q_multimodal_pixels_real(spark, sf_dir):
+    """REAL pixel decode in the data plane (r7 — shrinks the honest
+    codec boundary): each document gets a fully-formed uncompressed
+    24-bit BMP whose pixel values follow the closed-form rule
+    (x*7 + y*13 + c*29) % 256; the engine decodes the ACTUAL pixel
+    array (bottom-up rows, 4-byte stride) and reduces to per-channel
+    means plus a position-weighted checksum. The oracle recomputes the
+    statistics from the closed form via generate_series — a stride,
+    row-order, or channel-offset bug changes pos_checksum even when
+    the means survive."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_bmp(
+                            (int(i) % 16) + 1, ((int(i) // 16) % 16) + 1
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
+def q_multimodal_pcm_real(spark, sf_dir):
+    """REAL PCM decode in the data plane (r7): each document gets a
+    16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
+    deterministic byte pattern (j*31)%256); the engine decodes the
+    ACTUAL interleaved samples and reduces to mean |s|, peak |s| and a
+    position-weighted checksum. The oracle reconstructs each int16 from
+    the byte rule in SQL — a byte-offset or sign-extension bug breaks
+    the hash."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_wav(
+                            (int(i) % 3) + 1, ((int(i) % 11) + 2) * 8
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pcm(media)
+
+
 def q_multimodal_dedup_images(spark, sf_dir):
     """Image near-dedup end-to-end — the multimodal flagship
     composition: synthesize real payload bytes where documents in the
@@ -3953,6 +4021,8 @@ QUERIES = {
     "multimodal_dedup_images": q_multimodal_dedup_images,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frames_real": q_multimodal_frames_real,
+    "multimodal_pixels_real": q_multimodal_pixels_real,
+    "multimodal_pcm_real": q_multimodal_pcm_real,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
     "s6_hdf5_scan": q_s6_hdf5_scan,
     "s8_s9_file_stats": q_s8_s9_file_stats,

@@ -337,3 +337,114 @@ def test_decoder_fuzz_only_valueerror_escapes():
                 pass  # the contract
 
     check()
+
+
+def test_bmp_pixel_stats_unit():
+    """Real pixel decode: integer sums match the closed-form rule, the
+    positional checksum encodes (x, y) placement (bottom-up rows,
+    4-byte stride), and a top-down variant (negative height) decodes to
+    the SAME statistics."""
+    import struct
+
+    w, h = 5, 3  # stride 16 != w*3: exercises row padding
+    buf = multimodal.make_bmp(w, h)
+    st = multimodal.bmp_pixel_stats(buf)
+    want = {
+        c: sum((x * 7 + y * 13 + c * 29) % 256 for x in range(w) for y in range(h))
+        for c in range(3)
+    }
+    assert (st["width"], st["height"]) == (w, h)
+    assert (st["sum_b"], st["sum_g"], st["sum_r"]) == (want[0], want[1], want[2])
+    assert st["pos_checksum"] == sum(
+        (x + y * w) * ((x * 7 + y * 13) % 256) for x in range(w) for y in range(h)
+    )
+
+    # top-down storage: flip the row order, negate the height field
+    off = struct.unpack("<I", buf[10:14])[0]
+    stride = (w * 3 + 3) & ~3
+    rows = [buf[off + i * stride : off + (i + 1) * stride] for i in range(h)]
+    flipped = buf[:off] + b"".join(reversed(rows))
+    flipped = flipped[:22] + struct.pack("<i", -h) + flipped[26:]
+    assert multimodal.bmp_pixel_stats(flipped) == st
+
+
+def test_bmp_pixel_stats_gates_and_errors():
+    import struct
+
+    import pytest as _pytest
+
+    buf = multimodal.make_bmp(4, 4)
+    with _pytest.raises(ValueError):
+        multimodal.bmp_pixel_stats(buf[:-8])  # truncated pixel array
+    eight_bit = buf[:28] + struct.pack("<H", 8) + buf[30:]
+    with _pytest.raises(NotImplementedError):
+        multimodal.bmp_pixel_stats(eight_bit)  # palette decode is gated
+    rle = buf[:30] + struct.pack("<I", 1) + buf[34:]
+    with _pytest.raises(NotImplementedError):
+        multimodal.bmp_pixel_stats(rle)  # compressed decode is gated
+
+
+def test_wav_pcm_stats_against_stdlib_wave():
+    """Cross-check the PCM sample decode against the stdlib wave module
+    reading the same bytes: identical sample count and reductions."""
+    import io
+    import struct
+    import wave
+
+    buf = multimodal.make_wav(2, 17)
+    wf = wave.open(io.BytesIO(buf))
+    frames = wf.readframes(17)
+    samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+    st = multimodal.wav_pcm_stats(buf)
+    assert st["channels"] == 2 and st["sample_rate"] == 8000
+    assert st["n_samples"] == len(samples)
+    assert st["abs_sum"] == sum(abs(s) for s in samples)
+    assert st["peak"] == max(abs(s) for s in samples)
+    assert st["pos_checksum"] == sum(k * abs(s) for k, s in enumerate(samples))
+
+
+def test_wav_pcm_stats_gates_non_16bit():
+    import struct
+
+    import pytest as _pytest
+
+    buf = bytearray(multimodal.make_wav(1, 4))
+    # fmt chunk body starts at 20; bits-per-sample is its last u16
+    assert buf[12:16] == b"fmt "
+    buf[34:36] = struct.pack("<H", 8)
+    with _pytest.raises(NotImplementedError):
+        multimodal.wav_pcm_stats(bytes(buf))
+
+
+def test_decode_pixels_and_pcm_dataplane(spark):
+    """The Spark wrappers: JVM-side rounded means match a driver-side
+    recomputation, including the n=128 case where Python round()
+    (banker's) and SQL round (half-up) disagree at the tie."""
+    ids = [0, 7, 135, 120]  # 120 -> w=9,h=8 (n=72); 135 -> w=8,h=16 (n=128)
+    media = spark.createDataFrame(
+        [(i, multimodal.make_bmp((i % 16) + 1, ((i // 16) % 16) + 1)) for i in ids],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_pixels(media).collect()}
+    import decimal
+
+    for i in ids:
+        w, h = (i % 16) + 1, ((i // 16) % 16) + 1
+        s = sum((x * 7 + y * 13) % 256 for x in range(w) for y in range(h))
+        # half-up reference, exact decimal arithmetic
+        want = float(
+            decimal.Decimal(s / (w * h)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        assert out[i]["mean_b"] == want, (i, out[i]["mean_b"], want)
+
+    wavs = spark.createDataFrame(
+        [(i, multimodal.make_wav((i % 3) + 1, ((i % 11) + 2) * 8)) for i in ids],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.decode_pcm(wavs).collect()}
+    for i in ids:
+        assert rows[i]["channels"] == (i % 3) + 1
+        assert rows[i]["n_samples"] == ((i % 3) + 1) * ((i % 11) + 2) * 8
+        assert rows[i]["peak"] > 0 and rows[i]["pos_checksum"] > 0
