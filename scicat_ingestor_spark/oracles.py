@@ -566,6 +566,49 @@ FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
 """,
+    # the block-guard ROUTE path (r7): same census threshold in SQL —
+    # small blocks exact all-pairs, oversized blocks through the md5
+    # MinHash banding (1-gram shingles, 8 hashes / 4 bands) + exact
+    # verify; disjoint by block so a plain UNION ALL is exact
+    "dedup_ngram_jaccard_routed": f"""
+WITH p AS (SELECT doc_id, lang,
+  list_distinct(regexp_split_to_array(lower(text), '\\s+')) AS sh
+  FROM documents),
+cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+cold AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      AS jaccard
+  FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  JOIN cnt c ON c.lang = a.lang AND c.n <= 100
+),
+hot AS (SELECT p.* FROM p JOIN cnt c ON c.lang = p.lang AND c.n > 100),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM hot),
+mh AS (SELECT doc_id,
+   {_MINHASH_COLS}
+   FROM ex GROUP BY doc_id),
+bk AS (
+  {_MINHASH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+routed AS (
+  SELECT c.id_a, c.id_b,
+    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+      AS jaccard
+  FROM cand c JOIN hot a ON c.id_a = a.doc_id
+              JOIN hot b ON c.id_b = b.doc_id
+  WHERE a.lang = b.lang
+)
+SELECT id_a, id_b, jaccard FROM cold WHERE jaccard >= 0.5
+UNION ALL
+SELECT id_a, id_b, jaccard FROM routed WHERE jaccard >= 0.5
+""",
     "ann_cosine_topk": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),

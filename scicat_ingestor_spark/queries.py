@@ -1617,6 +1617,22 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_ngram_jaccard_routed(spark, sf_dir):
+    """The block-guard's ROUTE path as a first-class oracle-backed
+    query (r7): blocks over max_block=100 members ('en' at every SF)
+    go through MinHash-LSH candidates + exact-Jaccard verify; the
+    smaller language blocks keep the exhaustive join. The oracle
+    implements the SAME threshold logic in SQL — block census, exact
+    pairs for small blocks, the md5 MinHash banding (1-gram shingles)
+    + exact verify for routed blocks — so a drift in either path's
+    semantics breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", threshold=0.5, shingle_n=1,
+        max_block=100, oversize="route",
+    )
+
+
 def q_dedup_jaccard_ssjoin(spark, sf_dir):
     """EXACT similarity self-join at scale — the deterministic
     alternative to MinHash+LSH and the scale-correct replacement for
@@ -3984,6 +4000,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_hamming": q_dedup_simhash_hamming,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_routed": q_dedup_ngram_jaccard_routed,
     "dedup_lsh_jaccard_verified": q_dedup_lsh_jaccard_verified,
     "dedup_recall_report": q_dedup_recall_report,
     "dedup_jaccard_ssjoin": q_dedup_jaccard_ssjoin,
