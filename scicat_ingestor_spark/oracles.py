@@ -1012,6 +1012,38 @@ FROM (
 ) s
 GROUP BY media_id, channels
 """,
+    # multimodal -> ANN over REAL decoded content: embedding = rounded
+    # channel means + dims (identical doubles both engines), exact
+    # cosine top-5; same window/tiebreak as ann_cosine_topk
+    "multimodal_ann_real": """
+WITH d AS (SELECT doc_id, (doc_id % 16) + 1 AS w,
+                  ((doc_id // 16) % 16) + 1 AS h FROM documents),
+m AS (
+  SELECT d.doc_id,
+    round(avg(CAST((x.g*7 + y.g*13) % 256 AS DOUBLE)), 6) AS mb,
+    round(avg(CAST((x.g*7 + y.g*13 + 29) % 256 AS DOUBLE)), 6) AS mg,
+    round(avg(CAST((x.g*7 + y.g*13 + 58) % 256 AS DOUBLE)), 6) AS mr,
+    d.w, d.h
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+    LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+  GROUP BY d.doc_id, d.w, d.h),
+v AS (SELECT doc_id AS vec_id,
+             [mb, mg, mr, CAST(w AS DOUBLE), CAST(h AS DOUBLE)] AS e
+      FROM m),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+s AS (SELECT q.query_id, v.vec_id,
+        list_dot_product(v.e, q.qe)
+          / (sqrt(list_dot_product(v.e, v.e))
+             * sqrt(list_dot_product(q.qe, q.qe))) AS c
+      FROM v CROSS JOIN q),
+r AS (SELECT query_id, vec_id AS neighbor_id, c,
+        row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id)
+          AS rk
+      FROM s)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 5
+""",
     # real GIF block-grammar walk: the engine counts image descriptors
     # in generated multi-frame GIFs; the oracle recomputes the
     # id -> frame-count rule

@@ -2791,6 +2791,32 @@ def q_multimodal_pcm_real(spark, sf_dir):
     return multimodal.decode_pcm(media)
 
 
+def q_multimodal_ann_real(spark, sf_dir):
+    """Multimodal -> ANN composition over REAL decoded content (r7):
+    the 5-dim embedding is built from the ACTUAL decoded pixel
+    statistics (rounded channel means + dims — identical doubles in
+    both engines by construction), then exact cosine top-5 for the
+    first three media ids. A decode bug upstream changes the embedding
+    and the neighbor ranking; the oracle recomputes everything from
+    the closed-form pixel rule."""
+    px = q_multimodal_pixels_real(spark, sf_dir)
+    emb = px.select(
+        F.col("media_id").alias("vec_id"),
+        F.array(
+            F.col("mean_b"),
+            F.col("mean_g"),
+            F.col("mean_r"),
+            F.col("width").cast("double"),
+            F.col("height").cast("double"),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_multimodal_dedup_images(spark, sf_dir):
     """Image near-dedup end-to-end — the multimodal flagship
     composition: synthesize real payload bytes where documents in the
@@ -4040,6 +4066,7 @@ QUERIES = {
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,
     "multimodal_pcm_real": q_multimodal_pcm_real,
+    "multimodal_ann_real": q_multimodal_ann_real,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
     "s6_hdf5_scan": q_s6_hdf5_scan,
     "s8_s9_file_stats": q_s8_s9_file_stats,
