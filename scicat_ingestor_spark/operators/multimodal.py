@@ -516,6 +516,77 @@ def wav_pcm_stats(payload: bytes) -> dict:
     }
 
 
+def bmp_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL resize, stdlib-only: nearest-neighbor resample of an
+    uncompressed 24-bit BMP's actual pixels (source (sx, sy) =
+    ((x*src_w) // target_w, (y*src_h) // target_h)) re-encoded as a
+    fully-formed 24-bit BMP (bottom-up, 4-byte stride). Chaining the
+    result through :func:`bmp_pixel_stats` proves resample AND encode:
+    a sampling-index, stride, or header bug changes the downstream
+    checksum."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    src_w, height_raw = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("resize implemented for 24-bit BMP only")
+    if src_w <= 0 or height_raw == 0 or target_w <= 0 or target_h <= 0:
+        raise ValueError("bad dimensions")
+    src_h = abs(height_raw)
+    src_stride = (src_w * 3 + 3) & ~3
+    if len(payload) < data_off + src_stride * src_h:
+        raise ValueError("not a BMP: truncated pixel array")
+
+    def src_row_base(y: int) -> int:
+        row_idx = (src_h - 1 - y) if height_raw > 0 else y
+        return data_off + row_idx * src_stride
+
+    dst_stride = (target_w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(target_h - 1, -1, -1):  # encode bottom-up
+        sy = (y * src_h) // target_h
+        base = src_row_base(sy)
+        row = bytearray()
+        for x in range(target_w):
+            sx = (x * src_w) // target_w
+            p = base + sx * 3
+            row += payload[p : p + 3]
+        row.extend(b"\x00" * (dst_stride - len(row)))
+        rows += row
+    off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0, len(rows),
+        2835, 2835, 0, 0,
+    )
+    head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    return bytes(head + info + rows)
+
+
+def resize_pixels(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched REAL resize over (media_id, payload) BMP rows:
+    emits (media_id, payload) with every payload resampled to
+    (target_w, target_h). Partition-preserving; compose with
+    :func:`decode_pixels` for content statistics of the result."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        bmp_resize(bytes(b), target_w, target_h)
+                        for b in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema="media_id long, payload binary")
+
+
 _PIXELS_RAW_SCHEMA = (
     "media_id long, width int, height int, sum_b long, sum_g long, "
     "sum_r long, pos_checksum long"

@@ -1012,6 +1012,28 @@ FROM (
 ) s
 GROUP BY media_id, channels
 """,
+    # REAL resize (r7): nearest-neighbor sample indices recomputed
+    # closed-form over the 4x3 target grid — resample + re-encode +
+    # re-decode all verified by one hash
+    "multimodal_resize_real": """
+SELECT d.doc_id AS media_id,
+  CAST(4 AS INTEGER) AS width,
+  CAST(3 AS INTEGER) AS height,
+  round(avg(CAST((((x.g*d.w)//4)*7 + ((y.g*d.h)//3)*13) % 256
+            AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST((((x.g*d.w)//4)*7 + ((y.g*d.h)//3)*13 + 29) % 256
+            AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST((((x.g*d.w)//4)*7 + ((y.g*d.h)//3)*13 + 58) % 256
+            AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*4)
+           * ((((x.g*d.w)//4)*7 + ((y.g*d.h)//3)*13) % 256)) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, 3)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, 2)) AS g) y
+GROUP BY d.doc_id
+""",
     # multimodal -> ANN over REAL decoded content: embedding = rounded
     # channel means + dims (identical doubles both engines), exact
     # cosine top-5; same window/tiebreak as ann_cosine_topk

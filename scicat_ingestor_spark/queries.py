@@ -2791,6 +2791,41 @@ def q_multimodal_pcm_real(spark, sf_dir):
     return multimodal.decode_pcm(media)
 
 
+def q_multimodal_resize_real(spark, sf_dir):
+    """REAL resize in the data plane (r7): each document's BMP is
+    nearest-neighbor resampled to 4x3 (source pixel
+    ((x*w)//4, (y*h)//3)) and RE-ENCODED as a real BMP, then pushed
+    through the same real pixel decoder — the chain proves resample
+    math, encoder layout (bottom-up rows, stride) and decoder in one
+    hash. The oracle recomputes the sampled means/checksum closed-form
+    over the 4x3 target grid."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_bmp(
+                            (int(i) % 16) + 1, ((int(i) // 16) % 16) + 1
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(
+        multimodal.resize_pixels(media, 4, 3)
+    )
+
+
 def q_multimodal_ann_real(spark, sf_dir):
     """Multimodal -> ANN composition over REAL decoded content (r7):
     the 5-dim embedding is built from the ACTUAL decoded pixel
@@ -4067,6 +4102,7 @@ QUERIES = {
     "multimodal_pixels_real": q_multimodal_pixels_real,
     "multimodal_pcm_real": q_multimodal_pcm_real,
     "multimodal_ann_real": q_multimodal_ann_real,
+    "multimodal_resize_real": q_multimodal_resize_real,
     "s7_wildcard_lookup": q_s7_wildcard_lookup,
     "s6_hdf5_scan": q_s6_hdf5_scan,
     "s8_s9_file_stats": q_s8_s9_file_stats,

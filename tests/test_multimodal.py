@@ -448,3 +448,32 @@ def test_decode_pixels_and_pcm_dataplane(spark):
         assert rows[i]["channels"] == (i % 3) + 1
         assert rows[i]["n_samples"] == ((i % 3) + 1) * ((i % 11) + 2) * 8
         assert rows[i]["peak"] > 0 and rows[i]["pos_checksum"] > 0
+
+
+def test_bmp_resize_unit():
+    """Real nearest-neighbor resize: identity resize preserves the exact
+    pixel stats; a down-sample matches the direct sampling-rule
+    recomputation; the re-encoded bytes decode through the same real
+    decoder (encoder layout proven too)."""
+    w, h = 7, 5
+    src = multimodal.make_bmp(w, h)
+    same = multimodal.bmp_resize(src, w, h)
+    assert multimodal.bmp_pixel_stats(same) == multimodal.bmp_pixel_stats(src)
+
+    tw, th = 4, 3
+    st = multimodal.bmp_pixel_stats(multimodal.bmp_resize(src, tw, th))
+    def px(x, y, c):
+        return (((x * w) // tw) * 7 + ((y * h) // th) * 13 + c * 29) % 256
+    assert (st["width"], st["height"]) == (tw, th)
+    for ci, key in enumerate(("sum_b", "sum_g", "sum_r")):
+        assert st[key] == sum(px(x, y, ci) for x in range(tw) for y in range(th))
+    assert st["pos_checksum"] == sum(
+        (x + y * tw) * px(x, y, 0) for x in range(tw) for y in range(th)
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.bmp_resize(src, 0, 3)
+    with _pytest.raises(ValueError):
+        multimodal.bmp_resize(src[:-10], 4, 3)
