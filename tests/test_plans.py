@@ -312,6 +312,22 @@ def test_simhash_fold_single_eval_and_shuffle_reuse(spark, sf_dir):
     )
 
 
+def test_minhash_self_join_reuses_exchange(spark, sf_dir):
+    """Catalyst pin (VERDICT r6 #3c, second self-join path): the
+    MinHash-LSH candidate self-join must read ONE materialized shuffle
+    for both sides at runtime — a regression recomputes the full
+    signature pipeline (2 md5 per shingle) for the second side."""
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.minhash_lsh_pairs(docs, "text", "doc_id")
+    df.collect()  # AQE finalizes stage reuse only on the df's own action
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 1, (
+        "MinHash self-join no longer reuses the banded-signature shuffle"
+    )
+
+
 def test_ivf_cell_fold_count_pinned(spark, sf_dir):
     """Catalyst pin (VERDICT r6 #3b): the IVF cell assignment
     (array_position over the centroid-dot fold) appears exactly once
