@@ -477,3 +477,48 @@ def test_bmp_resize_unit():
         multimodal.bmp_resize(src, 0, 3)
     with _pytest.raises(ValueError):
         multimodal.bmp_resize(src[:-10], 4, 3)
+
+
+def test_content_decoder_fuzz_only_contract_errors_escape():
+    """Same failure-channel contract for the r7 CONTENT decoders
+    (pixel/PCM/resize): random bytes and mutations/truncations of valid
+    media either decode or raise ValueError/NotImplementedError —
+    never IndexError/struct.error/KeyError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = [
+        multimodal.make_bmp(5, 3),
+        multimodal.make_bmp(16, 16),
+        multimodal.make_wav(1, 20),
+        multimodal.make_wav(3, 7),
+        multimodal.make_png(4, 4),  # wrong format for both: must reject
+    ]
+    fns = [
+        multimodal.bmp_pixel_stats,
+        multimodal.wav_pcm_stats,
+        lambda b: multimodal.bmp_resize(b, 4, 3),
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.data())
+    def check(data):
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(max_size=300))
+        else:
+            base = bytearray(data.draw(st.sampled_from(valid)))
+            if mode == 1:
+                payload = bytes(base[: data.draw(st.integers(0, len(base)))])
+            else:
+                for _ in range(data.draw(st.integers(1, 4))):
+                    i = data.draw(st.integers(0, len(base) - 1))
+                    base[i] = data.draw(st.integers(0, 255))
+                payload = bytes(base)
+        for fn in fns:
+            try:
+                fn(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+
+    check()
