@@ -460,3 +460,103 @@ def test_online_soak_100_batches_with_health_hammer(spark, tmp_path):
     # sustained polling throughout, not one lucky probe (the drain takes
     # minutes; 5 Hz should land hundreds of samples)
     assert len(statuses) >= 50
+
+
+@pytest.mark.slow
+def test_online_soak_survives_midstream_fault_under_health_load(
+    spark, tmp_path, monkeypatch
+):
+    """Fault-injection soak: same replay-under-5Hz-health-polling shape
+    as the 100-batch soak, but the sink throws a transient failure
+    mid-drain (batch ~25 of 50). The daemon must restart from its
+    checkpoint, finish with exit 0 and exactly-once rows, and the
+    health endpoint must be answering 200 again by the end — 503s are
+    allowed only around the injected outage."""
+    import threading
+    import time
+    import urllib.error
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.apps import online
+    from scicat_ingestor_spark.streaming.pipeline import idempotent_append
+
+    n_msgs = 50
+    src = str(tmp_path / "replay")
+    spark.range(0, n_msgs, 1, numPartitions=n_msgs).select(
+        F.concat(F.lit("job-"), F.col("id")).alias("job_id"),
+        F.concat(F.lit("/data/run_"), F.col("id"), F.lit(".nxs")).alias(
+            "file_name"
+        ),
+        F.lit(False).alias("error_encountered"),
+    ).write.parquet(src)
+
+    calls = {"n": 0}
+
+    def flaky_append(batch, path, key):
+        calls["n"] += 1
+        if calls["n"] == 25:
+            raise RuntimeError("transient catalog outage (injected mid-soak)")
+        idempotent_append(batch, path, key)
+
+    monkeypatch.setattr(online, "idempotent_append", flaky_append)
+
+    out = tmp_path / "out"
+    out.mkdir()
+    port = 18431
+    url = f"http://127.0.0.1:{port}/health"
+    statuses: list[int] = []
+    stop = threading.Event()
+
+    def hammer() -> None:
+        deadline = time.monotonic() + 60
+        while not stop.is_set() and time.monotonic() < deadline:
+            try:
+                with urllib.request.urlopen(url, timeout=5) as resp:
+                    statuses.append(resp.status)
+                break
+            except urllib.error.HTTPError as err:
+                statuses.append(err.code)
+                break
+            except Exception:
+                time.sleep(0.2)
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(url, timeout=5) as resp:
+                    statuses.append(resp.status)
+            except urllib.error.HTTPError as err:
+                statuses.append(err.code)
+            except Exception:
+                pass  # connection blips during the restart are the point
+            stop.wait(0.2)
+
+    poller = threading.Thread(target=hammer, name="health-hammer", daemon=True)
+    poller.start()
+    try:
+        rc = online.main(
+            [
+                "--schemas-dir", _schema_dir(tmp_path),
+                "--out", str(out),
+                "--checkpoint", str(tmp_path / "ck"),
+                "--source-dir", src,
+                "--once",
+                "--set", "ingestion.max_files_per_trigger=1",
+                "--set", "ingestion.stream_restart_backoff_s=0.1",
+                "--set", "health_check.enabled=true",
+                "--set", f"health_check.port={port}",
+            ]
+        )
+    finally:
+        stop.set()
+        poller.join(timeout=10)
+
+    assert rc == 0
+    assert calls["n"] > 25  # failed once mid-drain, then kept going
+    rows = spark.read.parquet(str(out))
+    assert rows.count() == n_msgs  # zero dropped
+    assert rows.select("pid").distinct().count() == n_msgs  # zero dup'd
+    assert statuses, "health poller never reached the endpoint"
+    # healthy before AND after the fault; 503s only around the outage
+    assert statuses.count(200) >= len(statuses) * 0.6, statuses[-20:]
+    assert statuses[-1] == 200, f"did not recover: tail {statuses[-10:]}"
