@@ -607,6 +607,65 @@ def lsh_multi_topk(
     )
 
 
+def knn_join(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Self-kNN join: the top-k cosine neighbors of EVERY vector — the
+    dataset-cartography / SemDeDup-clustering workhorse (every ANN topk
+    above serves a small broadcast query set; this serves the corpus
+    against itself). IVF-bucketed: candidates form only inside a cell
+    (computed column, NO corpus shuffle for the assignment; the one
+    wide exchange is the in-cell self-join on the cell id), then a
+    per-vector rank window cut to k. Recall is cell-bounded by design —
+    production raises ``cells`` with the corpus so buckets stay
+    executor-sized, and nprobe-style multi-cell probing composes the
+    same way ann_ivf_nprobe_topk does.
+
+    Returns (id, neighbor_id, cosine, rank) with rank 1..k per id;
+    vectors alone in their cell return no rows (both engines agree).
+    """
+    cv = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_cell(F.col(vec_col), dim, cells, centroids).alias("cell"),
+        norm(F.col(vec_col)).alias("_nrm"),  # once per vector, not per pair
+    )
+    a, b = cv.alias("a"), cv.alias("b")
+    _nn = F.col("a._nrm") * F.col("b._nrm")
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(
+        _nn != 0, _nn
+    )
+    scored = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias(id_col),
+        F.col(f"b.{id_col}").alias("neighbor_id"),
+        cos.alias("_cos"),  # evaluated ONCE: the window and the output
+        # column both read this projection
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            id_col,
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
 def semantic_dedup_survivors(
     vectors: DataFrame,
     dim: int,

@@ -1485,6 +1485,23 @@ WHERE NOT EXISTS (
       / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.e, c.e))), 6) >= 0.3)
 """
 
+ORACLES["ann_knn_join"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cv AS (SELECT vec_id, e, {_ivf_cell_sql('e')} AS cell FROM v),
+s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) AS c
+      FROM cv a JOIN cv b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, neighbor_id, c,
+        row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id)
+          AS rk
+      FROM s)
+SELECT vec_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 3
+"""
+
 ORACLES["corpus_prep_full_e2e"] = """
 WITH base AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
 w1 AS (SELECT doc_id, source, text,

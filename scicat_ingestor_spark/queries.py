@@ -3574,6 +3574,18 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_pairs_lsh(emb, dim=64, threshold=0.3, bits=4)
 
 
+def q_ann_knn_join(spark, sf_dir):
+    """Self-kNN join (r7): the top-3 cosine neighbors of EVERY vector,
+    IVF-cell bucketed — the dataset-cartography / clustering workhorse
+    (the other ANN queries serve a small broadcast query set; this
+    serves the corpus against itself). The oracle replays the same
+    folded cell assignment and the same in-cell rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(emb, dim=64, k=3, cells=8).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cell
     clustering (computed column, no corpus shuffle) + in-cell
@@ -4140,6 +4152,7 @@ QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "dedup_lines_global": q_dedup_lines_global,
     "dedup_semantic": q_dedup_semantic,
+    "ann_knn_join": q_ann_knn_join,
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,

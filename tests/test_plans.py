@@ -328,6 +328,20 @@ def test_minhash_self_join_reuses_exchange(spark, sf_dir):
     )
 
 
+def test_knn_join_is_bucketed_not_cross(spark, sf_dir):
+    """Self-kNN: candidates must come from the cell equi-join (hash
+    join on the computed cell id), never a cross/nested-loop product;
+    at runtime the self-join reuses the one materialized corpus
+    exchange; the rank window's input is the in-cell candidate set."""
+    df = Q.q_ann_knn_join(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert final.count("ReusedExchange") >= 1
+
+
 def test_ivf_cell_fold_count_pinned(spark, sf_dir):
     """Catalyst pin (VERDICT r6 #3b): the IVF cell assignment
     (array_position over the centroid-dot fold) appears exactly once
