@@ -61,11 +61,23 @@ class QueryHealthListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         with self._lock:
-            self._last_progress[str(event.progress.id)] = time.monotonic()
+            qid = str(event.progress.id)
+            self._last_progress[qid] = time.monotonic()
+            # progress proves a restarted query is alive again. The
+            # listener bus is async: under load the previous run's
+            # terminated-with-exception event can be processed AFTER
+            # the restart's start event, which would poison _failed
+            # forever (measured: the fault-injection soak recovered
+            # standalone but stayed 503 in the full suite, where
+            # accumulated listeners slow the bus). Any liveness event
+            # for the id clears the failure record.
+            self._failed.pop(qid, None)
 
     def onQueryIdle(self, event) -> None:
         with self._lock:
-            self._last_progress[str(event.id)] = time.monotonic()
+            qid = str(event.id)
+            self._last_progress[qid] = time.monotonic()
+            self._failed.pop(qid, None)
 
     def onQueryTerminated(self, event) -> None:
         with self._lock:
