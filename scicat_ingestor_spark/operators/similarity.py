@@ -615,6 +615,7 @@ def knn_join(
     id_col: str = "vec_id",
     cells: int = 8,
     centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Self-kNN join: the top-k cosine neighbors of EVERY vector — the
     dataset-cartography / SemDeDup-clustering workhorse (every ANN topk
@@ -624,11 +625,18 @@ def knn_join(
     wide exchange is the in-cell self-join on the cell id), then a
     per-vector rank window cut to k. Recall is cell-bounded by design —
     production raises ``cells`` with the corpus so buckets stay
-    executor-sized, and nprobe-style multi-cell probing composes the
-    same way ann_ivf_nprobe_topk does.
+    executor-sized.
+
+    ``nprobe=p`` probes each vector's top-p nearest cells (same masked
+    argmax ladder as ann_ivf_nprobe_topk): the probe side explodes xp
+    and joins probe == corpus cell — a vector near a cell boundary
+    recovers its cross-boundary neighbors at p-times candidate cost.
+    No dedup needed: a corpus vector matches through at most one probe
+    (its single cell).
 
     Returns (id, neighbor_id, cosine, rank) with rank 1..k per id;
-    vectors alone in their cell return no rows (both engines agree).
+    vectors alone in their probed cells return no rows (both engines
+    agree).
     """
     cv = vectors.select(
         F.col(id_col),
@@ -636,14 +644,28 @@ def knn_join(
         ivf_cell(F.col(vec_col), dim, cells, centroids).alias("cell"),
         norm(F.col(vec_col)).alias("_nrm"),  # once per vector, not per pair
     )
-    a, b = cv.alias("a"), cv.alias("b")
+    if nprobe > 1:
+        probe_side = vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                ivf_cells(F.col(vec_col), dim, cells, centroids, nprobe)
+            ).alias("probe"),
+            norm(F.col(vec_col)).alias("_nrm"),
+        )
+        a = probe_side.alias("a")
+        probe_col = F.col("a.probe")
+    else:
+        a = cv.alias("a")
+        probe_col = F.col("a.cell")
+    b = cv.alias("b")
     _nn = F.col("a._nrm") * F.col("b._nrm")
     cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(
         _nn != 0, _nn
     )
     scored = a.join(
         b,
-        (F.col("a.cell") == F.col("b.cell"))
+        (probe_col == F.col("b.cell"))
         & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
     ).select(
         F.col(f"a.{id_col}").alias(id_col),

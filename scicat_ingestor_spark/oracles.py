@@ -1502,6 +1502,32 @@ SELECT vec_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
 FROM r WHERE rk <= 3
 """
 
+ORACLES["ann_knn_join_nprobe"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cv AS (SELECT vec_id, e, {_ivf_cell_sql('e')} AS cell FROM v),
+ad AS (SELECT vec_id, e, {_ivf_dots_sql('e')} AS d FROM v),
+a1 AS (SELECT vec_id, e, d, list_position(d, list_max(d)) AS c1 FROM ad),
+a2 AS (SELECT vec_id, e, c1,
+        list_position(
+          list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END),
+          list_max(
+            list_transform(d, (x, i) -> CASE WHEN i = c1 THEN -1e308 ELSE x END))
+        ) AS c2
+      FROM a1),
+s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) AS c
+      FROM a2 a JOIN cv b
+        ON b.cell IN (a.c1, a.c2) AND a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, neighbor_id, c,
+        row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id)
+          AS rk
+      FROM s)
+SELECT vec_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 3
+"""
+
 ORACLES["corpus_prep_full_e2e"] = """
 WITH base AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
 w1 AS (SELECT doc_id, source, text,

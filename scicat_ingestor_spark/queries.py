@@ -3586,6 +3586,17 @@ def q_ann_knn_join(spark, sf_dir):
     )
 
 
+def q_ann_knn_join_nprobe(spark, sf_dir):
+    """Multi-probe self-kNN (r7): every vector probes its top-2 nearest
+    cells, recovering cross-boundary neighbors single-cell kNN misses,
+    at 2x candidate cost. Oracle replays the same masked-argmax cell
+    ladder and the same rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join(
+        emb, dim=64, k=3, cells=8, nprobe=2
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cell
     clustering (computed column, no corpus shuffle) + in-cell
@@ -4153,6 +4164,7 @@ QUERIES = {
     "dedup_lines_global": q_dedup_lines_global,
     "dedup_semantic": q_dedup_semantic,
     "ann_knn_join": q_ann_knn_join,
+    "ann_knn_join_nprobe": q_ann_knn_join_nprobe,
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,

@@ -544,3 +544,32 @@ def test_pq_encode_matches_pure_python_reference(spark):
         assert got[vid] == ref_codes(v), vid
     # zero vector: every subspace hits the -1 sentinel
     assert got[98] == [-1] * m
+
+
+def test_knn_join_nprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe self-kNN: nprobe=2's candidate set is a strict
+    superset of nprobe=1's per vector, so the best-neighbor cosine can
+    only improve; and every single-probe (id, neighbor) pair must
+    appear in the multi-probe candidate output's top ranks unless
+    displaced by a STRICTLY better cross-boundary neighbor."""
+    from scicat_ingestor_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = {
+        r["vec_id"]: r["cosine"]
+        for r in knn_join(emb, dim=64, k=1, cells=8, nprobe=1).collect()
+    }
+    two = {
+        r["vec_id"]: r["cosine"]
+        for r in knn_join(emb, dim=64, k=1, cells=8, nprobe=2).collect()
+    }
+    assert one, "fixture regression: no single-probe neighbors"
+    # every vector keeps a best neighbor, and it never gets worse
+    for vid, c in one.items():
+        assert vid in two
+        assert two[vid] >= c, (vid, c, two[vid])
+    # the extra probe actually reaches new vectors somewhere
+    assert set(two) >= set(one)
+    improved = sum(1 for v in one if two[v] > one[v])
+    lonely_fixed = len(set(two) - set(one))
+    assert improved + lonely_fixed > 0, "nprobe=2 changed nothing; fixture too easy"
