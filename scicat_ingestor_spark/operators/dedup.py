@@ -636,10 +636,22 @@ def simhash_hamming_pairs(
             # and the plan-literal size.
             max_hot = max(r["n"] for r in hot_rows)
             g = min(64, max(2, -(-max_hot // split_threshold)))
-        hot_keys = [f"{r['band']}:{r['bkey']}" for r in hot_rows]
-        key = F.concat_ws(":", F.col("band"), F.col("bkey"))
-        return all_pairs(banded.filter(~key.isin(hot_keys)), None).unionByName(
-            all_pairs(banded.filter(key.isin(hot_keys)), g)
+        # TYPED hot/cold routing (r8): broadcast semi/anti joins against
+        # the (tiny, census-bounded) hot-key relation — the previous
+        # string-concat isin relied on Spark's long->string cast
+        # matching Python int formatting, and a dup-dense census with
+        # many hot buckets inflated the plan literal. A broadcast hash
+        # join adds no shuffle and scales with the census, not the plan.
+        hot_df = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(int(r["band"]), int(r["bkey"])) for r in hot_rows],
+                "band int, bkey long",
+            )
+        )
+        return all_pairs(
+            banded.join(hot_df, ["band", "bkey"], "left_anti"), None
+        ).unionByName(
+            all_pairs(banded.join(hot_df, ["band", "bkey"], "left_semi"), g)
         )
     return all_pairs(banded, pair_split)
 

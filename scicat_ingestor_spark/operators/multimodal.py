@@ -441,19 +441,26 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     need = data_off + stride * height
     if len(payload) < need:
         raise ValueError("not a BMP: truncated pixel array")
-    sums = [0, 0, 0]
-    pos_checksum = 0
-    for row_idx in range(height):
-        # bottom-up (positive height): stored row 0 is image row h-1
-        y = (height - 1 - row_idx) if height_raw > 0 else row_idx
-        base = data_off + row_idx * stride
-        row = payload[base : base + width * 3]
-        for x in range(width):
-            b = row[x * 3]
-            sums[0] += b
-            sums[1] += row[x * 3 + 1]
-            sums[2] += row[x * 3 + 2]
-            pos_checksum += (x + y * width) * b
+    # numpy row arithmetic instead of a per-pixel Python walk (r8):
+    # ~100x per image once the pixel path carries real volume. The
+    # reductions stay EXACT integers — uint8 values widened to int64
+    # before summation, so the oracle hashes are bit-identical to the
+    # scalar walk (int64 headroom: 255 * (w*h)^2 overflows only past
+    # ~16k x 16k, far beyond any sane single payload).
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
+    px = arr.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    px = px.astype(np.int64)
+    sums = px.sum(axis=(0, 1))
+    # bottom-up (positive height): stored row 0 is image row h-1
+    ys = (
+        np.arange(height - 1, -1, -1, dtype=np.int64)
+        if height_raw > 0
+        else np.arange(height, dtype=np.int64)
+    )
+    weights = np.arange(width, dtype=np.int64)[None, :] + ys[:, None] * width
+    pos_checksum = int((weights * px[:, :, 0]).sum())
     # integer sums, NOT python-rounded means: Python round() is
     # banker's, SQL round is half-up — at n=128 the mean lands exactly
     # on a 7th-decimal tie and the engines disagree. The Spark wrapper
@@ -461,9 +468,9 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     return {
         "width": width,
         "height": height,
-        "sum_b": sums[0],
-        "sum_g": sums[1],
-        "sum_r": sums[2],
+        "sum_b": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_r": int(sums[2]),
         "pos_checksum": pos_checksum,
     }
 
@@ -479,14 +486,22 @@ def wav_pcm_stats(payload: bytes) -> dict:
 
     meta = _wav_decode(payload)  # validates the container, finds chunks
     # re-walk for the data body (the header decode intentionally does
-    # not keep payload slices around)
+    # not keep payload slices around). The walk re-validates body
+    # lengths even though _wav_decode just did: the shared
+    # failure-channel contract is ValueError on truncation, never a
+    # leaked struct.error or a silently short decode, and this walk
+    # must uphold it standalone.
     pos, data = 12, b""
     bits = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"not a WAV: truncated {tag!r} chunk")
         if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("not a WAV: short fmt chunk")
             bits = struct.unpack("<H", body[14:16])[0]
         elif tag == b"data":
             data = body
@@ -495,15 +510,21 @@ def wav_pcm_stats(payload: bytes) -> dict:
         raise NotImplementedError(
             f"PCM decode implemented for 16-bit samples only (bits={bits})"
         )
+    # vectorized sample decode (r8): int16 view + int64 reductions —
+    # exact integers, identical to the scalar loop (pos_checksum
+    # headroom: 32767 * n^2 / 2 stays inside int64 to n ~ 2e7 samples,
+    # ~40 min of 48 kHz stereo per single payload)
+    import numpy as np
+
     n_samples = len(data) // 2
-    samples = struct.unpack(f"<{n_samples}h", data[: n_samples * 2])
-    abs_sum = peak = pos_checksum = 0
-    for k, s in enumerate(samples):
-        a = -s if s < 0 else s
-        abs_sum += a
-        pos_checksum += k * a
-        if a > peak:
-            peak = a
+    if n_samples:
+        samples = np.frombuffer(data, dtype="<i2", count=n_samples).astype(np.int64)
+        a = np.abs(samples)
+        abs_sum = int(a.sum())
+        peak = int(a.max())
+        pos_checksum = int(np.arange(n_samples, dtype=np.int64) @ a)
+    else:
+        abs_sum = peak = pos_checksum = 0
     # integer reductions only — division+rounding happens JVM-side in
     # the Spark wrapper (see bmp_pixel_stats on round() semantics)
     return {
@@ -541,22 +562,22 @@ def bmp_resize(payload: bytes, target_w: int, target_h: int) -> bytes:
     if len(payload) < data_off + src_stride * src_h:
         raise ValueError("not a BMP: truncated pixel array")
 
-    def src_row_base(y: int) -> int:
-        row_idx = (src_h - 1 - y) if height_raw > 0 else y
-        return data_off + row_idx * src_stride
+    # vectorized resample (r8): image-ordered (h, w, 3) view, fancy-
+    # index the nearest-neighbor source grid, re-encode bottom-up —
+    # byte-identical to the scalar walk (pure index arithmetic)
+    import numpy as np
 
+    src = np.frombuffer(
+        payload, dtype=np.uint8, count=src_stride * src_h, offset=data_off
+    ).reshape(src_h, src_stride)[:, : src_w * 3].reshape(src_h, src_w, 3)
+    img = src[::-1] if height_raw > 0 else src  # stored -> image order
+    sy = (np.arange(target_h) * src_h) // target_h
+    sx = (np.arange(target_w) * src_w) // target_w
+    out_img = img[sy][:, sx]  # (target_h, target_w, 3), image order
     dst_stride = (target_w * 3 + 3) & ~3
-    rows = bytearray()
-    for y in range(target_h - 1, -1, -1):  # encode bottom-up
-        sy = (y * src_h) // target_h
-        base = src_row_base(sy)
-        row = bytearray()
-        for x in range(target_w):
-            sx = (x * src_w) // target_w
-            p = base + sx * 3
-            row += payload[p : p + 3]
-        row.extend(b"\x00" * (dst_stride - len(row)))
-        rows += row
+    buf = np.zeros((target_h, dst_stride), dtype=np.uint8)
+    buf[:, : target_w * 3] = out_img[::-1].reshape(target_h, target_w * 3)
+    rows = buf.tobytes()
     off = 14 + 40
     info = struct.pack(
         "<IiiHHIIiiII", 40, target_w, target_h, 1, 24, 0, len(rows),

@@ -99,6 +99,15 @@ def _compiled(fn):
     reuses them per message. DataFrames are immutable logical plans, so
     re-executing a cached one re-reads the sources; only the plan build
     is amortized.
+
+    CAVEAT for library callers: build-time census decisions (the ngram
+    max-block raise-vs-route guard, the simhash hot-bucket split, the
+    IVF hot-cell split) are frozen into the memoized plan. That is
+    correct for static benchmark fixtures; a caller who MUTATES the
+    tables under ``sf_dir`` within one session must not reuse the
+    memoized builders — re-invoke the underlying operator so the census
+    re-reads the data (data re-READS are always fresh; only the
+    census-derived plan SHAPE is frozen).
     """
     import functools
 

@@ -356,6 +356,20 @@ def test_online_app_restarts_through_transient_sink_failure(
     assert not os.path.exists(str(tmp_path / "out_broken"))
 
 
+def _free_port() -> int:
+    """OS-assigned free port for the soak daemons' health servers —
+    hard-coded ports flaked when a parallel test run (or any resident
+    service) already held them. Bind-to-0, read, close: the classic
+    race window (another process grabbing it between close and the
+    daemon's bind) is acceptable for tests and infinitely better than
+    a fixed collision."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
 @pytest.mark.slow
 def test_online_soak_100_batches_with_health_hammer(spark, tmp_path):
     """Soak parity with the reference stress test
@@ -393,7 +407,7 @@ def test_online_soak_100_batches_with_health_hammer(spark, tmp_path):
 
     out = tmp_path / "out"
     out.mkdir()  # storage probe needs the dir to exist from t0
-    port = 18427
+    port = _free_port()
     url = f"http://127.0.0.1:{port}/health"
     statuses: list[int] = []
     errors: list[str] = []
@@ -504,7 +518,7 @@ def test_online_soak_survives_midstream_fault_under_health_load(
 
     out = tmp_path / "out"
     out.mkdir()
-    port = 18431
+    port = _free_port()
     url = f"http://127.0.0.1:{port}/health"
     statuses: list[int] = []
     stop = threading.Event()
