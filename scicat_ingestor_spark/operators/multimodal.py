@@ -317,17 +317,21 @@ DECODERS: dict[str, Callable[[bytes], dict]] = {
 # coded scan — building one needs real huffman tables, i.e. a codec).
 
 
-def make_png(width: int, height: int) -> bytes:
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
     import struct
     import zlib
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", zlib.crc32(tag + data))
-        )
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def make_png(width: int, height: int) -> bytes:
+    import struct
+    import zlib
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
     raw = b"".join(
@@ -336,9 +340,70 @@ def make_png(width: int, height: int) -> bytes:
     )
     return (
         _PNG_SIGNATURE
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick whichever of left/up/
+    upper-left is closest to a+b-c, ties left > up > upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def make_png_filtered(width: int, height: int) -> bytes:
+    """Fully-formed 8-bit RGB PNG whose RAW (post-unfilter) byte at row
+    ``y``, in-row index ``i`` is the CLOSED-FORM value
+    ``(i*37 + y*101) % 256`` (same rule as make_png), but with every
+    scanline FILTERED with type ``y % 5`` — None/Sub/Up/Average/Paeth
+    all exercised, so a decoder only passes if all five unfilters are
+    right. Filters are exactly invertible, so the closed form holds for
+    the decoded pixels and a SQL oracle can recompute content
+    statistics without touching bytes."""
+    import struct
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    rowbytes = 3 * width
+    raw_rows = [
+        bytes((i * 37 + y * 101) % 256 for i in range(rowbytes))
+        for y in range(height)
+    ]
+    out = bytearray()
+    for y, row in enumerate(raw_rows):
+        ftype = y % 5
+        prev = raw_rows[y - 1] if y else bytes(rowbytes)
+        enc = bytearray(rowbytes)
+        for j in range(rowbytes):
+            left = row[j - 3] if j >= 3 else 0
+            up = prev[j]
+            ul = prev[j - 3] if j >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = _paeth(left, up, ul)
+            enc[j] = (row[j] - pred) & 0xFF
+        out += bytes([ftype]) + enc
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -472,6 +537,149 @@ def bmp_pixel_stats(payload: bytes) -> dict:
         "sum_g": int(sums[1]),
         "sum_r": int(sums[2]),
         "pos_checksum": pos_checksum,
+    }
+
+
+def png_pixel_stats(payload: bytes) -> dict:
+    """REAL PNG pixel decode, stdlib-only (r8 — shrinks the honest
+    codec boundary again): PNG pixel recovery is zlib inflate (stdlib)
+    + the five scanline unfilters (None/Sub/Up/Average/Paeth, PNG spec
+    §9) — no codec library involved, so the ``NotImplementedError``
+    gate was never necessary for this format. Walks the chunk stream
+    with per-chunk CRC validation, concatenates the IDAT bodies,
+    inflates, unfilters every scanline, and reduces the ACTUAL pixels
+    to the same content-statistics contract as :func:`bmp_pixel_stats`:
+    exact per-channel integer sums plus a position-weighted checksum
+    ``sum((x + y*width) * BLUE(x,y))`` over the blue channel (the same
+    channel the BMP path checksums, so the dispatch contract is
+    format-independent). PNG rows are stored TOP-DOWN and channels in
+    R,G,B order — a row-order or channel-offset bug shifts the checksum
+    even when the means survive.
+
+    Boundary honesty: 8-bit truecolor (color type 2), non-interlaced
+    only — palette/alpha/16-bit variants and Adam7 interlace raise
+    NotImplementedError (mechanical extensions, not codec gaps);
+    malformed structure (bad CRC, truncated chunk, short IDAT) raises
+    ValueError — the shared ingest failure-channel contract."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    saw_iend = False
+    while pos + 12 <= len(payload):
+        length, tag = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError(f"not a PNG: truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != zlib.crc32(tag + data):
+            raise ValueError(f"not a PNG: bad CRC on {tag!r} chunk")
+        if tag == b"IHDR":
+            if ihdr is not None or pos != 8 or length != 13:
+                raise ValueError("not a PNG: bad IHDR placement/size")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if not saw_iend:
+        raise ValueError("not a PNG: missing IEND")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if not width or not height:
+        raise ValueError("not a PNG: zero dimension")
+    if comp != 0 or filt != 0:
+        raise ValueError("not a PNG: unknown compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("PNG pixel decode: Adam7 interlace not implemented")
+    if depth != 8 or ctype != 2:
+        raise NotImplementedError(
+            f"PNG pixel decode implemented for 8-bit truecolor only "
+            f"(depth={depth}, color_type={ctype})"
+        )
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"not a PNG: bad IDAT stream ({e})")
+    rowbytes = 3 * width
+    if len(raw) != height * (1 + rowbytes):
+        raise ValueError("not a PNG: decompressed pixel data size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + rowbytes)
+    ftypes = lines[:, 0]
+    img = np.zeros((height, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(height):
+        ftype = int(ftypes[y])
+        line = lines[y, 1:]
+        if ftype == 0:
+            recon = line.copy()
+        elif ftype == 1:  # Sub: per-channel running sum mod 256
+            recon = np.empty(rowbytes, dtype=np.uint8)
+            for c in range(3):
+                recon[c::3] = np.cumsum(line[c::3], dtype=np.int64).astype(
+                    np.uint8
+                )
+        elif ftype == 2:  # Up: vectorized add mod 256
+            recon = line + prev  # uint8 wraparound IS mod-256
+        elif ftype in (3, 4):  # Average/Paeth: left-dependent, sequential
+            out = bytearray(rowbytes)
+            for j in range(rowbytes):
+                left = out[j - 3] if j >= 3 else 0
+                up = int(prev[j])
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prev[j - 3]) if j >= 3 else 0
+                    pred = _paeth(left, up, ul)
+                out[j] = (int(line[j]) + pred) & 0xFF
+            recon = np.frombuffer(bytes(out), dtype=np.uint8)
+        else:
+            raise ValueError(f"not a PNG: unknown filter type {ftype}")
+        img[y] = recon
+        prev = recon
+    px = img.reshape(height, width, 3).astype(np.int64)
+    sums = px.sum(axis=(0, 1))  # R, G, B storage order
+    ys = np.arange(height, dtype=np.int64)  # PNG rows are top-down
+    weights = np.arange(width, dtype=np.int64)[None, :] + ys[:, None] * width
+    pos_checksum = int((weights * px[:, :, 2]).sum())  # blue channel
+    return {
+        "width": int(width),
+        "height": int(height),
+        "sum_r": int(sums[0]),
+        "sum_g": int(sums[1]),
+        "sum_b": int(sums[2]),
+        "pos_checksum": pos_checksum,
+    }
+
+
+def pixel_stats(payload: bytes) -> dict:
+    """Format-dispatching REAL pixel decode: BMP (uncompressed 24-bit)
+    or PNG (8-bit truecolor, zlib inflate + unfilter) by magic bytes,
+    normalized to one contract — width/height, exact per-channel
+    integer sums, and ``pos_checksum = sum((x + y*width) * BLUE(x,y))``
+    over the blue channel in IMAGE row order (top-down y) for both
+    formats: the storage quirks (BMP bottom-up BGR, PNG top-down RGB)
+    are the decoder's problem, never the caller's."""
+    if payload[:2] == b"BM":
+        s = bmp_pixel_stats(payload)
+    elif payload[:8] == _PNG_SIGNATURE:
+        s = png_pixel_stats(payload)
+    else:
+        raise ValueError("pixel decode: unrecognized image signature")
+    return {
+        k: s[k]
+        for k in ("width", "height", "sum_b", "sum_g", "sum_r", "pos_checksum")
     }
 
 
@@ -615,8 +823,10 @@ _PIXELS_RAW_SCHEMA = (
 
 
 def decode_pixels(df: DataFrame) -> DataFrame:
-    """Arrow-batched REAL pixel decode over (media_id, payload) rows of
-    uncompressed 24-bit BMPs. Partition-preserving mapInPandas,
+    """Arrow-batched REAL pixel decode over (media_id, payload) rows —
+    uncompressed 24-bit BMP or 8-bit truecolor PNG, dispatched by magic
+    bytes per row (:func:`pixel_stats`), so a mixed-format binary
+    column decodes in ONE partition-preserving mapInPandas stage,
     decode-late like every media stage. The Python stage emits exact
     integer channel sums; the mean division + rounding is a JVM
     expression (F.round half-up == SQL round — Python's banker's
@@ -624,7 +834,7 @@ def decode_pixels(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            stats = [bmp_pixel_stats(bytes(b)) for b in pdf["payload"]]
+            stats = [pixel_stats(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

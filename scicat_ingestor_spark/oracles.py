@@ -989,6 +989,28 @@ FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # REAL PNG pixel decode (r8): raw byte (row y, in-row index i) is
+    # (i*37 + y*101) % 256 with i = 3x + c, channels R,G,B, rows
+    # top-down; the engine must invert the per-row filters (y % 5 ->
+    # None/Sub/Up/Average/Paeth) to recover these values — the oracle
+    # recomputes the statistics closed-form (filters are exactly
+    # invertible, so they never appear here). pos_checksum is over the
+    # BLUE channel (c=2 -> 3x*37 + 74), image row order.
+    "multimodal_pixels_png_real": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((111*x.g + 74 + 101*y.g) % 256 AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST((111*x.g + 37 + 101*y.g) % 256 AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST((111*x.g + 101*y.g) % 256 AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * ((111*x.g + 74 + 101*y.g) % 256)) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics
@@ -1036,15 +1058,25 @@ GROUP BY d.doc_id
 """,
     # multimodal -> ANN over REAL decoded content: embedding = rounded
     # channel means + dims (identical doubles both engines), exact
-    # cosine top-5; same window/tiebreak as ann_cosine_topk
+    # cosine top-5; same window/tiebreak as ann_cosine_topk. Inputs are
+    # MIXED-format (r8): even ids carry the BMP pixel rule
+    # (x*7 + y*13 + c*29) % 256, odd ids the PNG raw-byte rule
+    # ((3x+c)*37 + y*101) % 256 — a decode bug in either format's path
+    # shifts the embedding set and the ranking
     "multimodal_ann_real": """
 WITH d AS (SELECT doc_id, (doc_id % 16) + 1 AS w,
                   ((doc_id // 16) % 16) + 1 AS h FROM documents),
 m AS (
   SELECT d.doc_id,
-    round(avg(CAST((x.g*7 + y.g*13) % 256 AS DOUBLE)), 6) AS mb,
-    round(avg(CAST((x.g*7 + y.g*13 + 29) % 256 AS DOUBLE)), 6) AS mg,
-    round(avg(CAST((x.g*7 + y.g*13 + 58) % 256 AS DOUBLE)), 6) AS mr,
+    round(avg(CAST(CASE WHEN d.doc_id % 2 = 0
+      THEN (x.g*7 + y.g*13) % 256
+      ELSE (111*x.g + 74 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mb,
+    round(avg(CAST(CASE WHEN d.doc_id % 2 = 0
+      THEN (x.g*7 + y.g*13 + 29) % 256
+      ELSE (111*x.g + 37 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mg,
+    round(avg(CAST(CASE WHEN d.doc_id % 2 = 0
+      THEN (x.g*7 + y.g*13 + 58) % 256
+      ELSE (111*x.g + 101*y.g) % 256 END AS DOUBLE)), 6) AS mr,
     d.w, d.h
   FROM d,
     LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,

@@ -2774,6 +2774,42 @@ def q_multimodal_pixels_real(spark, sf_dir):
     return multimodal.decode_pixels(media)
 
 
+def q_multimodal_pixels_png_real(spark, sf_dir):
+    """REAL PNG pixel decode in the data plane (r8 — the honest codec
+    boundary shrinks again: PNG pixel recovery is stdlib zlib inflate +
+    the five scanline unfilters, no codec library). Each document gets
+    a fully-formed 8-bit RGB PNG whose RAW byte (row y, in-row index i)
+    follows the closed form (i*37 + y*101) % 256, with every scanline
+    FILTERED as y % 5 — None/Sub/Up/Average/Paeth all on the decode
+    path. The engine inflates, unfilters, and reduces the actual pixels
+    (top-down rows, R,G,B channel order); the oracle recomputes the
+    statistics from the closed form via generate_series — any unfilter,
+    row-order, or channel-offset bug breaks the hash."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_png_filtered(
+                            (int(i) % 16) + 1, ((int(i) // 16) % 16) + 1
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
 def q_multimodal_pcm_real(spark, sf_dir):
     """REAL PCM decode in the data plane (r7): each document gets a
     16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
@@ -2843,14 +2879,38 @@ def q_multimodal_resize_real(spark, sf_dir):
 
 
 def q_multimodal_ann_real(spark, sf_dir):
-    """Multimodal -> ANN composition over REAL decoded content (r7):
-    the 5-dim embedding is built from the ACTUAL decoded pixel
-    statistics (rounded channel means + dims — identical doubles in
-    both engines by construction), then exact cosine top-5 for the
-    first three media ids. A decode bug upstream changes the embedding
-    and the neighbor ranking; the oracle recomputes everything from
-    the closed-form pixel rule."""
-    px = q_multimodal_pixels_real(spark, sf_dir)
+    """Multimodal -> ANN composition over REAL decoded content (r7;
+    r8 widens the input to a MIXED-format binary column — BMP for even
+    ids, filtered PNG for odd ids, dispatched per row by magic bytes in
+    ONE decode stage, the usual 100 TB shape): the 5-dim embedding is
+    built from the ACTUAL decoded pixel statistics (rounded channel
+    means + dims — identical doubles in both engines by construction),
+    then exact cosine top-5 for the first three media ids. A decode bug
+    in EITHER format's path changes the embeddings and the neighbor
+    ranking; the oracle recomputes everything from the two closed-form
+    pixel rules."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                w, h = (int(i) % 16) + 1, ((int(i) // 16) % 16) + 1
+                builder = (
+                    multimodal.make_bmp
+                    if int(i) % 2 == 0
+                    else multimodal.make_png_filtered
+                )
+                payloads.append(builder(w, h))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    px = multimodal.decode_pixels(media)
     emb = px.select(
         F.col("media_id").alias("vec_id"),
         F.array(
@@ -4139,6 +4199,7 @@ QUERIES = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,
+    "multimodal_pixels_png_real": q_multimodal_pixels_png_real,
     "multimodal_pcm_real": q_multimodal_pcm_real,
     "multimodal_ann_real": q_multimodal_ann_real,
     "multimodal_resize_real": q_multimodal_resize_real,

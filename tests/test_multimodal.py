@@ -492,11 +492,14 @@ def test_content_decoder_fuzz_only_contract_errors_escape():
         multimodal.make_bmp(16, 16),
         multimodal.make_wav(1, 20),
         multimodal.make_wav(3, 7),
-        multimodal.make_png(4, 4),  # wrong format for both: must reject
+        multimodal.make_png(4, 4),
+        multimodal.make_png_filtered(6, 5),
     ]
     fns = [
         multimodal.bmp_pixel_stats,
         multimodal.wav_pcm_stats,
+        multimodal.png_pixel_stats,
+        multimodal.pixel_stats,
         lambda b: multimodal.bmp_resize(b, 4, 3),
     ]
 
@@ -522,3 +525,115 @@ def test_content_decoder_fuzz_only_contract_errors_escape():
                 pass  # the contract
 
     check()
+
+
+def test_png_pixel_stats_all_filters():
+    """Real PNG pixel decode (r8): the filtered builder applies filter
+    y % 5 per scanline — None/Sub/Up/Average/Paeth all on the decode
+    path — and the decoded statistics must match the closed-form raw
+    rule (i*37 + y*101) % 256 exactly. Heights >= 5 guarantee every
+    filter type occurs."""
+    for w, h in [(1, 5), (3, 6), (5, 5), (16, 7), (7, 16)]:
+        st = multimodal.png_pixel_stats(multimodal.make_png_filtered(w, h))
+        want = {
+            c: sum(
+                ((3 * x + c) * 37 + y * 101) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+            for c in range(3)
+        }
+        assert (st["width"], st["height"]) == (w, h)
+        assert (st["sum_r"], st["sum_g"], st["sum_b"]) == (
+            want[0], want[1], want[2],
+        )
+        assert st["pos_checksum"] == sum(
+            (x + y * w) * (((3 * x + 2) * 37 + y * 101) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+        # the unfiltered builder must decode to the SAME stats (filters
+        # are invertible; both builders share the raw rule)
+        assert multimodal.png_pixel_stats(multimodal.make_png(w, h)) == st
+
+
+def test_png_pixel_stats_gates_and_errors():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    buf = multimodal.make_png_filtered(4, 4)
+    with _pytest.raises(ValueError, match="bad signature"):
+        multimodal.png_pixel_stats(b"\x89PNG" + buf[4:][::-1])
+    with _pytest.raises(ValueError, match="truncated|missing IEND"):
+        multimodal.png_pixel_stats(buf[:-6])  # rips through IEND
+    with _pytest.raises(ValueError, match="truncated|missing IEND"):
+        # mid-chunk cut: the partial IDAT body itself must raise
+        multimodal.png_pixel_stats(buf[: buf.index(b"IDAT") + 6])
+    # corrupt one IDAT byte -> CRC mismatch, ValueError (never zlib.error)
+    idat_at = buf.index(b"IDAT") + 4
+    bad = buf[:idat_at] + bytes([buf[idat_at] ^ 0xFF]) + buf[idat_at + 1 :]
+    with _pytest.raises(ValueError, match="bad CRC"):
+        multimodal.png_pixel_stats(bad)
+
+    def rebuild(depth=8, ctype=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, interlace)
+        body = buf[buf.index(b"IDAT") - 4 : ]
+        return multimodal._PNG_SIGNATURE + multimodal._png_chunk(b"IHDR", ihdr) + body
+
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        multimodal.png_pixel_stats(rebuild(interlace=1))
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        multimodal.png_pixel_stats(rebuild(ctype=6))  # RGBA gated
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        multimodal.png_pixel_stats(rebuild(depth=16))
+    # a VALID zlib stream of the WRONG length -> size-mismatch ValueError
+    short = (
+        multimodal._PNG_SIGNATURE
+        + multimodal._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        multimodal.png_pixel_stats(short)
+
+
+def test_pixel_stats_dispatch_and_mixed_dataplane(spark):
+    """Magic-byte dispatch: one decode stage over a MIXED BMP/PNG binary
+    column — the blue-channel checksum contract is format-independent
+    (BMP stores bottom-up BGR, PNG top-down RGB; both normalize to
+    image row order)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unrecognized"):
+        multimodal.pixel_stats(b"GIF89a......")
+
+    ids = [0, 1, 7, 135, 120]
+    media = spark.createDataFrame(
+        [
+            (
+                i,
+                (multimodal.make_bmp if i % 2 == 0 else multimodal.make_png_filtered)(
+                    (i % 16) + 1, ((i // 16) % 16) + 1
+                ),
+            )
+            for i in ids
+        ],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_pixels(media).collect()}
+    for i in ids:
+        w, h = (i % 16) + 1, ((i // 16) % 16) + 1
+        assert (out[i]["width"], out[i]["height"]) == (w, h)
+        if i % 2 == 0:
+            chk = sum(
+                (x + y * w) * ((x * 7 + y * 13) % 256)
+                for x in range(w) for y in range(h)
+            )
+        else:
+            chk = sum(
+                (x + y * w) * (((3 * x + 2) * 37 + y * 101) % 256)
+                for x in range(w) for y in range(h)
+            )
+        assert out[i]["pos_checksum"] == chk, i
