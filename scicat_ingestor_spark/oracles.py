@@ -1098,6 +1098,31 @@ r AS (SELECT query_id, vec_id AS neighbor_id, c,
 SELECT query_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
 FROM r WHERE rk <= 5
 """,
+    # REAL GIF frame-pixel decode (r8): frame f's color index at (x, y)
+    # is (x*3 + y*5 + f*7) % 8 under the closed-form palette
+    # ((i*11)%256, (i*23)%256, (i*47)%256); the engine recovers the
+    # indices by actually LZW-decompressing each frame's data stream —
+    # the oracle recomputes the statistics from the two closed forms
+    "multimodal_gif_pixels_real": """
+SELECT d.doc_id AS media_id,
+  CAST(f.g AS INTEGER) AS frame_idx,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((((x.g*3 + y.g*5 + f.g*7) % 8) * 11) % 256 AS DOUBLE)), 6)
+    AS mean_r,
+  round(avg(CAST((((x.g*3 + y.g*5 + f.g*7) % 8) * 23) % 256 AS DOUBLE)), 6)
+    AS mean_g,
+  round(avg(CAST((((x.g*3 + y.g*5 + f.g*7) % 8) * 47) % 256 AS DOUBLE)), 6)
+    AS mean_b,
+  CAST(sum((x.g + y.g*d.w) * ((x.g*3 + y.g*5 + f.g*7) % 8)) AS BIGINT)
+    AS idx_checksum
+FROM (SELECT doc_id, (doc_id % 6) + 2 AS w, ((doc_id // 6) % 6) + 2 AS h,
+             (doc_id % 4) + 1 AS nf FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.nf - 1)) AS g) f,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, f.g, d.w, d.h
+""",
     # real GIF block-grammar walk: the engine counts image descriptors
     # in generated multi-frame GIFs; the oracle recomputes the
     # id -> frame-count rule

@@ -2739,6 +2739,43 @@ def q_multimodal_frames_real(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_pixels_real(spark, sf_dir):
+    """REAL GIF frame-PIXEL decode in the data plane (r8): each
+    document gets a multi-frame GIF whose LZW-compressed color indices
+    follow the closed form (x*3 + y*5 + f*7) % 8 under the closed-form
+    8-color palette (gif_palette); the engine walks the block grammar,
+    LZW-decompresses every frame, palette-maps, and reduces per-frame
+    channel means + the index checksum sum((x + y*w) * index). The
+    oracle recomputes everything from the two closed forms via
+    generate_series — an LZW, sub-block, width-growth, or palette bug
+    breaks the hash. Extends r7's frame COUNTS to frame PIXELS."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_gif_pixel_frames(
+                            (int(i) % 6) + 2,
+                            ((int(i) // 6) % 6) + 2,
+                            (int(i) % 4) + 1,
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_frame_pixels(media)
+
+
 def q_multimodal_pixels_real(spark, sf_dir):
     """REAL pixel decode in the data plane (r7 — shrinks the honest
     codec boundary): each document gets a fully-formed uncompressed
@@ -4200,6 +4237,7 @@ QUERIES = {
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,
     "multimodal_pixels_png_real": q_multimodal_pixels_png_real,
+    "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_pcm_real": q_multimodal_pcm_real,
     "multimodal_ann_real": q_multimodal_ann_real,
     "multimodal_resize_real": q_multimodal_resize_real,

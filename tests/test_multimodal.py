@@ -637,3 +637,125 @@ def test_pixel_stats_dispatch_and_mixed_dataplane(spark):
                 for x in range(w) for y in range(h)
             )
         assert out[i]["pos_checksum"] == chk, i
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """The LZW pair is mutually inverse for arbitrary index streams —
+    including dictionary growth across code-width boundaries and the
+    4096-entry reset (the encoder's width must track the DECODER's
+    lagging table; any desync corrupts from the first boundary)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.data())
+    def check(data):
+        mcs = data.draw(st.integers(2, 8))
+        idx = bytes(
+            data.draw(
+                st.lists(st.integers(0, (1 << mcs) - 1), max_size=2000)
+            )
+        )
+        assert multimodal._gif_lzw_decode(
+            multimodal._gif_lzw_encode(idx, mcs), mcs
+        ) == idx
+
+    check()
+    # deterministic reset-crossing case (4096 entries needs volume)
+    import random
+
+    big = bytes(random.Random(3).randrange(4) for _ in range(60000))
+    assert multimodal._gif_lzw_decode(
+        multimodal._gif_lzw_encode(big, 2), 2
+    ) == big
+
+
+def test_gif_frame_pixel_stats_closed_form():
+    """Frame-pixel decode matches the closed-form index + palette rules
+    for every frame, and the r7 frame counter agrees on the same
+    bytes."""
+    w, h, nf = 6, 5, 3
+    payload = multimodal.make_gif_pixel_frames(w, h, nf)
+    assert multimodal.gif_frame_count(payload) == nf
+    frames = multimodal.gif_frame_pixel_stats(payload)
+    assert [fr["frame_idx"] for fr in frames] == [0, 1, 2]
+    for f, fr in enumerate(frames):
+        for ci, key in enumerate(("sum_r", "sum_g", "sum_b")):
+            assert fr[key] == sum(
+                multimodal.gif_palette((x * 3 + y * 5 + f * 7) % 8)[ci]
+                for x in range(w)
+                for y in range(h)
+            )
+        assert fr["idx_checksum"] == sum(
+            (x + y * w) * ((x * 3 + y * 5 + f * 7) % 8)
+            for x in range(w)
+            for y in range(h)
+        )
+
+
+def test_gif_frame_pixel_stats_gates_and_errors():
+    import pytest as _pytest
+
+    payload = bytearray(multimodal.make_gif_pixel_frames(4, 3, 2))
+    # first image descriptor sits right after header(13) + GCT(24)
+    # (searching for 0x2C would hit palette byte 44 first)
+    desc_at = 13 + 3 * multimodal.GIF_PALETTE_SIZE
+    assert payload[desc_at] == 0x2C
+    # interlace flag on the first image descriptor -> gated
+    interlaced = bytes(
+        payload[: desc_at + 9]
+        + bytes([payload[desc_at + 9] | 0x40])
+        + payload[desc_at + 10 :]
+    )
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        multimodal.gif_frame_pixel_stats(interlaced)
+    with _pytest.raises(ValueError):  # rip off trailer + some data
+        multimodal.gif_frame_pixel_stats(bytes(payload[:-10]))
+    # shrink the descriptor's height: decoded pixel count mismatches
+    wrong = bytearray(payload)
+    wrong[desc_at + 7 : desc_at + 9] = (99).to_bytes(2, "little")
+    with _pytest.raises(ValueError, match="pixels"):
+        multimodal.gif_frame_pixel_stats(bytes(wrong))
+    # frames with no color table anywhere -> ValueError
+    no_gct = multimodal.make_gif_frames(3, 3, 1)  # r7 builder: no GCT
+    with _pytest.raises(ValueError, match="no color table"):
+        multimodal.gif_frame_pixel_stats(no_gct)
+
+
+def test_decode_frame_pixels_dataplane(spark):
+    """The Spark wrapper: per-frame rows with JVM-rounded means match a
+    driver-side recomputation."""
+    import decimal
+
+    ids = [0, 5, 11]
+    media = spark.createDataFrame(
+        [
+            (
+                i,
+                multimodal.make_gif_pixel_frames(
+                    (i % 6) + 2, ((i // 6) % 6) + 2, (i % 4) + 1
+                ),
+            )
+            for i in ids
+        ],
+        "media_id long, payload binary",
+    )
+    rows = multimodal.decode_frame_pixels(media).collect()
+    by_key = {(r["media_id"], r["frame_idx"]): r for r in rows}
+    assert len(by_key) == sum((i % 4) + 1 for i in ids)
+    for i in ids:
+        w, h = (i % 6) + 2, ((i // 6) % 6) + 2
+        for f in range((i % 4) + 1):
+            r = by_key[(i, f)]
+            s = sum(
+                multimodal.gif_palette((x * 3 + y * 5 + f * 7) % 8)[0]
+                for x in range(w)
+                for y in range(h)
+            )
+            want = float(
+                decimal.Decimal(s / (w * h)).quantize(
+                    decimal.Decimal("0.000001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+            assert r["mean_r"] == want, (i, f)
