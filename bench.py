@@ -72,6 +72,7 @@ DIAGNOSTICS = [
     "dedup_recall_report",
     "ann_recall_report",
     "ann_recall_trained_report",
+    "ann_knn_recall_report",
 ]
 
 

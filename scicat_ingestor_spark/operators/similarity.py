@@ -688,6 +688,51 @@ def knn_join(
     )
 
 
+def knn_join_exact(
+    vectors: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe=None,
+) -> DataFrame:
+    """Exact self-kNN ground truth for a SAMPLED probe subset — the
+    measurement denominator for :func:`knn_join`'s recall (the same
+    role brute_force_topk plays for the query-serving ANN paths, but
+    self-excluding). ``probe`` is a Column predicate selecting the
+    sampled ids; the probes broadcast against ONE scan of the corpus
+    (no corpus shuffle), so cost is |probe| x corpus — that is why
+    recall is measured on a sample, which is the point of sampling.
+
+    Returns (id, neighbor_id, cosine, rank) with rank 1..k per probed
+    id, the exact schema knn_join emits."""
+    probe_df = vectors.filter(probe) if probe is not None else vectors
+    q = probe_df.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        vectors.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            F.col("_rk").alias("rank"),
+        )
+    )
+
+
 def semantic_dedup_survivors(
     vectors: DataFrame,
     dim: int,

@@ -2125,6 +2125,73 @@ FROM base b LEFT JOIN hit h ON b.method = h.method AND b.query_id = h.query_id
 
 ORACLES["ann_recall_trained_report"] = _recall_trained_oracle()
 
+# self-kNN with TRAINED centroids (r8): the unrolled-training CTEs feed
+# the same in-cell self-join + rank window as ann_knn_join
+ORACLES["ann_knn_join_trained"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_TC_CTES},
+{_TRAINED_CELL},
+s AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) AS c
+      FROM tcv a JOIN tcv b
+        ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+r AS (SELECT vec_id, neighbor_id, c,
+        row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id)
+          AS rk
+      FROM s)
+SELECT vec_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
+FROM r WHERE rk <= 3
+"""
+
+
+def _knn_recall_oracle() -> str:
+    """ann_knn_recall_report's SQL twin: exact self-kNN over the
+    sampled probes (vec_id % 37 = 0) as ground truth, the three knn
+    oracles (fixed / nprobe / trained) filtered to the sample as the
+    measured methods — composed from the method oracles exactly like
+    _recall_oracle, so the recall rows can't drift from the method
+    definitions."""
+    parts = "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS method, vec_id, neighbor_id FROM ({ORACLES[o]})\n"
+        f"WHERE vec_id % 37 = 0"
+        for m, o in (
+            ("ivf", "ann_knn_join"),
+            ("ivf_nprobe", "ann_knn_join_nprobe"),
+            ("ivf_trained", "ann_knn_join_trained"),
+        )
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT * FROM v WHERE vec_id % 37 = 0),
+es AS (SELECT p.vec_id, b.vec_id AS neighbor_id,
+        list_dot_product(p.e, b.e)
+          / (sqrt(list_dot_product(p.e, p.e))
+             * sqrt(list_dot_product(b.e, b.e))) AS c
+      FROM p JOIN v b ON p.vec_id <> b.vec_id),
+exact AS (SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, neighbor_id)
+        AS rk
+    FROM es) WHERE rk <= 3),
+ap AS ({parts}),
+hit AS (SELECT ap.method, ap.vec_id, count(*) AS n_hit
+        FROM ap JOIN exact USING (vec_id, neighbor_id)
+        GROUP BY ap.method, ap.vec_id),
+base AS (SELECT m.method, e.vec_id, count(*) AS n_exact
+         FROM exact e
+         CROSS JOIN (VALUES ('ivf'), ('ivf_nprobe'), ('ivf_trained')) m(method)
+         GROUP BY m.method, e.vec_id)
+SELECT b.method, b.vec_id, b.n_exact,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / b.n_exact, 6) AS recall_at_k
+FROM base b LEFT JOIN hit h ON b.method = h.method AND b.vec_id = h.vec_id
+"""
+
+
+ORACLES["ann_knn_recall_report"] = _knn_recall_oracle()
+
 
 # S6 real branch: the inputs are the two static reference NeXus fixture
 # files, so the correct output is this fixed relation (values verified

@@ -3703,6 +3703,76 @@ def q_ann_knn_join_nprobe(spark, sf_dir):
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+@_compiled
+def q_ann_knn_join_trained(spark, sf_dir):
+    """Self-kNN with TRAINED centroids (r8): the same IVF-bucketed
+    knn_join plan shape, cells adapted to the data by the reproducible
+    spherical k-means (quantized means — see _trained). The centroids
+    param at similarity.knn_join was already there; this registers the
+    production form. Oracle: the DuckDB twin replays the unrolled
+    training CTEs and the same in-cell rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _trained(spark, sf_dir, "centroids")
+    return similarity.knn_join(
+        emb, dim=64, k=3, cells=8, centroids=cents
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_ann_knn_recall_report(spark, sf_dir):
+    """Recall@3 of the self-kNN join variants against the EXACT
+    self-kNN on a sampled probe set (vec_id % 37 == 0) — closes the
+    r7 gap: every query-serving ANN path had a measured recall row,
+    but the corpus-against-itself path did not, and cell-boundary
+    recall loss is exactly the failure mode its multi-probe variant
+    exists for. Methods: single-probe IVF cells, top-2 multi-probe,
+    trained centroids. The exact side broadcasts only the sampled
+    probes against one corpus scan (knn_join_exact); the approx sides
+    reuse the registered queries, filtered to the sample. nprobe >=
+    single-probe is guaranteed by candidate-superset monotonicity and
+    asserted in pytest."""
+    from functools import reduce
+
+    sample = F.col("vec_id") % 37 == 0
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = similarity.knn_join_exact(emb, k=3, probe=sample).select(
+        "vec_id", "neighbor_id"
+    )
+    methods = {
+        "ivf": q_ann_knn_join,
+        "ivf_nprobe": q_ann_knn_join_nprobe,
+        "ivf_trained": q_ann_knn_join_trained,
+    }
+    approx = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            fn(spark, sf_dir)
+            .filter(sample)
+            .select(F.lit(m).alias("method"), "vec_id", "neighbor_id")
+            for m, fn in methods.items()
+        ],
+    )
+    hits = (
+        approx.join(exact, ["vec_id", "neighbor_id"])
+        .groupBy("method", "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    base = (
+        exact.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(spark.createDataFrame([(m,) for m in methods], "method string"))
+    )
+    return base.join(hits, ["method", "vec_id"], "left").select(
+        "method",
+        "vec_id",
+        "n_exact",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("n_exact"),
+            6,
+        ).alias("recall_at_k"),
+    )
+
+
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cell
     clustering (computed column, no corpus shuffle) + in-cell
@@ -4273,6 +4343,8 @@ QUERIES = {
     "dedup_semantic": q_dedup_semantic,
     "ann_knn_join": q_ann_knn_join,
     "ann_knn_join_nprobe": q_ann_knn_join_nprobe,
+    "ann_knn_join_trained": q_ann_knn_join_trained,
+    "ann_knn_recall_report": q_ann_knn_recall_report,
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,

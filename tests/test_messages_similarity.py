@@ -573,3 +573,72 @@ def test_knn_join_nprobe_dominates_single_probe(spark, sf_dir):
     improved = sum(1 for v in one if two[v] > one[v])
     lonely_fixed = len(set(two) - set(one))
     assert improved + lonely_fixed > 0, "nprobe=2 changed nothing; fixture too easy"
+
+
+def test_knn_join_exact_ground_truth(spark, sf_dir):
+    """knn_join_exact: self-excluding, sampled probes only, and for a
+    probe whose cell holds the whole corpus the IVF knn_join must agree
+    exactly (cells=1 -> no cell boundary -> approx == exact)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = F.col("vec_id") % 101 == 0
+    exact = similarity.knn_join_exact(emb, k=3, probe=probe)
+    rows = exact.collect()
+    probed = {r["vec_id"] for r in emb.filter(probe).collect()}
+    assert {r["vec_id"] for r in rows} == probed
+    assert all(r["neighbor_id"] != r["vec_id"] for r in rows)
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    one_cell = similarity.knn_join(
+        emb.filter(F.col("vec_id") < 40), dim=64, k=3,
+        centroids=[[1.0] + [0.0] * 63],  # single cell: everything together
+    )
+    exact_small = similarity.knn_join_exact(emb.filter(F.col("vec_id") < 40), k=3)
+    assert {
+        (r["vec_id"], r["neighbor_id"]) for r in one_cell.collect()
+    } == {(r["vec_id"], r["neighbor_id"]) for r in exact_small.collect()}
+
+
+def test_knn_recall_multi_probe_dominates_and_trained_beats_fixed(spark, sf_dir):
+    """The r8 self-kNN recall report: nprobe=2 recall >= single-probe
+    per probed vector (candidate-superset monotonicity — the top-2
+    probe set CONTAINS the single cell, and an exact-top-3 member in
+    the candidate set always ranks in the approx top-3). And on
+    clustered data (the regime training exists for), trained centroids
+    recover full recall where the fixed hash cells split clusters."""
+    from scicat_ingestor_spark.queries import QUERIES
+
+    rows = QUERIES["ann_knn_recall_report"](spark, sf_dir).collect()
+    by = {(r["method"], r["vec_id"]): r["recall_at_k"] for r in rows}
+    ivf = {k[1]: v for k, v in by.items() if k[0] == "ivf"}
+    npb = {k[1]: v for k, v in by.items() if k[0] == "ivf_nprobe"}
+    assert set(ivf) == set(npb) and len(ivf) > 0
+    assert all(npb[i] >= ivf[i] for i in ivf), "multi-probe recall regressed"
+
+    # trained >= fixed on clustered vectors: three tight axis clusters
+    import random
+
+    rng = random.Random(5)
+    dim = 8
+    rows_c = []
+    for i in range(90):
+        v = [rng.uniform(-0.05, 0.05) for _ in range(dim)]
+        v[i % 3] += 1.0
+        rows_c.append((i, v))
+    vecs = spark.createDataFrame(rows_c, "vec_id long, embedding array<double>")
+    cents = similarity.train_centroids(vecs, dim, k=3, iterations=8)
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.knn_join_exact(vecs, k=3).collect()
+    }
+
+    def hits(centroids):
+        got = {
+            (r["vec_id"], r["neighbor_id"])
+            for r in similarity.knn_join(
+                vecs, dim=dim, k=3, cells=3, centroids=centroids
+            ).collect()
+        }
+        return len(got & exact)
+
+    trained, fixed = hits(cents), hits(None)
+    assert trained >= fixed
+    assert trained == len(exact)  # aligned cells -> full recall
