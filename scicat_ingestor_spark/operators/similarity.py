@@ -607,6 +607,73 @@ def lsh_multi_topk(
     )
 
 
+def _triangle_replicate(df: DataFrame, id_col: str, g: int) -> DataFrame:
+    """The triangle self-join split (dedup.simhash_pairs precedent):
+    each row gets a deterministic group in [0, g) and is replicated to
+    the g unordered group-cells containing it; a pair meets in exactly
+    the cell (min(grp_a, grp_b), max(...)) — enforced by the caller's
+    cell-match + canonical-cell join conditions — so a hot bucket's m^2
+    pair expansion spreads over g(g+1)/2 tasks instead of ONE."""
+    grp = F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int")
+    tri = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("ci"), F.lit(j).alias("cj"))
+                for i in range(g)
+                for j in range(i, g)
+            ]
+        ),
+        lambda c: (c["ci"] == grp) | (c["cj"] == grp),
+    )
+    return (
+        df.withColumn("_grp", grp)
+        .withColumn("_tc", F.explode(tri))
+        .select(
+            "*", F.col("_tc.ci").alias("_ci"), F.col("_tc.cj").alias("_cj")
+        )
+        .drop("_tc")
+    )
+
+
+def _triangle_conditions() -> Column:
+    """Exactly-once condition for triangle-replicated sides ``a``/``b``:
+    same cell, and the cell is the pair's canonical (min, max) group
+    cell."""
+    return (
+        (F.col("a._ci") == F.col("b._ci"))
+        & (F.col("a._cj") == F.col("b._cj"))
+        & (F.least(F.col("a._grp"), F.col("b._grp")) == F.col("a._ci"))
+        & (F.greatest(F.col("a._grp"), F.col("b._grp")) == F.col("a._cj"))
+    )
+
+
+def _hot_cell_census(cv: DataFrame, threshold: int | None) -> list:
+    """Build-time cell-size census: (cell, n) rows above the threshold.
+    One partial-agg shuffle whose output is AT MOST ``cells`` rows —
+    trivially collectible (the IVF cell count is a plan constant, not a
+    data-dependent key space). ``None`` disables the census (and the
+    extra corpus read it costs at build time)."""
+    if threshold is None:
+        return []
+    return (
+        cv.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > threshold)
+        .collect()
+    )
+
+
+# Calibrated from the measured r7 A/B (SCALE.md): whole-stage codegen
+# streams a bucket's m^2 pair expansion at ~1e8 candidates/s/core, so
+# triangle-splitting only amortizes its census + replication once ONE
+# task's emission would run for many minutes — m^2/2 >~ 1e10, i.e.
+# ~200k members. The guard is insurance against the pathological cell
+# (skewed or grown corpora silently re-creating quadratic cells — the
+# r7 verdict's "not wrong today, unguarded tomorrow"), not a default
+# accelerator.
+CELL_SPLIT_THRESHOLD = 200_000
+
+
 def knn_join(
     vectors: DataFrame,
     dim: int,
@@ -616,6 +683,7 @@ def knn_join(
     cells: int = 8,
     centroids: list[list[float]] | None = None,
     nprobe: int = 1,
+    split_threshold: int | None = CELL_SPLIT_THRESHOLD,
 ) -> DataFrame:
     """Self-kNN join: the top-k cosine neighbors of EVERY vector — the
     dataset-cartography / SemDeDup-clustering workhorse (every ANN topk
@@ -634,6 +702,20 @@ def knn_join(
     No dedup needed: a corpus vector matches through at most one probe
     (its single cell).
 
+    ``split_threshold`` arms the census-driven hot-cell auto-split
+    (r8): a build-time cell-size census (one partial-agg pass, at most
+    ``cells`` rows collected) routes members of cells above the
+    threshold through the triangle replication split — the SAME pair
+    set, spread over g(g+1)/2 tasks instead of one — while every other
+    row keeps the plain single-shuffle join. With no hot cell the
+    returned plan is EXACTLY the unsplit plan (the census adds no
+    operator to the data path; pinned in tests/test_plans.py). This is
+    SEMANTIC-PRESERVING, unlike raising ``cells``: results — and the
+    SQL oracle — are unchanged, only task granularity moves. The
+    threshold default is the r7-calibrated single-task envelope
+    (~200k members); callers who instead want better recall at scale
+    still raise ``cells``/``nprobe``, which the recall report measures.
+
     Returns (id, neighbor_id, cosine, rank) with rank 1..k per id;
     vectors alone in their probed cells return no rows (both engines
     agree).
@@ -645,7 +727,7 @@ def knn_join(
         norm(F.col(vec_col)).alias("_nrm"),  # once per vector, not per pair
     )
     if nprobe > 1:
-        probe_side = vectors.select(
+        a_all = vectors.select(
             F.col(id_col),
             F.col(vec_col),
             F.explode(
@@ -653,26 +735,50 @@ def knn_join(
             ).alias("probe"),
             norm(F.col(vec_col)).alias("_nrm"),
         )
-        a = probe_side.alias("a")
-        probe_col = F.col("a.probe")
+        probe_name = "probe"
     else:
-        a = cv.alias("a")
-        probe_col = F.col("a.cell")
-    b = cv.alias("b")
-    _nn = F.col("a._nrm") * F.col("b._nrm")
-    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(
-        _nn != 0, _nn
-    )
-    scored = a.join(
-        b,
-        (probe_col == F.col("b.cell"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias(id_col),
-        F.col(f"b.{id_col}").alias("neighbor_id"),
-        cos.alias("_cos"),  # evaluated ONCE: the window and the output
-        # column both read this projection
-    )
+        a_all = cv
+        probe_name = "cell"
+
+    def pairs(a_side: DataFrame, b_side: DataFrame, g: int | None) -> DataFrame:
+        if g and g > 1:
+            a_side = _triangle_replicate(a_side, id_col, g)
+            b_side = _triangle_replicate(b_side, id_col, g)
+        a, b = a_side.alias("a"), b_side.alias("b")
+        _nn = F.col("a._nrm") * F.col("b._nrm")
+        cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(
+            _nn != 0, _nn
+        )
+        cond = (F.col(f"a.{probe_name}") == F.col("b.cell")) & (
+            F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+        )
+        if g and g > 1:
+            cond = cond & _triangle_conditions()
+        return a.join(b, cond).select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            cos.alias("_cos"),  # evaluated ONCE: the window and the
+            # output column both read this projection
+        )
+
+    hot = _hot_cell_census(cv, split_threshold)
+    if not hot:
+        scored = pairs(a_all, cv, None)
+    else:
+        hot_ids = [int(r["cell"]) for r in hot]
+        g = min(64, max(2, -(-max(r["n"] for r in hot) // split_threshold)))
+        probe_col, cell_col = F.col(probe_name), F.col("cell")
+        scored = pairs(
+            a_all.filter(~probe_col.isin(hot_ids)),
+            cv.filter(~cell_col.isin(hot_ids)),
+            None,
+        ).unionByName(
+            pairs(
+                a_all.filter(probe_col.isin(hot_ids)),
+                cv.filter(cell_col.isin(hot_ids)),
+                g,
+            )
+        )
     w = Window.partitionBy(id_col).orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc()
     )
@@ -741,6 +847,7 @@ def semantic_dedup_survivors(
     threshold: float = 0.3,
     cells: int = 8,
     centroids: list[list[float]] | None = None,
+    split_threshold: int | None = CELL_SPLIT_THRESHOLD,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space (here the deterministic IVF cell
@@ -761,6 +868,13 @@ def semantic_dedup_survivors(
     The keep-lowest-id rule is the pairwise form of SemDeDup's
     keep-one-per-near-dup-group: deterministic, engine-independent, and
     exactly expressible as NOT EXISTS in the SQL oracle.
+
+    ``split_threshold`` arms the same census-driven hot-cell auto-split
+    as :func:`knn_join` (r8): members of cells above the calibrated
+    single-task envelope take the triangle replication split — same
+    pair set, same survivors, same oracle, the m^2 expansion just
+    spreads over g(g+1)/2 tasks. No hot cell -> EXACTLY the unsplit
+    plan (plan-pinned).
     """
     cv = vectors.select(
         F.col(id_col),
@@ -772,22 +886,39 @@ def semantic_dedup_survivors(
         # on the x10 replica corpus
         norm(F.col(vec_col)).alias("_nrm"),
     )
-    a, b = cv.alias("a"), cv.alias("b")
-    _nn = F.col("a._nrm") * F.col("b._nrm")
-    cos = F.round(
-        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / F.when(_nn != 0, _nn),
-        6,
-    )
-    dup_ids = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+
+    def losers(side: DataFrame, g: int | None) -> DataFrame:
+        if g and g > 1:
+            side = _triangle_replicate(side, id_col, g)
+        a, b = side.alias("a"), side.alias("b")
+        _nn = F.col("a._nrm") * F.col("b._nrm")
+        cos = F.round(
+            dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / F.when(_nn != 0, _nn),
+            6,
         )
-        .filter(cos >= threshold)
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-    )
+        cond = (F.col("a.cell") == F.col("b.cell")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        if g and g > 1:
+            cond = cond & _triangle_conditions()
+        return (
+            a.join(b, cond)
+            .filter(cos >= threshold)
+            .select(F.col(f"b.{id_col}").alias(id_col))
+        )
+
+    hot = _hot_cell_census(cv, split_threshold)
+    if not hot:
+        dup_ids = losers(cv, None).distinct()
+    else:
+        hot_ids = [int(r["cell"]) for r in hot]
+        g = min(64, max(2, -(-max(r["n"] for r in hot) // split_threshold)))
+        dup_ids = (
+            losers(cv.filter(~F.col("cell").isin(hot_ids)), None)
+            .unionByName(losers(cv.filter(F.col("cell").isin(hot_ids)), g))
+            .distinct()
+        )
     return cv.join(dup_ids, id_col, "left_anti").select(id_col, "cell")
 
 

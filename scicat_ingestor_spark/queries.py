@@ -3680,6 +3680,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return similarity.cosine_pairs_lsh(emb, dim=64, threshold=0.3, bits=4)
 
 
+@_compiled
 def q_ann_knn_join(spark, sf_dir):
     """Self-kNN join (r7): the top-3 cosine neighbors of EVERY vector,
     IVF-cell bucketed — the dataset-cartography / clustering workhorse
@@ -3692,6 +3693,7 @@ def q_ann_knn_join(spark, sf_dir):
     )
 
 
+@_compiled
 def q_ann_knn_join_nprobe(spark, sf_dir):
     """Multi-probe self-kNN (r7): every vector probes its top-2 nearest
     cells, recovering cross-boundary neighbors single-cell kNN misses,
@@ -3773,6 +3775,7 @@ def q_ann_knn_recall_report(spark, sf_dir):
     )
 
 
+@_compiled
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cell
     clustering (computed column, no corpus shuffle) + in-cell

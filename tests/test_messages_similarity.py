@@ -642,3 +642,29 @@ def test_knn_recall_multi_probe_dominates_and_trained_beats_fixed(spark, sf_dir)
     trained, fixed = hits(cents), hits(None)
     assert trained >= fixed
     assert trained == len(exact)  # aligned cells -> full recall
+
+
+def test_ivf_hot_cell_split_preserves_results(spark, sf_dir):
+    """The triangle split is a TASK-GRANULARITY transform, never a
+    semantic one: forcing the census to mark cells hot (threshold 3)
+    must reproduce the unsplit results exactly — knn_join (single and
+    multi-probe) and semantic_dedup_survivors."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    for nprobe in (1, 2):
+        base = similarity.knn_join(
+            emb, dim=64, k=3, nprobe=nprobe, split_threshold=None
+        )
+        split = similarity.knn_join(
+            emb, dim=64, k=3, nprobe=nprobe, split_threshold=3
+        )
+        assert rows(split) == rows(base), f"nprobe={nprobe}"
+        # the forced plan really does carry the triangle replication
+        assert "_ci" in split._jdf.queryExecution().optimizedPlan().toString()
+
+    base = similarity.semantic_dedup_survivors(emb, dim=64, split_threshold=None)
+    split = similarity.semantic_dedup_survivors(emb, dim=64, split_threshold=3)
+    assert rows(split) == rows(base)

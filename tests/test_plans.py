@@ -742,3 +742,34 @@ def test_pareto_running_total_has_no_global_window(spark, sf_dir):
     assert specs  # the cumsum window must exist
     for args in specs:
         assert "_rt_pid" in args
+
+
+def test_ivf_hot_cell_split_no_hot_path_is_unsplit_plan(spark, sf_dir):
+    """The r8 IVF-cell census (knn_join / semantic_dedup_survivors)
+    must add NOTHING to the data path when no cell is hot: the armed
+    plan equals the split_threshold=None plan, modulo expression-id /
+    lambda numbering. (The census is a separate bounded job at build
+    time — at most `cells` rows collected — not an operator here.)"""
+    import re
+
+    from scicat_ingestor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+
+    def canon(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+L?", "#x", s)
+        return re.sub(r"\blambda [a-z]+_\d+", "lambda v_n", s)
+
+    for fn in (
+        lambda t: similarity.knn_join(emb, dim=64, k=3, split_threshold=t),
+        lambda t: similarity.knn_join(
+            emb, dim=64, k=3, nprobe=2, split_threshold=t
+        ),
+        lambda t: similarity.semantic_dedup_survivors(
+            emb, dim=64, split_threshold=t
+        ),
+    ):
+        armed, off = fn(10**9), fn(None)
+        assert canon(armed) == canon(off)
+        assert "_ci#" not in armed._jdf.queryExecution().optimizedPlan().toString()
