@@ -1339,3 +1339,88 @@ def test_funnel_update_rule_property():
         assert stream_semantics(batches) == batch_semantics(events)
 
     check()
+
+
+def test_streaming_knn_maintenance_matches_batch_and_replays_safely(
+    spark, sf_dir, tmp_path
+):
+    """Streaming self-kNN maintenance (r8, streaming/ann_index.knn_batch):
+    a single-batch drain emits exactly knn_join over the same corpus
+    and constants; an incremental drain computes each increment's
+    neighbors against the corpus AS OF ARRIVAL (first batch sees only
+    itself; second batch sees both); replays with drained and fresh
+    checkpoints append nothing to either sink."""
+    from scicat_ingestor_spark.operators import similarity
+    from scicat_ingestor_spark.streaming import ann_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    consts_path = str(tmp_path / "consts.json")
+    ann_index.save_ann_constants(consts_path, dim=64, m=8, ksub=16, cells=8)
+
+    # --- single-batch drain == batch knn_join -------------------------
+    src1 = str(tmp_path / "src_one")
+    emb.coalesce(1).write.parquet(src1)
+    idx1 = str(tmp_path / "idx_one")
+    nb1 = str(tmp_path / "nb_one")
+    q = ann_index.run_knn_index_stream(
+        spark.readStream.schema(emb.schema).parquet(src1),
+        idx1, nb1, consts_path, str(tmp_path / "ck_one"), k=3,
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(nb1).collect()))
+    want = sorted(
+        map(tuple, similarity.knn_join(emb, dim=64, k=3, cells=8).collect())
+    )
+    assert got == want
+
+    # --- incremental drain: arrival-time corpus -----------------------
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "src_inc")
+    idx = str(tmp_path / "idx_inc")
+    nb = str(tmp_path / "nb_inc")
+    ck = str(tmp_path / "ck_inc")
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def drain(checkpoint=ck):
+        q = ann_index.run_knn_index_stream(
+            spark.readStream.schema(emb.schema).parquet(src),
+            idx, nb, consts_path, checkpoint, k=3,
+        )
+        q.awaitTermination(180)
+
+    drain()
+    # first batch's neighbors come from the first batch alone
+    want_first = sorted(
+        map(tuple, similarity.knn_join(first, dim=64, k=3, cells=8).collect())
+    )
+    assert sorted(map(tuple, spark.read.parquet(nb).collect())) == want_first
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    rows = spark.read.parquet(nb).collect()
+    nb_first = {tuple(r) for r in rows if r["vec_id"] % 2 == 0}
+    nb_second = [r for r in rows if r["vec_id"] % 2 == 1]
+    # first-batch rows are IMMUTABLE (their arrival-time corpus did not
+    # include the second batch)
+    assert nb_first == set(map(tuple, want_first))
+    # second-batch vectors see the full corpus: exact equality with the
+    # batch join over first ∪ second, restricted to second's ids
+    want_all = similarity.knn_join(emb, dim=64, k=3, cells=8)
+    want_second = {
+        tuple(r) for r in want_all.collect() if r["vec_id"] % 2 == 1
+    }
+    assert {tuple(r) for r in nb_second} == want_second
+    # ...and cross-batch neighbors actually occur
+    assert any(r["neighbor_id"] % 2 == 0 for r in nb_second)
+
+    # --- replay safety -------------------------------------------------
+    n_nb = spark.read.parquet(nb).count()
+    n_idx = spark.read.parquet(idx).count()
+    assert n_idx == emb.count()
+    drain()  # drained checkpoint
+    drain(str(tmp_path / "ck_fresh"))  # fresh checkpoint: full replay
+    assert spark.read.parquet(nb).count() == n_nb
+    assert spark.read.parquet(idx).count() == n_idx
