@@ -663,15 +663,18 @@ def _hot_cell_census(cv: DataFrame, threshold: int | None) -> list:
     )
 
 
-# Calibrated from the measured r7 A/B (SCALE.md): whole-stage codegen
-# streams a bucket's m^2 pair expansion at ~1e8 candidates/s/core, so
-# triangle-splitting only amortizes its census + replication once ONE
-# task's emission would run for many minutes — m^2/2 >~ 1e10, i.e.
-# ~200k members. The guard is insurance against the pathological cell
-# (skewed or grown corpora silently re-creating quadratic cells — the
-# r7 verdict's "not wrong today, unguarded tomorrow"), not a default
-# accelerator.
-CELL_SPLIT_THRESHOLD = 200_000
+# Calibrated from the measured r8 A/B on skewed single-cell corpora
+# (SCALE.md r8): an IVF-cell candidate costs a dim-64 array cosine
+# (~1-3e6 pairs/s/core), ~30-100x the bit-ops of a simhash hamming
+# candidate — so the single-task envelope that r7 put at ~200k members
+# for hamming buckets sits at ~10-20k members here. Measured: at a
+# 20k-member hot cell both knn_join and semantic_dedup_survivors
+# exceed 25 min unsplit while the split finishes in 8-10 min (>3x); at
+# 8k the split washes (knn) or loses 2.8x (semdedup); at 4k it loses.
+# The guard is insurance against the pathological cell (skewed or
+# grown corpora silently re-creating quadratic cells), not a default
+# accelerator — below the threshold codegen's streamed expansion wins.
+CELL_SPLIT_THRESHOLD = 20_000
 
 
 def knn_join(
