@@ -797,6 +797,133 @@ def knn_join(
     )
 
 
+def knn_density(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 1,
+    split_threshold: int | None = CELL_SPLIT_THRESHOLD,
+) -> DataFrame:
+    """Per-vector kNN density — the dataset-cartography pruning signal
+    (SemDeDup's follow-up literature scores examples by neighborhood
+    density: dense regions are redundant, sparse ones are outliers or
+    coverage). One aggregate over :func:`knn_join`'s output: mean and
+    max cosine to the top-k in-cell neighbors, plus the realized
+    neighbor count (vectors alone in their cell emit no pair rows and
+    are REPORTED with n_neighbors=0 instead of silently dropped — at
+    pruning time "no neighbors" is the strongest keep signal there
+    is). Aggregation is on the ROUNDED per-pair cosines (the join's
+    own output contract), so both engines average identical doubles."""
+    nn = knn_join(
+        vectors, dim, k, vec_col, id_col, cells, centroids, nprobe,
+        split_threshold,
+    )
+    agg = nn.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.round(F.avg("cosine"), 6).alias("knn_density"),
+        F.max("cosine").alias("nn_sim"),
+    )
+    return (
+        vectors.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_neighbors"), F.lit(0)).alias("n_neighbors"),
+            "knn_density",
+            "nn_sim",
+        )
+    )
+
+
+def prototype_scores(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Prototypicality of every vector: cosine to its OWN cluster
+    centroid — the SSL-prototypes pruning metric (Sorscher et al. 2022,
+    *Beyond neural scaling laws*: easy/prototypical examples are the
+    ones to drop when data outgrows compute). Scan-local: the same
+    transposed-fold dot products the cell assignment uses; the max dot
+    IS the assigned cell's dot, so prototypicality costs one extra
+    array_max + a constant-array norm lookup — no join, no shuffle.
+    Returns (id, cell, proto) with proto rounded to 6 (the cross-engine
+    contract)."""
+    if centroids is None:
+        centroids = [centroid_weights(c, dim) for c in range(cells)]
+    import math
+
+    cnorms = F.array(
+        *[
+            F.lit(math.sqrt(sum(x * x for x in c)))
+            for c in centroids
+        ]
+    )
+    dots = _ivf_dots(F.col(vec_col), dim, cells, centroids)
+    return vectors.select(
+        F.col(id_col),
+        F.coalesce(
+            F.array_position(dots, F.array_max(dots)).cast("int"), F.lit(-1)
+        ).alias("cell"),
+        F.round(
+            F.array_max(dots)
+            / F.when(
+                norm(F.col(vec_col)) != 0,
+                norm(F.col(vec_col))
+                * F.element_at(
+                    cnorms,
+                    F.coalesce(
+                        F.array_position(dots, F.array_max(dots)).cast("int"),
+                        F.lit(-1),
+                    ),
+                ),
+            ),
+            6,
+        ).alias("proto"),
+    )
+
+
+def prune_prototypes(
+    vectors: DataFrame,
+    dim: int,
+    keep_frac: float = 0.75,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SSL-prototypes pruning: within every cluster drop the most
+    prototypical (highest cosine-to-centroid) fraction, keep the rest —
+    the published recipe for pruning abundant data (prototypes are
+    redundant; the hard/atypical tail carries the information). Rank on
+    the ROUNDED score with the id tiebreak so both engines order
+    identically; per-cell counts ride the same window pass (one shuffle
+    on cell, no second aggregate). Keeps ceil(keep_frac * n) per cell —
+    a 1-member cell always survives."""
+    scored = prototype_scores(vectors, dim, vec_col, id_col, cells, centroids)
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto").asc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("cell")
+    ranked = scored.select(
+        id_col,
+        "cell",
+        "proto",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    return ranked.filter(
+        F.col("_rk") <= F.ceil(F.lit(float(keep_frac)) * F.col("_n"))
+    ).select(id_col, "cell", "proto")
+
+
 def knn_join_exact(
     vectors: DataFrame,
     k: int = 3,

@@ -1585,6 +1585,54 @@ SELECT vec_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
 FROM r WHERE rk <= 3
 """
 
+# kNN density (r8): one aggregate over the ann_knn_join oracle, left
+# join back so isolated vectors report n_neighbors=0
+ORACLES["ann_knn_density"] = f"""
+WITH nn AS ({ORACLES["ann_knn_join"]}),
+agg AS (SELECT vec_id, count(*) AS nn_count,
+          round(avg(cosine), 6) AS knn_density, max(cosine) AS nn_sim
+        FROM nn GROUP BY vec_id)
+SELECT v.vec_id,
+  CAST(coalesce(a.nn_count, 0) AS BIGINT) AS n_neighbors,
+  a.knn_density, a.nn_sim
+FROM embeddings v LEFT JOIN agg a USING (vec_id)
+"""
+
+
+def _prototypes_oracle(keep_frac: float = 0.75, cells: int = 8, dim: int = 64) -> str:
+    """SSL-prototypes pruning twin: the same folded centroid constants
+    (list_dot_product per cell), prototypicality = max dot / (|v| *
+    |centroid|) with the centroid norms folded as the IDENTICAL double
+    constants Spark's plan carries, rank on the rounded score. NULLS
+    FIRST mirrors Spark's asc ordering for the zero-norm edge."""
+    import math
+
+    from scicat_ingestor_spark.operators.similarity import centroid_weights
+
+    cents = [centroid_weights(c, dim) for c in range(cells)]
+    cn = ",".join(repr(math.sqrt(sum(x * x for x in c))) for c in cents)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (SELECT vec_id, e, {_ivf_dots_sql('e', cells, dim)} AS dots FROM v),
+s AS (SELECT vec_id,
+        CAST(list_position(dots, list_max(dots)) AS INT) AS cell,
+        CASE WHEN list_dot_product(e, e) = 0 THEN NULL
+             ELSE round(list_max(dots)
+               / (sqrt(list_dot_product(e, e))
+                  * ([{cn}])[list_position(dots, list_max(dots))]), 6)
+        END AS proto
+      FROM d),
+r AS (SELECT vec_id, cell, proto,
+        row_number() OVER (PARTITION BY cell
+          ORDER BY proto ASC NULLS FIRST, vec_id) AS rk,
+        count(*) OVER (PARTITION BY cell) AS n
+      FROM s)
+SELECT vec_id, cell, proto FROM r WHERE rk <= ceil({keep_frac} * n)
+"""
+
+
+ORACLES["dedup_semantic_prototypes"] = _prototypes_oracle()
+
 ORACLES["corpus_prep_full_e2e"] = """
 WITH base AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
 w1 AS (SELECT doc_id, source, text,

@@ -3776,6 +3776,31 @@ def q_ann_knn_recall_report(spark, sf_dir):
 
 
 @_compiled
+def q_ann_knn_density(spark, sf_dir):
+    """Dataset-cartography density scores (r8): mean/max cosine to the
+    top-3 in-cell neighbors per vector, built as one aggregate over the
+    self-kNN join — the pruning signal of the SemDeDup-family follow-up
+    work (dense neighborhoods are redundant, sparse ones are outliers
+    or coverage). Vectors alone in their cell report n_neighbors=0
+    instead of disappearing — at pruning time that is the strongest
+    keep signal. Oracle aggregates the ann_knn_join oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_density(emb, dim=64, k=3, cells=8)
+
+
+@_compiled
+def q_dedup_semantic_prototypes(spark, sf_dir):
+    """SSL-prototypes pruning (Sorscher et al. 2022): score every
+    vector's cosine to its own cluster centroid (scan-local — the max
+    of the SAME transposed dot fold the cell assignment uses), drop the
+    most prototypical 25% per cell, keep the informative tail. Rank on
+    the rounded score + id tiebreak so both engines order identically;
+    the oracle replays the fold with the identical folded constants."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.prune_prototypes(emb, dim=64, keep_frac=0.75, cells=8)
+
+
+@_compiled
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF-cell
     clustering (computed column, no corpus shuffle) + in-cell
@@ -4348,6 +4373,8 @@ QUERIES = {
     "ann_knn_join_nprobe": q_ann_knn_join_nprobe,
     "ann_knn_join_trained": q_ann_knn_join_trained,
     "ann_knn_recall_report": q_ann_knn_recall_report,
+    "ann_knn_density": q_ann_knn_density,
+    "dedup_semantic_prototypes": q_dedup_semantic_prototypes,
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,

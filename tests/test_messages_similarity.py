@@ -668,3 +668,59 @@ def test_ivf_hot_cell_split_preserves_results(spark, sf_dir):
     base = similarity.semantic_dedup_survivors(emb, dim=64, split_threshold=None)
     split = similarity.semantic_dedup_survivors(emb, dim=64, split_threshold=3)
     assert rows(split) == rows(base)
+
+
+def test_knn_density_reports_isolated_vectors(spark):
+    """A vector alone in its probed cell has no pair rows — the density
+    report must still carry it with n_neighbors=0 (strongest keep
+    signal at pruning time), and dense duplicates must score 1.0."""
+    # cells along axes: centroid alignment puts ids 0-2 together (dups)
+    # and id 3 alone in another cell
+    c0 = similarity.centroid_weights(0, 8)
+    c1 = similarity.centroid_weights(1, 8)
+    rows = [
+        (0, [4 * x for x in c0]),
+        (1, [4 * x for x in c0]),
+        (2, [4 * x for x in c0]),
+        (3, [4 * x for x in c1]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in similarity.knn_density(vecs, dim=8, k=3).collect()}
+    assert len(out) == 4
+    assert out[3]["n_neighbors"] == 0 and out[3]["knn_density"] is None
+    for i in (0, 1, 2):
+        assert out[i]["n_neighbors"] == 2
+        assert out[i]["knn_density"] == 1.0 and out[i]["nn_sim"] == 1.0
+
+
+def test_prune_prototypes_drops_most_prototypical_per_cell(spark):
+    """SSL-prototypes pruning: the dropped rows are exactly the
+    highest-cosine-to-centroid ones, ceil(keep_frac*n) survive per
+    cell, and a 1-member cell always survives."""
+    import math
+
+    c0 = similarity.centroid_weights(0, 8)
+    c1 = similarity.centroid_weights(1, 8)
+    n0 = math.sqrt(sum(x * x for x in c0))
+    # ids 0..7: along c0 with growing orthogonal noise -> id 0 is the
+    # most prototypical of cell 1; id 100 alone in c1's cell
+    rows = []
+    for i in range(8):
+        v = [3 * x for x in c0]
+        v[0] += 0.4 * i  # drifts away from the centroid direction
+        rows.append((i, v))
+    rows.append((100, [3 * x for x in c1]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scored = {
+        r["vec_id"]: r
+        for r in similarity.prototype_scores(vecs, dim=8).collect()
+    }
+    kept = similarity.prune_prototypes(vecs, dim=8, keep_frac=0.75)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert 100 in kept_ids  # singleton cell survives
+    cell0 = [i for i in range(8)]
+    dropped = set(cell0) - kept_ids
+    assert len(kept_ids - {100}) == math.ceil(0.75 * 8)  # 6 of 8 kept
+    # the dropped ones are the top-proto members
+    by_proto = sorted(cell0, key=lambda i: (-scored[i]["proto"], i))
+    assert dropped == set(by_proto[: len(dropped)])
