@@ -19,8 +19,9 @@ the actual pixel/sample bytes — per-channel means, peaks and
 position-weighted checksums that the SQL oracle recomputes
 closed-form, with numpy row arithmetic in the hot loops. The honest
 codec boundary after r8 is ENTROPY-coded image data (JPEG huffman
-scans) and av demux/decode — formats that genuinely need external
-codec libraries absent from this container; those registry entries
+scans), PNG palette/16-bit/Adam7 variants, and av demux/decode —
+the first and last genuinely need external codec libraries absent
+from this container; those registry entries
 stay as clearly-marked ``NotImplementedError`` gates next to a
 deterministic ``fake`` so plans and tests are exact either way.
 
@@ -486,21 +487,24 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def make_png_filtered(width: int, height: int) -> bytes:
-    """Fully-formed 8-bit RGB PNG whose RAW (post-unfilter) byte at row
+def make_png_filtered(width: int, height: int, color_type: int = 2) -> bytes:
+    """Fully-formed 8-bit PNG whose RAW (post-unfilter) byte at row
     ``y``, in-row index ``i`` is the CLOSED-FORM value
     ``(i*37 + y*101) % 256`` (same rule as make_png), but with every
     scanline FILTERED with type ``y % 5`` — None/Sub/Up/Average/Paeth
     all exercised, so a decoder only passes if all five unfilters are
-    right. Filters are exactly invertible, so the closed form holds for
-    the decoded pixels and a SQL oracle can recompute content
-    statistics without touching bytes."""
+    right. ``color_type`` 0 (grayscale, 1 bpp), 2 (truecolor, 3 bpp)
+    or 6 (RGBA, 4 bpp) — the byte rule is bpp-independent, so one
+    closed form serves all three. Filters are exactly invertible, so
+    the closed form holds for the decoded pixels and a SQL oracle can
+    recompute content statistics without touching bytes."""
     import struct
     import zlib
 
     if width <= 0 or height <= 0:
         raise ValueError("bad dimensions")
-    rowbytes = 3 * width
+    bpp = {0: 1, 2: 3, 6: 4}[color_type]
+    rowbytes = bpp * width
     raw_rows = [
         bytes((i * 37 + y * 101) % 256 for i in range(rowbytes))
         for y in range(height)
@@ -511,9 +515,9 @@ def make_png_filtered(width: int, height: int) -> bytes:
         prev = raw_rows[y - 1] if y else bytes(rowbytes)
         enc = bytearray(rowbytes)
         for j in range(rowbytes):
-            left = row[j - 3] if j >= 3 else 0
+            left = row[j - bpp] if j >= bpp else 0
             up = prev[j]
-            ul = prev[j - 3] if j >= 3 else 0
+            ul = prev[j - bpp] if j >= bpp else 0
             if ftype == 0:
                 pred = 0
             elif ftype == 1:
@@ -526,7 +530,7 @@ def make_png_filtered(width: int, height: int) -> bytes:
                 pred = _paeth(left, up, ul)
             enc[j] = (row[j] - pred) & 0xFF
         out += bytes([ftype]) + enc
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
     return (
         _PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -589,13 +593,31 @@ def gif_palette(idx: int) -> tuple[int, int, int]:
     return ((idx * 11) % 256, (idx * 23) % 256, (idx * 47) % 256)
 
 
-def make_gif_pixel_frames(width: int, height: int, n_frames: int) -> bytes:
+def _gif_interlace_rows(height: int) -> list[int]:
+    """GIF 4-pass interlace row order (GIF89a spec appendix E): the
+    k-th STORED row is image row ``order[k]`` — pass 1 every 8th row
+    from 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4
+    every odd row."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def make_gif_pixel_frames(
+    width: int, height: int, n_frames: int, interlace: bool = False
+) -> bytes:
     """Fully-formed multi-frame GIF with REAL LZW-compressed pixel data:
     8-color global color table from :func:`gif_palette`, and frame
-    ``f``'s color index at (x, y) the CLOSED-FORM value
-    ``(x*3 + y*5 + f*7) % 8`` — row-major, non-interlaced, compressed
-    through the real greedy LZW encoder (_gif_lzw_encode), so a decoder
-    only recovers the rule by actually decompressing the stream."""
+    ``f``'s color index at IMAGE position (x, y) the CLOSED-FORM value
+    ``(x*3 + y*5 + f*7) % 8`` — compressed through the real greedy LZW
+    encoder (_gif_lzw_encode), so a decoder only recovers the rule by
+    actually decompressing the stream. ``interlace=True`` stores the
+    rows in the 4-pass interlace order with the descriptor flag set —
+    the pixel RULE stays in image coordinates, so the decoder must
+    deinterlace correctly to reproduce the same statistics."""
     import struct
 
     if width <= 0 or height <= 0 or n_frames <= 0:
@@ -605,14 +627,18 @@ def make_gif_pixel_frames(width: int, height: int, n_frames: int) -> bytes:
     for j in range(GIF_PALETTE_SIZE):
         out += bytes(gif_palette(j))
     mcs = 3  # roots cover the 8 palette indices
+    row_order = (
+        _gif_interlace_rows(height) if interlace else list(range(height))
+    )
     for f in range(n_frames):
         indices = bytes(
             (x * 3 + y * 5 + f * 7) % GIF_PALETTE_SIZE
-            for y in range(height)
+            for y in row_order
             for x in range(width)
         )
         lzw = _gif_lzw_encode(indices, mcs)
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x40 if interlace else 0x00])
         out += bytes([mcs])
         for i in range(0, len(lzw), 255):
             block = lzw[i : i + 255]
@@ -670,10 +696,7 @@ def gif_frame_pixel_stats(payload: bytes) -> list[dict]:
             _x0, _y0, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
             lflags = payload[pos + 8]
             pos += 9
-            if lflags & 0x40:
-                raise NotImplementedError(
-                    "GIF pixel decode: interlaced frames not implemented"
-                )
+            interlaced = bool(lflags & 0x40)  # deinterlaced below (r8)
             table = gct
             if lflags & 0x80:  # local color table overrides
                 n = 2 << (lflags & 0x07)
@@ -712,6 +735,13 @@ def gif_frame_pixel_stats(payload: bytes) -> list[dict]:
             import numpy as np
 
             idx = np.frombuffer(indices, dtype=np.uint8).astype(np.int64)
+            if interlaced:
+                # 4-pass deinterlace: stored row k is image row
+                # order[k] — a pure row permutation, so the stats below
+                # only survive if the reorder is right
+                img2d = np.empty((h, w), dtype=np.int64)
+                img2d[_gif_interlace_rows(h)] = idx.reshape(h, w)
+                idx = img2d.reshape(-1)
             if int(idx.max()) >= len(table):
                 raise ValueError("not a GIF: color index outside table")
             pal = np.asarray(table, dtype=np.int64)  # (n, 3)
@@ -937,16 +967,22 @@ def png_pixel_stats(payload: bytes) -> dict:
         raise ValueError("not a PNG: unknown compression/filter method")
     if interlace != 0:
         raise NotImplementedError("PNG pixel decode: Adam7 interlace not implemented")
-    if depth != 8 or ctype != 2:
+    # r8 second pass: the unfilter generalizes over bytes-per-pixel, so
+    # grayscale (type 0, bpp 1) and RGBA (type 6, bpp 4) decode with the
+    # same machinery as truecolor — only palette (type 3, needs the PLTE
+    # indirection) and 16-bit depths stay gated
+    _BPP = {0: 1, 2: 3, 6: 4}
+    if depth != 8 or ctype not in _BPP:
         raise NotImplementedError(
-            f"PNG pixel decode implemented for 8-bit truecolor only "
-            f"(depth={depth}, color_type={ctype})"
+            f"PNG pixel decode implemented for 8-bit gray/truecolor/RGBA "
+            f"only (depth={depth}, color_type={ctype})"
         )
+    bpp = _BPP[ctype]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"not a PNG: bad IDAT stream ({e})")
-    rowbytes = 3 * width
+    rowbytes = bpp * width
     if len(raw) != height * (1 + rowbytes):
         raise ValueError("not a PNG: decompressed pixel data size mismatch")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + rowbytes)
@@ -960,8 +996,8 @@ def png_pixel_stats(payload: bytes) -> dict:
             recon = line.copy()
         elif ftype == 1:  # Sub: per-channel running sum mod 256
             recon = np.empty(rowbytes, dtype=np.uint8)
-            for c in range(3):
-                recon[c::3] = np.cumsum(line[c::3], dtype=np.int64).astype(
+            for c in range(bpp):
+                recon[c::bpp] = np.cumsum(line[c::bpp], dtype=np.int64).astype(
                     np.uint8
                 )
         elif ftype == 2:  # Up: vectorized add mod 256
@@ -969,12 +1005,12 @@ def png_pixel_stats(payload: bytes) -> dict:
         elif ftype in (3, 4):  # Average/Paeth: left-dependent, sequential
             out = bytearray(rowbytes)
             for j in range(rowbytes):
-                left = out[j - 3] if j >= 3 else 0
+                left = out[j - bpp] if j >= bpp else 0
                 up = int(prev[j])
                 if ftype == 3:
                     pred = (left + up) >> 1
                 else:
-                    ul = int(prev[j - 3]) if j >= 3 else 0
+                    ul = int(prev[j - bpp]) if j >= bpp else 0
                     pred = _paeth(left, up, ul)
                 out[j] = (int(line[j]) + pred) & 0xFF
             recon = np.frombuffer(bytes(out), dtype=np.uint8)
@@ -982,17 +1018,31 @@ def png_pixel_stats(payload: bytes) -> dict:
             raise ValueError(f"not a PNG: unknown filter type {ftype}")
         img[y] = recon
         prev = recon
-    px = img.reshape(height, width, 3).astype(np.int64)
-    sums = px.sum(axis=(0, 1))  # R, G, B storage order
+    px = img.reshape(height, width, bpp).astype(np.int64)
     ys = np.arange(height, dtype=np.int64)  # PNG rows are top-down
     weights = np.arange(width, dtype=np.int64)[None, :] + ys[:, None] * width
-    pos_checksum = int((weights * px[:, :, 2]).sum())  # blue channel
+    if ctype == 0:
+        # grayscale: the single channel IS every channel (the contract
+        # keeps one schema across formats); checksum over that channel
+        g = int(px[:, :, 0].sum())
+        sums = (g, g, g)
+        pos_checksum = int((weights * px[:, :, 0]).sum())
+    else:
+        # truecolor / RGBA: first three stored channels are R,G,B
+        # (alpha, when present, rides byte 3 and is excluded from the
+        # channel statistics); checksum over blue
+        sums = (
+            int(px[:, :, 0].sum()),
+            int(px[:, :, 1].sum()),
+            int(px[:, :, 2].sum()),
+        )
+        pos_checksum = int((weights * px[:, :, 2]).sum())
     return {
         "width": int(width),
         "height": int(height),
-        "sum_r": int(sums[0]),
-        "sum_g": int(sums[1]),
-        "sum_b": int(sums[2]),
+        "sum_r": sums[0],
+        "sum_g": sums[1],
+        "sum_b": sums[2],
         "pos_checksum": pos_checksum,
     }
 

@@ -1011,6 +1011,37 @@ FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # PNG color-type coverage (r8): gray (bpp 1) / RGB (bpp 3) / RGBA
+    # (bpp 4) by doc_id % 3; raw byte (row y, index i) is still
+    # (i*37 + y*101) % 256 with i = bpp*x + c. Gray reports its single
+    # channel in all three slots; RGBA excludes alpha; checksum is over
+    # the blue channel (gray: the gray channel).
+    "multimodal_pixels_png_variants": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (37*x.g + 101*y.g) % 256
+    WHEN 1 THEN (111*x.g + 74 + 101*y.g) % 256
+    ELSE (148*x.g + 74 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (37*x.g + 101*y.g) % 256
+    WHEN 1 THEN (111*x.g + 37 + 101*y.g) % 256
+    ELSE (148*x.g + 37 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (37*x.g + 101*y.g) % 256
+    WHEN 1 THEN (111*x.g + 101*y.g) % 256
+    ELSE (148*x.g + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * (CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (37*x.g + 101*y.g) % 256
+    WHEN 1 THEN (111*x.g + 74 + 101*y.g) % 256
+    ELSE (148*x.g + 74 + 101*y.g) % 256 END)) AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics
@@ -1123,6 +1154,10 @@ FROM (SELECT doc_id, (doc_id % 6) + 2 AS w, ((doc_id // 6) % 6) + 2 AS h,
   LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
 GROUP BY d.doc_id, f.g, d.w, d.h
 """,
+    # interlaced variant (r8): the payload stores rows in 4-pass
+    # interlace order; the RULE is in image coordinates, so the oracle
+    # is the identical closed form — the engine must deinterlace to hit
+    # the same hash (registered below after the dict literal)
     # real GIF block-grammar walk: the engine counts image descriptors
     # in generated multi-frame GIFs; the oracle recomputes the
     # id -> frame-count rule
@@ -1584,6 +1619,10 @@ r AS (SELECT vec_id, neighbor_id, c,
 SELECT vec_id, neighbor_id, round(c, 6) AS cosine, rk AS rank
 FROM r WHERE rk <= 3
 """
+
+# interlaced GIF frames decode to the SAME image-coordinate statistics
+# (the storage row permutation is the engine's problem, not the rule's)
+ORACLES["multimodal_gif_pixels_interlaced"] = ORACLES["multimodal_gif_pixels_real"]
 
 # kNN density (r8): one aggregate over the ann_knn_join oracle, left
 # join back so isolated vectors report n_neighbors=0

@@ -2776,6 +2776,42 @@ def q_multimodal_gif_pixels_real(spark, sf_dir):
     return multimodal.decode_frame_pixels(media)
 
 
+def q_multimodal_gif_pixels_interlaced(spark, sf_dir):
+    """Interlaced-GIF frame-pixel decode (r8 second pass): same pixel
+    rule as multimodal_gif_pixels_real but every frame is STORED in the
+    4-pass interlace row order with the descriptor flag set — the
+    engine must deinterlace (a pure row permutation) to reproduce the
+    image-coordinate statistics. The oracle is the identical closed
+    form: a deinterlacing bug shifts idx_checksum even when the means
+    survive (means are row-order-invariant; the checksum is not)."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_gif_pixel_frames(
+                            (int(i) % 6) + 2,
+                            ((int(i) // 6) % 6) + 2,
+                            (int(i) % 4) + 1,
+                            interlace=True,
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_frame_pixels(media)
+
+
 def q_multimodal_pixels_real(spark, sf_dir):
     """REAL pixel decode in the data plane (r7 — shrinks the honest
     codec boundary): each document gets a fully-formed uncompressed
@@ -2834,6 +2870,42 @@ def q_multimodal_pixels_png_real(spark, sf_dir):
                     "payload": [
                         multimodal.make_png_filtered(
                             (int(i) % 16) + 1, ((int(i) // 16) % 16) + 1
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
+def q_multimodal_pixels_png_variants(spark, sf_dir):
+    """PNG color-type coverage (r8 second pass): the unfilter
+    generalizes over bytes-per-pixel, so grayscale (type 0) and RGBA
+    (type 6) decode with the same machinery as truecolor — this query
+    cycles doc_id % 3 through gray/RGB/RGBA (every scanline still
+    filtered y % 5) and decodes them all in ONE stage. Grayscale
+    reports its single channel in all three sum slots (one schema
+    across formats); RGBA excludes alpha from the channel statistics.
+    The oracle recomputes all three closed forms per id."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_png_filtered(
+                            (int(i) % 16) + 1,
+                            ((int(i) // 16) % 16) + 1,
+                            color_type=(0, 2, 6)[int(i) % 3],
                         )
                         for i in pdf["doc_id"]
                     ],
@@ -4335,7 +4407,9 @@ QUERIES = {
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,
     "multimodal_pixels_png_real": q_multimodal_pixels_png_real,
+    "multimodal_pixels_png_variants": q_multimodal_pixels_png_variants,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
+    "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,
     "multimodal_ann_real": q_multimodal_ann_real,
     "multimodal_resize_real": q_multimodal_resize_real,

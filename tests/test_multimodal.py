@@ -584,9 +584,12 @@ def test_png_pixel_stats_gates_and_errors():
 
     with _pytest.raises(NotImplementedError, match="interlace"):
         multimodal.png_pixel_stats(rebuild(interlace=1))
-    with _pytest.raises(NotImplementedError, match="truecolor"):
-        multimodal.png_pixel_stats(rebuild(ctype=6))  # RGBA gated
-    with _pytest.raises(NotImplementedError, match="truecolor"):
+    with _pytest.raises(NotImplementedError, match="gray/truecolor/RGBA"):
+        multimodal.png_pixel_stats(rebuild(ctype=3))  # palette gated
+    with _pytest.raises(ValueError, match="size mismatch"):
+        # RGBA header over a 3-bpp body: supported type, wrong length
+        multimodal.png_pixel_stats(rebuild(ctype=6))
+    with _pytest.raises(NotImplementedError, match="gray/truecolor/RGBA"):
         multimodal.png_pixel_stats(rebuild(depth=16))
     # a VALID zlib stream of the WRONG length -> size-mismatch ValueError
     short = (
@@ -701,14 +704,6 @@ def test_gif_frame_pixel_stats_gates_and_errors():
     # (searching for 0x2C would hit palette byte 44 first)
     desc_at = 13 + 3 * multimodal.GIF_PALETTE_SIZE
     assert payload[desc_at] == 0x2C
-    # interlace flag on the first image descriptor -> gated
-    interlaced = bytes(
-        payload[: desc_at + 9]
-        + bytes([payload[desc_at + 9] | 0x40])
-        + payload[desc_at + 10 :]
-    )
-    with _pytest.raises(NotImplementedError, match="interlaced"):
-        multimodal.gif_frame_pixel_stats(interlaced)
     with _pytest.raises(ValueError):  # rip off trailer + some data
         multimodal.gif_frame_pixel_stats(bytes(payload[:-10]))
     # shrink the descriptor's height: decoded pixel count mismatches
@@ -759,3 +754,65 @@ def test_decode_frame_pixels_dataplane(spark):
                 )
             )
             assert r["mean_r"] == want, (i, f)
+
+
+def test_gif_interlaced_frames_deinterlace_to_image_order():
+    """Interlaced storage (r8): the 4-pass row permutation round-trips —
+    interlaced and non-interlaced builds of the same image rule decode
+    to IDENTICAL statistics (the index checksum is row-order-sensitive,
+    so a deinterlacing bug cannot hide). Flipping the flag on a
+    row-major stream, conversely, permutes the checksum."""
+    for w, h, nf in [(5, 4, 2), (7, 9, 3), (3, 16, 1), (6, 1, 2)]:
+        plain = multimodal.gif_frame_pixel_stats(
+            multimodal.make_gif_pixel_frames(w, h, nf)
+        )
+        inter = multimodal.gif_frame_pixel_stats(
+            multimodal.make_gif_pixel_frames(w, h, nf, interlace=True)
+        )
+        assert plain == inter, (w, h, nf)
+    # a WRONGLY-flagged row-major stream yields a different checksum
+    # (means survive — they are row-order-invariant; the checksum not)
+    payload = bytearray(multimodal.make_gif_pixel_frames(4, 6, 1))
+    desc_at = 13 + 3 * multimodal.GIF_PALETTE_SIZE
+    payload[desc_at + 9] |= 0x40
+    wrong = multimodal.gif_frame_pixel_stats(bytes(payload))[0]
+    right = multimodal.gif_frame_pixel_stats(
+        multimodal.make_gif_pixel_frames(4, 6, 1)
+    )[0]
+    assert wrong["sum_r"] == right["sum_r"]
+    assert wrong["idx_checksum"] != right["idx_checksum"]
+
+
+def test_png_gray_and_rgba_decode_closed_form():
+    """PNG color-type coverage (r8): grayscale and RGBA decode through
+    the bpp-generalized unfilter; gray reports its single channel in
+    all three slots, RGBA excludes alpha; 16-bit/palette stay gated."""
+    import struct
+
+    import pytest as _pytest
+
+    st = multimodal.png_pixel_stats(multimodal.make_png_filtered(5, 6, color_type=0))
+    g = sum((x * 37 + y * 101) % 256 for x in range(5) for y in range(6))
+    assert (st["sum_r"], st["sum_g"], st["sum_b"]) == (g, g, g)
+    assert st["pos_checksum"] == sum(
+        (x + y * 5) * ((x * 37 + y * 101) % 256)
+        for x in range(5)
+        for y in range(6)
+    )
+    st = multimodal.png_pixel_stats(multimodal.make_png_filtered(4, 7, color_type=6))
+    for ci, key in enumerate(("sum_r", "sum_g", "sum_b")):
+        assert st[key] == sum(
+            ((4 * x + ci) * 37 + y * 101) % 256
+            for x in range(4)
+            for y in range(7)
+        )
+    # palette (type 3) stays gated
+    buf = multimodal.make_png_filtered(4, 4)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    pal = (
+        multimodal._PNG_SIGNATURE
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + buf[buf.index(b"IDAT") - 4 :]
+    )
+    with _pytest.raises(NotImplementedError, match="gray/truecolor/RGBA"):
+        multimodal.png_pixel_stats(pal)
