@@ -17,13 +17,16 @@ the five scanline unfilters, r8), GIF frame-pixel decode
 r8), and 16-bit PCM WAV sample decode (``wav_pcm_stats``) all parse
 the actual pixel/sample bytes — per-channel means, peaks and
 position-weighted checksums that the SQL oracle recomputes
-closed-form, with numpy row arithmetic in the hot loops. The honest
-codec boundary after r8 is ENTROPY-coded image data (JPEG huffman
-scans), PNG palette/16-bit/Adam7 variants, and av demux/decode —
-the first and last genuinely need external codec libraries absent
-from this container; those registry entries
-stay as clearly-marked ``NotImplementedError`` gates next to a
-deterministic ``fake`` so plans and tests are exact either way.
+closed-form, with numpy row arithmetic in the hot loops. PNG decode
+is COMPLETE (all five color types, bit depths 1–16, Adam7 interlace)
+as of the r8 third pass, and ISO-BMFF (MP4) container DEMUX — box
+tree, track metadata, sample tables, mdat byte-range slicing — is
+real in :mod:`mp4`. The honest codec boundary after r8 is
+ENTROPY-coded payloads only (JPEG huffman scans, H.264/AAC frame
+decode) — those genuinely need external codec libraries absent from
+this container; their registry entries stay as clearly-marked
+``NotImplementedError`` gates next to a deterministic ``fake`` so
+plans and tests are exact either way.
 
 At scale: payload columns are large — partition sizing must come from
 ``spark.sql.files.maxPartitionBytes`` on the parquet side, and decode
@@ -487,37 +490,73 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def make_png_filtered(width: int, height: int, color_type: int = 2) -> bytes:
-    """Fully-formed 8-bit PNG whose RAW (post-unfilter) byte at row
-    ``y``, in-row index ``i`` is the CLOSED-FORM value
-    ``(i*37 + y*101) % 256`` (same rule as make_png), but with every
-    scanline FILTERED with type ``y % 5`` — None/Sub/Up/Average/Paeth
-    all exercised, so a decoder only passes if all five unfilters are
-    right. ``color_type`` 0 (grayscale, 1 bpp), 2 (truecolor, 3 bpp)
-    or 6 (RGBA, 4 bpp) — the byte rule is bpp-independent, so one
-    closed form serves all three. Filters are exactly invertible, so
-    the closed form holds for the decoded pixels and a SQL oracle can
-    recompute content statistics without touching bytes."""
-    import struct
-    import zlib
+def _png_rule_samples(
+    width: int, height: int, color_type: int, depth: int, n_colors: int
+):
+    """Closed-form FINAL-image sample array (height, width, channels)
+    used by :func:`make_png_filtered`. Depth 8: sample at (x, y,
+    channel c) is ``((channels*x + c)*37 + y*101) % 256`` — identical
+    to the historical per-row byte rule ``(i*37 + y*101) % 256``.
+    Depth 16: the two big-endian BYTES follow the same byte rule, so
+    the sample is ``hi*256 + lo`` with hi/lo at byte indexes
+    ``2*(channels*x + c)`` and ``+1``. Sub-byte gray and palette
+    indexes use ``(x*11 + y*17) % levels``. Defining the rule on the
+    FINAL image (not the stored scanlines) is what lets the Adam7
+    variant share an oracle with the row-major one."""
+    import numpy as np
 
-    if width <= 0 or height <= 0:
-        raise ValueError("bad dimensions")
-    bpp = {0: 1, 2: 3, 6: 4}[color_type]
-    rowbytes = bpp * width
-    raw_rows = [
-        bytes((i * 37 + y * 101) % 256 for i in range(rowbytes))
-        for y in range(height)
-    ]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    xs = np.arange(width, dtype=np.int64)[None, :, None]
+    ys = np.arange(height, dtype=np.int64)[:, None, None]
+    cs = np.arange(channels, dtype=np.int64)[None, None, :]
+    if color_type == 3:
+        return (xs * 11 + ys * 17) % n_colors + cs * 0
+    if depth in (1, 2, 4):
+        return (xs * 11 + ys * 17) % (1 << depth) + cs * 0
+    if depth == 8:
+        return ((channels * xs + cs) * 37 + ys * 101) % 256
+    hi = (2 * (channels * xs + cs) * 37 + ys * 101) % 256
+    lo = ((2 * (channels * xs + cs) + 1) * 37 + ys * 101) % 256
+    return hi * 256 + lo
+
+
+def _png_pack_rows(sub, depth: int) -> list[bytes]:
+    """Pack a (rows, w, channels) sample array into PNG scanline bytes
+    for one (sub-)image: 8-bit flattens, 16-bit stores big-endian,
+    sub-byte depths pack MSB-first with zero row padding (spec §7.2)."""
+    import numpy as np
+
+    nrows = sub.shape[0]
+    if depth == 8:
+        flat = sub.astype(np.uint8).reshape(nrows, -1)
+        return [flat[y].tobytes() for y in range(nrows)]
+    if depth == 16:
+        flat = sub.astype(">u2").reshape(nrows, -1)
+        return [flat[y].tobytes() for y in range(nrows)]
+    w = sub.shape[1]
+    out = []
+    for y in range(nrows):
+        vals = sub[y, :, 0]
+        bits = (
+            (vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8)
+        out.append(np.packbits(bits.reshape(-1)).tobytes())
+    return out
+
+
+def _png_filter_rows(raw_rows: list[bytes], fbpp: int) -> bytes:
+    """Filter one (sub-)image's scanlines with type ``row % 5`` —
+    None/Sub/Up/Average/Paeth all on every decode path."""
+    rowbytes = len(raw_rows[0]) if raw_rows else 0
     out = bytearray()
     for y, row in enumerate(raw_rows):
         ftype = y % 5
         prev = raw_rows[y - 1] if y else bytes(rowbytes)
         enc = bytearray(rowbytes)
         for j in range(rowbytes):
-            left = row[j - bpp] if j >= bpp else 0
+            left = row[j - fbpp] if j >= fbpp else 0
             up = prev[j]
-            ul = prev[j - bpp] if j >= bpp else 0
+            ul = prev[j - fbpp] if j >= fbpp else 0
             if ftype == 0:
                 pred = 0
             elif ftype == 1:
@@ -530,10 +569,64 @@ def make_png_filtered(width: int, height: int, color_type: int = 2) -> bytes:
                 pred = _paeth(left, up, ul)
             enc[j] = (row[j] - pred) & 0xFF
         out += bytes([ftype]) + enc
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return bytes(out)
+
+
+def make_png_filtered(
+    width: int,
+    height: int,
+    color_type: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
+    n_colors: int = 16,
+) -> bytes:
+    """Fully-formed PNG whose FINAL-image samples follow the closed
+    forms of :func:`_png_rule_samples`, with every scanline FILTERED
+    with type ``row % 5`` (per interlace pass when ``interlace=1``) —
+    None/Sub/Up/Average/Paeth all exercised, so a decoder only passes
+    if all five unfilters are right. Covers all five color types
+    (palette images get a PLTE whose entry ``i`` is the closed form
+    ``((3i+1)%256, (5i+2)%256, (7i+3)%256)``), bit depths 1–16, and
+    Adam7 interlace (the same final image re-ordered onto the seven
+    pass grids — a scatter bug diverges from the row-major oracle).
+    Filters are exactly invertible, so the closed forms hold for the
+    decoded pixels and a SQL oracle can recompute content statistics
+    without touching bytes. Byte-identical to the historical r8 output
+    for 8-bit non-interlaced calls."""
+    import struct
+    import zlib
+
+    if width <= 0 or height <= 0:
+        raise ValueError("bad dimensions")
+    if depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError("invalid depth/color-type combination")
+    if color_type == 3 and n_colors > (1 << depth):
+        raise ValueError("palette larger than the index depth allows")
+    channels = _PNG_CHANNELS[color_type]
+    fbpp = max(1, channels * depth // 8)
+    samples = _png_rule_samples(width, height, color_type, depth, n_colors)
+    out = bytearray()
+    if interlace == 0:
+        out += _png_filter_rows(_png_pack_rows(samples, depth), fbpp)
+    else:
+        for x0, y0, dx, dy, pw, ph in _png_pass_dims(width, height):
+            if not pw or not ph:
+                continue
+            sub = samples[y0::dy, x0::dx]
+            out += _png_filter_rows(_png_pack_rows(sub, depth), fbpp)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace
+    )
+    chunks = _PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        plte = bytes(
+            v
+            for i in range(n_colors)
+            for v in ((3 * i + 1) % 256, (5 * i + 2) % 256, (7 * i + 3) % 256)
+        )
+        chunks += _png_chunk(b"PLTE", plte)
     return (
-        _PNG_SIGNATURE
-        + _png_chunk(b"IHDR", ihdr)
+        chunks
         + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
         + _png_chunk(b"IEND", b"")
     )
@@ -904,27 +997,127 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     }
 
 
-def png_pixel_stats(payload: bytes) -> dict:
-    """REAL PNG pixel decode, stdlib-only (r8 — shrinks the honest
-    codec boundary again): PNG pixel recovery is zlib inflate (stdlib)
-    + the five scanline unfilters (None/Sub/Up/Average/Paeth, PNG spec
-    §9) — no codec library involved, so the ``NotImplementedError``
-    gate was never necessary for this format. Walks the chunk stream
-    with per-chunk CRC validation, concatenates the IDAT bodies,
-    inflates, unfilters every scanline, and reduces the ACTUAL pixels
-    to the same content-statistics contract as :func:`bmp_pixel_stats`:
-    exact per-channel integer sums plus a position-weighted checksum
-    ``sum((x + y*width) * BLUE(x,y))`` over the blue channel (the same
-    channel the BMP path checksums, so the dispatch contract is
-    format-independent). PNG rows are stored TOP-DOWN and channels in
-    R,G,B order — a row-order or channel-offset bug shifts the checksum
-    even when the means survive.
+# samples-per-pixel by PNG color type (spec §11.2.2); the valid bit
+# depths per type gate malformed headers as ValueError, not silence
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+# Adam7 pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    Boundary honesty: 8-bit truecolor (color type 2), non-interlaced
-    only — palette/alpha/16-bit variants and Adam7 interlace raise
-    NotImplementedError (mechanical extensions, not codec gaps);
-    malformed structure (bad CRC, truncated chunk, short IDAT) raises
-    ValueError — the shared ingest failure-channel contract."""
+
+def _png_rowbytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _png_unfilter(lines, rowbytes: int, fbpp: int):
+    """Invert the five scanline filters over a (nrows, 1+rowbytes)
+    uint8 array (filter byte leading each row); ``fbpp`` is the filter
+    byte distance — ceil(channels*depth/8), min 1 (spec §9.2). Returns
+    the reconstructed (nrows, rowbytes) uint8 array."""
+    import numpy as np
+
+    nrows = lines.shape[0]
+    img = np.zeros((nrows, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    for y in range(nrows):
+        ftype = int(lines[y, 0])
+        line = lines[y, 1:]
+        if ftype == 0:
+            recon = line.copy()
+        elif ftype == 1:  # Sub: per-channel running sum mod 256
+            recon = np.empty(rowbytes, dtype=np.uint8)
+            for c in range(min(fbpp, rowbytes)):
+                recon[c::fbpp] = np.cumsum(
+                    line[c::fbpp], dtype=np.int64
+                ).astype(np.uint8)
+        elif ftype == 2:  # Up: vectorized add mod 256
+            recon = line + prev  # uint8 wraparound IS mod-256
+        elif ftype in (3, 4):  # Average/Paeth: left-dependent, sequential
+            out = bytearray(rowbytes)
+            for j in range(rowbytes):
+                left = out[j - fbpp] if j >= fbpp else 0
+                up = int(prev[j])
+                if ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prev[j - fbpp]) if j >= fbpp else 0
+                    pred = _paeth(left, up, ul)
+                out[j] = (int(line[j]) + pred) & 0xFF
+            recon = np.frombuffer(bytes(out), dtype=np.uint8)
+        else:
+            raise ValueError(f"not a PNG: unknown filter type {ftype}")
+        img[y] = recon
+        prev = recon
+    return img
+
+
+def _png_rows_to_samples(img, width: int, channels: int, depth: int):
+    """Expand unfiltered row bytes (nrows, rowbytes) to sample values
+    (nrows, width, channels) int64: 8-bit is a reshape, 16-bit is a
+    big-endian uint16 view, sub-byte depths unpack MSB-first bits
+    (spec §7.2) and drop the row-padding bits."""
+    import numpy as np
+
+    nrows = img.shape[0]
+    if depth == 8:
+        return (
+            img[:, : width * channels]
+            .reshape(nrows, width, channels)
+            .astype(np.int64)
+        )
+    if depth == 16:
+        flat = np.frombuffer(img.tobytes(), dtype=">u2").reshape(
+            nrows, img.shape[1] // 2
+        )
+        return (
+            flat[:, : width * channels]
+            .reshape(nrows, width, channels)
+            .astype(np.int64)
+        )
+    # sub-byte (1/2/4): one channel by spec (gray or palette index)
+    bits = np.unpackbits(img, axis=1)[:, : width * depth]
+    vals = bits.reshape(nrows, width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1, dtype=np.int64))
+    return (vals * weights).sum(axis=2, dtype=np.int64)[:, :, None]
+
+
+def _png_pass_dims(width: int, height: int):
+    """Adam7 pass sizes: list of (x0, y0, dx, dy, pw, ph); empty
+    passes (pw or ph == 0) carry NO scanlines, not even filter bytes."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = 0 if width <= x0 else (width - x0 + dx - 1) // dx
+        ph = 0 if height <= y0 else (height - y0 + dy - 1) // dy
+        out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _png_decode_samples(payload: bytes):
+    """Full PNG pixel decode, stdlib-only: chunk walk with per-chunk
+    CRC validation, zlib inflate, the five scanline unfilters, all
+    five color types, bit depths 1/2/4/8/16, and Adam7 interlace
+    (seven sub-images unfiltered independently and scattered onto the
+    pass grid, spec §8.2). Returns (width, height, color_type, depth,
+    samples, palette) where ``samples`` is (height, width, channels)
+    int64 raw sample values and ``palette`` is an (n, 3) int64 array
+    for color type 3. Malformed structure raises ValueError — the
+    shared ingest failure-channel contract. There is no
+    NotImplementedError left in the PNG path: pixel recovery needs no
+    codec library for ANY legal PNG."""
     import struct
     import zlib
 
@@ -934,6 +1127,7 @@ def png_pixel_stats(payload: bytes) -> dict:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     saw_iend = False
     while pos + 12 <= len(payload):
@@ -950,6 +1144,12 @@ def png_pixel_stats(payload: bytes) -> dict:
             if ihdr is not None or pos != 8 or length != 13:
                 raise ValueError("not a PNG: bad IHDR placement/size")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if plte is not None or idat or length % 3 or not length:
+                raise ValueError("not a PNG: bad PLTE placement/size")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(
+                np.int64
+            )
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
@@ -965,81 +1165,100 @@ def png_pixel_stats(payload: bytes) -> dict:
         raise ValueError("not a PNG: zero dimension")
     if comp != 0 or filt != 0:
         raise ValueError("not a PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("PNG pixel decode: Adam7 interlace not implemented")
-    # r8 second pass: the unfilter generalizes over bytes-per-pixel, so
-    # grayscale (type 0, bpp 1) and RGBA (type 6, bpp 4) decode with the
-    # same machinery as truecolor — only palette (type 3, needs the PLTE
-    # indirection) and 16-bit depths stay gated
-    _BPP = {0: 1, 2: 3, 6: 4}
-    if depth != 8 or ctype not in _BPP:
-        raise NotImplementedError(
-            f"PNG pixel decode implemented for 8-bit gray/truecolor/RGBA "
-            f"only (depth={depth}, color_type={ctype})"
+    if interlace not in (0, 1):
+        raise ValueError(f"not a PNG: unknown interlace method {interlace}")
+    if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(
+            f"not a PNG: invalid depth/color-type combination "
+            f"(depth={depth}, color_type={ctype})"
         )
-    bpp = _BPP[ctype]
+    if ctype == 3 and plte is None:
+        raise ValueError("not a PNG: palette image missing PLTE")
+    channels = _PNG_CHANNELS[ctype]
+    fbpp = max(1, channels * depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"not a PNG: bad IDAT stream ({e})")
-    rowbytes = bpp * width
-    if len(raw) != height * (1 + rowbytes):
-        raise ValueError("not a PNG: decompressed pixel data size mismatch")
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + rowbytes)
-    ftypes = lines[:, 0]
-    img = np.zeros((height, rowbytes), dtype=np.uint8)
-    prev = np.zeros(rowbytes, dtype=np.uint8)
-    for y in range(height):
-        ftype = int(ftypes[y])
-        line = lines[y, 1:]
-        if ftype == 0:
-            recon = line.copy()
-        elif ftype == 1:  # Sub: per-channel running sum mod 256
-            recon = np.empty(rowbytes, dtype=np.uint8)
-            for c in range(bpp):
-                recon[c::bpp] = np.cumsum(line[c::bpp], dtype=np.int64).astype(
-                    np.uint8
-                )
-        elif ftype == 2:  # Up: vectorized add mod 256
-            recon = line + prev  # uint8 wraparound IS mod-256
-        elif ftype in (3, 4):  # Average/Paeth: left-dependent, sequential
-            out = bytearray(rowbytes)
-            for j in range(rowbytes):
-                left = out[j - bpp] if j >= bpp else 0
-                up = int(prev[j])
-                if ftype == 3:
-                    pred = (left + up) >> 1
-                else:
-                    ul = int(prev[j - bpp]) if j >= bpp else 0
-                    pred = _paeth(left, up, ul)
-                out[j] = (int(line[j]) + pred) & 0xFF
-            recon = np.frombuffer(bytes(out), dtype=np.uint8)
-        else:
-            raise ValueError(f"not a PNG: unknown filter type {ftype}")
-        img[y] = recon
-        prev = recon
-    px = img.reshape(height, width, bpp).astype(np.int64)
+    if interlace == 0:
+        rowbytes = _png_rowbytes(width, channels, depth)
+        if len(raw) != height * (1 + rowbytes):
+            raise ValueError("not a PNG: decompressed pixel data size mismatch")
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(
+            height, 1 + rowbytes
+        )
+        samples = _png_rows_to_samples(
+            _png_unfilter(lines, rowbytes, fbpp), width, channels, depth
+        )
+    else:
+        samples = np.zeros((height, width, channels), dtype=np.int64)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in _png_pass_dims(width, height):
+            if not pw or not ph:
+                continue
+            prb = _png_rowbytes(pw, channels, depth)
+            need = ph * (1 + prb)
+            if off + need > len(raw):
+                raise ValueError("not a PNG: truncated interlace pass")
+            lines = np.frombuffer(
+                raw[off : off + need], dtype=np.uint8
+            ).reshape(ph, 1 + prb)
+            off += need
+            sub = _png_rows_to_samples(
+                _png_unfilter(lines, prb, fbpp), pw, channels, depth
+            )
+            samples[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("not a PNG: interlace pass size mismatch")
+    return int(width), int(height), ctype, depth, samples, plte
+
+
+def png_pixel_stats(payload: bytes) -> dict:
+    """REAL PNG pixel decode, stdlib-only (r8 — and, late r8, COMPLETE:
+    every legal color type, every bit depth, Adam7 interlace): PNG
+    pixel recovery is zlib inflate (stdlib) + the five scanline
+    unfilters (PNG spec §9) + mechanical sample unpacking — no codec
+    library involved anywhere, so the format carries NO
+    ``NotImplementedError`` gate at all. Reduces the decoded pixels to
+    the same content-statistics contract as :func:`bmp_pixel_stats`:
+    exact per-channel integer sums plus a position-weighted checksum
+    ``sum((x + y*width) * BLUE(x,y))`` in IMAGE row order. Palette
+    images (type 3) report their PLTE-mapped R,G,B; grayscale (types
+    0/4) report the gray channel in all three slots and checksum over
+    it; alpha (types 4/6) is excluded from channel statistics; 16-bit
+    sums are over the raw 0..65535 sample values. Malformed structure
+    raises ValueError — the shared ingest failure-channel contract."""
+    import numpy as np
+
+    width, height, ctype, depth, samples, plte = _png_decode_samples(payload)
     ys = np.arange(height, dtype=np.int64)  # PNG rows are top-down
     weights = np.arange(width, dtype=np.int64)[None, :] + ys[:, None] * width
-    if ctype == 0:
-        # grayscale: the single channel IS every channel (the contract
-        # keeps one schema across formats); checksum over that channel
-        g = int(px[:, :, 0].sum())
+    if ctype == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= plte.shape[0]:
+            raise ValueError("not a PNG: palette index out of range")
+        px = plte[idx]  # (h, w, 3) R,G,B
+        sums = (int(px[:, :, 0].sum()), int(px[:, :, 1].sum()),
+                int(px[:, :, 2].sum()))
+        pos_checksum = int((weights * px[:, :, 2]).sum())
+    elif ctype in (0, 4):
+        # grayscale (+alpha): the gray channel IS every channel (one
+        # schema across formats); checksum over that channel
+        g = int(samples[:, :, 0].sum())
         sums = (g, g, g)
-        pos_checksum = int((weights * px[:, :, 0]).sum())
+        pos_checksum = int((weights * samples[:, :, 0]).sum())
     else:
         # truecolor / RGBA: first three stored channels are R,G,B
-        # (alpha, when present, rides byte 3 and is excluded from the
-        # channel statistics); checksum over blue
+        # (alpha, when present, is excluded); checksum over blue
         sums = (
-            int(px[:, :, 0].sum()),
-            int(px[:, :, 1].sum()),
-            int(px[:, :, 2].sum()),
+            int(samples[:, :, 0].sum()),
+            int(samples[:, :, 1].sum()),
+            int(samples[:, :, 2].sum()),
         )
-        pos_checksum = int((weights * px[:, :, 2]).sum())
+        pos_checksum = int((weights * samples[:, :, 2]).sum())
     return {
-        "width": int(width),
-        "height": int(height),
+        "width": width,
+        "height": height,
         "sum_r": sums[0],
         "sum_g": sums[1],
         "sum_b": sums[2],
@@ -1049,7 +1268,7 @@ def png_pixel_stats(payload: bytes) -> dict:
 
 def pixel_stats(payload: bytes) -> dict:
     """Format-dispatching REAL pixel decode: BMP (uncompressed 24-bit)
-    or PNG (8-bit truecolor, zlib inflate + unfilter) by magic bytes,
+    or PNG (COMPLETE — all color types/depths/interlace) by magic bytes,
     normalized to one contract — width/height, exact per-channel
     integer sums, and ``pos_checksum = sum((x + y*width) * BLUE(x,y))``
     over the blue channel in IMAGE row order (top-down y) for both
@@ -1208,7 +1427,7 @@ _PIXELS_RAW_SCHEMA = (
 
 def decode_pixels(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL pixel decode over (media_id, payload) rows —
-    uncompressed 24-bit BMP or 8-bit truecolor PNG, dispatched by magic
+    uncompressed 24-bit BMP or any legal PNG, dispatched by magic
     bytes per row (:func:`pixel_stats`), so a mixed-format binary
     column decodes in ONE partition-preserving mapInPandas stage,
     decode-late like every media stage. The Python stage emits exact

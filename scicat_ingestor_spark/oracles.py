@@ -1042,6 +1042,147 @@ FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # PNG palette + gray-alpha coverage (r8 third pass): doc_id % 3
+    # cycles PLTE-8 / PLTE-4 / gray+alpha-8. Palette pixel channel at
+    # (x, y) is the PLTE closed form at index i = (x*11 + y*17) % 16 —
+    # identical for both palette depths (the engine-side bit-unpack
+    # paths differ, the content doesn't). Gray+alpha: gray byte is
+    # sample 2x of the depth-8 byte rule -> (74x + 101y) % 256.
+    "multimodal_pixels_png_palette": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST(CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (7*((x.g*11 + y.g*17) % 16) + 3) % 256
+    ELSE (74*x.g + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST(CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (5*((x.g*11 + y.g*17) % 16) + 2) % 256
+    ELSE (74*x.g + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST(CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (3*((x.g*11 + y.g*17) % 16) + 1) % 256
+    ELSE (74*x.g + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * (CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (7*((x.g*11 + y.g*17) % 16) + 3) % 256
+    ELSE (74*x.g + 101*y.g) % 256 END)) AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
+    # PNG 16-bit coverage (r8 third pass): doc_id % 3 cycles 16-bit
+    # gray / RGB / RGBA. The big-endian byte pair of channel c at
+    # (x, y) follows the byte rule at byte indexes 2*(channels*x+c)
+    # and +1, so the sample is hi*256 + lo with
+    # hi = (2*channels*37*x + 74*c + 101*y) % 256 and lo = hi-rule+37.
+    "multimodal_pixels_png16": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN ((74*x.g + 101*y.g) % 256)*256
+              + (74*x.g + 37 + 101*y.g) % 256
+    WHEN 1 THEN ((222*x.g + 148 + 101*y.g) % 256)*256
+              + (222*x.g + 185 + 101*y.g) % 256
+    ELSE ((296*x.g + 148 + 101*y.g) % 256)*256
+       + (296*x.g + 185 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN ((74*x.g + 101*y.g) % 256)*256
+              + (74*x.g + 37 + 101*y.g) % 256
+    WHEN 1 THEN ((222*x.g + 74 + 101*y.g) % 256)*256
+              + (222*x.g + 111 + 101*y.g) % 256
+    ELSE ((296*x.g + 74 + 101*y.g) % 256)*256
+       + (296*x.g + 111 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN ((74*x.g + 101*y.g) % 256)*256
+              + (74*x.g + 37 + 101*y.g) % 256
+    WHEN 1 THEN ((222*x.g + 101*y.g) % 256)*256
+              + (222*x.g + 37 + 101*y.g) % 256
+    ELSE ((296*x.g + 101*y.g) % 256)*256
+       + (296*x.g + 37 + 101*y.g) % 256 END AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * (CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN ((74*x.g + 101*y.g) % 256)*256
+              + (74*x.g + 37 + 101*y.g) % 256
+    WHEN 1 THEN ((222*x.g + 148 + 101*y.g) % 256)*256
+              + (222*x.g + 185 + 101*y.g) % 256
+    ELSE ((296*x.g + 148 + 101*y.g) % 256)*256
+       + (296*x.g + 185 + 101*y.g) % 256 END)) AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
+    # Adam7-interlaced PNG (r8 third pass): the stored bytes are the
+    # seven interlace passes, but the FINAL image is the SAME closed
+    # form as multimodal_pixels_png_real — the oracle is byte-for-byte
+    # that query's oracle, so a pass-grid/scatter bug diverges here
+    # while the row-major query stays green.
+    "multimodal_pixels_png_adam7": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((111*x.g + 74 + 101*y.g) % 256 AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST((111*x.g + 37 + 101*y.g) % 256 AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST((111*x.g + 101*y.g) % 256 AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * ((111*x.g + 74 + 101*y.g) % 256)) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
+    # REAL MP4 demux (r8 fourth pass): every field is a closed form of
+    # doc_id — video (id%9)+3 samples x (id%5)+2 bytes @ delta 40,
+    # audio (id%13)+4 x (id%3)+1 @ delta 23, dims ((id%16)+1)*16 x
+    # ((id%9)+1)*16, timescales 1000, audio data starts after the
+    # video bytes in mdat. Two rows per document (one per track).
+    "multimodal_mp4_demux": """
+SELECT doc_id AS media_id,
+  CAST(1 AS INTEGER) AS track_id, 'vide' AS handler, 'avc1' AS codec,
+  CAST(((doc_id % 16) + 1) * 16 AS INTEGER) AS width,
+  CAST(((doc_id % 9) + 1) * 16 AS INTEGER) AS height,
+  CAST(1000 AS INTEGER) AS timescale,
+  CAST(((doc_id % 9) + 3) * 40 AS BIGINT) AS duration,
+  CAST((doc_id % 9) + 3 AS INTEGER) AS n_samples,
+  CAST(((doc_id % 9) + 3) * ((doc_id % 5) + 2) AS BIGINT) AS sample_bytes,
+  CAST(0 AS BIGINT) AS mdat_offset,
+  CAST(1000 AS INTEGER) AS movie_timescale,
+  CAST(greatest(((doc_id % 9) + 3) * 40, ((doc_id % 13) + 4) * 23)
+       AS BIGINT) AS movie_duration
+FROM documents
+UNION ALL
+SELECT doc_id AS media_id,
+  CAST(2 AS INTEGER) AS track_id, 'soun' AS handler, 'mp4a' AS codec,
+  CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+  CAST(1000 AS INTEGER) AS timescale,
+  CAST(((doc_id % 13) + 4) * 23 AS BIGINT) AS duration,
+  CAST((doc_id % 13) + 4 AS INTEGER) AS n_samples,
+  CAST(((doc_id % 13) + 4) * ((doc_id % 3) + 1) AS BIGINT) AS sample_bytes,
+  CAST(((doc_id % 9) + 3) * ((doc_id % 5) + 2) AS BIGINT) AS mdat_offset,
+  CAST(1000 AS INTEGER) AS movie_timescale,
+  CAST(greatest(((doc_id % 9) + 3) * 40, ((doc_id % 13) + 4) * 23)
+       AS BIGINT) AS movie_duration
+FROM documents
+""",
+    # REAL container-level frame sampling (r8 fourth pass): every 2nd
+    # video sample; video sample k occupies mdat bytes
+    # [k*vs, (k+1)*vs) with vs = (id%5)+2, and mdat byte j is
+    # (j*13 + 5) % 256 — checksum recomputed byte-by-byte.
+    "multimodal_mp4_frame_sample": """
+SELECT d.doc_id AS media_id,
+  CAST(k.g AS INTEGER) AS frame_idx,
+  CAST(k.g * d.vs AS BIGINT) AS mdat_offset,
+  CAST(d.vs AS INTEGER) AS frame_bytes,
+  CAST(sum(((k.g * d.vs + t.g) * 13 + 5) % 256) AS BIGINT) AS checksum
+FROM (SELECT doc_id, (doc_id % 9) + 3 AS vn, (doc_id % 5) + 2 AS vs
+      FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.vn - 1)) AS g) k,
+  LATERAL (SELECT unnest(generate_series(0, d.vs - 1)) AS g) t
+WHERE k.g % 2 = 0
+GROUP BY d.doc_id, k.g, d.vs
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics

@@ -2919,6 +2919,177 @@ def q_multimodal_pixels_png_variants(spark, sf_dir):
     return multimodal.decode_pixels(media)
 
 
+def q_multimodal_pixels_png_palette(spark, sf_dir):
+    """PNG palette + gray-alpha coverage (r8 third pass — the PNG gate
+    list is now EMPTY): doc_id % 3 cycles 8-bit palette / 4-bit palette
+    (bit-unpacked indexes, same 16-entry PLTE) / 8-bit gray+alpha.
+    Palette pixels are the PLTE closed form ((3i+1)%256, (5i+2)%256,
+    (7i+3)%256) at index i=(x*11+y*17)%16 — the depth-8 and depth-4
+    variants decode to IDENTICAL content through DIFFERENT unpack
+    paths, so a bit-order bug splits them. Gray+alpha excludes alpha
+    and reports gray in all three slots."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_png_filtered(
+                            (int(i) % 16) + 1,
+                            ((int(i) // 16) % 16) + 1,
+                            color_type=(3, 3, 4)[int(i) % 3],
+                            depth=(8, 4, 8)[int(i) % 3],
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
+def q_multimodal_pixels_png16(spark, sf_dir):
+    """PNG 16-bit depth coverage (r8 third pass): doc_id % 3 cycles
+    16-bit gray / truecolor / RGBA. Samples are big-endian pairs whose
+    BYTES follow the same closed form as the 8-bit queries, so the
+    16-bit sample at (x, y, c) is hi*256 + lo with hi/lo at byte
+    indexes 2*(channels*x+c) and +1 — an endianness or pairing bug
+    breaks every statistic. Sums/means are over the raw 0..65535
+    values; checksum over blue (gray for type 0)."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_png_filtered(
+                            (int(i) % 16) + 1,
+                            ((int(i) // 16) % 16) + 1,
+                            color_type=(0, 2, 6)[int(i) % 3],
+                            depth=16,
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
+def q_multimodal_pixels_png_adam7(spark, sf_dir):
+    """Adam7-interlaced PNG decode (r8 third pass): same dims and the
+    SAME closed-form final image as multimodal_pixels_png_real, but
+    stored as the seven interlace passes (each pass independently
+    filtered row%5). The oracle is IDENTICAL to the row-major query —
+    the 1..16 × 1..16 dim sweep hits every pass-boundary shape, so a
+    pass-grid or scatter bug diverges from the shared oracle while the
+    row-major query stays green (same cross-check pattern as the GIF
+    deinterlace query)."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_png_filtered(
+                            (int(i) % 16) + 1,
+                            ((int(i) // 16) % 16) + 1,
+                            interlace=1,
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
+def q_multimodal_mp4_demux(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) container demux (r8 fourth pass — the "av
+    demux" half of the av gate is pure struct parsing and is now
+    implemented; only codec DECODE remains gated): each document gets
+    a fully-formed two-track MP4 (avc1 video + mp4a audio) whose box
+    tree, track headers, and sample tables (stts/stsz/stsc/stco) all
+    follow closed forms of doc_id; doc_id % 2 alternates constant-size
+    stsz against an equal-entry stsz TABLE — identical content through
+    different parse paths. One demux row per track; the oracle
+    recomputes every field from the id rules."""
+    from scicat_ingestor_spark.operators import mp4
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        mp4.make_mp4(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return mp4.demux_tracks(media)
+
+
+def q_multimodal_mp4_frame_sample(spark, sf_dir):
+    """REAL container-level frame sampling (r8 fourth pass): every 2nd
+    video SAMPLE byte range sliced out of mdat via the sample tables,
+    with an exact checksum of the sliced bytes — the frame bytes are
+    really read (mdat byte j is (j*13 + 5) % 256), only their codec
+    meaning is not decoded. The oracle recomputes offsets, sizes, and
+    checksums from the closed forms; an stsc/stco flattening bug or an
+    off-by-one slice breaks the checksum."""
+    from scicat_ingestor_spark.operators import mp4
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        mp4.make_mp4(int(i)) for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return mp4.sample_frames(media, every_n=2)
+
+
 def q_multimodal_pcm_real(spark, sf_dir):
     """REAL PCM decode in the data plane (r7): each document gets a
     16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
@@ -4408,6 +4579,11 @@ QUERIES = {
     "multimodal_pixels_real": q_multimodal_pixels_real,
     "multimodal_pixels_png_real": q_multimodal_pixels_png_real,
     "multimodal_pixels_png_variants": q_multimodal_pixels_png_variants,
+    "multimodal_pixels_png_palette": q_multimodal_pixels_png_palette,
+    "multimodal_pixels_png16": q_multimodal_pixels_png16,
+    "multimodal_pixels_png_adam7": q_multimodal_pixels_png_adam7,
+    "multimodal_mp4_demux": q_multimodal_mp4_demux,
+    "multimodal_mp4_frame_sample": q_multimodal_mp4_frame_sample,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

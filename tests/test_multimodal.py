@@ -582,15 +582,24 @@ def test_png_pixel_stats_gates_and_errors():
         body = buf[buf.index(b"IDAT") - 4 : ]
         return multimodal._PNG_SIGNATURE + multimodal._png_chunk(b"IHDR", ihdr) + body
 
-    with _pytest.raises(NotImplementedError, match="interlace"):
+    # r8 third pass: interlace/palette/16-bit are IMPLEMENTED — a
+    # mismatched body is now a structural ValueError, never a gate
+    with _pytest.raises(ValueError, match="interlace pass|unknown filter"):
+        # row-major body under an interlaced header: pass sizes no
+        # longer tile the stream (or a pixel byte lands where a pass's
+        # filter byte should be)
         multimodal.png_pixel_stats(rebuild(interlace=1))
-    with _pytest.raises(NotImplementedError, match="gray/truecolor/RGBA"):
-        multimodal.png_pixel_stats(rebuild(ctype=3))  # palette gated
+    with _pytest.raises(ValueError, match="missing PLTE"):
+        multimodal.png_pixel_stats(rebuild(ctype=3))
     with _pytest.raises(ValueError, match="size mismatch"):
         # RGBA header over a 3-bpp body: supported type, wrong length
         multimodal.png_pixel_stats(rebuild(ctype=6))
-    with _pytest.raises(NotImplementedError, match="gray/truecolor/RGBA"):
+    with _pytest.raises(ValueError, match="size mismatch"):
         multimodal.png_pixel_stats(rebuild(depth=16))
+    with _pytest.raises(ValueError, match="invalid depth/color-type"):
+        multimodal.png_pixel_stats(rebuild(ctype=2, depth=4))
+    with _pytest.raises(ValueError, match="unknown interlace"):
+        multimodal.png_pixel_stats(rebuild(interlace=2))
     # a VALID zlib stream of the WRONG length -> size-mismatch ValueError
     short = (
         multimodal._PNG_SIGNATURE
@@ -600,6 +609,86 @@ def test_png_pixel_stats_gates_and_errors():
     )
     with _pytest.raises(ValueError, match="size mismatch"):
         multimodal.png_pixel_stats(short)
+
+
+def test_png_pixel_stats_full_coverage_roundtrip():
+    """r8 third pass — the PNG gate list is EMPTY: every legal color
+    type x depth x interlace combination round-trips through the
+    filtered builder and decodes to the closed-form sample rule. The
+    dim sweep crosses every Adam7 pass-boundary shape."""
+    import numpy as np
+
+    for ctype, depths in multimodal._PNG_DEPTHS.items():
+        for depth in depths:
+            for interlace in (0, 1):
+                for w, h in [(1, 1), (3, 2), (8, 8), (13, 9), (17, 5)]:
+                    nc = min(16, 1 << depth) if ctype == 3 else 16
+                    buf = multimodal.make_png_filtered(
+                        w, h, ctype, depth=depth, interlace=interlace,
+                        n_colors=nc,
+                    )
+                    got = multimodal._png_decode_samples(buf)
+                    assert got[:4] == (w, h, ctype, depth)
+                    assert np.array_equal(
+                        got[4],
+                        multimodal._png_rule_samples(w, h, ctype, depth, nc),
+                    ), (ctype, depth, interlace, w, h)
+
+
+def test_png_adam7_equals_row_major_stats():
+    """Interlaced and row-major encodings of the SAME final image must
+    reduce to identical statistics — the deinterlace cross-check (the
+    GIF pattern applied to PNG)."""
+    for ctype, depth in [(2, 8), (6, 16), (3, 4), (0, 1), (4, 16)]:
+        nc = min(16, 1 << depth) if ctype == 3 else 16
+        a = multimodal.png_pixel_stats(multimodal.make_png_filtered(
+            13, 9, ctype, depth=depth, interlace=0, n_colors=nc))
+        b = multimodal.png_pixel_stats(multimodal.make_png_filtered(
+            13, 9, ctype, depth=depth, interlace=1, n_colors=nc))
+        assert a == b, (ctype, depth)
+
+
+def test_png_palette_semantics():
+    """Palette decode maps indexes through the PLTE closed form; the
+    8-bit and 4-bit index encodings carry IDENTICAL content through
+    DIFFERENT unpack paths; an out-of-range index is a structural
+    ValueError, not an IndexError."""
+    import pytest as _pytest
+
+    s8 = multimodal.png_pixel_stats(
+        multimodal.make_png_filtered(7, 6, 3, depth=8)
+    )
+    s4 = multimodal.png_pixel_stats(
+        multimodal.make_png_filtered(7, 6, 3, depth=4)
+    )
+    assert s8 == s4
+    want_b = sum(
+        (7 * ((x * 11 + y * 17) % 16) + 3) % 256
+        for x in range(7)
+        for y in range(6)
+    )
+    assert s8["sum_b"] == want_b
+    # shrink the PLTE below the max index -> out-of-range ValueError
+    buf = multimodal.make_png_filtered(7, 6, 3, depth=8, n_colors=16)
+    at = buf.index(b"PLTE") - 4
+    end = at + 8 + 48 + 4
+    short_plte = multimodal._png_chunk(b"PLTE", bytes(9))
+    with _pytest.raises(ValueError, match="palette index out of range"):
+        multimodal.png_pixel_stats(buf[:at] + short_plte + buf[end:])
+
+
+def test_png_16bit_sample_rule():
+    """16-bit samples are big-endian byte pairs of the historical byte
+    rule: an endianness swap or pair misalignment breaks the sums."""
+    st = multimodal.png_pixel_stats(
+        multimodal.make_png_filtered(5, 4, 2, depth=16)
+    )
+    want_r = sum(
+        ((222 * x + 101 * y) % 256) * 256 + (222 * x + 37 + 101 * y) % 256
+        for x in range(5)
+        for y in range(4)
+    )
+    assert st["sum_r"] == want_r
 
 
 def test_pixel_stats_dispatch_and_mixed_dataplane(spark):
@@ -806,7 +895,8 @@ def test_png_gray_and_rgba_decode_closed_form():
             for x in range(4)
             for y in range(7)
         )
-    # palette (type 3) stays gated
+    # palette (type 3) is implemented as of the r8 third pass — a
+    # palette header with no PLTE is now a structural ValueError
     buf = multimodal.make_png_filtered(4, 4)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     pal = (
@@ -814,5 +904,5 @@ def test_png_gray_and_rgba_decode_closed_form():
         + multimodal._png_chunk(b"IHDR", ihdr)
         + buf[buf.index(b"IDAT") - 4 :]
     )
-    with _pytest.raises(NotImplementedError, match="gray/truecolor/RGBA"):
+    with _pytest.raises(ValueError, match="missing PLTE"):
         multimodal.png_pixel_stats(pal)
