@@ -1183,6 +1183,53 @@ FROM (SELECT doc_id, (doc_id % 9) + 3 AS vn, (doc_id % 5) + 2 AS vs
 WHERE k.g % 2 = 0
 GROUP BY d.doc_id, k.g, d.vs
 """,
+    # REAL baseline JPEG entropy decode (r8 fifth pass): dims
+    # 8*((id%4)+1) x 8*((id%3)+1); every 8x8 block is uniform with
+    # value (bx*29 + by*31 + id*7) % 256 (uniform -> DC-only -> the
+    # lossy DCT is exact). A block's 64 pixels contribute
+    # v * (512*bx + 224 + w*(512*by + 224)) to the positional
+    # checksum (sum over x in [8bx, 8bx+8) and y likewise).
+    "multimodal_jpeg_real": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((bx.g*29 + yb.g*31 + d.doc_id*7) % 256 AS DOUBLE)), 6)
+    AS mean_c0,
+  round(avg(CAST((bx.g*29 + yb.g*31 + d.doc_id*7) % 256 AS DOUBLE)), 6)
+    AS mean_c1,
+  round(avg(CAST((bx.g*29 + yb.g*31 + d.doc_id*7) % 256 AS DOUBLE)), 6)
+    AS mean_c2,
+  CAST(sum(((bx.g*29 + yb.g*31 + d.doc_id*7) % 256)
+           * (512*bx.g + 224 + d.w*(512*yb.g + 224))) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, 8*((doc_id % 4) + 1) AS w,
+             8*((doc_id % 3) + 1) AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w//8 - 1)) AS g) bx,
+  LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
+GROUP BY d.doc_id, d.w, d.h
+""",
+    # 3-component 4:4:4 variant: per-component uniform-block rules
+    # Y:(29,31,7) Cb:(17,23,5) Cr:(13,19,11); checksum over the LAST
+    # component (Cr), matching the engine's blue-analog convention.
+    "multimodal_jpeg_color_real": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((bx.g*29 + yb.g*31 + d.doc_id*7) % 256 AS DOUBLE)), 6)
+    AS mean_c0,
+  round(avg(CAST((bx.g*17 + yb.g*23 + d.doc_id*5) % 256 AS DOUBLE)), 6)
+    AS mean_c1,
+  round(avg(CAST((bx.g*13 + yb.g*19 + d.doc_id*11) % 256 AS DOUBLE)), 6)
+    AS mean_c2,
+  CAST(sum(((bx.g*13 + yb.g*19 + d.doc_id*11) % 256)
+           * (512*bx.g + 224 + d.w*(512*yb.g + 224))) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, 8*((doc_id % 4) + 1) AS w,
+             8*((doc_id % 3) + 1) AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w//8 - 1)) AS g) bx,
+  LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
+GROUP BY d.doc_id, d.w, d.h
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics

@@ -3090,6 +3090,91 @@ def q_multimodal_mp4_frame_sample(spark, sf_dir):
     return mp4.sample_frames(media, every_n=2)
 
 
+def q_multimodal_jpeg_real(spark, sf_dir):
+    """REAL baseline JPEG entropy decode (r8 fifth pass — the last
+    image-side codec gate falls): each document gets a real JFIF
+    baseline grayscale JPEG (SOI/DQT/SOF0/DHT/SOS, Annex-K Huffman
+    tables, byte stuffing; odd ids add restart markers every 2 MCUs)
+    whose 8x8 blocks are UNIFORM with the closed-form value
+    (bx*29 + by*31 + id*7) % 256 — uniform blocks make the lossy DCT
+    exact (DC-only), so the decoded pixels equal the closed form and
+    the oracle recomputes every statistic. The engine performs the
+    full entropy decode: Huffman, DC prediction, EOB, restart resync,
+    dequantize, de-zigzag, IDCT. Random-AC paths are pinned by the
+    lossless coefficient roundtrip tests."""
+    from scicat_ingestor_spark.operators import jpegc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def bv(ci, bx, by, _id=i):
+                    return (bx * 29 + by * 31 + _id * 7) % 256
+
+                rows.append(
+                    jpegc.make_jpeg_baseline(
+                        8 * ((i % 4) + 1),
+                        8 * ((i % 3) + 1),
+                        bv,
+                        restart_interval=2 if i % 2 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return jpegc.decode_jpeg_pixels(media)
+
+
+def q_multimodal_jpeg_color_real(spark, sf_dir):
+    """REAL baseline JPEG entropy decode, 3-component 4:4:4 (r8 fifth
+    pass): interleaved YCbCr MCUs with per-component closed-form
+    uniform blocks — Y:(29,31,7) Cb:(17,23,5) Cr:(13,19,11) — and
+    restart markers every 2 MCUs when id % 3 == 0. Components are
+    reported raw (no color conversion): the entropy decode is the
+    claim, the color map is a trivial linear transform."""
+    from scicat_ingestor_spark.operators import jpegc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def bv(ci, bx, by, _id=i):
+                    a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+                    return (bx * a + by * b + _id * c) % 256
+
+                bv.n_components = 3
+                rows.append(
+                    jpegc.make_jpeg_baseline(
+                        8 * ((i % 4) + 1),
+                        8 * ((i % 3) + 1),
+                        bv,
+                        restart_interval=2 if i % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return jpegc.decode_jpeg_pixels(media)
+
+
 def q_multimodal_pcm_real(spark, sf_dir):
     """REAL PCM decode in the data plane (r7): each document gets a
     16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
@@ -4584,6 +4669,8 @@ QUERIES = {
     "multimodal_pixels_png_adam7": q_multimodal_pixels_png_adam7,
     "multimodal_mp4_demux": q_multimodal_mp4_demux,
     "multimodal_mp4_frame_sample": q_multimodal_mp4_frame_sample,
+    "multimodal_jpeg_real": q_multimodal_jpeg_real,
+    "multimodal_jpeg_color_real": q_multimodal_jpeg_color_real,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

@@ -1,0 +1,202 @@
+"""Baseline JPEG codec: exactness on uniform blocks (the oracle
+path), LOSSLESS entropy-level roundtrips with random AC coefficients
+(ZRL / EOB / sign branches), restart-marker resync, structural fuzz
+under the failure-channel contract, and the Spark stage."""
+import struct
+
+import numpy as np
+import pytest
+
+from scicat_ingestor_spark.operators import jpegc
+
+
+def _bv_gray(ci, bx, by):
+    return (bx * 29 + by * 31 + 7) % 256
+
+
+def test_uniform_blocks_decode_exactly():
+    for w, h, ri in ((8, 8, 0), (32, 24, 0), (32, 24, 2), (64, 16, 3)):
+        buf = jpegc.make_jpeg_baseline(w, h, _bv_gray, restart_interval=ri)
+        st = jpegc.jpeg_pixel_stats(buf)
+        assert (st["width"], st["height"]) == (w, h)
+        want = sum(
+            ((x // 8) * 29 + (y // 8) * 31 + 7) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        assert st["sum_c0"] == st["sum_c1"] == st["sum_c2"] == want
+        assert st["pos_checksum"] == sum(
+            (x + y * w) * (((x // 8) * 29 + (y // 8) * 31 + 7) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+
+
+def test_three_component_interleaved():
+    def bv(ci, bx, by):
+        a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+        return (bx * a + by * b + c) % 256
+
+    bv.n_components = 3
+    buf = jpegc.make_jpeg_baseline(32, 24, bv, restart_interval=2)
+    st = jpegc.jpeg_pixel_stats(buf)
+    for key, (a, b, c) in (
+        ("sum_c0", (29, 31, 7)),
+        ("sum_c1", (17, 23, 5)),
+        ("sum_c2", (13, 19, 11)),
+    ):
+        assert st[key] == sum(
+            ((x // 8) * a + (y // 8) * b + c) % 256
+            for x in range(32)
+            for y in range(24)
+        )
+
+
+def test_lossless_coefficient_roundtrip_random_acs():
+    """The entropy layer is lossless: arbitrary quantized coefficient
+    blocks survive encode -> decode exactly. Random sparse ACs hit
+    zero-runs > 16 (ZRL), negative magnitudes, EOB placement, and
+    DC-difference sign branches the uniform fixtures never touch."""
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        stored = {}
+
+        def bv(ci, bx, by):
+            c = np.zeros((8, 8), dtype=np.int64)
+            c[0, 0] = int(rng.randint(-1000, 1000))
+            for _ in range(rng.randint(0, 6)):
+                i, j = rng.randint(0, 8), rng.randint(0, 8)
+                if (i, j) != (0, 0):
+                    c[i, j] = int(rng.randint(-255, 256))
+            stored[(ci, bx, by)] = c.copy()
+            return c
+
+        bv.n_components = 2 if trial % 2 else 1
+        ri = (0, 1, 2)[trial % 3]
+        buf = jpegc.make_jpeg_baseline(24, 16, bv, restart_interval=ri)
+        w, h, nc, got = jpegc.jpeg_decode_coeffs(buf)
+        assert (w, h, nc) == (24, 16, bv.n_components)
+        m = 0
+        for by in range(2):
+            for bx in range(3):
+                for ci in range(nc):
+                    assert np.array_equal(
+                        got[m, ci], stored[(ci, bx, by)]
+                    ), (trial, m, ci)
+                m += 1
+
+
+def test_full_range_dc_and_extremes():
+    """A DC walk whose successive differences hit every category
+    1..11 plus category 0 (zero diff — the repeated-value path);
+    diffs beyond the baseline 11-bit range are an encoder
+    ValueError, not a KeyError."""
+    vals = [0, 1, -1, 2, -2, 16, -16, 100, -100, 923, -923, 1023]
+
+    def bv(ci, bx, by):
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = vals[(by * 4 + bx) % len(vals)]
+        return c
+
+    buf = jpegc.make_jpeg_baseline(32, 24, bv)
+    _, _, _, got = jpegc.jpeg_decode_coeffs(buf)
+    for m in range(12):
+        assert got[m, 0, 0, 0] == vals[m % len(vals)]
+
+    def bv_wild(ci, bx, by):
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = 2047 if bx % 2 else -2047
+        return c
+
+    with pytest.raises(ValueError, match="11-bit range"):
+        jpegc.make_jpeg_baseline(16, 8, bv_wild)
+
+
+def test_structural_fuzz_value_errors():
+    buf = jpegc.make_jpeg_baseline(16, 16, _bv_gray, restart_interval=1)
+    with pytest.raises(ValueError, match="bad SOI"):
+        jpegc.jpeg_decode_coeffs(b"\x00" + buf)
+    with pytest.raises(ValueError, match="truncated segment|missing SOF"):
+        jpegc.jpeg_decode_coeffs(buf[:20])
+    # chop the entropy stream mid-scan
+    with pytest.raises(ValueError, match="ran out|missing restart"):
+        jpegc.jpeg_decode_coeffs(buf[:-10])
+    # kill the DHT segment -> missing Huffman table
+    at = buf.index(b"\xff\xc4")
+    (ln,) = struct.unpack(">H", buf[at + 2 : at + 4])
+    with pytest.raises(ValueError, match="missing Huffman"):
+        jpegc.jpeg_decode_coeffs(buf[:at] + buf[at + 2 + ln :])
+    # corrupt a restart marker id -> resync failure
+    r_at = buf.index(b"\xff\xd0")
+    bad = buf[:r_at] + b"\xff\xd5" + buf[r_at + 2 :]
+    with pytest.raises(ValueError, match="missing restart"):
+        jpegc.jpeg_decode_coeffs(bad)
+
+
+def test_progressive_and_subsampling_stay_gated():
+    buf = jpegc.make_jpeg_baseline(16, 16, _bv_gray)
+    at = buf.index(b"\xff\xc0")
+    prog = buf[:at] + b"\xff\xc2" + buf[at + 2 :]
+    with pytest.raises(NotImplementedError, match="baseline sequential"):
+        jpegc.jpeg_decode_coeffs(prog)
+    # rewrite the component sampling byte to 4:2:0
+    sof_body = at + 4
+    samp_at = sof_body + 6 + 1  # first component: id, THEN sampling
+    sub = buf[:samp_at] + bytes([0x22]) + buf[samp_at + 1 :]
+    with pytest.raises(NotImplementedError, match="no.*subsampling|4:4:4"):
+        jpegc.jpeg_decode_coeffs(sub)
+
+
+def test_byte_stuffing_on_the_wire():
+    """A coefficient stream that emits 0xFF bytes must be stuffed with
+    0x00 on the wire and unstuffed on decode — craft DCs until the
+    entropy bytes actually contain an 0xFF."""
+    rng = np.random.RandomState(3)
+    hit = False
+    for _ in range(200):
+        dc = int(rng.randint(-2000, 2000))
+
+        def bv(ci, bx, by, _dc=dc):
+            c = np.zeros((8, 8), dtype=np.int64)
+            c[0, 0] = _dc
+            c[0, 1] = int(rng.randint(-100, 100))
+            return c
+
+        buf = jpegc.make_jpeg_baseline(8, 8, bv)
+        scan_at = buf.index(b"\xff\xda")
+        if b"\xff\x00" in buf[scan_at:]:
+            hit = True
+            w, h, nc, got = jpegc.jpeg_decode_coeffs(buf)
+            assert got[0, 0, 0, 0] == dc
+    assert hit, "no stuffed byte was ever produced — weak test"
+
+
+def test_jpeg_spark_stage(spark):
+    rows = []
+    for i in (0, 1, 5, 10):
+        def bv(ci, bx, by, _id=i):
+            return (bx * 29 + by * 31 + _id * 7) % 256
+
+        rows.append(
+            (i, jpegc.make_jpeg_baseline(
+                8 * ((i % 4) + 1), 8 * ((i % 3) + 1), bv,
+                restart_interval=2 if i % 2 else 0,
+            ))
+        )
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: r
+        for r in jpegc.decode_jpeg_pixels(df).collect()
+    }
+    for i in (0, 1, 5, 10):
+        w, h = 8 * ((i % 4) + 1), 8 * ((i % 3) + 1)
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+        want = round(
+            sum(
+                ((x // 8) * 29 + (y // 8) * 31 + i * 7) % 256
+                for x in range(w)
+                for y in range(h)
+            ) / (w * h),
+            6,
+        )
+        assert got[i]["mean_c0"] == pytest.approx(want, abs=1e-6)
