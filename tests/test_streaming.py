@@ -1424,3 +1424,113 @@ def test_streaming_knn_maintenance_matches_batch_and_replays_safely(
     drain(str(tmp_path / "ck_fresh"))  # fresh checkpoint: full replay
     assert spark.read.parquet(nb).count() == n_nb
     assert spark.read.parquet(idx).count() == n_idx
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """The real content decoders are stateless Arrow-batched stages, so
+    they compose with Structured Streaming unchanged: a mixed-format
+    binary stream (BMP / row-major PNG / Adam7 PNG / palette PNG)
+    decoded per micro-batch must equal the batch decode row for row,
+    and a replay from a fresh checkpoint must not duplicate rows
+    (idempotent_append on media_id)."""
+    from scicat_ingestor_spark.operators import multimodal
+    from scicat_ingestor_spark.streaming.pipeline import (
+        idempotent_append,
+        run_ingest_stream,
+    )
+
+    def payload(i: int) -> bytes:
+        w, h = (i % 13) + 1, (i % 7) + 1
+        return (
+            multimodal.make_bmp(w, h),
+            multimodal.make_png_filtered(w, h),
+            multimodal.make_png_filtered(w, h, interlace=1),
+            multimodal.make_png_filtered(w, h, 3, depth=4),
+        )[i % 4]
+
+    rows = [(i, payload(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    expected = {
+        tuple(r) for r in multimodal.decode_pixels(df).collect()
+    }
+
+    src = str(tmp_path / "media_src")
+    for lo in (0, 13, 27):
+        hi = {0: 13, 13: 27, 27: 40}[lo]
+        spark.createDataFrame(
+            rows[lo:hi], "media_id long, payload binary"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "decoded")
+
+    def sink(batch, batch_id):
+        idempotent_append(batch, target, "media_id")
+
+    def run(ckpt: str):
+        stream = (
+            spark.readStream.schema("media_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_ingest_stream(
+            stream, multimodal.decode_pixels, sink, ckpt, trigger_once=True
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ck1"))
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+    assert got == expected
+    # replay from a fresh checkpoint: at-least-once delivery, but the
+    # anti-join-guarded append keeps the sink exactly-once
+    run(str(tmp_path / "ck2"))
+    again = spark.read.parquet(target)
+    assert again.count() == len(expected)
+
+
+def test_streaming_mp4_frame_sampling_matches_batch(spark, tmp_path):
+    """Container demux emits MULTIPLE rows per input (a flatMap shape):
+    per-micro-batch frame sampling over an MP4 stream must equal the
+    batch operator exactly, including the exploded row multiplicity."""
+    from scicat_ingestor_spark.operators import mp4
+    from scicat_ingestor_spark.streaming.pipeline import (
+        idempotent_append,
+        run_ingest_stream,
+    )
+
+    rows = [(i, mp4.make_mp4(i)) for i in range(24)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    expected = {
+        tuple(r) for r in mp4.sample_frames(df, every_n=2).collect()
+    }
+
+    src = str(tmp_path / "mp4_src")
+    for lo, hi in ((0, 8), (8, 16), (16, 24)):
+        spark.createDataFrame(
+            rows[lo:hi], "media_id long, payload binary"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    target = str(tmp_path / "frames")
+
+    def transform(batch):
+        from pyspark.sql import functions as F2
+
+        return mp4.sample_frames(batch, every_n=2).withColumn(
+            "k", F2.concat_ws(":", "media_id", "frame_idx")
+        )
+
+    def sink(batch, batch_id):
+        idempotent_append(batch, target, "k")
+
+    stream = (
+        spark.readStream.schema("media_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_ingest_stream(
+        stream, transform, sink, str(tmp_path / "ck"), trigger_once=True
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r) for r in spark.read.parquet(target).drop("k").collect()
+    }
+    assert got == expected
