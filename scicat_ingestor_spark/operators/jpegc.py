@@ -204,27 +204,78 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _encode_block(bw, coeffs, dc_pred, ci, dc_codes, ac_codes) -> None:
+    zz = coeffs.reshape(-1)[list(ZIGZAG)]
+    diff = int(zz[0]) - dc_pred[ci]
+    dc_pred[ci] = int(zz[0])
+    t, bits = _magnitude(diff)
+    if t > 11:
+        raise ValueError("DC difference exceeds the baseline 11-bit range")
+    code, ln = dc_codes[t]
+    bw.put(code, ln)
+    if t:
+        bw.put(bits, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        t, bits = _magnitude(int(zz[k]))
+        if t > 10:
+            raise ValueError(
+                "AC coefficient exceeds the baseline 10-bit range"
+            )
+        code, ln = ac_codes[(run << 4) | t]
+        bw.put(code, ln)
+        bw.put(bits, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+
+
 def make_jpeg_baseline(
     width: int,
     height: int,
     block_values,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Real JFIF baseline JPEG from per-block COEFFICIENT arrays.
 
     ``block_values(ci, bx, by) -> int | np.ndarray`` returns, for
-    component ``ci`` and block (bx, by), either a scalar — a UNIFORM
-    pixel value 0..255, stored as its exact DC-only transform — or a
-    full (8, 8) int array of quantized coefficients in natural order
-    (the lossless-roundtrip test path). Dimensions must be multiples
-    of 8. The number of components is probed from block_values' arity
-    tag: pass a callable with attribute ``n_components`` (default 1).
-    Quant table is all ones (so uniform blocks are exact) and every
-    component shares the Annex-K luminance Huffman tables — legal, and
-    the decoder reads tables from the file anyway."""
-    if width % 8 or height % 8 or width <= 0 or height <= 0:
-        raise ValueError("baseline fixture dims must be multiples of 8")
+    component ``ci`` and block (bx, by) IN THAT COMPONENT'S OWN block
+    grid, either a scalar — a UNIFORM pixel value 0..255, stored as
+    its exact DC-only transform — or a full (8, 8) int array of
+    quantized coefficients in natural order (the lossless-roundtrip
+    test path). The number of components is probed from the callable's
+    ``n_components`` attribute (default 1).
+
+    ``subsampling`` "444" (every component full resolution, dims
+    multiples of 8) or "420" (3 components, luma 2x2 per MCU, chroma
+    quarter resolution — the dominant real-world layout; dims
+    multiples of 16). Quant table is all ones (so uniform blocks are
+    exact) and every component shares the Annex-K luminance Huffman
+    tables — legal, and the decoder reads tables from the file
+    anyway."""
     ncomp = getattr(block_values, "n_components", 1)
+    if subsampling == "444":
+        samp = [(1, 1)] * ncomp
+        if width % 8 or height % 8 or width <= 0 or height <= 0:
+            raise ValueError("baseline fixture dims must be multiples of 8")
+    elif subsampling == "420":
+        if ncomp != 3:
+            raise ValueError("4:2:0 requires exactly 3 components")
+        if width % 16 or height % 16 or width <= 0 or height <= 0:
+            raise ValueError("4:2:0 fixture dims must be multiples of 16")
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
 
@@ -235,7 +286,7 @@ def make_jpeg_baseline(
     out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id 0, ones
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # no subsampling, quant 0
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
     out += _seg(0xC0, sof)  # SOF0 baseline
     out += _seg(
         0xC4,
@@ -250,64 +301,42 @@ def make_jpeg_baseline(
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
 
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux_n = width // (8 * hmax)
+    mcuy_n = height // (8 * vmax)
+
+    def coeffs_for(ci, bx, by):
+        v = block_values(ci, bx, by)
+        if np.isscalar(v):
+            c = np.zeros((8, 8), dtype=np.int64)
+            c[0, 0] = 8 * (int(v) - 128)
+            return c
+        c = np.asarray(v, dtype=np.int64)
+        if c.shape != (8, 8):
+            raise ValueError("coefficient block must be 8x8")
+        return c
+
     bw = _BitWriter()
     dc_pred = [0] * ncomp
-    bx_n, by_n = width // 8, height // 8
     mcu = 0
     rst = 0
-    for by in range(by_n):
-        for bx in range(bx_n):
+    for my in range(mcuy_n):
+        for mx in range(mcux_n):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.align()
                 bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
                 rst += 1
                 dc_pred = [0] * ncomp
             for ci in range(ncomp):
-                v = block_values(ci, bx, by)
-                if np.isscalar(v):
-                    coeffs = np.zeros((8, 8), dtype=np.int64)
-                    coeffs[0, 0] = 8 * (int(v) - 128)
-                else:
-                    coeffs = np.asarray(v, dtype=np.int64)
-                    if coeffs.shape != (8, 8):
-                        raise ValueError("coefficient block must be 8x8")
-                zz = coeffs.reshape(-1)[list(ZIGZAG)]
-                diff = int(zz[0]) - dc_pred[ci]
-                dc_pred[ci] = int(zz[0])
-                t, bits = _magnitude(diff)
-                if t > 11:
-                    raise ValueError(
-                        "DC difference exceeds the baseline 11-bit range"
-                    )
-                code, ln = dc_codes[t]
-                bw.put(code, ln)
-                if t:
-                    bw.put(bits, t)
-                run = 0
-                last_nz = max(
-                    (k for k in range(1, 64) if zz[k]), default=0
-                )
-                for k in range(1, last_nz + 1):
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_codes[0xF0]  # ZRL
-                        bw.put(code, ln)
-                        run -= 16
-                    t, bits = _magnitude(int(zz[k]))
-                    if t > 10:
-                        raise ValueError(
-                            "AC coefficient exceeds the baseline "
-                            "10-bit range"
+                hi, vi = samp[ci]
+                for dv in range(vi):
+                    for dh in range(hi):
+                        _encode_block(
+                            bw,
+                            coeffs_for(ci, mx * hi + dh, my * vi + dv),
+                            dc_pred, ci, dc_codes, ac_codes,
                         )
-                    code, ln = ac_codes[(run << 4) | t]
-                    bw.put(code, ln)
-                    bw.put(bits, t)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[0x00]  # EOB
-                    bw.put(code, ln)
             mcu += 1
     bw.align()
     out += bw.out
@@ -327,13 +356,16 @@ _BASIS = _idct_basis()
 
 def jpeg_decode_coeffs(payload: bytes):
     """Entropy-decode a baseline JPEG to DEQUANTIZED coefficient
-    blocks: returns (width, height, ncomp, blocks) where ``blocks``
-    is an (n_mcus, ncomp, 8, 8) int64 array in natural (de-zigzagged)
-    order, MCUs in raster order. Tables are read from the FILE
-    (DQT/DHT), never assumed. Lossless — the exact inverse of the
-    entropy encoder, which the roundtrip tests pin. Structural damage
-    raises ValueError; progressive/arithmetic JPEGs raise
-    NotImplementedError (genuinely different coding modes)."""
+    blocks: returns (width, height, samp, comp_blocks) where ``samp``
+    is the per-component (h, v) sampling list and ``comp_blocks[ci]``
+    is that component's OWN block grid — an (by_n, bx_n, 8, 8) int64
+    array in natural (de-zigzagged) order. Handles interleaved scans
+    with arbitrary 1–2 sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0).
+    Tables are read from the FILE (DQT/DHT), never assumed. Lossless —
+    the exact inverse of the entropy encoder, which the roundtrip
+    tests pin. Structural damage raises ValueError; progressive/
+    arithmetic JPEGs raise NotImplementedError (genuinely different
+    coding modes)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -390,13 +422,14 @@ def jpeg_decode_coeffs(payload: bytes):
                 raise ValueError("not a JPEG: baseline precision must be 8")
             comps = []
             for ci in range(nc):
-                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
+                cid, samp_b, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                hi, vi = samp_b >> 4, samp_b & 15
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "JPEG decode implemented for 4:4:4 (no "
-                        f"subsampling) only (sampling=0x{samp:02X})"
+                        "JPEG decode implemented for sampling factors "
+                        f"1-2 only (sampling=0x{samp_b:02X})"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, tq, hi, vi))
             sof = (w, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -422,48 +455,62 @@ def jpeg_decode_coeffs(payload: bytes):
     if [c[0] for c in comps] != [c[0] for c in scan_comps]:
         raise ValueError("not a JPEG: scan/frame component mismatch")
     ncomp = len(comps)
-    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
-    n_mcus = bx_n * by_n
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux_n = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy_n = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(payload, data_at)
-    blocks = np.zeros((n_mcus, ncomp, 8, 8), dtype=np.int64)
+    comp_blocks = [
+        np.zeros((mcuy_n * c[3], mcux_n * c[2], 8, 8), dtype=np.int64)
+        for c in comps
+    ]
     dc_pred = [0] * ncomp
     rst = 0
-    for m in range(n_mcus):
+
+    def decode_block(ci: int, bx: int, by: int) -> None:
+        _, dct, act = scan_comps[ci]
+        if dct not in dc_tables or act not in ac_tables:
+            raise ValueError("not a JPEG: missing Huffman table")
+        zz = np.zeros(64, dtype=np.int64)
+        t = br.huff(dc_tables[dct])
+        dc_pred[ci] += _extend(br.bits(t), t)
+        zz[0] = dc_pred[ci]
+        k = 1
+        while k < 64:
+            sym = br.huff(ac_tables[act])
+            if sym == 0x00:  # EOB
+                break
+            run, t = sym >> 4, sym & 15
+            if t == 0:
+                if run != 15:
+                    raise ValueError("not a JPEG: bad AC symbol")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("not a JPEG: AC run overflow")
+            zz[k] = _extend(br.bits(t), t)
+            k += 1
+        tq = comps[ci][1]
+        if tq not in qt:
+            raise ValueError("not a JPEG: missing quant table")
+        nat = np.zeros(64, dtype=np.int64)
+        nat[list(ZIGZAG)] = zz
+        comp_blocks[ci][by, bx] = nat.reshape(8, 8) * qt[tq]
+
+    for m in range(mcux_n * mcuy_n):
         if restart and m and m % restart == 0:
             br.align_restart(rst)
             rst += 1
             dc_pred = [0] * ncomp
+        my, mx = divmod(m, mcux_n)
         for ci in range(ncomp):
-            _, dct, act = scan_comps[ci]
-            if dct not in dc_tables or act not in ac_tables:
-                raise ValueError("not a JPEG: missing Huffman table")
-            zz = np.zeros(64, dtype=np.int64)
-            t = br.huff(dc_tables[dct])
-            dc_pred[ci] += _extend(br.bits(t), t)
-            zz[0] = dc_pred[ci]
-            k = 1
-            while k < 64:
-                sym = br.huff(ac_tables[act])
-                if sym == 0x00:  # EOB
-                    break
-                run, t = sym >> 4, sym & 15
-                if t == 0:
-                    if run != 15:
-                        raise ValueError("not a JPEG: bad AC symbol")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("not a JPEG: AC run overflow")
-                zz[k] = _extend(br.bits(t), t)
-                k += 1
-            tq = comps[ci][1]
-            if tq not in qt:
-                raise ValueError("not a JPEG: missing quant table")
-            nat = np.zeros(64, dtype=np.int64)
-            nat[list(ZIGZAG)] = zz
-            blocks[m, ci] = nat.reshape(8, 8) * qt[tq]
-    return w, h, ncomp, blocks
+            hi, vi = comps[ci][2], comps[ci][3]
+            for dv in range(vi):
+                for dh in range(hi):
+                    decode_block(ci, mx * hi + dh, my * vi + dv)
+    samp = [(c[2], c[3]) for c in comps]
+    return w, h, samp, comp_blocks
 
 
 def jpeg_pixel_stats(payload: bytes) -> dict:
@@ -476,19 +523,36 @@ def jpeg_pixel_stats(payload: bytes) -> dict:
     the blue-channel convention of the other decoders). Components
     are reported RAW (no YCbCr->RGB conversion): the entropy decode
     is the hard claim; color conversion is a trivial linear map
-    callers can apply."""
-    w, h, ncomp, blocks = jpeg_decode_coeffs(payload)
-    px = np.einsum("ux,ncuv,vy->ncxy", _BASIS, blocks.astype(np.float64),
-                   _BASIS)
-    px = np.clip(np.round(px + 128.0), 0, 255).astype(np.int64)
-    bx_n = (w + 7) // 8
-    by_n = (h + 7) // 8
-    # assemble (h_pad, w_pad, ncomp) then crop
-    img = px.reshape(by_n, bx_n, ncomp, 8, 8).transpose(0, 3, 1, 4, 2)
-    img = img.reshape(by_n * 8, bx_n * 8, ncomp)[:h, :w]
+    callers can apply. Subsampled chroma planes (4:2:0/4:2:2) are
+    upsampled to full resolution by pixel replication before the
+    reductions, so the statistics contract is sampling-independent."""
+    w, h, samp, comp_blocks = jpeg_decode_coeffs(payload)
+    ncomp = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    planes = []
+    for ci in range(ncomp):
+        blocks = comp_blocks[ci]
+        by_n, bx_n = blocks.shape[:2]
+        px = np.einsum(
+            "ux,nuv,vy->nxy", _BASIS,
+            blocks.reshape(-1, 8, 8).astype(np.float64), _BASIS,
+        )
+        px = np.clip(np.round(px + 128.0), 0, 255).astype(np.int64)
+        plane = (
+            px.reshape(by_n, bx_n, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_n * 8, bx_n * 8)
+        )
+        hi, vi = samp[ci]
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        planes.append(plane[:h, :w])
     ys = np.arange(h, dtype=np.int64)
     weights = np.arange(w, dtype=np.int64)[None, :] + ys[:, None] * w
-    sums = [int(img[:, :, c].sum()) for c in range(ncomp)]
+    sums = [int(p.sum()) for p in planes]
     while len(sums) < 3:
         sums.append(sums[0])
     return {
@@ -497,7 +561,7 @@ def jpeg_pixel_stats(payload: bytes) -> dict:
         "sum_c0": sums[0],
         "sum_c1": sums[1],
         "sum_c2": sums[2],
-        "pos_checksum": int((weights * img[:, :, ncomp - 1]).sum()),
+        "pos_checksum": int((weights * planes[ncomp - 1]).sum()),
     }
 
 

@@ -1230,6 +1230,42 @@ FROM (SELECT doc_id, 8*((doc_id % 4) + 1) AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # 4:2:0 variant (r8 sixth pass): dims 16*((id%3)+1) x
+    # 16*((id%2)+1); luma follows the 8x8-grid rule, chroma the
+    # 16x16 MCU-grid rules replicated to full resolution. A 16x16
+    # cell's pixels contribute v * (4096*cx + 1920 + w*(4096*cy +
+    # 1920)) to the positional checksum.
+    "multimodal_jpeg_420_real": """
+SELECT l.media_id, l.width, l.height,
+       l.mean_c0, c.mean_c1, c.mean_c2, c.pos_checksum
+FROM (
+  SELECT d.doc_id AS media_id,
+    CAST(d.w AS INTEGER) AS width,
+    CAST(d.h AS INTEGER) AS height,
+    round(avg(CAST((bx.g*29 + yb.g*31 + d.doc_id*7) % 256 AS DOUBLE)), 6)
+      AS mean_c0
+  FROM (SELECT doc_id, 16*((doc_id % 3) + 1) AS w,
+               16*((doc_id % 2) + 1) AS h FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.w//8 - 1)) AS g) bx,
+    LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
+  GROUP BY d.doc_id, d.w, d.h
+) l
+JOIN (
+  SELECT d.doc_id AS media_id,
+    round(avg(CAST((cx.g*17 + cy.g*23 + d.doc_id*5) % 256 AS DOUBLE)), 6)
+      AS mean_c1,
+    round(avg(CAST((cx.g*13 + cy.g*19 + d.doc_id*11) % 256 AS DOUBLE)), 6)
+      AS mean_c2,
+    CAST(sum(((cx.g*13 + cy.g*19 + d.doc_id*11) % 256)
+             * (4096*cx.g + 1920 + d.w*(4096*cy.g + 1920))) AS BIGINT)
+      AS pos_checksum
+  FROM (SELECT doc_id, 16*((doc_id % 3) + 1) AS w,
+               16*((doc_id % 2) + 1) AS h FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.w//16 - 1)) AS g) cx,
+    LATERAL (SELECT unnest(generate_series(0, d.h//16 - 1)) AS g) cy
+  GROUP BY d.doc_id, d.w
+) c ON l.media_id = c.media_id
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics

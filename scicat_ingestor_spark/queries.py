@@ -3175,6 +3175,50 @@ def q_multimodal_jpeg_color_real(spark, sf_dir):
     return jpegc.decode_jpeg_pixels(media)
 
 
+def q_multimodal_jpeg_420_real(spark, sf_dir):
+    """REAL baseline JPEG with 4:2:0 chroma subsampling (r8 sixth pass
+    — the layout virtually every camera/web JPEG uses): luma carries
+    four 8x8 blocks per MCU, chroma one each at quarter resolution,
+    interleaved in MCU order with restart markers on odd ids. Uniform
+    blocks keep the DCT exact: decoded luma follows the 8x8-grid rule
+    and every chroma pixel equals its 16x16 MCU cell's rule after the
+    replication upsample — so the oracle is still closed-form. A
+    block-order, MCU-geometry, or upsample bug breaks the hash."""
+    from scicat_ingestor_spark.operators import jpegc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def bv(ci, bx, by, _id=i):
+                    a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+                    return (bx * a + by * b + _id * c) % 256
+
+                bv.n_components = 3
+                rows.append(
+                    jpegc.make_jpeg_baseline(
+                        16 * ((i % 3) + 1),
+                        16 * ((i % 2) + 1),
+                        bv,
+                        restart_interval=2 if i % 2 else 0,
+                        subsampling="420",
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return jpegc.decode_jpeg_pixels(media)
+
+
 def q_multimodal_pcm_real(spark, sf_dir):
     """REAL PCM decode in the data plane (r7): each document gets a
     16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
@@ -4671,6 +4715,7 @@ QUERIES = {
     "multimodal_mp4_frame_sample": q_multimodal_mp4_frame_sample,
     "multimodal_jpeg_real": q_multimodal_jpeg_real,
     "multimodal_jpeg_color_real": q_multimodal_jpeg_color_real,
+    "multimodal_jpeg_420_real": q_multimodal_jpeg_420_real,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

@@ -74,16 +74,15 @@ def test_lossless_coefficient_roundtrip_random_acs():
         bv.n_components = 2 if trial % 2 else 1
         ri = (0, 1, 2)[trial % 3]
         buf = jpegc.make_jpeg_baseline(24, 16, bv, restart_interval=ri)
-        w, h, nc, got = jpegc.jpeg_decode_coeffs(buf)
-        assert (w, h, nc) == (24, 16, bv.n_components)
-        m = 0
+        w, h, samp, got = jpegc.jpeg_decode_coeffs(buf)
+        assert (w, h, len(got)) == (24, 16, bv.n_components)
+        assert samp == [(1, 1)] * bv.n_components
         for by in range(2):
             for bx in range(3):
-                for ci in range(nc):
+                for ci in range(bv.n_components):
                     assert np.array_equal(
-                        got[m, ci], stored[(ci, bx, by)]
-                    ), (trial, m, ci)
-                m += 1
+                        got[ci][by, bx], stored[(ci, bx, by)]
+                    ), (trial, ci, bx, by)
 
 
 def test_full_range_dc_and_extremes():
@@ -101,7 +100,8 @@ def test_full_range_dc_and_extremes():
     buf = jpegc.make_jpeg_baseline(32, 24, bv)
     _, _, _, got = jpegc.jpeg_decode_coeffs(buf)
     for m in range(12):
-        assert got[m, 0, 0, 0] == vals[m % len(vals)]
+        by, bx = divmod(m, 4)
+        assert got[0][by, bx, 0, 0] == vals[m % len(vals)]
 
     def bv_wild(ci, bx, by):
         c = np.zeros((8, 8), dtype=np.int64)
@@ -139,11 +139,12 @@ def test_progressive_and_subsampling_stay_gated():
     prog = buf[:at] + b"\xff\xc2" + buf[at + 2 :]
     with pytest.raises(NotImplementedError, match="baseline sequential"):
         jpegc.jpeg_decode_coeffs(prog)
-    # rewrite the component sampling byte to 4:2:0
+    # sampling factors beyond 2 (legal in the spec, rare in the wild)
+    # stay gated; 4:2:0/4:2:2 decode for real as of the r8 sixth pass
     sof_body = at + 4
     samp_at = sof_body + 6 + 1  # first component: id, THEN sampling
-    sub = buf[:samp_at] + bytes([0x22]) + buf[samp_at + 1 :]
-    with pytest.raises(NotImplementedError, match="no.*subsampling|4:4:4"):
+    sub = buf[:samp_at] + bytes([0x41]) + buf[samp_at + 1 :]
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         jpegc.jpeg_decode_coeffs(sub)
 
 
@@ -166,9 +167,73 @@ def test_byte_stuffing_on_the_wire():
         scan_at = buf.index(b"\xff\xda")
         if b"\xff\x00" in buf[scan_at:]:
             hit = True
-            w, h, nc, got = jpegc.jpeg_decode_coeffs(buf)
-            assert got[0, 0, 0, 0] == dc
+            _, _, _, got = jpegc.jpeg_decode_coeffs(buf)
+            assert got[0][0, 0, 0, 0] == dc
     assert hit, "no stuffed byte was ever produced — weak test"
+
+
+def test_420_subsampling_decodes_exactly():
+    """4:2:0 — the dominant real-world layout: luma 2x2 blocks per
+    MCU, chroma at quarter resolution upsampled by replication. With
+    per-block uniform values the decode is exact, so luma follows the
+    8x8-grid rule and each chroma pixel equals its MCU's 16x16-grid
+    rule value."""
+    def bv(ci, bx, by):
+        a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+        return (bx * a + by * b + c) % 256
+
+    bv.n_components = 3
+    for w, h, ri in ((16, 16, 0), (48, 32, 0), (48, 32, 2)):
+        buf = jpegc.make_jpeg_baseline(
+            w, h, bv, restart_interval=ri, subsampling="420"
+        )
+        st = jpegc.jpeg_pixel_stats(buf)
+        assert (st["width"], st["height"]) == (w, h)
+        # luma: full-resolution 8x8 block grid
+        assert st["sum_c0"] == sum(
+            ((x // 8) * 29 + (y // 8) * 31 + 7) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        # chroma: 16x16 MCU grid, replicated to full resolution
+        assert st["sum_c1"] == sum(
+            ((x // 16) * 17 + (y // 16) * 23 + 5) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+        assert st["pos_checksum"] == sum(
+            (x + y * w) * (((x // 16) * 13 + (y // 16) * 19 + 11) % 256)
+            for x in range(w)
+            for y in range(h)
+        )
+
+
+def test_420_lossless_coefficient_roundtrip():
+    """The entropy layer stays lossless under 4:2:0 interleaving:
+    random coefficient blocks in every component's own grid survive
+    encode -> decode exactly (luma grid 2x the chroma grid)."""
+    rng = np.random.RandomState(11)
+    stored = {}
+
+    def bv(ci, bx, by):
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = int(rng.randint(-900, 900))
+        for _ in range(rng.randint(0, 5)):
+            i, j = rng.randint(0, 8), rng.randint(0, 8)
+            if (i, j) != (0, 0):
+                c[i, j] = int(rng.randint(-200, 201))
+        stored[(ci, bx, by)] = c.copy()
+        return c
+
+    bv.n_components = 3
+    buf = jpegc.make_jpeg_baseline(48, 32, bv, subsampling="420",
+                                   restart_interval=1)
+    w, h, samp, got = jpegc.jpeg_decode_coeffs(buf)
+    assert samp == [(2, 2), (1, 1), (1, 1)]
+    assert got[0].shape[:2] == (4, 6)  # luma blocks
+    assert got[1].shape[:2] == (2, 3)  # chroma blocks
+    for (ci, bx, by), want in stored.items():
+        assert np.array_equal(got[ci][by, bx], want), (ci, bx, by)
 
 
 def test_jpeg_spark_stage(spark):
