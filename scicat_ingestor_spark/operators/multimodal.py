@@ -1289,12 +1289,15 @@ def pixel_stats(payload: bytes) -> dict:
 
 
 def wav_pcm_stats(payload: bytes) -> dict:
-    """REAL PCM decode, stdlib-only: decode the 16-bit little-endian
-    samples of the data chunk (interleaved channels) and reduce to
-    content statistics — exact mean |sample|, peak |sample|, and the
+    """REAL PCM decode, stdlib-only, ALL integer depths (8/16/24/32 —
+    extended from 16-bit in the r8 sixth pass): decode the data
+    chunk's interleaved little-endian samples (8-bit is unsigned with
+    a -128 offset, per the RIFF convention) and reduce to content
+    statistics — exact mean |sample|, peak |sample|, and the
     position-weighted checksum ``sum(k * |s_k|)`` that breaks on any
-    byte-offset or interleave bug. 16-bit PCM needs no codec, so the
-    sample path is real; lossy audio stays gated."""
+    byte-offset, sign-extension, or interleave bug. Integer PCM needs
+    no codec, so the sample path is real; FLOAT and compressed WAV
+    formats (fmt codes != 1) stay gated."""
     import struct
 
     meta = _wav_decode(payload)  # validates the container, finds chunks
@@ -1305,7 +1308,7 @@ def wav_pcm_stats(payload: bytes) -> dict:
     # leaked struct.error or a silently short decode, and this walk
     # must uphold it standalone.
     pos, data = 12, b""
-    bits = None
+    bits = fmt_code = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
@@ -1315,23 +1318,45 @@ def wav_pcm_stats(payload: bytes) -> dict:
         if tag == b"fmt ":
             if size < 16:
                 raise ValueError("not a WAV: short fmt chunk")
+            fmt_code = struct.unpack("<H", body[0:2])[0]
             bits = struct.unpack("<H", body[14:16])[0]
         elif tag == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if bits != 16:
+    if fmt_code != 1:
         raise NotImplementedError(
-            f"PCM decode implemented for 16-bit samples only (bits={bits})"
+            f"PCM decode implemented for integer PCM only "
+            f"(fmt code={fmt_code})"
         )
-    # vectorized sample decode (r8): int16 view + int64 reductions —
-    # exact integers, identical to the scalar loop (pos_checksum
-    # headroom: 32767 * n^2 / 2 stays inside int64 to n ~ 2e7 samples,
-    # ~40 min of 48 kHz stereo per single payload)
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"not a WAV: invalid integer PCM depth {bits}")
+    # vectorized sample decode (r8): byte views + int64 reductions —
+    # exact integers (pos_checksum headroom: peak * n^2 / 2 stays
+    # inside int64 to n ~ 1e6 samples at 32-bit depth; far more at 16)
     import numpy as np
 
-    n_samples = len(data) // 2
+    step = bits // 8
+    n_samples = len(data) // step
     if n_samples:
-        samples = np.frombuffer(data, dtype="<i2", count=n_samples).astype(np.int64)
+        if bits == 8:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8, count=n_samples)
+                .astype(np.int64) - 128
+            )
+        elif bits == 16:
+            samples = np.frombuffer(
+                data, dtype="<i2", count=n_samples
+            ).astype(np.int64)
+        elif bits == 32:
+            samples = np.frombuffer(
+                data, dtype="<i4", count=n_samples
+            ).astype(np.int64)
+        else:  # 24-bit: assemble from byte triples, sign-extend
+            b = np.frombuffer(
+                data, dtype=np.uint8, count=n_samples * 3
+            ).reshape(n_samples, 3).astype(np.int64)
+            samples = b[:, 0] + (b[:, 1] << 8) + (b[:, 2] << 16)
+            samples -= (b[:, 2] >= 128) * (1 << 24)
         a = np.abs(samples)
         abs_sum = int(a.sum())
         peak = int(a.max())
@@ -1472,10 +1497,14 @@ _PCM_RAW_SCHEMA = (
 )
 
 
-def decode_pcm(df: DataFrame) -> DataFrame:
+def decode_pcm(df: DataFrame, exact_sums: bool = False) -> DataFrame:
     """Arrow-batched REAL PCM decode over (media_id, payload) rows of
-    16-bit WAVs. Partition-preserving mapInPandas; integer reductions
-    in Python, mean division + rounding JVM-side (see decode_pixels)."""
+    integer-PCM WAVs (8/16/24/32-bit). Partition-preserving
+    mapInPandas; integer reductions in Python, mean division +
+    rounding JVM-side (see decode_pixels). ``exact_sums=True`` emits
+    the integer ``abs_sum`` instead of the rounded mean — required at
+    32-bit depth, where means near 1e9 exceed what 6-decimal double
+    rounding can represent stably across engines."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1494,29 +1523,40 @@ def decode_pcm(df: DataFrame) -> DataFrame:
             )
 
     raw = df.mapInPandas(run, schema=_PCM_RAW_SCHEMA)
+    mid = (
+        F.col("abs_sum")
+        if exact_sums
+        else F.round(
+            F.col("abs_sum") / F.col("n_samples").cast("double"), 6
+        ).alias("mean_abs")
+    )
     return raw.select(
         "media_id",
         "channels",
         "sample_rate",
         "n_samples",
-        F.round(F.col("abs_sum") / F.col("n_samples").cast("double"), 6).alias(
-            "mean_abs"
-        ),
+        mid,
         "peak",
         "pos_checksum",
     )
 
 
-def make_wav(channels: int, n_frames: int, sample_rate: int = 8000) -> bytes:
-    """Fully-formed 16-bit PCM WAV: RIFF header, fmt chunk, data chunk
-    of ``n_frames`` frames of deterministic samples."""
+def make_wav(
+    channels: int, n_frames: int, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Fully-formed integer-PCM WAV (8/16/24/32-bit): RIFF header, fmt
+    chunk, data chunk of ``n_frames`` frames of deterministic bytes
+    ((i*31) % 256 — the same rule at every depth, so the SQL oracle
+    reconstructs samples from the byte rule alone)."""
     import struct
 
-    block_align = channels * 2
+    if bits not in (8, 16, 24, 32):
+        raise ValueError("integer PCM depths are 8/16/24/32")
+    block_align = channels * (bits // 8)
     data = bytes((i * 31) % 256 for i in range(n_frames * block_align))
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
-        block_align, 16,
+        block_align, bits,
     )
     body = (
         b"WAVE"

@@ -1266,6 +1266,41 @@ JOIN (
   GROUP BY d.doc_id, d.w
 ) c ON l.media_id = c.media_id
 """,
+    # Integer-PCM depth coverage (r8 sixth pass): doc_id % 3 cycles
+    # 8/24/32-bit; data byte j is (j*31) % 256 at every depth, so
+    # sample k reassembles from bytes step*k .. step*k+step-1 with
+    # little-endian weights and sign extension (8-bit: unsigned -128).
+    "multimodal_pcm_depths": """
+SELECT media_id,
+  CAST(channels AS INTEGER) AS channels,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+  CAST(max(abs(v)) AS INTEGER) AS peak,
+  CAST(sum(s.k * abs(v)) AS BIGINT) AS pos_checksum
+FROM (
+  SELECT d.media_id, d.channels, s.k,
+    CASE CAST(d.media_id % 3 AS INT)
+      WHEN 0 THEN ((s.k*31) % 256) - 128
+      WHEN 1 THEN ((3*s.k*31) % 256)
+             + (((3*s.k + 1)*31) % 256) * 256
+             + (((3*s.k + 2)*31) % 256) * 65536
+             - CASE WHEN (((3*s.k + 2)*31) % 256) >= 128
+                    THEN 16777216 ELSE 0 END
+      ELSE ((4*s.k*31) % 256)
+         + (((4*s.k + 1)*31) % 256) * 256
+         + (((4*s.k + 2)*31) % 256) * 65536
+         + (((4*s.k + 3)*31) % 256) * 16777216
+         - CASE WHEN (((4*s.k + 3)*31) % 256) >= 128
+                THEN 4294967296 ELSE 0 END
+    END AS v
+  FROM (SELECT doc_id AS media_id, (doc_id % 3) + 1 AS channels,
+               ((doc_id % 11) + 2) * 8 AS frames FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.channels*d.frames - 1))
+             AS k) s
+) s
+GROUP BY media_id, channels
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics

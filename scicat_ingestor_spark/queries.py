@@ -3175,6 +3175,41 @@ def q_multimodal_jpeg_color_real(spark, sf_dir):
     return jpegc.decode_jpeg_pixels(media)
 
 
+def q_multimodal_pcm_depths(spark, sf_dir):
+    """Integer-PCM depth coverage (r8 sixth pass — the WAV gate
+    narrows to non-PCM formats): doc_id % 3 cycles 8-bit (unsigned,
+    -128 offset) / 24-bit (byte-triple assembly + sign extension) /
+    32-bit little-endian samples, all following the same (j*31) % 256
+    data-byte rule, so the oracle reconstructs every sample from the
+    byte rule at each depth. A sign-extension or stride bug at any
+    depth breaks its branch of the CASE."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_wav(
+                            (int(i) % 3) + 1,
+                            ((int(i) % 11) + 2) * 8,
+                            bits=(8, 24, 32)[int(i) % 3],
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pcm(media, exact_sums=True)
+
+
 def q_multimodal_jpeg_420_real(spark, sf_dir):
     """REAL baseline JPEG with 4:2:0 chroma subsampling (r8 sixth pass
     — the layout virtually every camera/web JPEG uses): luma carries
@@ -4716,6 +4751,7 @@ QUERIES = {
     "multimodal_jpeg_real": q_multimodal_jpeg_real,
     "multimodal_jpeg_color_real": q_multimodal_jpeg_color_real,
     "multimodal_jpeg_420_real": q_multimodal_jpeg_420_real,
+    "multimodal_pcm_depths": q_multimodal_pcm_depths,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

@@ -403,16 +403,41 @@ def test_wav_pcm_stats_against_stdlib_wave():
     assert st["pos_checksum"] == sum(k * abs(s) for k, s in enumerate(samples))
 
 
-def test_wav_pcm_stats_gates_non_16bit():
+def test_wav_pcm_depths_and_gates():
+    """r8 sixth pass: all integer depths decode (8-bit unsigned -128,
+    24-bit sign-extended triples, 32-bit); non-PCM format codes stay
+    gated; invalid depths are structural ValueErrors."""
     import struct
 
     import pytest as _pytest
 
+    for bits in (8, 16, 24, 32):
+        st = multimodal.wav_pcm_stats(multimodal.make_wav(3, 8, bits=bits))
+        step = bits // 8
+        n = 3 * 8
+
+        def samp(k):
+            bs = [((k * step + j) * 31) % 256 for j in range(step)]
+            if bits == 8:
+                return bs[0] - 128
+            v = sum(b << (8 * j) for j, b in enumerate(bs))
+            return v - ((1 << bits) if bs[-1] >= 128 else 0)
+
+        assert st["n_samples"] == n
+        assert st["abs_sum"] == sum(abs(samp(k)) for k in range(n))
+        assert st["pos_checksum"] == sum(
+            k * abs(samp(k)) for k in range(n)
+        )
+    # IEEE-float WAV (fmt code 3) stays gated
     buf = bytearray(multimodal.make_wav(1, 4))
-    # fmt chunk body starts at 20; bits-per-sample is its last u16
     assert buf[12:16] == b"fmt "
-    buf[34:36] = struct.pack("<H", 8)
-    with _pytest.raises(NotImplementedError):
+    buf[20:22] = struct.pack("<H", 3)
+    with _pytest.raises(NotImplementedError, match="integer PCM"):
+        multimodal.wav_pcm_stats(bytes(buf))
+    # invalid integer depth -> ValueError
+    buf = bytearray(multimodal.make_wav(1, 4))
+    buf[34:36] = struct.pack("<H", 12)
+    with _pytest.raises(ValueError, match="invalid integer PCM depth"):
         multimodal.wav_pcm_stats(bytes(buf))
 
 
