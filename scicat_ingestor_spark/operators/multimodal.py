@@ -910,30 +910,57 @@ def decode_frame_pixels(df: DataFrame) -> DataFrame:
     )
 
 
-def make_bmp(width: int, height: int) -> bytes:
-    """Fully-formed 24-bit uncompressed BMP (BI_RGB, bottom-up rows,
-    4-byte row stride), pure struct.pack — spec-determined bytes, safe
-    for pinned oracles. Pixel (x, y) channel c (0=B,1=G,2=R) is the
-    CLOSED-FORM value ``(x*7 + y*13 + c*29) % 256`` so a SQL oracle can
-    recompute content statistics of the decoded pixels exactly."""
+def make_bmp(width: int, height: int, bpp: int = 24) -> bytes:
+    """Fully-formed uncompressed BMP (BI_RGB, bottom-up rows, 4-byte
+    row stride), pure struct.pack — spec-determined bytes, safe for
+    pinned oracles.
+
+    - ``bpp=24``: pixel (x, y) channel c (0=B,1=G,2=R) is the
+      CLOSED-FORM value ``(x*7 + y*13 + c*29) % 256``.
+    - ``bpp=32``: same channel rule, plus an alpha byte (c=3, same
+      rule — excluded from statistics by the decoder).
+    - ``bpp=8``: palette image — a 16-entry BGRX color table whose
+      entry ``i`` is ``((7i+3)%256, (5i+2)%256, (3i+1)%256)`` (B,G,R
+      — the PNG PLTE rule in BMP byte order), indexed by
+      ``(x*11 + y*17) % 16``.
+
+    Every variant is SQL-recomputable, so one oracle covers all three
+    storage layouts."""
     import struct
 
-    stride = (width * 3 + 3) & ~3
+    n_colors = 16 if bpp == 8 else 0
+    table = b""
+    if bpp == 8:
+        table = bytes(
+            v
+            for i in range(n_colors)
+            for v in (
+                (7 * i + 3) % 256, (5 * i + 2) % 256, (3 * i + 1) % 256, 0,
+            )
+        )
+    nch = {8: 1, 24: 3, 32: 4}[bpp]
+    stride = (width * nch + 3) & ~3
     rows = bytearray()
     for y in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray(
-            (x * 7 + y * 13 + c * 29) % 256
-            for x in range(width)
-            for c in range(3)
-        )
+        if bpp == 8:
+            row = bytearray(
+                (x * 11 + y * 17) % n_colors for x in range(width)
+            )
+        else:
+            row = bytearray(
+                (x * 7 + y * 13 + c * 29) % 256
+                for x in range(width)
+                for c in range(nch)
+            )
         row.extend(b"\x00" * (stride - len(row)))
         rows += row
-    off = 14 + 40
+    off = 14 + 40 + len(table)
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(rows),
+        2835, 2835, n_colors, 0,
     )
     head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
-    return bytes(head + info + rows)
+    return bytes(head + info + table + rows)
 
 
 def bmp_pixel_stats(payload: bytes) -> dict:
@@ -953,15 +980,16 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     width, height_raw = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     compression = struct.unpack("<I", payload[30:34])[0]
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
-            f"pixel decode implemented for uncompressed 24-bit BMP only "
-            f"(bpp={bpp}, compression={compression})"
+            f"pixel decode implemented for uncompressed 8/24/32-bit "
+            f"BMP only (bpp={bpp}, compression={compression})"
         )
     if width <= 0 or height_raw == 0:
         raise ValueError("not a BMP: bad dimensions")
     height = abs(height_raw)
-    stride = (width * 3 + 3) & ~3
+    nch = {8: 1, 24: 3, 32: 4}[bpp]
+    stride = (width * nch + 3) & ~3
     need = data_off + stride * height
     if len(payload) < need:
         raise ValueError("not a BMP: truncated pixel array")
@@ -974,8 +1002,29 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     import numpy as np
 
     arr = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
-    px = arr.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    px = arr.reshape(height, stride)[:, : width * nch].reshape(
+        height, width, nch
+    )
     px = px.astype(np.int64)
+    if bpp == 8:
+        # palette image: map indexes through the BGRX color table that
+        # sits between the info header and the pixel array
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        table_at = 14 + struct.unpack("<I", payload[14:18])[0]
+        raw_table = payload[table_at : table_at + 4 * n_colors]
+        if len(raw_table) < 4 * n_colors:
+            raise ValueError("not a BMP: truncated color table")
+        table = (
+            np.frombuffer(raw_table, dtype=np.uint8)
+            .reshape(n_colors, 4)[:, :3]
+            .astype(np.int64)
+        )  # B,G,R columns
+        idx = px[:, :, 0]
+        if int(idx.max()) >= n_colors:
+            raise ValueError("not a BMP: palette index out of range")
+        px = table[idx]
+    else:
+        px = px[:, :, :3]  # 32-bit: drop alpha from the statistics
     sums = px.sum(axis=(0, 1))
     # bottom-up (positive height): stored row 0 is image row h-1
     ys = (

@@ -1266,6 +1266,37 @@ JOIN (
   GROUP BY d.doc_id, d.w
 ) c ON l.media_id = c.media_id
 """,
+    # BMP storage-layout coverage (r8 sixth pass): doc_id % 3 cycles
+    # 24-bit / 32-bit / 8-bit palette. The first two decode to the
+    # SAME channel rule (x*7 + y*13 + c*29) % 256 (alpha excluded);
+    # the palette variant maps i = (x*11 + y*17) % 16 through the
+    # PLTE closed form in BMP byte order. Checksum over blue.
+    "multimodal_pixels_bmp_variants": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST(CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (x.g*7 + y.g*13) % 256
+    ELSE (7*((x.g*11 + y.g*17) % 16) + 3) % 256
+    END AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST(CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (x.g*7 + y.g*13 + 29) % 256
+    ELSE (5*((x.g*11 + y.g*17) % 16) + 2) % 256
+    END AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST(CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (x.g*7 + y.g*13 + 58) % 256
+    ELSE (3*((x.g*11 + y.g*17) % 16) + 1) % 256
+    END AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * (CASE WHEN CAST(d.doc_id % 3 AS INT) < 2
+    THEN (x.g*7 + y.g*13) % 256
+    ELSE (7*((x.g*11 + y.g*17) % 16) + 3) % 256 END)) AS BIGINT)
+    AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
     # Integer-PCM depth coverage (r8 sixth pass): doc_id % 3 cycles
     # 8/24/32-bit; data byte j is (j*31) % 256 at every depth, so
     # sample k reassembles from bytes step*k .. step*k+step-1 with

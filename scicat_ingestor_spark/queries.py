@@ -3175,6 +3175,41 @@ def q_multimodal_jpeg_color_real(spark, sf_dir):
     return jpegc.decode_jpeg_pixels(media)
 
 
+def q_multimodal_pixels_bmp_variants(spark, sf_dir):
+    """BMP storage-layout coverage (r8 sixth pass — the BMP gate
+    narrows to compressed BMPs): doc_id % 3 cycles 24-bit / 32-bit
+    (alpha byte excluded from statistics) / 8-bit palette (16-entry
+    BGRX color table, PNG-PLTE closed-form entries, indexed by
+    (x*11 + y*17) % 16). The 24- and 32-bit variants carry IDENTICAL
+    channel content through different strides — an alpha-offset or
+    stride bug splits them."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_bmp(
+                            (int(i) % 16) + 1,
+                            ((int(i) // 16) % 16) + 1,
+                            bpp=(24, 32, 8)[int(i) % 3],
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
 def q_multimodal_pcm_depths(spark, sf_dir):
     """Integer-PCM depth coverage (r8 sixth pass — the WAV gate
     narrows to non-PCM formats): doc_id % 3 cycles 8-bit (unsigned,
@@ -4752,6 +4787,7 @@ QUERIES = {
     "multimodal_jpeg_color_real": q_multimodal_jpeg_color_real,
     "multimodal_jpeg_420_real": q_multimodal_jpeg_420_real,
     "multimodal_pcm_depths": q_multimodal_pcm_depths,
+    "multimodal_pixels_bmp_variants": q_multimodal_pixels_bmp_variants,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

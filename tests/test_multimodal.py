@@ -376,12 +376,47 @@ def test_bmp_pixel_stats_gates_and_errors():
     buf = multimodal.make_bmp(4, 4)
     with _pytest.raises(ValueError):
         multimodal.bmp_pixel_stats(buf[:-8])  # truncated pixel array
-    eight_bit = buf[:28] + struct.pack("<H", 8) + buf[30:]
+    one_bit = buf[:28] + struct.pack("<H", 1) + buf[30:]
     with _pytest.raises(NotImplementedError):
-        multimodal.bmp_pixel_stats(eight_bit)  # palette decode is gated
+        multimodal.bmp_pixel_stats(one_bit)  # sub-byte depths gated
     rle = buf[:30] + struct.pack("<I", 1) + buf[34:]
     with _pytest.raises(NotImplementedError):
         multimodal.bmp_pixel_stats(rle)  # compressed decode is gated
+
+
+def test_bmp_variant_decode_closed_forms():
+    """r8 sixth pass: 32-bit (alpha excluded) and 8-bit palette BMPs
+    decode for real; 24/32 carry identical channel content through
+    different strides; palette damage is a structural ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    for w, h in ((1, 1), (7, 5), (16, 9)):
+        s24 = multimodal.bmp_pixel_stats(multimodal.make_bmp(w, h))
+        s32 = multimodal.bmp_pixel_stats(multimodal.make_bmp(w, h, bpp=32))
+        keys = ("sum_b", "sum_g", "sum_r", "pos_checksum")
+        assert {k: s24[k] for k in keys} == {k: s32[k] for k in keys}
+        s8 = multimodal.bmp_pixel_stats(multimodal.make_bmp(w, h, bpp=8))
+        assert s8["sum_b"] == sum(
+            (7 * ((x * 11 + y * 17) % 16) + 3) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+    # truncated color table
+    buf = multimodal.make_bmp(7, 5, bpp=8)
+    with _pytest.raises(ValueError, match="color table|truncated"):
+        multimodal.bmp_pixel_stats(buf[:54] + buf[54 + 40 :])
+    # index out of range: shrink the declared color count below the
+    # max index the pixel rule produces
+    small = bytearray(buf)
+    struct.pack_into("<I", small, 46, 4)
+    # drop table entries 4..15 and fix the data offset accordingly
+    small = bytes(small[: 54 + 16]) + bytes(small[54 + 64 :])
+    small = bytearray(small)
+    struct.pack_into("<I", small, 10, 54 + 16)
+    with _pytest.raises(ValueError, match="index out of range"):
+        multimodal.bmp_pixel_stats(bytes(small))
 
 
 def test_wav_pcm_stats_against_stdlib_wave():
