@@ -73,6 +73,20 @@ AC_VALS = (
 )
 
 
+# Progressive AC alphabet: EOBn run codes (r<<4, r 0..14), ZRL, and
+# every (run, size) pair — symbols the Annex-K BASELINE table lacks
+# (it has no EOBn entries). A flat one-length canonical code is a
+# legal Huffman table; the decoder reads whatever DHT the file carries,
+# so the choice only affects fixture size, not decode generality.
+PROG_AC_VALS = tuple(
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+PROG_AC_BITS = tuple(
+    len(PROG_AC_VALS) if ln == 8 else 0 for ln in range(1, 17)
+)
+
+
 def _canonical_codes(bits, vals):
     """Canonical Huffman assignment (spec C.2): returns
     {symbol: (code, length)}."""
@@ -344,6 +358,289 @@ def make_jpeg_baseline(
     return bytes(out)
 
 
+def _default_progressive_script(ncomp: int, successive: bool):
+    """A libjpeg-style scan script. Spectral-selection only
+    (``successive=False``): one DC scan + two AC bands per component,
+    all at point transform 0. With successive approximation: DC at
+    Al=1 then a DC refinement; AC bands first at Al=2, then 2->1 and
+    1->0 refinements — every refinement's Ah equals the previous Al,
+    as the spec requires."""
+    comps_all = list(range(ncomp))
+    if not successive:
+        script = [(comps_all, 0, 0, 0, 0)]
+        for ci in range(ncomp):
+            script += [([ci], 1, 5, 0, 0), ([ci], 6, 63, 0, 0)]
+        return script
+    script = [(comps_all, 0, 0, 0, 1)]
+    for ci in range(ncomp):
+        script += [([ci], 1, 5, 0, 2), ([ci], 6, 63, 0, 2)]
+    for ci in range(ncomp):
+        script += [([ci], 1, 5, 2, 1), ([ci], 6, 63, 2, 1)]
+    script += [(comps_all, 0, 0, 1, 0)]
+    for ci in range(ncomp):
+        script += [([ci], 1, 5, 1, 0), ([ci], 6, 63, 1, 0)]
+    return script
+
+
+class _ACRefineEmitter:
+    """Encoder-side AC refinement state (the exact mirror of
+    ``block_ac_refine``, structured like libjpeg's
+    encode_mcu_AC_refine): EOB runs accumulate across blocks; the
+    correction bits of history-nonzero coefficients ride a shared
+    buffer flushed right after whichever symbol (EOBn / ZRL /
+    newly-nonzero) the decoder will be walking under when it reads
+    them; ZRL is emitted at the first nonzero encounter once 16
+    zero-history slots are pending, and never past the block's last
+    newly-nonzero position (the tail joins the EOB run instead)."""
+
+    def __init__(self, bw, ac_codes, al):
+        self.bw = bw
+        self.ac = ac_codes
+        self.al = al
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def _flush_bits(self) -> None:
+        for b in self.pending:
+            self.bw.put(b, 1)
+        self.pending = []
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.put(code, ln)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            self._flush_bits()
+
+    def block(self, zz, ss, se) -> None:
+        """Two distinct bit buffers, exactly like libjpeg: ``local``
+        holds THIS block's history-coefficient bits since the last
+        symbol (flushed right after the block's own ZRL/newly-nonzero
+        symbols — the decoder reads them while walking under that
+        symbol); at block end any remainder is DEFERRED into
+        ``self.pending``, which only the eventual EOBn flush emits
+        (the decoder reads those while refining the run's blocks)."""
+        al = self.al
+        eobpos = ss - 1  # position of the last newly-nonzero coeff
+        for k in range(ss, se + 1):
+            if (abs(int(zz[k])) >> al) == 1:
+                eobpos = k
+        run = 0
+        local: list[int] = []
+        for k in range(ss, se + 1):
+            mag = abs(int(zz[k])) >> al
+            if mag == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobpos:
+                self._emit_eobrun()
+                code, ln = self.ac[0xF0]
+                self.bw.put(code, ln)
+                run -= 16
+                for b in local:
+                    self.bw.put(b, 1)
+                local = []
+            if mag > 1:
+                local.append(mag & 1)
+                continue
+            self._emit_eobrun()
+            code, ln = self.ac[(run << 4) | 1]
+            self.bw.put(code, ln)
+            self.bw.put(1 if zz[k] > 0 else 0, 1)
+            for b in local:
+                self.bw.put(b, 1)
+            local = []
+            run = 0
+        if run > 0 or local:
+            self.eobrun += 1
+            self.pending.extend(local)
+            if self.eobrun == 0x7FFF:
+                self._emit_eobrun()
+
+    def finish(self) -> None:
+        self._emit_eobrun()
+
+
+class _ACFirstEmitter:
+    """Encoder-side first-pass AC scan (spectral selection at point
+    transform ``al``): band run-lengths with cross-block EOB runs."""
+
+    def __init__(self, bw, ac_codes, al):
+        self.bw = bw
+        self.ac = ac_codes
+        self.al = al
+        self.eobrun = 0
+
+    def _flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.put(code, ln)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+
+    def block(self, zz, ss, se) -> None:
+        al = self.al
+        run = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(zz[k]) >> al if zz[k] > 0 else -((-int(zz[k])) >> al)
+            if v == 0:
+                run += 1
+                continue
+            self._flush_eob()
+            while run > 15:
+                code, ln = self.ac[0xF0]
+                self.bw.put(code, ln)
+                run -= 16
+            t, bits = _magnitude(v)
+            if t > 10:
+                raise ValueError(
+                    "AC coefficient exceeds the baseline 10-bit range"
+                )
+            code, ln = self.ac[(run << 4) | t]
+            self.bw.put(code, ln)
+            self.bw.put(bits, t)
+            run = 0
+            wrote = True
+        if run or not wrote:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+
+    def finish(self) -> None:
+        self._flush_eob()
+
+
+def make_jpeg_progressive(
+    width: int,
+    height: int,
+    block_values,
+    subsampling: str = "444",
+    successive: bool = True,
+) -> bytes:
+    """Real progressive (SOF2) JFIF file from the same per-block
+    COEFFICIENT contract as :func:`make_jpeg_baseline`: the default
+    scan script delivers DC first, then the AC spectrum in two bands
+    per component — with ``successive=True`` each at point transform 2
+    followed by 2->1 and 1->0 refinement passes (the full successive-
+    approximation machinery: EOBn run codes, correction-bit buffering,
+    newly-nonzero placement). The COEFFICIENTS after all scans equal
+    the input exactly, so progressive fixtures share the baseline
+    queries' closed-form oracles — a re-ordering of the same data."""
+    ncomp = getattr(block_values, "n_components", 1)
+    if subsampling == "444":
+        samp = [(1, 1)] * ncomp
+        if width % 8 or height % 8 or width <= 0 or height <= 0:
+            raise ValueError("fixture dims must be multiples of 8")
+    elif subsampling == "420":
+        if ncomp != 3:
+            raise ValueError("4:2:0 requires exactly 3 components")
+        if width % 16 or height % 16 or width <= 0 or height <= 0:
+            raise ValueError("4:2:0 fixture dims must be multiples of 16")
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    dc_codes = _canonical_codes(DC_BITS, DC_VALS)
+    ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux_n = width // (8 * hmax)
+    mcuy_n = height // (8 * vmax)
+
+    # materialize every component's zigzag-domain block grid once
+    grids = []
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        bx_n, by_n = mcux_n * hi, mcuy_n * vi
+        g = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                v = block_values(ci, bx, by)
+                if np.isscalar(v):
+                    c = np.zeros((8, 8), dtype=np.int64)
+                    c[0, 0] = 8 * (int(v) - 128)
+                else:
+                    c = np.asarray(v, dtype=np.int64)
+                    if c.shape != (8, 8):
+                        raise ValueError("coefficient block must be 8x8")
+                g[by, bx] = c.reshape(-1)[list(ZIGZAG)]
+        grids.append(g)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += _seg(0xC2, sof)  # SOF2 progressive
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS)
+        + bytes([0x10]) + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALS),
+    )
+
+    for comps, ss, se, ah, al in _default_progressive_script(
+        ncomp, successive
+    ):
+        sos = bytes([len(comps)])
+        for ci in comps:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw = _BitWriter()
+        if ss == 0:  # DC scan (interleaved over `comps`)
+            dc_pred = {ci: 0 for ci in comps}
+            for m in range(mcux_n * mcuy_n):
+                my, mx = divmod(m, mcux_n)
+                for ci in comps:
+                    hi, vi = samp[ci]
+                    for dv in range(vi):
+                        for dh in range(hi):
+                            dcv = int(
+                                grids[ci][my * vi + dv, mx * hi + dh, 0]
+                            )
+                            if ah == 0:
+                                approx = dcv >> al
+                                diff = approx - dc_pred[ci]
+                                dc_pred[ci] = approx
+                                t, bits = _magnitude(diff)
+                                if t > 11:
+                                    raise ValueError(
+                                        "DC difference exceeds the "
+                                        "baseline 11-bit range"
+                                    )
+                                code, ln = dc_codes[t]
+                                bw.put(code, ln)
+                                if t:
+                                    bw.put(bits, t)
+                            else:
+                                bw.put((dcv >> al) & 1, 1)
+        else:  # AC scan: exactly one component, non-interleaved
+            ci = comps[0]
+            hi, vi = samp[ci]
+            cw = (width * hi + hmax - 1) // hmax
+            ch = (height * vi + vmax - 1) // vmax
+            bx_n, by_n = (cw + 7) // 8, (ch + 7) // 8
+            em = (
+                _ACFirstEmitter(bw, ac_codes, al)
+                if ah == 0
+                else _ACRefineEmitter(bw, ac_codes, al)
+            )
+            for b in range(by_n * bx_n):
+                by, bx = divmod(b, bx_n)
+                em.block(grids[ci][by, bx], ss, se)
+            em.finish()
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _idct_basis() -> np.ndarray:
     x = np.arange(8)
     u = np.arange(8)[:, None]
@@ -374,7 +671,7 @@ def jpeg_decode_coeffs(payload: bytes):
     ac_tables: dict[int, dict] = {}
     sof = None
     restart = 0
-    scan = None
+    state = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("not a JPEG: expected marker")
@@ -416,10 +713,11 @@ def jpeg_decode_coeffs(payload: bytes):
                 table = _decode_table(tuple(bits), tuple(vals))
                 (ac_tables if tc else dc_tables)[th] = table
                 at += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
-                raise ValueError("not a JPEG: baseline precision must be 8")
+                raise ValueError("not a JPEG: precision must be 8")
             comps = []
             for ci in range(nc):
                 cid, samp_b, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -430,87 +728,250 @@ def jpeg_decode_coeffs(payload: bytes):
                         f"1-2 only (sampling=0x{samp_b:02X})"
                     )
                 comps.append((cid, tq, hi, vi))
-            sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            sof = (w, h, comps, progressive)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG decode implemented for baseline sequential only "
-                f"(SOF marker 0xFF{marker:02X})"
+                f"JPEG decode implemented for baseline sequential and "
+                f"progressive huffman only (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
-            nc = body[0]
+            if sof is None:
+                raise ValueError("not a JPEG: SOS before SOF")
+            if state is None:
+                state = _ScanState(sof)
+            nc_s = body[0]
             scan_comps = []
-            for ci in range(nc):
+            for ci in range(nc_s):
                 cid, tabs = body[1 + 2 * ci : 3 + 2 * ci]
                 scan_comps.append((cid, tabs >> 4, tabs & 15))
-            scan = (scan_comps, pos + 2 + ln)
-            break
+            ss, se, ahal = body[1 + 2 * nc_s : 4 + 2 * nc_s]
+            pos = state.process_scan(
+                payload, pos + 2 + ln, scan_comps, ss, se,
+                ahal >> 4, ahal & 15, dc_tables, ac_tables, restart,
+            )
+            continue
         pos += 2 + ln
-    if sof is None or scan is None:
+    if sof is None or state is None:
         raise ValueError("not a JPEG: missing SOF/SOS")
-    w, h, comps = sof
-    scan_comps, data_at = scan
-    if [c[0] for c in comps] != [c[0] for c in scan_comps]:
-        raise ValueError("not a JPEG: scan/frame component mismatch")
-    ncomp = len(comps)
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    mcux_n = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy_n = (h + 8 * vmax - 1) // (8 * vmax)
-    br = _BitReader(payload, data_at)
-    comp_blocks = [
-        np.zeros((mcuy_n * c[3], mcux_n * c[2], 8, 8), dtype=np.int64)
-        for c in comps
-    ]
-    dc_pred = [0] * ncomp
-    rst = 0
+    return state.finish(qt)
 
-    def decode_block(ci: int, bx: int, by: int) -> None:
-        _, dct, act = scan_comps[ci]
-        if dct not in dc_tables or act not in ac_tables:
-            raise ValueError("not a JPEG: missing Huffman table")
-        zz = np.zeros(64, dtype=np.int64)
-        t = br.huff(dc_tables[dct])
-        dc_pred[ci] += _extend(br.bits(t), t)
-        zz[0] = dc_pred[ci]
-        k = 1
-        while k < 64:
-            sym = br.huff(ac_tables[act])
-            if sym == 0x00:  # EOB
-                break
-            run, t = sym >> 4, sym & 15
-            if t == 0:
-                if run != 15:
-                    raise ValueError("not a JPEG: bad AC symbol")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("not a JPEG: AC run overflow")
-            zz[k] = _extend(br.bits(t), t)
-            k += 1
-        tq = comps[ci][1]
-        if tq not in qt:
-            raise ValueError("not a JPEG: missing quant table")
-        nat = np.zeros(64, dtype=np.int64)
-        nat[list(ZIGZAG)] = zz
-        comp_blocks[ci][by, bx] = nat.reshape(8, 8) * qt[tq]
 
-    for m in range(mcux_n * mcuy_n):
-        if restart and m and m % restart == 0:
-            br.align_restart(rst)
-            rst += 1
-            dc_pred = [0] * ncomp
-        my, mx = divmod(m, mcux_n)
-        for ci in range(ncomp):
-            hi, vi = comps[ci][2], comps[ci][3]
-            for dv in range(vi):
-                for dh in range(hi):
-                    decode_block(ci, mx * hi + dh, my * vi + dv)
-    samp = [(c[2], c[3]) for c in comps]
-    return w, h, samp, comp_blocks
+class _ScanState:
+    """Cross-scan coefficient state: per-component zigzag-domain block
+    grids accumulated scan by scan — one full-band scan for baseline,
+    many partial (spectral-selection / successive-approximation) scans
+    for progressive. ``finish`` de-zigzags and dequantizes."""
+
+    def __init__(self, sof):
+        self.w, self.h, self.comps, self.progressive = sof
+        self.hmax = max(c[2] for c in self.comps)
+        self.vmax = max(c[3] for c in self.comps)
+        self.mcux_n = (self.w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy_n = (self.h + 8 * self.vmax - 1) // (8 * self.vmax)
+        # zigzag-domain coefficient grids at the MCU-padded size
+        self.zz = [
+            np.zeros((self.mcuy_n * c[3], self.mcux_n * c[2], 64),
+                     dtype=np.int64)
+            for c in self.comps
+        ]
+
+    def _comp_grid(self, ci: int) -> tuple[int, int]:
+        """Non-interleaved scan grid: the component's OWN block count,
+        NOT MCU-padded (spec A.2.2)."""
+        _, _, hi, vi = self.comps[ci]
+        cw = (self.w * hi + self.hmax - 1) // self.hmax
+        ch = (self.h * vi + self.vmax - 1) // self.vmax
+        return (ch + 7) // 8, (cw + 7) // 8
+
+    def process_scan(
+        self, payload, data_at, scan_comps, ss, se, ah, al,
+        dc_tables, ac_tables, restart,
+    ) -> int:
+        """Entropy-decode one scan; returns the byte offset just past
+        its entropy data (where the next marker begins)."""
+        ids = [c[0] for c in self.comps]
+        try:
+            order = [ids.index(sc[0]) for sc in scan_comps]
+        except ValueError:
+            raise ValueError("not a JPEG: scan names unknown component")
+        if self.progressive:
+            if ss == 0 and se != 0:
+                raise ValueError("not a JPEG: progressive DC scan with AC band")
+            if ss > 0 and (len(order) != 1 or se < ss or se > 63):
+                raise ValueError("not a JPEG: bad progressive AC scan header")
+        else:
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("not a JPEG: bad sequential scan header")
+        br = _BitReader(payload, data_at)
+        dc_pred = {ci: 0 for ci in order}
+        eob_state = [0]  # EOBRUN carries across blocks within a scan
+        rst = [0]
+
+        def tables(pos_in_scan):
+            _, dct, act = scan_comps[pos_in_scan]
+            dc = dc_tables.get(dct)
+            ac = ac_tables.get(act)
+            return dc, ac
+
+        def block_full(ci, si, bx, by):
+            dc, ac = tables(si)
+            if dc is None or ac is None:
+                raise ValueError("not a JPEG: missing Huffman table")
+            zz = self.zz[ci][by, bx]
+            t = br.huff(dc)
+            dc_pred[ci] += _extend(br.bits(t), t)
+            zz[0] = dc_pred[ci]
+            k = 1
+            while k < 64:
+                sym = br.huff(ac)
+                if sym == 0x00:
+                    break
+                run, t = sym >> 4, sym & 15
+                if t == 0:
+                    if run != 15:
+                        raise ValueError("not a JPEG: bad AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("not a JPEG: AC run overflow")
+                zz[k] = _extend(br.bits(t), t)
+                k += 1
+
+        def block_dc_first(ci, si, bx, by):
+            dc, _ = tables(si)
+            if dc is None:
+                raise ValueError("not a JPEG: missing Huffman table")
+            t = br.huff(dc)
+            dc_pred[ci] += _extend(br.bits(t), t)
+            self.zz[ci][by, bx, 0] = dc_pred[ci] << al
+
+        def block_dc_refine(ci, si, bx, by):
+            if br.bit():
+                self.zz[ci][by, bx, 0] |= 1 << al
+
+        def block_ac_first(ci, si, bx, by):
+            _, ac = tables(si)
+            if ac is None:
+                raise ValueError("not a JPEG: missing Huffman table")
+            zz = self.zz[ci][by, bx]
+            if eob_state[0]:
+                eob_state[0] -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = br.huff(ac)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eob_state[0] = (1 << r) - 1 + (br.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("not a JPEG: AC run overflow")
+                zz[k] = _extend(br.bits(s), s) << al
+                k += 1
+
+        def _refine_nonzero(zz, k):
+            if br.bit() and (abs(int(zz[k])) & (1 << al)) == 0:
+                zz[k] += (1 << al) if zz[k] > 0 else -(1 << al)
+
+        def block_ac_refine(ci, si, bx, by):
+            _, ac = tables(si)
+            if ac is None:
+                raise ValueError("not a JPEG: missing Huffman table")
+            zz = self.zz[ci][by, bx]
+            if eob_state[0]:
+                eob_state[0] -= 1
+                for k in range(ss, se + 1):
+                    if zz[k]:
+                        _refine_nonzero(zz, k)
+                return
+            k = ss
+            while k <= se:
+                sym = br.huff(ac)
+                r, s = sym >> 4, sym & 15
+                if s == 0:
+                    if r < 15:
+                        eob_state[0] = (1 << r) - 1 + (
+                            br.bits(r) if r else 0
+                        )
+                        while k <= se:
+                            if zz[k]:
+                                _refine_nonzero(zz, k)
+                            k += 1
+                        return
+                    newval = 0  # ZRL: skip 16 zero-history slots
+                elif s == 1:
+                    newval = (1 << al) if br.bit() else -(1 << al)
+                else:
+                    raise ValueError(
+                        "not a JPEG: bad AC refinement symbol"
+                    )
+                while k <= se:
+                    if zz[k]:
+                        _refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+
+        if not self.progressive:
+            visit = block_full
+        elif ss == 0:
+            visit = block_dc_first if ah == 0 else block_dc_refine
+        else:
+            visit = block_ac_first if ah == 0 else block_ac_refine
+
+        def maybe_restart(unit):
+            if restart and unit and unit % restart == 0:
+                br.align_restart(rst[0])
+                rst[0] += 1
+                for ci in dc_pred:
+                    dc_pred[ci] = 0
+                eob_state[0] = 0
+
+        if len(order) > 1 or (not self.progressive):
+            # interleaved MCU order (single-component baseline images
+            # degenerate to 1 block per MCU, so the same loop serves)
+            for m in range(self.mcux_n * self.mcuy_n):
+                maybe_restart(m)
+                my, mx = divmod(m, self.mcux_n)
+                for si, ci in enumerate(order):
+                    _, _, hi, vi = self.comps[ci]
+                    for dv in range(vi):
+                        for dh in range(hi):
+                            visit(ci, si, mx * hi + dh, my * vi + dv)
+        else:
+            ci = order[0]
+            by_n, bx_n = self._comp_grid(ci)
+            for b in range(by_n * bx_n):
+                maybe_restart(b)
+                by, bx = divmod(b, bx_n)
+                visit(ci, 0, bx, by)
+        return br.pos
+
+    def finish(self, qt):
+        comp_blocks = []
+        for ci, c in enumerate(self.comps):
+            tq = c[1]
+            if tq not in qt:
+                raise ValueError("not a JPEG: missing quant table")
+            by_n, bx_n = self.zz[ci].shape[:2]
+            nat = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+            nat[:, :, list(ZIGZAG)] = self.zz[ci]
+            comp_blocks.append(nat.reshape(by_n, bx_n, 8, 8) * qt[tq])
+        samp = [(c[2], c[3]) for c in self.comps]
+        return self.w, self.h, samp, comp_blocks
 
 
 def jpeg_pixel_stats(payload: bytes) -> dict:

@@ -21,14 +21,15 @@ closed-form, with numpy row arithmetic in the hot loops. PNG decode
 is COMPLETE (all five color types, bit depths 1–16, Adam7 interlace)
 as of the r8 third pass; ISO-BMFF (MP4) container DEMUX — box tree,
 track metadata, sample tables, mdat byte-range slicing — is real in
-:mod:`mp4`; and baseline JPEG ENTROPY DECODE — Huffman + RLE +
-zigzag + dequantize + IDCT, tables read from the file — is real in
-:mod:`jpegc`. The honest codec boundary after r8 is: progressive/
-arithmetic JPEG, chroma-subsampled (non-4:4:4) scans, and H.264/AAC
-codec payloads — modes that are genuinely different coding systems;
-their registry entries stay as clearly-marked ``NotImplementedError``
-gates next to a deterministic ``fake`` so plans and tests are exact
-either way.
+:mod:`mp4`; and JPEG ENTROPY DECODE — baseline AND progressive
+(SOF2 with full successive approximation), 4:4:4 and 4:2:0, Huffman
++ RLE/EOBn + zigzag + dequantize + IDCT, tables read from the file —
+is real in :mod:`jpegc`. The honest codec boundary after r8 is:
+arithmetic-coded and lossless/hierarchical JPEG modes, sampling
+factors >2, and H.264/AAC codec payloads — genuinely different
+coding systems; their registry entries stay as clearly-marked
+``NotImplementedError`` gates next to a deterministic ``fake`` so
+plans and tests are exact either way.
 
 At scale: payload columns are large — partition sizing must come from
 ``spark.sql.files.maxPartitionBytes`` on the parquet side, and decode

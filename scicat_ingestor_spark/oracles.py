@@ -1230,6 +1230,12 @@ FROM (SELECT doc_id, 8*((doc_id % 4) + 1) AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # Progressive JPEG (r8 seventh pass): the oracles are VERBATIM
+    # the baseline queries' — progressive stores the same coefficients
+    # in a different scan order, so decoded content must be identical;
+    # a scan-script or refinement bug diverges here only.
+    "multimodal_jpeg_progressive_real": None,  # patched below
+    "multimodal_jpeg_progressive_420": None,  # patched below
     # 4:2:0 variant (r8 sixth pass): dims 16*((id%3)+1) x
     # 16*((id%2)+1); luma follows the 8x8-grid rule, chroma the
     # 16x16 MCU-grid rules replicated to full resolution. A 16x16
@@ -2867,3 +2873,10 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2))
 GROUP BY c_nationkey
 ORDER BY cntrycode
 """
+
+
+# Progressive JPEG shares the baseline closed forms verbatim (the
+# shared-oracle cross-check pattern): same content, different scan
+# order on the wire.
+ORACLES["multimodal_jpeg_progressive_real"] = ORACLES["multimodal_jpeg_real"]
+ORACLES["multimodal_jpeg_progressive_420"] = ORACLES["multimodal_jpeg_420_real"]

@@ -3289,6 +3289,90 @@ def q_multimodal_jpeg_420_real(spark, sf_dir):
     return jpegc.decode_jpeg_pixels(media)
 
 
+def q_multimodal_jpeg_progressive_real(spark, sf_dir):
+    """REAL progressive JPEG decode (r8 seventh pass — SOF2 with FULL
+    successive approximation: DC at Al=1 + refinement, AC bands at
+    Al=2 with 2->1 and 1->0 refinement passes, EOBn run codes,
+    correction-bit streams). Same dims and the SAME closed-form
+    content as multimodal_jpeg_real, so the oracle is IDENTICAL to
+    the baseline query's — progressive is a re-ordering of the same
+    coefficients, and any scan-script, EOB-run, or refinement bug
+    diverges here while the baseline query stays green. The random-AC
+    refinement paths are pinned by 2000-trial lossless coefficient
+    roundtrips in pytest."""
+    from scicat_ingestor_spark.operators import jpegc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def bv(ci, bx, by, _id=i):
+                    return (bx * 29 + by * 31 + _id * 7) % 256
+
+                rows.append(
+                    jpegc.make_jpeg_progressive(
+                        8 * ((i % 4) + 1),
+                        8 * ((i % 3) + 1),
+                        bv,
+                        successive=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return jpegc.decode_jpeg_pixels(media)
+
+
+def q_multimodal_jpeg_progressive_420(spark, sf_dir):
+    """Progressive + 4:2:0 composed (r8 seventh pass): interleaved DC
+    scans over subsampled components, non-interleaved AC band scans
+    per component grid, successive approximation throughout — the
+    exact layout a web-optimized camera JPEG uses. Oracle IDENTICAL
+    to multimodal_jpeg_420_real (same closed-form content)."""
+    from scicat_ingestor_spark.operators import jpegc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def bv(ci, bx, by, _id=i):
+                    a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+                    return (bx * a + by * b + _id * c) % 256
+
+                bv.n_components = 3
+                rows.append(
+                    jpegc.make_jpeg_progressive(
+                        16 * ((i % 3) + 1),
+                        16 * ((i % 2) + 1),
+                        bv,
+                        subsampling="420",
+                        successive=True,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return jpegc.decode_jpeg_pixels(media)
+
+
 def q_multimodal_pcm_real(spark, sf_dir):
     """REAL PCM decode in the data plane (r7): each document gets a
     16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
@@ -4788,6 +4872,8 @@ QUERIES = {
     "multimodal_jpeg_420_real": q_multimodal_jpeg_420_real,
     "multimodal_pcm_depths": q_multimodal_pcm_depths,
     "multimodal_pixels_bmp_variants": q_multimodal_pixels_bmp_variants,
+    "multimodal_jpeg_progressive_real": q_multimodal_jpeg_progressive_real,
+    "multimodal_jpeg_progressive_420": q_multimodal_jpeg_progressive_420,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

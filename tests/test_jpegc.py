@@ -133,11 +133,19 @@ def test_structural_fuzz_value_errors():
         jpegc.jpeg_decode_coeffs(bad)
 
 
-def test_progressive_and_subsampling_stay_gated():
+def test_unsupported_modes_stay_gated():
     buf = jpegc.make_jpeg_baseline(16, 16, _bv_gray)
     at = buf.index(b"\xff\xc0")
+    # lossless sequential (SOF3) and arithmetic coding (SOF9) are
+    # genuinely different coding systems — still gated
+    for m in (0xC3, 0xC9):
+        other = buf[:at] + bytes([0xFF, m]) + buf[at + 2 :]
+        with pytest.raises(NotImplementedError, match="SOF marker"):
+            jpegc.jpeg_decode_coeffs(other)
+    # a progressive header over a baseline full-band scan body is a
+    # structural error, not a gate (progressive decodes for real now)
     prog = buf[:at] + b"\xff\xc2" + buf[at + 2 :]
-    with pytest.raises(NotImplementedError, match="baseline sequential"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         jpegc.jpeg_decode_coeffs(prog)
     # sampling factors beyond 2 (legal in the spec, rare in the wild)
     # stay gated; 4:2:0/4:2:2 decode for real as of the r8 sixth pass
@@ -265,3 +273,85 @@ def test_jpeg_spark_stage(spark):
             6,
         )
         assert got[i]["mean_c0"] == pytest.approx(want, abs=1e-6)
+
+
+def test_progressive_uniform_matches_baseline():
+    """Progressive (SOF2) stores the same coefficients in a different
+    scan order — decoded content must equal baseline exactly, for both
+    spectral-selection-only and full successive-approximation scripts,
+    444 and 420."""
+    base = jpegc.jpeg_pixel_stats(jpegc.make_jpeg_baseline(32, 24, _bv_gray))
+    for successive in (False, True):
+        st = jpegc.jpeg_pixel_stats(
+            jpegc.make_jpeg_progressive(32, 24, _bv_gray,
+                                        successive=successive)
+        )
+        assert st == base, successive
+
+    def bv3(ci, bx, by):
+        a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+        return (bx * a + by * b + c) % 256
+
+    bv3.n_components = 3
+    for sub, dims in (("444", (32, 24)), ("420", (48, 32))):
+        base = jpegc.jpeg_pixel_stats(
+            jpegc.make_jpeg_baseline(*dims, bv3, subsampling=sub)
+        )
+        st = jpegc.jpeg_pixel_stats(
+            jpegc.make_jpeg_progressive(*dims, bv3, subsampling=sub,
+                                        successive=True)
+        )
+        assert st == base, sub
+
+
+def test_progressive_lossless_roundtrip_random_acs():
+    """The full successive-approximation machinery — EOBn run codes,
+    ZRL windows bounded by the last newly-nonzero position, deferred
+    vs block-local correction-bit buffers — is LOSSLESS at the
+    coefficient level."""
+    rng = np.random.RandomState(5)
+    for trial in range(24):
+        stored = {}
+
+        def bv(ci, bx, by):
+            c = np.zeros((8, 8), dtype=np.int64)
+            c[0, 0] = int(rng.randint(-900, 900))
+            for _ in range(rng.randint(0, 7)):
+                i, j = rng.randint(0, 8), rng.randint(0, 8)
+                if (i, j) != (0, 0):
+                    c[i, j] = int(rng.randint(-255, 256))
+            stored[(ci, bx, by)] = c.copy()
+            return c
+
+        nc = (1, 2, 3)[trial % 3]
+        bv.n_components = nc
+        sub = "420" if (nc == 3 and trial % 2) else "444"
+        dims = (48, 32) if sub == "420" else (24, 16)
+        buf = jpegc.make_jpeg_progressive(
+            *dims, bv, subsampling=sub, successive=(trial % 4 < 2)
+        )
+        _, _, _, got = jpegc.jpeg_decode_coeffs(buf)
+        for (ci, bx, by), want in stored.items():
+            assert np.array_equal(got[ci][by, bx], want), (trial, ci, bx, by)
+
+
+def test_progressive_two_buffer_regression():
+    """Pin the exact case that exposed the single-buffer bug: a block
+    whose tail joins an EOB run while the NEXT block has a history
+    coefficient before its first ZRL — the deferred bits must flush
+    with the EOBn, the block-local bit after the ZRL, or the decoder
+    reads a correction bit as part of a Huffman code."""
+    b0 = np.zeros((8, 8), dtype=np.int64)
+    b0.reshape(-1)[2], b0.reshape(-1)[7], b0.reshape(-1)[51] = 200, -100, -2
+    b1 = np.zeros((8, 8), dtype=np.int64)
+    b1.reshape(-1)[18], b1.reshape(-1)[39], b1.reshape(-1)[45] = -2, 1, -100
+    b2 = np.zeros((8, 8), dtype=np.int64)
+    blocks = [b0, b1, b2]
+
+    def bv(ci, bx, by):
+        return blocks[bx]
+
+    buf = jpegc.make_jpeg_progressive(24, 8, bv, successive=True)
+    _, _, _, got = jpegc.jpeg_decode_coeffs(buf)
+    for bx, want in enumerate(blocks):
+        assert np.array_equal(got[0][0, bx], want), bx
