@@ -218,6 +218,27 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
+def _samp_for(subsampling: str, ncomp: int, width: int, height: int):
+    """Sampling-factor lists for the fixture encoders: 4:4:4 (dims
+    multiples of 8), 4:2:0 (multiples of 16), 4:2:2 (width multiple
+    of 16, height of 8 — chroma halved horizontally only)."""
+    if subsampling == "444":
+        if width % 8 or height % 8 or width <= 0 or height <= 0:
+            raise ValueError("fixture dims must be multiples of 8")
+        return [(1, 1)] * ncomp
+    if ncomp != 3:
+        raise ValueError(f"{subsampling} requires exactly 3 components")
+    if subsampling == "420":
+        if width % 16 or height % 16 or width <= 0 or height <= 0:
+            raise ValueError("4:2:0 fixture dims must be multiples of 16")
+        return [(2, 2), (1, 1), (1, 1)]
+    if subsampling == "422":
+        if width % 16 or height % 8 or width <= 0 or height <= 0:
+            raise ValueError("4:2:2 fixture dims must be 16x8 multiples")
+        return [(2, 1), (1, 1), (1, 1)]
+    raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+
 def _encode_block(bw, coeffs, dc_pred, ci, dc_codes, ac_codes) -> None:
     zz = coeffs.reshape(-1)[list(ZIGZAG)]
     diff = int(zz[0]) - dc_pred[ci]
@@ -278,18 +299,7 @@ def make_jpeg_baseline(
     tables — legal, and the decoder reads tables from the file
     anyway."""
     ncomp = getattr(block_values, "n_components", 1)
-    if subsampling == "444":
-        samp = [(1, 1)] * ncomp
-        if width % 8 or height % 8 or width <= 0 or height <= 0:
-            raise ValueError("baseline fixture dims must be multiples of 8")
-    elif subsampling == "420":
-        if ncomp != 3:
-            raise ValueError("4:2:0 requires exactly 3 components")
-        if width % 16 or height % 16 or width <= 0 or height <= 0:
-            raise ValueError("4:2:0 fixture dims must be multiples of 16")
-        samp = [(2, 2), (1, 1), (1, 1)]
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    samp = _samp_for(subsampling, ncomp, width, height)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(AC_BITS, AC_VALS)
 
@@ -533,18 +543,7 @@ def make_jpeg_progressive(
     the input exactly, so progressive fixtures share the baseline
     queries' closed-form oracles — a re-ordering of the same data."""
     ncomp = getattr(block_values, "n_components", 1)
-    if subsampling == "444":
-        samp = [(1, 1)] * ncomp
-        if width % 8 or height % 8 or width <= 0 or height <= 0:
-            raise ValueError("fixture dims must be multiples of 8")
-    elif subsampling == "420":
-        if ncomp != 3:
-            raise ValueError("4:2:0 requires exactly 3 components")
-        if width % 16 or height % 16 or width <= 0 or height <= 0:
-            raise ValueError("4:2:0 fixture dims must be multiples of 16")
-        samp = [(2, 2), (1, 1), (1, 1)]
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    samp = _samp_for(subsampling, ncomp, width, height)
     dc_codes = _canonical_codes(DC_BITS, DC_VALS)
     ac_codes = _canonical_codes(PROG_AC_BITS, PROG_AC_VALS)
     hmax = max(s[0] for s in samp)

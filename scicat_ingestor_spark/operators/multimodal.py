@@ -1319,17 +1319,32 @@ def png_pixel_stats(payload: bytes) -> dict:
 
 
 def pixel_stats(payload: bytes) -> dict:
-    """Format-dispatching REAL pixel decode: BMP (uncompressed 24-bit)
-    or PNG (COMPLETE — all color types/depths/interlace) by magic bytes,
-    normalized to one contract — width/height, exact per-channel
-    integer sums, and ``pos_checksum = sum((x + y*width) * BLUE(x,y))``
-    over the blue channel in IMAGE row order (top-down y) for both
-    formats: the storage quirks (BMP bottom-up BGR, PNG top-down RGB)
+    """Format-dispatching REAL pixel decode: BMP (uncompressed
+    8/24/32-bit), PNG (COMPLETE — all color types/depths/interlace),
+    or JPEG (baseline + progressive huffman via :mod:`jpegc`) by magic
+    bytes, normalized to one contract — width/height, exact
+    per-channel integer sums, and ``pos_checksum = sum((x + y*width)
+    * BLUE(x,y))`` over the blue-slot channel in IMAGE row order. The
+    storage quirks (BMP bottom-up BGR, PNG top-down RGB, JPEG
+    block-ordered Y/Cb/Cr — whose raw components map to the r/g/b
+    slots with the checksum on the LAST component, the blue-analog)
     are the decoder's problem, never the caller's."""
     if payload[:2] == b"BM":
         s = bmp_pixel_stats(payload)
     elif payload[:8] == _PNG_SIGNATURE:
         s = png_pixel_stats(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from scicat_ingestor_spark.operators import jpegc
+
+        j = jpegc.jpeg_pixel_stats(payload)
+        s = {
+            "width": j["width"],
+            "height": j["height"],
+            "sum_r": j["sum_c0"],
+            "sum_g": j["sum_c1"],
+            "sum_b": j["sum_c2"],
+            "pos_checksum": j["pos_checksum"],
+        }
     else:
         raise ValueError("pixel decode: unrecognized image signature")
     return {

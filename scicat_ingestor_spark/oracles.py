@@ -1230,6 +1230,45 @@ FROM (SELECT doc_id, 8*((doc_id % 4) + 1) AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # Mixed three-codec decode (r8 seventh pass): doc_id % 3 cycles
+    # BMP / PNG / progressive-JPEG, each with its own closed form and
+    # its own dim rule (JPEG dims are block multiples); the blue-slot
+    # checksum follows the dispatch convention (BMP blue, PNG blue,
+    # JPEG gray=last component).
+    "multimodal_pixels_mixed_real": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (x.g*7 + y.g*13) % 256
+    WHEN 1 THEN (111*x.g + 74 + 101*y.g) % 256
+    ELSE ((x.g//8)*29 + (y.g//8)*31 + d.doc_id*7) % 256
+    END AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (x.g*7 + y.g*13 + 29) % 256
+    WHEN 1 THEN (111*x.g + 37 + 101*y.g) % 256
+    ELSE ((x.g//8)*29 + (y.g//8)*31 + d.doc_id*7) % 256
+    END AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST(CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (x.g*7 + y.g*13 + 58) % 256
+    WHEN 1 THEN (111*x.g + 101*y.g) % 256
+    ELSE ((x.g//8)*29 + (y.g//8)*31 + d.doc_id*7) % 256
+    END AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * (CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN (x.g*7 + y.g*13) % 256
+    WHEN 1 THEN (111*x.g + 74 + 101*y.g) % 256
+    ELSE ((x.g//8)*29 + (y.g//8)*31 + d.doc_id*7) % 256
+    END)) AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 2 THEN 8*((doc_id % 4) + 1)
+             ELSE (doc_id % 16) + 1 END AS w,
+        CASE WHEN doc_id % 3 = 2 THEN 8*(((doc_id // 4) % 3) + 1)
+             ELSE ((doc_id // 16) % 16) + 1 END AS h
+      FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
     # Progressive JPEG (r8 seventh pass): the oracles are VERBATIM
     # the baseline queries' — progressive stores the same coefficients
     # in a different scan order, so decoded content must be identical;

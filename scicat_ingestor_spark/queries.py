@@ -3373,6 +3373,60 @@ def q_multimodal_jpeg_progressive_420(spark, sf_dir):
     return jpegc.decode_jpeg_pixels(media)
 
 
+def q_multimodal_pixels_mixed_real(spark, sf_dir):
+    """ONE decode stage over a three-codec binary column (r8 seventh
+    pass): doc_id % 3 cycles 24-bit BMP / filtered RGB PNG /
+    progressive grayscale JPEG, dispatched per row by magic bytes —
+    a real corpus is never single-format, and the partition must not
+    split by codec. Each format keeps its own closed form; the JPEG
+    branch reports gray in all three slots. A dispatch or
+    slot-mapping bug breaks exactly one branch of the CASE."""
+    from scicat_ingestor_spark.operators import jpegc, multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                m = i % 3
+                if m == 0:
+                    rows.append(
+                        multimodal.make_bmp(
+                            (i % 16) + 1, ((i // 16) % 16) + 1
+                        )
+                    )
+                elif m == 1:
+                    rows.append(
+                        multimodal.make_png_filtered(
+                            (i % 16) + 1, ((i // 16) % 16) + 1
+                        )
+                    )
+                else:
+
+                    def bv(ci, bx, by, _id=i):
+                        return (bx * 29 + by * 31 + _id * 7) % 256
+
+                    rows.append(
+                        jpegc.make_jpeg_progressive(
+                            8 * ((i % 4) + 1),
+                            8 * (((i // 4) % 3) + 1),
+                            bv,
+                            successive=True,
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
 def q_multimodal_pcm_real(spark, sf_dir):
     """REAL PCM decode in the data plane (r7): each document gets a
     16-bit PCM WAV (channels = doc_id%3 + 1, frames = (doc_id%11 + 2)*8,
@@ -4874,6 +4928,7 @@ QUERIES = {
     "multimodal_pixels_bmp_variants": q_multimodal_pixels_bmp_variants,
     "multimodal_jpeg_progressive_real": q_multimodal_jpeg_progressive_real,
     "multimodal_jpeg_progressive_420": q_multimodal_jpeg_progressive_420,
+    "multimodal_pixels_mixed_real": q_multimodal_pixels_mixed_real,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

@@ -355,3 +355,52 @@ def test_progressive_two_buffer_regression():
     _, _, _, got = jpegc.jpeg_decode_coeffs(buf)
     for bx, want in enumerate(blocks):
         assert np.array_equal(got[0][0, bx], want), bx
+
+
+def test_422_subsampling_decodes_exactly():
+    """4:2:2 (chroma halved horizontally only): luma follows the 8x8
+    grid, chroma the 16x8 cell grid after horizontal replication —
+    both baseline and progressive encoders produce it and the decoder
+    handles any 1-2 factor mix."""
+    def bv(ci, bx, by):
+        a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+        return (bx * a + by * b + c) % 256
+
+    bv.n_components = 3
+    for maker in (
+        lambda: jpegc.make_jpeg_baseline(48, 24, bv, subsampling="422"),
+        lambda: jpegc.make_jpeg_progressive(
+            48, 24, bv, subsampling="422", successive=True
+        ),
+    ):
+        st = jpegc.jpeg_pixel_stats(maker())
+        assert st["sum_c0"] == sum(
+            ((x // 8) * 29 + (y // 8) * 31 + 7) % 256
+            for x in range(48)
+            for y in range(24)
+        )
+        assert st["sum_c1"] == sum(
+            ((x // 16) * 17 + (y // 8) * 23 + 5) % 256
+            for x in range(48)
+            for y in range(24)
+        )
+        assert st["pos_checksum"] == sum(
+            (x + y * 48) * (((x // 16) * 13 + (y // 8) * 19 + 11) % 256)
+            for x in range(48)
+            for y in range(24)
+        )
+
+
+def test_pixel_stats_dispatch_includes_jpeg():
+    """The magic-byte dispatch decodes BMP, PNG, and JPEG payloads in
+    one contract; JPEG's raw components ride the r/g/b slots with the
+    checksum on the last component."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    st = multimodal.pixel_stats(
+        jpegc.make_jpeg_progressive(16, 8, _bv_gray, successive=True)
+    )
+    want = sum(
+        ((x // 8) * 29 + 7) % 256 for x in range(16) for y in range(8)
+    )
+    assert st["sum_b"] == st["sum_g"] == st["sum_r"] == want
