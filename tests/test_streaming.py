@@ -1429,11 +1429,11 @@ def test_streaming_knn_maintenance_matches_batch_and_replays_safely(
 def test_streaming_media_decode_matches_batch(spark, tmp_path):
     """The real content decoders are stateless Arrow-batched stages, so
     they compose with Structured Streaming unchanged: a mixed-format
-    binary stream (BMP / row-major PNG / Adam7 PNG / palette PNG)
-    decoded per micro-batch must equal the batch decode row for row,
-    and a replay from a fresh checkpoint must not duplicate rows
-    (idempotent_append on media_id)."""
-    from scicat_ingestor_spark.operators import multimodal
+    binary stream (BMP / row-major PNG / Adam7 PNG / palette PNG /
+    progressive JPEG) decoded per micro-batch must equal the batch
+    decode row for row, and a replay from a fresh checkpoint must not
+    duplicate rows (idempotent_append on media_id)."""
+    from scicat_ingestor_spark.operators import jpegc, multimodal
     from scicat_ingestor_spark.streaming.pipeline import (
         idempotent_append,
         run_ingest_stream,
@@ -1441,6 +1441,11 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path):
 
     def payload(i: int) -> bytes:
         w, h = (i % 13) + 1, (i % 7) + 1
+        if i % 5 == 4:
+            return jpegc.make_jpeg_progressive(
+                8 * (i % 3 + 1), 8, lambda ci, bx, by: (bx * 29 + i) % 256,
+                successive=True,
+            )
         return (
             multimodal.make_bmp(w, h),
             multimodal.make_png_filtered(w, h),
