@@ -911,54 +911,124 @@ def decode_frame_pixels(df: DataFrame) -> DataFrame:
     )
 
 
-def make_bmp(width: int, height: int, bpp: int = 24) -> bytes:
-    """Fully-formed uncompressed BMP (BI_RGB, bottom-up rows, 4-byte
-    row stride), pure struct.pack — spec-determined bytes, safe for
-    pinned oracles.
+def _bmp_palette_index(x: int, y: int, n_colors: int) -> int:
+    return (x * 11 + y * 17) % n_colors
+
+
+def _bmp_color_table(n_colors: int) -> bytes:
+    """BGRX color table whose entry ``i`` is ``((7i+3)%256,
+    (5i+2)%256, (3i+1)%256)`` — the PNG PLTE rule in BMP byte
+    order, shared by every palette variant so one closed form covers
+    8/4/1-bit and RLE8 layouts."""
+    return bytes(
+        v
+        for i in range(n_colors)
+        for v in (
+            (7 * i + 3) % 256, (5 * i + 2) % 256, (3 * i + 1) % 256, 0,
+        )
+    )
+
+
+def _rle8_encode_row(indexes: list[int]) -> bytes:
+    """RLE8-encode one row: literal runs as (count, value) pairs plus
+    an absolute-mode chunk when 3+ distinct values alternate, ending
+    with the 00 00 end-of-line escape."""
+    out = bytearray()
+    x = 0
+    n = len(indexes)
+    while x < n:
+        run = 1
+        while x + run < n and indexes[x + run] == indexes[x] and run < 255:
+            run += 1
+        if run >= 2 or n - x < 3:
+            out += bytes((run, indexes[x]))
+            x += run
+        else:
+            # absolute mode: emit distinct values raw (3..255, padded
+            # to a word boundary)
+            lit = x
+            while (
+                lit < n
+                and lit - x < 255
+                and (lit + 1 >= n or indexes[lit + 1] != indexes[lit])
+            ):
+                lit += 1
+            count = lit - x
+            if count < 3:
+                for j in range(x, lit):
+                    out += bytes((1, indexes[j]))
+            else:
+                out += bytes((0, count)) + bytes(indexes[x:lit])
+                if count & 1:
+                    out += b"\x00"
+            x = lit
+    out += b"\x00\x00"  # end of line
+    return bytes(out)
+
+
+def make_bmp(width: int, height: int, bpp: int = 24, rle: bool = False) -> bytes:
+    """Fully-formed BMP (bottom-up rows, 4-byte row stride), pure
+    struct.pack — spec-determined bytes, safe for pinned oracles.
 
     - ``bpp=24``: pixel (x, y) channel c (0=B,1=G,2=R) is the
       CLOSED-FORM value ``(x*7 + y*13 + c*29) % 256``.
     - ``bpp=32``: same channel rule, plus an alpha byte (c=3, same
       rule — excluded from statistics by the decoder).
-    - ``bpp=8``: palette image — a 16-entry BGRX color table whose
-      entry ``i`` is ``((7i+3)%256, (5i+2)%256, (3i+1)%256)`` (B,G,R
-      — the PNG PLTE rule in BMP byte order), indexed by
-      ``(x*11 + y*17) % 16``.
+    - ``bpp=8/4/1``: palette image over the shared BGRX color-table
+      closed form, indexed by ``(x*11 + y*17) % n`` with n = 16 for
+      8/4-bit and 2 for 1-bit (sub-byte rows pack MSB-first).
+    - ``rle=True`` (bpp=8 only): BI_RLE8 compression — literal runs,
+      absolute-mode chunks, end-of-line/bitmap escapes — decoding to
+      the same pixels as the uncompressed 8-bit form.
 
-    Every variant is SQL-recomputable, so one oracle covers all three
-    storage layouts."""
+    Every variant is SQL-recomputable, so one oracle per index rule
+    covers all the storage layouts."""
     import struct
 
-    n_colors = 16 if bpp == 8 else 0
-    table = b""
-    if bpp == 8:
-        table = bytes(
-            v
-            for i in range(n_colors)
-            for v in (
-                (7 * i + 3) % 256, (5 * i + 2) % 256, (3 * i + 1) % 256, 0,
-            )
-        )
-    nch = {8: 1, 24: 3, 32: 4}[bpp]
-    stride = (width * nch + 3) & ~3
+    if rle and bpp != 8:
+        raise ValueError("RLE encoding is BI_RLE8 (8-bit) only")
+    n_colors = {1: 2, 4: 16, 8: 16}.get(bpp, 0)
+    table = _bmp_color_table(n_colors) if n_colors else b""
     rows = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        if bpp == 8:
-            row = bytearray(
-                (x * 11 + y * 17) % n_colors for x in range(width)
+    if rle:
+        for y in range(height - 1, -1, -1):
+            rows += _rle8_encode_row(
+                [_bmp_palette_index(x, y, n_colors) for x in range(width)]
             )
-        else:
-            row = bytearray(
-                (x * 7 + y * 13 + c * 29) % 256
-                for x in range(width)
-                for c in range(nch)
-            )
-        row.extend(b"\x00" * (stride - len(row)))
-        rows += row
+        rows = rows[:-2] + b"\x00\x01"  # last EOL becomes end-of-bitmap
+    else:
+        nch = {1: 1, 4: 1, 8: 1, 24: 3, 32: 4}[bpp]
+        rowbytes = (width * nch * bpp + 7) // 8 if bpp < 8 else width * nch
+        stride = (rowbytes + 3) & ~3
+        for y in range(height - 1, -1, -1):  # bottom-up storage order
+            if bpp in (1, 4):
+                row = bytearray()
+                acc = 0
+                nbits = 0
+                for x in range(width):
+                    acc = (acc << bpp) | _bmp_palette_index(x, y, n_colors)
+                    nbits += bpp
+                    if nbits == 8:
+                        row.append(acc)
+                        acc = nbits = 0
+                if nbits:
+                    row.append(acc << (8 - nbits))
+            elif bpp == 8:
+                row = bytearray(
+                    _bmp_palette_index(x, y, n_colors) for x in range(width)
+                )
+            else:
+                row = bytearray(
+                    (x * 7 + y * 13 + c * 29) % 256
+                    for x in range(width)
+                    for c in range(nch)
+                )
+            row.extend(b"\x00" * (stride - len(row)))
+            rows += row
     off = 14 + 40 + len(table)
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(rows),
-        2835, 2835, n_colors, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 1 if rle else 0,
+        len(rows), 2835, 2835, n_colors, 0,
     )
     head = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
     return bytes(head + info + table + rows)
@@ -981,19 +1051,20 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     width, height_raw = struct.unpack("<ii", payload[18:26])
     planes, bpp = struct.unpack("<HH", payload[26:30])
     compression = struct.unpack("<I", payload[30:34])[0]
-    if bpp not in (8, 24, 32) or compression != 0:
+    if (
+        bpp not in (1, 4, 8, 24, 32)
+        or compression not in (0, 1)
+        or (compression == 1 and bpp != 8)
+    ):
         raise NotImplementedError(
-            f"pixel decode implemented for uncompressed 8/24/32-bit "
-            f"BMP only (bpp={bpp}, compression={compression})"
+            f"pixel decode implemented for uncompressed 1/4/8/24/32-bit "
+            f"and RLE8 BMP only (bpp={bpp}, compression={compression})"
         )
     if width <= 0 or height_raw == 0:
         raise ValueError("not a BMP: bad dimensions")
+    if compression == 1 and height_raw < 0:
+        raise ValueError("not a BMP: RLE bitmaps cannot be top-down")
     height = abs(height_raw)
-    nch = {8: 1, 24: 3, 32: 4}[bpp]
-    stride = (width * nch + 3) & ~3
-    need = data_off + stride * height
-    if len(payload) < need:
-        raise ValueError("not a BMP: truncated pixel array")
     # numpy row arithmetic instead of a per-pixel Python walk (r8):
     # ~100x per image once the pixel path carries real volume. The
     # reductions stay EXACT integers — uint8 values widened to int64
@@ -1002,30 +1073,104 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     # ~16k x 16k, far beyond any sane single payload).
     import numpy as np
 
-    arr = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
-    px = arr.reshape(height, stride)[:, : width * nch].reshape(
-        height, width, nch
-    )
-    px = px.astype(np.int64)
-    if bpp == 8:
-        # palette image: map indexes through the BGRX color table that
-        # sits between the info header and the pixel array
-        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+    def palette_table():
+        n_colors = struct.unpack("<I", payload[46:50])[0] or (1 << bpp)
         table_at = 14 + struct.unpack("<I", payload[14:18])[0]
         raw_table = payload[table_at : table_at + 4 * n_colors]
         if len(raw_table) < 4 * n_colors:
             raise ValueError("not a BMP: truncated color table")
-        table = (
+        return n_colors, (
             np.frombuffer(raw_table, dtype=np.uint8)
             .reshape(n_colors, 4)[:, :3]
             .astype(np.int64)
         )  # B,G,R columns
-        idx = px[:, :, 0]
+
+    if compression == 1:
+        # BI_RLE8: literal runs, absolute-mode chunks, end-of-line /
+        # end-of-bitmap / delta escapes; unset pixels default to
+        # index 0 (the spec's behavior for delta-skipped regions)
+        idx = np.zeros((height, width), dtype=np.int64)
+        pos = data_off
+        x = y = 0  # y is the STORED (bottom-up) row index
+        while True:
+            if pos + 2 > len(payload):
+                raise ValueError("not a BMP: truncated RLE stream")
+            b0, b1 = payload[pos], payload[pos + 1]
+            pos += 2
+            if b0 > 0:
+                if y >= height or x + b0 > width:
+                    raise ValueError("not a BMP: RLE run overruns row")
+                idx[y, x : x + b0] = b1
+                x += b0
+            elif b1 == 0:  # end of line
+                y += 1
+                x = 0
+            elif b1 == 1:  # end of bitmap
+                break
+            elif b1 == 2:  # delta: skipped pixels stay index 0
+                if pos + 2 > len(payload):
+                    raise ValueError("not a BMP: truncated RLE delta")
+                x += payload[pos]
+                y += payload[pos + 1]
+                pos += 2
+                if x > width or y > height:
+                    raise ValueError("not a BMP: RLE delta out of range")
+            else:  # absolute mode: b1 raw indexes, word-aligned
+                if y >= height or x + b1 > width:
+                    raise ValueError("not a BMP: RLE absolute overruns row")
+                chunk = payload[pos : pos + b1]
+                if len(chunk) < b1:
+                    raise ValueError("not a BMP: truncated RLE absolute")
+                idx[y, x : x + b1] = np.frombuffer(
+                    chunk, dtype=np.uint8
+                ).astype(np.int64)
+                x += b1
+                pos += b1 + (b1 & 1)
+        # idx stays in STORED (bottom-up) order — the shared stats
+        # tail maps stored rows to image rows via the ys weights
+        n_colors, table = palette_table()
+        if int(idx.max()) >= n_colors:
+            raise ValueError("not a BMP: palette index out of range")
+        px = table[idx]
+    elif bpp in (1, 4):
+        rowbytes = (width * bpp + 7) // 8
+        stride = (rowbytes + 3) & ~3
+        if len(payload) < data_off + stride * height:
+            raise ValueError("not a BMP: truncated pixel array")
+        arr = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_off
+        ).reshape(height, stride)[:, :rowbytes]
+        bits = np.unpackbits(arr, axis=1)[:, : width * bpp]
+        weights = 1 << np.arange(bpp - 1, -1, -1, dtype=np.int64)
+        idx = (
+            bits.reshape(height, width, bpp) * weights
+        ).sum(axis=2, dtype=np.int64)
+        n_colors, table = palette_table()
         if int(idx.max()) >= n_colors:
             raise ValueError("not a BMP: palette index out of range")
         px = table[idx]
     else:
-        px = px[:, :, :3]  # 32-bit: drop alpha from the statistics
+        nch = {8: 1, 24: 3, 32: 4}[bpp]
+        stride = (width * nch + 3) & ~3
+        need = data_off + stride * height
+        if len(payload) < need:
+            raise ValueError("not a BMP: truncated pixel array")
+        arr = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_off
+        )
+        px = arr.reshape(height, stride)[:, : width * nch].reshape(
+            height, width, nch
+        )
+        px = px.astype(np.int64)
+        if bpp == 8:
+            # palette image: map indexes through the BGRX color table
+            n_colors, table = palette_table()
+            idx = px[:, :, 0]
+            if int(idx.max()) >= n_colors:
+                raise ValueError("not a BMP: palette index out of range")
+            px = table[idx]
+        else:
+            px = px[:, :, :3]  # 32-bit: drop alpha from the statistics
     sums = px.sum(axis=(0, 1))
     # bottom-up (positive height): stored row 0 is image row h-1
     ys = (

@@ -1230,6 +1230,33 @@ FROM (SELECT doc_id, 8*((doc_id % 4) + 1) AS w,
   LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
 GROUP BY d.doc_id, d.w, d.h
 """,
+    # Compressed + sub-byte BMP (r8 eighth pass): doc_id % 3 cycles
+    # RLE8 / 4-bit / 1-bit palette. RLE8 and 4-bit share the 16-color
+    # index rule (identical content, different byte paths); 1-bit uses
+    # the 2-color rule. Palette entries follow the shared PLTE closed
+    # form in BMP order; checksum over blue.
+    "multimodal_pixels_bmp_rle": """
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width,
+  CAST(d.h AS INTEGER) AS height,
+  round(avg(CAST((7*((x.g*11 + y.g*17) %
+    (CASE WHEN CAST(d.doc_id % 3 AS INT) = 2 THEN 2 ELSE 16 END)) + 3)
+    % 256 AS DOUBLE)), 6) AS mean_b,
+  round(avg(CAST((5*((x.g*11 + y.g*17) %
+    (CASE WHEN CAST(d.doc_id % 3 AS INT) = 2 THEN 2 ELSE 16 END)) + 2)
+    % 256 AS DOUBLE)), 6) AS mean_g,
+  round(avg(CAST((3*((x.g*11 + y.g*17) %
+    (CASE WHEN CAST(d.doc_id % 3 AS INT) = 2 THEN 2 ELSE 16 END)) + 1)
+    % 256 AS DOUBLE)), 6) AS mean_r,
+  CAST(sum((x.g + y.g*d.w) * ((7*((x.g*11 + y.g*17) %
+    (CASE WHEN CAST(d.doc_id % 3 AS INT) = 2 THEN 2 ELSE 16 END)) + 3)
+    % 256)) AS BIGINT) AS pos_checksum
+FROM (SELECT doc_id, (doc_id % 16) + 1 AS w,
+             ((doc_id // 16) % 16) + 1 AS h FROM documents) d,
+  LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS g) x,
+  LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS g) y
+GROUP BY d.doc_id, d.w, d.h
+""",
     # Mixed three-codec decode (r8 seventh pass): doc_id % 3 cycles
     # BMP / PNG / progressive-JPEG, each with its own closed form and
     # its own dim rule (JPEG dims are block multiples); the blue-slot

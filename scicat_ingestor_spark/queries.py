@@ -3210,6 +3210,43 @@ def q_multimodal_pixels_bmp_variants(spark, sf_dir):
     return multimodal.decode_pixels(media)
 
 
+def q_multimodal_pixels_bmp_rle(spark, sf_dir):
+    """Compressed + sub-byte BMP coverage (r8 eighth pass — the BMP
+    gate shrinks to nothing common): doc_id % 3 cycles RLE8 (literal
+    runs + absolute-mode chunks + end-of-line/bitmap escapes) /
+    4-bit bit-packed / 1-bit bit-packed palette images. The RLE8 and
+    4-bit variants decode to IDENTICAL content as the uncompressed
+    8-bit layout (16-color index rule) through entirely different
+    byte paths; 1-bit uses the 2-color rule. An RLE opcode, bit-order,
+    or word-alignment bug breaks its branch of the CASE."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_bmp(
+                            (int(i) % 16) + 1,
+                            ((int(i) // 16) % 16) + 1,
+                            bpp=(8, 4, 1)[int(i) % 3],
+                            rle=int(i) % 3 == 0,
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pixels(media)
+
+
 def q_multimodal_pcm_depths(spark, sf_dir):
     """Integer-PCM depth coverage (r8 sixth pass — the WAV gate
     narrows to non-PCM formats): doc_id % 3 cycles 8-bit (unsigned,
@@ -4929,6 +4966,7 @@ QUERIES = {
     "multimodal_jpeg_progressive_real": q_multimodal_jpeg_progressive_real,
     "multimodal_jpeg_progressive_420": q_multimodal_jpeg_progressive_420,
     "multimodal_pixels_mixed_real": q_multimodal_pixels_mixed_real,
+    "multimodal_pixels_bmp_rle": q_multimodal_pixels_bmp_rle,
     "multimodal_gif_pixels_real": q_multimodal_gif_pixels_real,
     "multimodal_gif_pixels_interlaced": q_multimodal_gif_pixels_interlaced,
     "multimodal_pcm_real": q_multimodal_pcm_real,

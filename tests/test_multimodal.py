@@ -376,9 +376,11 @@ def test_bmp_pixel_stats_gates_and_errors():
     buf = multimodal.make_bmp(4, 4)
     with _pytest.raises(ValueError):
         multimodal.bmp_pixel_stats(buf[:-8])  # truncated pixel array
-    one_bit = buf[:28] + struct.pack("<H", 1) + buf[30:]
+    two_bit = buf[:28] + struct.pack("<H", 2) + buf[30:]
     with _pytest.raises(NotImplementedError):
-        multimodal.bmp_pixel_stats(one_bit)  # sub-byte depths gated
+        # 2 bpp is not a BMP depth this decoder (or the format
+        # commonly) supports — 1/4/8/24/32 all decode for real now
+        multimodal.bmp_pixel_stats(two_bit)
     rle = buf[:30] + struct.pack("<I", 1) + buf[34:]
     with _pytest.raises(NotImplementedError):
         multimodal.bmp_pixel_stats(rle)  # compressed decode is gated
@@ -966,3 +968,63 @@ def test_png_gray_and_rgba_decode_closed_form():
     )
     with _pytest.raises(ValueError, match="missing PLTE"):
         multimodal.png_pixel_stats(pal)
+
+
+def test_bmp_rle8_and_subbyte_decode():
+    """r8 eighth pass: RLE8 (runs + absolute mode + escapes) and
+    1/4-bit bit-packed palette BMPs decode for real. RLE8 and 4-bit
+    must equal the uncompressed 8-bit content exactly; structural
+    damage to the RLE stream is a ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    for w, h in ((1, 1), (7, 5), (16, 9), (13, 2)):
+        base8 = multimodal.bmp_pixel_stats(multimodal.make_bmp(w, h, bpp=8))
+        assert multimodal.bmp_pixel_stats(
+            multimodal.make_bmp(w, h, bpp=8, rle=True)
+        ) == base8
+        assert multimodal.bmp_pixel_stats(
+            multimodal.make_bmp(w, h, bpp=4)
+        ) == base8  # same 16-color index rule, different byte path
+        b1 = multimodal.bmp_pixel_stats(multimodal.make_bmp(w, h, bpp=1))
+        assert b1["sum_b"] == sum(
+            (7 * ((x * 11 + y * 17) % 2) + 3) % 256
+            for x in range(w)
+            for y in range(h)
+        )
+    # fixture streams really exercise absolute mode (not just runs)
+    buf = multimodal.make_bmp(16, 9, bpp=8, rle=True)
+    data_off = struct.unpack("<I", buf[10:14])[0]
+    s, i, has_abs = buf[data_off:], 0, False
+    while i + 2 <= len(s):
+        b0, b1 = s[i], s[i + 1]
+        i += 2
+        if b0 == 0:
+            if b1 >= 3:
+                has_abs = True
+                i += b1 + (b1 & 1)
+            elif b1 == 2:
+                i += 2
+            elif b1 == 1:
+                break
+    assert has_abs
+    # truncated RLE stream
+    with _pytest.raises(ValueError, match="truncated RLE|RLE run"):
+        multimodal.bmp_pixel_stats(buf[:-6])
+    # a run overrunning the row width
+    bad = bytearray(buf)
+    bad[data_off] = 255  # first run count -> past the 16-px row
+    with _pytest.raises(ValueError, match="overruns row"):
+        multimodal.bmp_pixel_stats(bytes(bad))
+    # delta escape: decoder fills skipped pixels with index 0
+    head = buf[:data_off]
+    stream = bytes((2, 5)) + b"\x00\x02" + bytes((3, 1)) + b"\x00\x01"
+    st = multimodal.bmp_pixel_stats(head + stream)
+    # stored row 0 (image bottom): 5,5 then 3 skipped (0), then 1,1,1
+    assert st["width"] == 16 and st["height"] == 9
+    # RLE under a top-down header is structurally invalid
+    td = bytearray(buf)
+    struct.pack_into("<i", td, 22, -9)
+    with _pytest.raises(ValueError, match="top-down"):
+        multimodal.bmp_pixel_stats(bytes(td))
