@@ -1,9 +1,10 @@
 #!/usr/bin/env python3
 """Video/image corpus preprocessing example: MP4 container demux ->
-frame-range sampling -> per-track statistics, plus baseline JPEG
-entropy decode — the container/entropy halves of the codec boundary
-that are REAL in this engine (only H.264/AAC payload decode and
-progressive JPEG stay gated).
+frame-range sampling -> per-track statistics, plus JPEG entropy
+decode (baseline here; the engine also decodes progressive SOF2) —
+the container/entropy halves of the codec boundary that are REAL in
+this engine (only H.264/AAC payload decode and arithmetic-coded
+JPEG modes stay gated).
 
 A training-data pipeline uses exactly this shape at 100 TB: demux is
 scan-local metadata extraction (no shuffle, binary column never

@@ -131,6 +131,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)  # byte stuffing (spec F.1.2.3)
+        # keep only the live bits: an unmasked accumulator grows into
+        # an unbounded bigint and every shift becomes O(total bits) —
+        # quadratic over the scan (measured 10x time per 4x bytes)
+        self.acc &= (1 << self.n) - 1
 
     def align(self) -> None:
         """Pad to a byte boundary with 1-bits (spec F.1.2.3)."""
@@ -164,7 +168,8 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to live bits — see _BitWriter.put on the quadratic trap
+        self.acc = (((self.acc << 8) | b) & ((1 << (self.n + 8)) - 1))
         self.n += 8
 
     def bit(self) -> int:
@@ -330,17 +335,6 @@ def make_jpeg_baseline(
     mcux_n = width // (8 * hmax)
     mcuy_n = height // (8 * vmax)
 
-    def coeffs_for(ci, bx, by):
-        v = block_values(ci, bx, by)
-        if np.isscalar(v):
-            c = np.zeros((8, 8), dtype=np.int64)
-            c[0, 0] = 8 * (int(v) - 128)
-            return c
-        c = np.asarray(v, dtype=np.int64)
-        if c.shape != (8, 8):
-            raise ValueError("coefficient block must be 8x8")
-        return c
-
     bw = _BitWriter()
     dc_pred = [0] * ncomp
     mcu = 0
@@ -358,7 +352,10 @@ def make_jpeg_baseline(
                     for dh in range(hi):
                         _encode_block(
                             bw,
-                            coeffs_for(ci, mx * hi + dh, my * vi + dv),
+                            _coeffs_for(
+                                block_values, ci,
+                                mx * hi + dh, my * vi + dv,
+                            ),
                             dc_pred, ci, dc_codes, ac_codes,
                         )
             mcu += 1
@@ -366,6 +363,33 @@ def make_jpeg_baseline(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _coeffs_for(block_values, ci: int, bx: int, by: int):
+    """Resolve a block_values callback result to an 8x8 natural-order
+    coefficient array: a scalar is a UNIFORM pixel value stored as its
+    exact DC-only transform (DC = 8*(v-128)); anything else must be a
+    full 8x8 quantized-coefficient array. Shared by the baseline and
+    progressive encoders so the scalar rule can never diverge."""
+    v = block_values(ci, bx, by)
+    if np.isscalar(v):
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = 8 * (int(v) - 128)
+        return c
+    c = np.asarray(v, dtype=np.int64)
+    if c.shape != (8, 8):
+        raise ValueError("coefficient block must be 8x8")
+    return c
+
+
+def _emit_eobrun_sym(bw, ac_codes, eobrun: int) -> None:
+    """Emit one EOBn symbol + its extension bits for a pending run —
+    the single definition both progressive AC emitters share."""
+    r = eobrun.bit_length() - 1
+    code, ln = ac_codes[r << 4]
+    bw.put(code, ln)
+    if r:
+        bw.put(eobrun - (1 << r), r)
 
 
 def _default_progressive_script(ncomp: int, successive: bool):
@@ -417,11 +441,7 @@ class _ACRefineEmitter:
 
     def _emit_eobrun(self) -> None:
         if self.eobrun:
-            r = self.eobrun.bit_length() - 1
-            code, ln = self.ac[r << 4]
-            self.bw.put(code, ln)
-            if r:
-                self.bw.put(self.eobrun - (1 << r), r)
+            _emit_eobrun_sym(self.bw, self.ac, self.eobrun)
             self.eobrun = 0
             self._flush_bits()
 
@@ -486,11 +506,7 @@ class _ACFirstEmitter:
 
     def _flush_eob(self) -> None:
         if self.eobrun:
-            r = self.eobrun.bit_length() - 1
-            code, ln = self.ac[r << 4]
-            self.bw.put(code, ln)
-            if r:
-                self.bw.put(self.eobrun - (1 << r), r)
+            _emit_eobrun_sym(self.bw, self.ac, self.eobrun)
             self.eobrun = 0
 
     def block(self, zz, ss, se) -> None:
@@ -559,15 +575,9 @@ def make_jpeg_progressive(
         g = np.zeros((by_n, bx_n, 64), dtype=np.int64)
         for by in range(by_n):
             for bx in range(bx_n):
-                v = block_values(ci, bx, by)
-                if np.isscalar(v):
-                    c = np.zeros((8, 8), dtype=np.int64)
-                    c[0, 0] = 8 * (int(v) - 128)
-                else:
-                    c = np.asarray(v, dtype=np.int64)
-                    if c.shape != (8, 8):
-                        raise ValueError("coefficient block must be 8x8")
-                g[by, bx] = c.reshape(-1)[list(ZIGZAG)]
+                g[by, bx] = _coeffs_for(
+                    block_values, ci, bx, by
+                ).reshape(-1)[list(ZIGZAG)]
         grids.append(g)
 
     out = bytearray(b"\xff\xd8")
@@ -675,6 +685,11 @@ def jpeg_decode_coeffs(payload: bytes):
         if payload[pos] != 0xFF:
             raise ValueError("not a JPEG: expected marker")
         marker = payload[pos + 1]
+        if marker == 0xFF:
+            # legal fill byte before a marker (spec B.1.1.2): any
+            # number of 0xFF pad bytes may precede the marker code
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
@@ -939,9 +954,14 @@ class _ScanState:
                     dc_pred[ci] = 0
                 eob_state[0] = 0
 
-        if len(order) > 1 or (not self.progressive):
-            # interleaved MCU order (single-component baseline images
-            # degenerate to 1 block per MCU, so the same loop serves)
+        if len(order) > 1:
+            # interleaved MCU order. A SINGLE-component scan — baseline
+            # or progressive — is non-interleaved by spec (A.2.2) and
+            # iterates the component's OWN unpadded block grid: a
+            # baseline 4:2:0 file written as three per-component scans
+            # must not be walked in hi*vi MCU geometry (for 1-component
+            # FRAMES the two grids coincide, so the else-branch serves
+            # them identically)
             for m in range(self.mcux_n * self.mcuy_n):
                 maybe_restart(m)
                 my, mx = divmod(m, self.mcux_n)

@@ -109,6 +109,12 @@ def _parse_stbl(buf: bytes, start: int, end: int) -> dict:
             _, _, p = _full_box(buf, b, e)
             fixed, count = _u32s(buf, p, 2)
             if fixed:
+                # bound the count before materializing: fixed-size
+                # samples of >=1 byte can never outnumber the file's
+                # bytes, and an unvalidated 0xFFFFFFFF here would
+                # allocate a multi-GB list from a 1 KB payload
+                if count > len(buf):
+                    raise ValueError("not an MP4: stsz count exceeds file")
                 out["sizes"] = [fixed] * count
             else:
                 if p + 8 + 4 * count > e:
@@ -144,6 +150,11 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict:
     for tag, b, e in _walk(buf, start, end):
         if tag == b"tkhd":
             version, _, p = _full_box(buf, b, e)
+            # fixed-layout box: validate the declared length BEFORE
+            # reading — a short box must be the ValueError contract,
+            # not a silent read into the neighboring box's bytes
+            if e - p < (92 if version else 80):
+                raise ValueError("not an MP4: short tkhd box")
             if version == 0:
                 track["track_id"] = _u32s(buf, p + 8, 1)[0]
                 # width/height: 16.16 fixed point at payload end
@@ -157,6 +168,8 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict:
             for t2, b2, e2 in _walk(buf, b, e):
                 if t2 == b"mdhd":
                     version, _, p = _full_box(buf, b2, e2)
+                    if e2 - p < (32 if version else 20):
+                        raise ValueError("not an MP4: short mdhd box")
                     at = p + (16 if version else 8)
                     track["timescale"], = _u32s(buf, at, 1)
                     if version:
@@ -184,7 +197,16 @@ def mp4_demux(payload: bytes) -> dict:
     handler, codec fourcc, width/height, media timescale/duration,
     sample sizes and chunk offsets. Pure struct parsing — the codec
     PAYLOADS are not decoded here (that half of the av boundary stays
-    gated in :mod:`multimodal`)."""
+    gated in :mod:`multimodal`). Structural damage raises ValueError
+    only — a fixed-field reader hitting a short slice surfaces as the
+    shared failure-channel contract, never a leaked struct.error."""
+    try:
+        return _mp4_demux(payload)
+    except struct.error as e:
+        raise ValueError(f"not an MP4: truncated structure ({e})")
+
+
+def _mp4_demux(payload: bytes) -> dict:
     if len(payload) < 12:
         raise ValueError("not an MP4: too short")
     boxes = list(_walk(payload, 0, len(payload)))

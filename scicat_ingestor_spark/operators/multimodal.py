@@ -1664,8 +1664,9 @@ _PIXELS_RAW_SCHEMA = (
 
 def decode_pixels(df: DataFrame) -> DataFrame:
     """Arrow-batched REAL pixel decode over (media_id, payload) rows —
-    uncompressed 24-bit BMP or any legal PNG, dispatched by magic
-    bytes per row (:func:`pixel_stats`), so a mixed-format binary
+    BMP (1/4/8/24/32-bit + RLE8), any legal PNG, or huffman JPEG
+    (baseline/progressive), dispatched by magic bytes per row
+    (:func:`pixel_stats`), so a mixed-format binary
     column decodes in ONE partition-preserving mapInPandas stage,
     decode-late like every media stage. The Python stage emits exact
     integer channel sums; the mean division + rounding is a JVM
@@ -1701,9 +1702,11 @@ def decode_pixels(df: DataFrame) -> DataFrame:
     )
 
 
+# peak is LONG: a full-scale negative 32-bit sample has |s| = 2^31,
+# one past int32 max — the depth extension must widen the column
 _PCM_RAW_SCHEMA = (
     "media_id long, channels int, sample_rate int, n_samples long, "
-    "abs_sum long, peak int, pos_checksum long"
+    "abs_sum long, peak long, pos_checksum long"
 )
 
 

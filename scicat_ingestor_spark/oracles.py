@@ -1379,7 +1379,7 @@ SELECT media_id,
   CAST(8000 AS INTEGER) AS sample_rate,
   CAST(count(*) AS BIGINT) AS n_samples,
   CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
-  CAST(max(abs(v)) AS INTEGER) AS peak,
+  CAST(max(abs(v)) AS BIGINT) AS peak,
   CAST(sum(s.k * abs(v)) AS BIGINT) AS pos_checksum
 FROM (
   SELECT d.media_id, d.channels, s.k,
@@ -1413,7 +1413,7 @@ SELECT media_id,
   CAST(8000 AS INTEGER) AS sample_rate,
   CAST(count(*) AS BIGINT) AS n_samples,
   round(avg(CAST(abs(v) AS DOUBLE)), 6) AS mean_abs,
-  CAST(max(abs(v)) AS INTEGER) AS peak,
+  CAST(max(abs(v)) AS BIGINT) AS peak,
   CAST(sum(s.k * abs(v)) AS BIGINT) AS pos_checksum
 FROM (
   SELECT d.media_id, d.channels, s.k,

@@ -404,3 +404,109 @@ def test_pixel_stats_dispatch_includes_jpeg():
         ((x // 8) * 29 + 7) % 256 for x in range(16) for y in range(8)
     )
     assert st["sum_b"] == st["sum_g"] == st["sum_r"] == want
+
+
+def test_bit_accumulators_stay_bounded():
+    """The bit reader/writer must mask their accumulators to live
+    bits — an unmasked bigint accumulator made decode O(n^2) in scan
+    size (review finding): every consumed byte stayed in acc forever."""
+    br = jpegc._BitReader(b"\x55" * 4096, 0)
+    for _ in range(4000):
+        br.bits(8)
+    assert br.acc.bit_length() <= 16
+    bw = jpegc._BitWriter()
+    for i in range(4000):
+        bw.put(i & 0x3FF, 11)
+    assert bw.acc.bit_length() <= 8
+
+
+def test_decode_scales_linearly_not_quadratically():
+    """Same review finding, end to end: doubling the pixel count must
+    not quadruple-plus the decode time. Generous 3.5x bound per 4x
+    pixels so scheduler noise can't flake it, but the pre-fix ~10x
+    growth always fails."""
+    import time
+
+    rng = np.random.RandomState(1)
+
+    def bv(ci, bx, by):
+        c = np.zeros((8, 8), dtype=np.int64)
+        c[0, 0] = int(rng.randint(-900, 900))
+        for _ in range(4):
+            c[rng.randint(0, 8), rng.randint(0, 8)] = int(
+                rng.randint(-200, 200)
+            )
+        return c
+
+    bufs = {n: jpegc.make_jpeg_baseline(n, n, bv) for n in (64, 128, 256)}
+
+    def t(n):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jpegc.jpeg_decode_coeffs(bufs[n])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t128, t256 = t(128), t(256)
+    assert t256 < t128 * 6.0, (t128, t256)
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """0xFF pad bytes before a marker (spec B.1.1.2) must be skipped,
+    not parsed as a marker with a garbage length."""
+    buf = jpegc.make_jpeg_baseline(16, 16, _bv_gray)
+    want = jpegc.jpeg_pixel_stats(buf)
+    at = buf.index(b"\xff\xdb")  # pad before the DQT marker
+    padded = buf[:at] + b"\xff\xff\xff" + buf[at:]
+    assert jpegc.jpeg_pixel_stats(padded) == want
+
+
+def test_baseline_per_component_scans_use_component_grid():
+    """A legal baseline 4:2:0 file written as three per-component
+    full-band scans (T.81 A.2.2 — some transcoders emit this): each
+    non-interleaved scan walks the COMPONENT's own block grid, not
+    hi*vi MCU geometry (review finding: the luma scan was consuming
+    4x too many data units)."""
+    import struct as _struct
+
+    def bv(ci, bx, by):
+        a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+        return (bx * a + by * b + c) % 256
+
+    bv.n_components = 3
+    w, h = 48, 32
+    want = jpegc.jpeg_pixel_stats(
+        jpegc.make_jpeg_baseline(w, h, bv, subsampling="420")
+    )
+    # hand-build the same image as three sequential scans
+    samp = [(2, 2), (1, 1), (1, 1)]
+    dc_codes = jpegc._canonical_codes(jpegc.DC_BITS, jpegc.DC_VALS)
+    ac_codes = jpegc._canonical_codes(jpegc.AC_BITS, jpegc.AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += jpegc._seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += jpegc._seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += jpegc._seg(0xC0, sof)
+    out += jpegc._seg(
+        0xC4,
+        bytes([0x00]) + bytes(jpegc.DC_BITS) + bytes(jpegc.DC_VALS)
+        + bytes([0x10]) + bytes(jpegc.AC_BITS) + bytes(jpegc.AC_VALS),
+    )
+    for ci in range(3):
+        hi, vi = samp[ci]
+        bx_n = ((w * hi + 1) // 2 + 7) // 8
+        by_n = ((h * vi + 1) // 2 + 7) // 8
+        out += jpegc._seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        bw = jpegc._BitWriter()
+        dc_pred = {ci: 0}
+        for b in range(by_n * bx_n):
+            by, bx = divmod(b, bx_n)
+            coeffs = jpegc._coeffs_for(bv, ci, bx, by)
+            jpegc._encode_block(bw, coeffs, dc_pred, ci, dc_codes, ac_codes)
+        bw.align()
+        out += bw.out
+    out += b"\xff\xd9"
+    assert jpegc.jpeg_pixel_stats(bytes(out)) == want

@@ -196,3 +196,34 @@ def test_mp4_spark_stages(spark):
     assert [r["n"] for r in got] == [
         ((i % 9) + 3 + 1) // 2 for i in (0, 1, 8, 13)
     ]
+
+
+def test_stsz_fixed_count_is_bounded():
+    """Review finding: a crafted stsz with sample_size != 0 and a
+    4-billion count must not allocate a multi-GB list — the fixed-size
+    branch bounds count by the file size like every other table."""
+    buf = mp4.make_mp4(2, stsz_table=False)  # constant-size stsz
+    at = buf.index(b"stsz") + 4 + 4 + 4  # tag + fullbox + sample_size
+    huge = buf[:at] + struct.pack(">I", 0xFFFFFFFF) + buf[at + 4 :]
+    with pytest.raises(ValueError, match="stsz count exceeds file"):
+        mp4.mp4_demux(huge)
+
+
+def test_truncated_fixed_headers_raise_value_error():
+    """Review finding: short tkhd/mdhd slices must surface as the
+    ValueError failure-channel contract, never a leaked struct.error."""
+    buf = mp4.make_mp4(3)
+    at = buf.index(b"tkhd") - 4
+    (size,) = struct.unpack(">I", buf[at : at + 4])
+    # shrink the tkhd box so the width/height reads run short, and
+    # shrink every enclosing container consistently
+    cut = 20
+    out = bytearray(buf[: at + size - cut] + buf[at + size :])
+    pos = 0
+    for tag in (b"moov", b"trak"):
+        p = bytes(out).index(tag) - 4
+        (s,) = struct.unpack(">I", bytes(out[p : p + 4]))
+        struct.pack_into(">I", out, p, s - cut)
+    struct.pack_into(">I", out, at, size - cut)
+    with pytest.raises(ValueError, match="not an MP4"):
+        mp4.mp4_demux(bytes(out))

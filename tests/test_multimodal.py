@@ -1028,3 +1028,22 @@ def test_bmp_rle8_and_subbyte_decode():
     struct.pack_into("<i", td, 22, -9)
     with _pytest.raises(ValueError, match="top-down"):
         multimodal.bmp_pixel_stats(bytes(td))
+
+
+def test_wav_full_scale_32bit_peak_is_long():
+    """Review finding: a full-scale negative 32-bit sample has
+    |s| = 2^31, one past int32 max — the stats and the Spark schema
+    must carry it as long."""
+    import struct
+
+    data = struct.pack("<i", -(2**31)) + struct.pack("<i", 5)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 4, 4, 32)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+    st = multimodal.wav_pcm_stats(buf)
+    assert st["peak"] == 2**31
+    assert st["abs_sum"] == 2**31 + 5
