@@ -151,19 +151,26 @@ def main() -> None:
     for name in HEADLINE:
         run(name)
 
-    # best of three timed runs per query: this box shows 10x co-tenant
-    # noise spikes that can hit two consecutive runs; a third sample
-    # makes the recorded number the steady-state one. Best = the pass
-    # with min TOTAL; its build/exec split is recorded alongside.
+    # MEDIAN of three timed runs per query (r9 — VERDICT r8 #1: the
+    # driver's single capture on a load-13+ box false-flagged a 20%
+    # "regression" that three re-runs refuted). Median beats min for
+    # honesty (min can hide a real intermittent cost) and beats mean
+    # for noise (one co-tenant spike can't drag it); the recorded
+    # build/exec split is the median sample's own. All raw samples and
+    # the box load average land in bench_out.json so a noisy capture
+    # self-documents its noise floor.
     timings: dict[str, float] = {}
     build: dict[str, float] = {}
     execs: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
     def record(name: str, n_runs: int) -> None:
-        t, b, e = min((run(name) for _ in range(n_runs)), key=lambda r: r[0])
+        runs = sorted((run(name) for _ in range(n_runs)), key=lambda r: r[0])
+        t, b, e = runs[(n_runs - 1) // 2]  # median for 3, best for 2
         timings[name] = round(t, 4)
         build[name] = round(b, 4)
         execs[name] = round(e, 4)
+        samples[name] = [round(r[0], 4) for r in runs]
 
     for name in HEADLINE:
         record(name, 3)
@@ -190,6 +197,10 @@ def main() -> None:
     for n in diagnostics:
         build.pop(n, None), execs.pop(n, None)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # load average at capture end: >~ CPUS means co-tenant contention
+    # smeared the samples — read the spread in "samples" before
+    # calling any delta a regression
+    loadavg = [round(x, 2) for x in os.getloadavg()]
     full_line = json.dumps(
         {
             "metric": "headline_suite_total",
@@ -198,6 +209,8 @@ def main() -> None:
             "queries": timings,
             "build": build,
             "exec": execs,
+            "samples": samples,
+            "loadavg": loadavg,
             **({"diagnostics": diagnostics} if diagnostics else {}),
             "sf": sf_val,
         },
@@ -219,6 +232,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: timings[n] for n in headline_names},
             "sf": sf_val,
+            "loadavg": loadavg,
             "full": "bench_out.json",
         },
         separators=(",", ":"),

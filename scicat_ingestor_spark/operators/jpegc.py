@@ -25,10 +25,13 @@ coefficient blocks → decode → exact equality), which exercises AC
 run-lengths, ZRL, EOB, and both DC-difference sign branches — paths a
 DC-only fixture would never touch.
 
-Honesty: this decodes baseline sequential DCT (SOF0) only;
-progressive (SOF2) and arithmetic-coded variants remain gated in
-:mod:`multimodal`. At scale the decode is scan-local Arrow-batched
-``mapInPandas``, numpy-vectorized across blocks.
+Honesty: baseline sequential (SOF0/SOF1) AND progressive (SOF2)
+huffman decode are REAL here — full spectral selection + successive
+approximation, EOBn run codes, restart resync. Still gated:
+arithmetic-coded (SOF9/SOF10), lossless, and hierarchical variants,
+and sampling factors > 2 (see the SOF handler). At scale the decode
+is scan-local Arrow-batched ``mapInPandas``, numpy-vectorized across
+blocks.
 """
 from __future__ import annotations
 
@@ -39,6 +42,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Hard ceiling on w*h accepted by the decoder (16.7M px ~ 4096x4096):
+# bounds the untrusted-header coefficient-grid allocation at ~128 MB
+# per component. Shared by the BMP RLE path in multimodal.py.
+MAX_DECODE_PIXELS = 1 << 24
 
 # zigzag[k] = natural (row*8+col) position of the k-th zigzag element
 ZIGZAG = (
@@ -732,6 +740,22 @@ def jpeg_decode_coeffs(payload: bytes):
             precision, h, w, nc = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError("not a JPEG: precision must be 8")
+            if w == 0 or h == 0:
+                # match the BMP/PNG paths' failure-channel contract —
+                # a zero-pixel "success" is a silent decode hole
+                raise ValueError("not a JPEG: zero dimension")
+            if w * h > MAX_DECODE_PIXELS:
+                # untrusted SOF dims drive the _ScanState coefficient
+                # grids (w*h*8 bytes per component): a ~300-byte file
+                # declaring 65504x65504 would allocate ~34 GB before
+                # any entropy data is read. Progressive EOBn codes make
+                # a payload-proportional bound spec-unsound (one EOBn
+                # legally covers 32767 blocks), so the bound is a hard
+                # pixel cap — same class as the stsz bound in mp4.py.
+                raise ValueError(
+                    f"not a JPEG: declared {w}x{h} exceeds decode cap "
+                    f"of {MAX_DECODE_PIXELS} pixels"
+                )
             comps = []
             for ci in range(nc):
                 cid, samp_b, tq = body[6 + 3 * ci : 9 + 3 * ci]

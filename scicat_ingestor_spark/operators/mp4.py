@@ -90,13 +90,11 @@ def _parse_stbl(buf: bytes, start: int, end: int) -> dict:
             out["codec"] = buf[entry + 4 : entry + 8].decode(
                 "ascii", "replace"
             )
-            # VisualSampleEntry: 6 reserved + 2 dref idx + 16 predefined
-            # = offset 24 to width/height (16-bit each)
-            if entry + 36 <= e:
-                w, h = struct.unpack(
-                    ">HH", buf[entry + 32 : entry + 36]
-                )
-                out["entry_width"], out["entry_height"] = w, h
+            # Sample-entry width/height are NOT parsed here: the
+            # VisualSampleEntry layout (dims at offset 32) does not
+            # apply to audio entries (a 36-byte AudioSampleEntry would
+            # misread its samplerate field as dims), and track dims are
+            # taken from tkhd by mp4_track_rows anyway.
         elif tag == b"stts":
             _, _, p = _full_box(buf, b, e)
             (count,) = _u32s(buf, p, 1)

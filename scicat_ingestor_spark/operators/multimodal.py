@@ -1088,7 +1088,19 @@ def bmp_pixel_stats(payload: bytes) -> dict:
     if compression == 1:
         # BI_RLE8: literal runs, absolute-mode chunks, end-of-line /
         # end-of-bitmap / delta escapes; unset pixels default to
-        # index 0 (the spec's behavior for delta-skipped regions)
+        # index 0 (the spec's behavior for delta-skipped regions).
+        # The (height, width) grid comes from UNTRUSTED header dims and
+        # is allocated before any payload walk; delta escapes let a
+        # tiny legal stream describe a huge image, so the bound must be
+        # a hard pixel cap, not payload-proportional (same class as the
+        # JPEG SOF cap, jpegc.MAX_DECODE_PIXELS).
+        from scicat_ingestor_spark.operators.jpegc import MAX_DECODE_PIXELS
+
+        if width * height > MAX_DECODE_PIXELS:
+            raise ValueError(
+                f"not a BMP: declared {width}x{height} exceeds decode "
+                f"cap of {MAX_DECODE_PIXELS} pixels"
+            )
         idx = np.zeros((height, width), dtype=np.int64)
         pos = data_off
         x = y = 0  # y is the STORED (bottom-up) row index
@@ -1388,6 +1400,18 @@ def _png_decode_samples(payload: bytes):
             _png_unfilter(lines, rowbytes, fbpp), width, channels, depth
         )
     else:
+        # validate the WHOLE expected inflate size before allocating
+        # the (height, width, channels) grid — the non-interlaced
+        # branch checks length first, and header dims are untrusted
+        # (a short payload declaring huge dims must fail the size
+        # check, never reach the allocation)
+        expected = sum(
+            ph * (1 + _png_rowbytes(pw, channels, depth))
+            for _x0, _y0, _dx, _dy, pw, ph in _png_pass_dims(width, height)
+            if pw and ph
+        )
+        if len(raw) != expected:
+            raise ValueError("not a PNG: decompressed pixel data size mismatch")
         samples = np.zeros((height, width, channels), dtype=np.int64)
         off = 0
         for x0, y0, dx, dy, pw, ph in _png_pass_dims(width, height):

@@ -156,6 +156,28 @@ def test_unsupported_modes_stay_gated():
         jpegc.jpeg_decode_coeffs(sub)
 
 
+def test_untrusted_sof_dims_bounded_before_allocation():
+    # a ~300-byte file declaring 65504x65504 must raise ValueError in
+    # the SOF handler, never reach the ~34 GB _ScanState allocation
+    buf = jpegc.make_jpeg_baseline(16, 16, _bv_gray)
+    at = buf.index(b"\xff\xc0")
+    dims_at = at + 4 + 1  # marker(2) + len(2) + precision(1) -> h, w
+    huge = (
+        buf[:dims_at]
+        + struct.pack(">HH", 65504, 65504)
+        + buf[dims_at + 4 :]
+    )
+    with pytest.raises(ValueError, match="exceeds decode cap"):
+        jpegc.jpeg_decode_coeffs(huge)
+    # zero dimension: ValueError like the BMP/PNG paths, not a
+    # zero-pixel "success"
+    zero = (
+        buf[:dims_at] + struct.pack(">HH", 0, 16) + buf[dims_at + 4 :]
+    )
+    with pytest.raises(ValueError, match="zero dimension"):
+        jpegc.jpeg_decode_coeffs(zero)
+
+
 def test_byte_stuffing_on_the_wire():
     """A coefficient stream that emits 0xFF bytes must be stuffed with
     0x00 on the wire and unstuffed on decode — craft DCs until the

@@ -646,10 +646,12 @@ def test_png_pixel_stats_gates_and_errors():
 
     # r8 third pass: interlace/palette/16-bit are IMPLEMENTED — a
     # mismatched body is now a structural ValueError, never a gate
-    with _pytest.raises(ValueError, match="interlace pass|unknown filter"):
+    with _pytest.raises(
+        ValueError, match="interlace pass|unknown filter|size mismatch"
+    ):
         # row-major body under an interlaced header: pass sizes no
-        # longer tile the stream (or a pixel byte lands where a pass's
-        # filter byte should be)
+        # longer tile the stream — caught by the r9 whole-stream size
+        # pre-check (which runs BEFORE the output allocation)
         multimodal.png_pixel_stats(rebuild(interlace=1))
     with _pytest.raises(ValueError, match="missing PLTE"):
         multimodal.png_pixel_stats(rebuild(ctype=3))
@@ -968,6 +970,32 @@ def test_png_gray_and_rgba_decode_closed_form():
     )
     with _pytest.raises(ValueError, match="missing PLTE"):
         multimodal.png_pixel_stats(pal)
+
+
+def test_untrusted_header_dims_bounded_before_allocation():
+    """r9: a tiny payload declaring huge dims must fail the structural
+    check, never reach a multi-GB output allocation (the stsz-bound
+    class: RLE delta escapes / Adam7 headers are untrusted)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    # BMP RLE8: patch width/height to 30000x30000 (7.2 GB int64 grid
+    # if allocated) -> hard pixel-cap ValueError first
+    buf = bytearray(multimodal.make_bmp(16, 9, bpp=8, rle=True))
+    buf[18:26] = struct.pack("<ii", 30000, 30000)
+    with _pytest.raises(ValueError, match="exceeds decode cap"):
+        multimodal.bmp_pixel_stats(bytes(buf))
+    # interlaced PNG: patch IHDR dims to 20000x20000 (3.2 GB samples
+    # grid if allocated) + fix the CRC -> whole-stream size mismatch
+    # ValueError before the Adam7 allocation
+    png = bytearray(multimodal.make_png_filtered(8, 8, interlace=1))
+    assert png[12:16] == b"IHDR"
+    png[16:24] = struct.pack(">II", 20000, 20000)
+    png[29:33] = struct.pack(">I", zlib.crc32(bytes(png[12:29])))
+    with _pytest.raises(ValueError, match="size mismatch"):
+        multimodal.png_pixel_stats(bytes(png))
 
 
 def test_bmp_rle8_and_subbyte_decode():
