@@ -1529,9 +1529,13 @@ def wav_pcm_stats(payload: bytes) -> dict:
     a -128 offset, per the RIFF convention) and reduce to content
     statistics — exact mean |sample|, peak |sample|, and the
     position-weighted checksum ``sum(k * |s_k|)`` that breaks on any
-    byte-offset, sign-extension, or interleave bug. Integer PCM needs
-    no codec, so the sample path is real; FLOAT and compressed WAV
-    formats (fmt codes != 1) stay gated."""
+    byte-offset, sign-extension, or interleave bug. Integer PCM (fmt
+    code 1) AND IEEE-float PCM (fmt code 3, 32/64-bit — r9, one
+    ``np.frombuffer`` away and heavily used by audio ML corpora) need
+    no codec, so both sample paths are real; only genuinely-compressed
+    WAV formats (ADPCM, MP3-in-WAV, ...) stay gated. Float reductions
+    come back as float64 under the same keys — :func:`decode_pcm_float`
+    is the Spark wrapper with the double-typed schema."""
     import struct
 
     meta = _wav_decode(payload)  # validates the container, finds chunks
@@ -1557,18 +1561,45 @@ def wav_pcm_stats(payload: bytes) -> dict:
         elif tag == b"data":
             data = body
         pos += 8 + size + (size & 1)
-    if fmt_code != 1:
+    if fmt_code not in (1, 3):
         raise NotImplementedError(
-            f"PCM decode implemented for integer PCM only "
-            f"(fmt code={fmt_code})"
+            f"PCM decode implemented for integer and IEEE-float PCM "
+            f"only (fmt code={fmt_code})"
         )
+    import numpy as np
+
+    if fmt_code == 3:
+        # IEEE float PCM: straight frombuffer, float64 reductions. No
+        # rounding here — exactness policy is the Spark wrapper's
+        # (decode_pcm_float rounds to 9 decimals JVM-side so the
+        # DuckDB oracle's double arithmetic agrees bit-for-bit).
+        if bits not in (32, 64):
+            raise ValueError(f"not a WAV: invalid float PCM depth {bits}")
+        step = bits // 8
+        n_samples = len(data) // step
+        if n_samples:
+            fsamples = np.frombuffer(
+                data, dtype="<f4" if bits == 32 else "<f8", count=n_samples
+            ).astype(np.float64)
+            fa = np.abs(fsamples)
+            f_abs_sum = float(fa.sum())
+            f_peak = float(fa.max())
+            f_pos = float(np.arange(n_samples, dtype=np.float64) @ fa)
+        else:
+            f_abs_sum = f_peak = f_pos = 0.0
+        return {
+            "channels": meta["width"],
+            "sample_rate": meta["sample_rate"],
+            "n_samples": n_samples,
+            "abs_sum": f_abs_sum,
+            "peak": f_peak,
+            "pos_checksum": f_pos,
+        }
     if bits not in (8, 16, 24, 32):
         raise ValueError(f"not a WAV: invalid integer PCM depth {bits}")
     # vectorized sample decode (r8): byte views + int64 reductions —
     # exact integers (pos_checksum headroom: peak * n^2 / 2 stays
     # inside int64 to n ~ 1e6 samples at 32-bit depth; far more at 16)
-    import numpy as np
-
     step = bits // 8
     n_samples = len(data) // step
     if n_samples:
@@ -1776,6 +1807,80 @@ def decode_pcm(df: DataFrame, exact_sums: bool = False) -> DataFrame:
         "peak",
         "pos_checksum",
     )
+
+
+_PCM_FLOAT_RAW_SCHEMA = (
+    "media_id long, channels int, sample_rate int, n_samples long, "
+    "abs_sum double, peak double, pos_checksum double"
+)
+
+
+def decode_pcm_float(df: DataFrame) -> DataFrame:
+    """Arrow-batched REAL IEEE-float PCM decode over (media_id,
+    payload) rows of fmt-code-3 WAVs (float32/float64) — the r9
+    closure of the float gate. Same partition-preserving mapInPandas
+    shape as :func:`decode_pcm`; the double reductions are rounded to
+    9 decimals JVM-side so exact-dyadic fixtures hash identically in
+    DuckDB (tools/check_oracle.py's norm() rounds floats the same
+    way)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [wav_pcm_stats(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    **{
+                        k: [s[k] for s in stats]
+                        for k in (
+                            "channels", "sample_rate", "n_samples",
+                            "abs_sum", "peak", "pos_checksum",
+                        )
+                    },
+                }
+            )
+
+    raw = df.mapInPandas(run, schema=_PCM_FLOAT_RAW_SCHEMA)
+    return raw.select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        F.round("abs_sum", 9).alias("abs_sum"),
+        F.round("peak", 9).alias("peak"),
+        F.round("pos_checksum", 9).alias("pos_checksum"),
+    )
+
+
+def make_wav_float(
+    channels: int, n_frames: int, sample_rate: int = 8000, bits: int = 32
+) -> bytes:
+    """Fully-formed IEEE-float PCM WAV (fmt code 3, 32/64-bit): sample
+    ``k`` is ``(((k*31) % 256) - 128) / 128.0`` — a dyadic rational
+    exactly representable in float32 AND float64, so the SQL oracle
+    reconstructs every sample from the index rule with exact double
+    arithmetic (sums of multiples of 2^-7 at fixture sizes stay well
+    inside the 53-bit mantissa)."""
+    import struct
+
+    import numpy as np
+
+    if bits not in (32, 64):
+        raise ValueError("float PCM depths are 32/64")
+    block_align = channels * (bits // 8)
+    n = n_frames * channels
+    vals = ((np.arange(n, dtype=np.int64) * 31) % 256 - 128) / 128.0
+    data = vals.astype("<f4" if bits == 32 else "<f8").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 3, channels, sample_rate, sample_rate * block_align,
+        block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def make_wav(

@@ -6,18 +6,49 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
+# (session id, analyzed-plan semantic hash) -> probed scan split count.
+# The probe itself (df.rdd.getNumPartitions()) forces an ANALYSIS +
+# PHYSICAL-PLANNING pass of the upstream plan — pure driver latency,
+# invisible per call but paid once per compute-heavy operator
+# invocation and growing with plan size (VERDICT r8 #3). The same
+# logical plan yields the same split count within a session, so the
+# count is memoized on semanticHash (analysis-only, no physical plan).
+# Staleness (same plan, path rewritten with a different file count
+# mid-session) can only mis-skip an optional repartition — a perf
+# no-op, never a correctness issue.
+_SPLITS_CACHE: dict[tuple[int, int], int] = {}
+_PROBE_COUNT = 0  # physical-plan probes actually executed (for tests)
+
+
+def ensure_parallelism(
+    df: DataFrame, factor: int = 1, expected_splits: int | None = None
+) -> DataFrame:
     """Round-robin repartition ONLY when the upstream scan produced fewer
     partitions than the cluster can use (e.g. a single small parquet
     row-group read as one split). Compute-heavy per-row operators (minhash,
     simhash, text featurization) call this so a small file doesn't serialize
     onto one core.
 
+    ``expected_splits`` is a caller-known split count (e.g. a scan whose
+    file layout the caller controls) — it skips the plan probe entirely.
+    Otherwise the probed count is memoized per (session, semantic plan),
+    so repeated invocations of the same query shape plan the physical
+    probe once.
+
     At scale this is a no-op: a 100 TB table scans into thousands of
     splits, so the gate fails and no shuffle is added.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() < target:
+    n = expected_splits
+    if n is None:
+        key = (id(df.sparkSession), df.semanticHash())
+        n = _SPLITS_CACHE.get(key)
+        if n is None:
+            global _PROBE_COUNT
+            _PROBE_COUNT += 1
+            n = df.rdd.getNumPartitions()
+            _SPLITS_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
 

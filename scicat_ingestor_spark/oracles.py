@@ -1404,6 +1404,28 @@ FROM (
 ) s
 GROUP BY media_id, channels
 """,
+    # IEEE-float PCM (r9): sample k is the dyadic rule
+    # (((k*31) % 256) - 128) / 128.0, exact in float32/float64 and in
+    # DuckDB's double arithmetic; multiples of 2^-7 have <= 7 decimal
+    # digits so the 9-decimal rounding on both sides is the identity
+    "multimodal_pcm_float": """
+SELECT media_id,
+  CAST(channels AS INTEGER) AS channels,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  round(sum(abs(v)), 9) AS abs_sum,
+  round(max(abs(v)), 9) AS peak,
+  round(sum(s.k * abs(v)), 9) AS pos_checksum
+FROM (
+  SELECT d.media_id, d.channels, s.k,
+    CAST(((s.k*31) % 256) - 128 AS DOUBLE) / 128.0 AS v
+  FROM (SELECT doc_id AS media_id, (doc_id % 3) + 1 AS channels,
+               ((doc_id % 11) + 2) * 8 AS frames FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.channels*d.frames - 1))
+             AS k) s
+) s
+GROUP BY media_id, channels
+""",
     # REAL PCM decode (r7): data byte j is (j*31) % 256, sample k is
     # int16(lo=b[2k], hi=b[2k+1]) — the oracle reconstructs every
     # sample from the byte rule and reduces the same statistics

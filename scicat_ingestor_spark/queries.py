@@ -3282,6 +3282,40 @@ def q_multimodal_pcm_depths(spark, sf_dir):
     return multimodal.decode_pcm(media, exact_sums=True)
 
 
+def q_multimodal_pcm_float(spark, sf_dir):
+    """IEEE-float PCM coverage (r9 — closes the float WAV gate, VERDICT
+    r8 task 2): doc_id % 2 cycles float32/float64 payloads; every
+    sample is the dyadic rule (((k*31) % 256) - 128) / 128.0, exactly
+    representable at both widths, so the oracle reconstructs each
+    sample with exact double arithmetic. A frombuffer-dtype, stride,
+    or rounding-policy bug breaks its branch."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_wav_float(
+                            (int(i) % 3) + 1,
+                            ((int(i) % 11) + 2) * 8,
+                            bits=(32, 64)[int(i) % 2],
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.decode_pcm_float(media)
+
+
 def q_multimodal_jpeg_420_real(spark, sf_dir):
     """REAL baseline JPEG with 4:2:0 chroma subsampling (r8 sixth pass
     — the layout virtually every camera/web JPEG uses): luma carries
@@ -4962,6 +4996,7 @@ QUERIES = {
     "multimodal_jpeg_color_real": q_multimodal_jpeg_color_real,
     "multimodal_jpeg_420_real": q_multimodal_jpeg_420_real,
     "multimodal_pcm_depths": q_multimodal_pcm_depths,
+    "multimodal_pcm_float": q_multimodal_pcm_float,
     "multimodal_pixels_bmp_variants": q_multimodal_pixels_bmp_variants,
     "multimodal_jpeg_progressive_real": q_multimodal_jpeg_progressive_real,
     "multimodal_jpeg_progressive_420": q_multimodal_jpeg_progressive_420,

@@ -972,6 +972,37 @@ def test_png_gray_and_rgba_decode_closed_form():
         multimodal.png_pixel_stats(pal)
 
 
+def test_float_pcm_decode_real():
+    """r9: fmt-code-3 WAV decodes for real at float32/float64; the
+    dyadic sample rule makes reductions exact; compressed formats stay
+    gated, bad float depths are structural errors."""
+    import struct
+
+    import pytest as _pytest
+
+    for bits in (32, 64):
+        buf = multimodal.make_wav_float(2, 7, bits=bits)
+        s = multimodal.wav_pcm_stats(buf)
+        vals = [(((k * 31) % 256) - 128) / 128.0 for k in range(14)]
+        assert s["n_samples"] == 14 and s["channels"] == 2
+        assert s["abs_sum"] == sum(abs(v) for v in vals)
+        assert s["peak"] == max(abs(v) for v in vals)
+        assert s["pos_checksum"] == sum(
+            k * abs(v) for k, v in enumerate(vals)
+        )
+    # ADPCM (fmt 2) still gated; float with a non-32/64 depth is a
+    # ValueError, not a gate
+    buf = bytearray(multimodal.make_wav_float(1, 4))
+    at = buf.index(b"fmt ") + 8
+    buf[at : at + 2] = struct.pack("<H", 2)
+    with _pytest.raises(NotImplementedError, match="fmt code=2"):
+        multimodal.wav_pcm_stats(bytes(buf))
+    buf[at : at + 2] = struct.pack("<H", 3)
+    buf[at + 14 : at + 16] = struct.pack("<H", 16)
+    with _pytest.raises(ValueError, match="invalid float PCM depth"):
+        multimodal.wav_pcm_stats(bytes(buf))
+
+
 def test_untrusted_header_dims_bounded_before_allocation():
     """r9: a tiny payload declaring huge dims must fail the structural
     check, never reach a multi-GB output allocation (the stsz-bound

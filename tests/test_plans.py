@@ -293,6 +293,31 @@ def test_gate_filter_stays_above_repartition(spark, sf_dir):
     )
 
 
+def test_ensure_parallelism_probes_once_per_plan(spark, sf_dir):
+    """r9 (VERDICT r8 #3): the split-count probe (df.rdd) forces a
+    physical-planning pass; repeated invocations of the same query
+    shape must hit the (session, semanticHash) memo, and an
+    expected_splits hint must skip the probe entirely."""
+    from scicat_ingestor_spark.operators import util
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    util._SPLITS_CACHE.clear()
+    before = util._PROBE_COUNT
+    a = util.ensure_parallelism(docs)
+    assert util._PROBE_COUNT == before + 1
+    # same logical plan (fresh object) -> memo hit, no second probe
+    docs2 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = util.ensure_parallelism(docs2)
+    assert util._PROBE_COUNT == before + 1
+    # behavior unchanged: both calls produced the same decision
+    assert a.rdd.getNumPartitions() == b.rdd.getNumPartitions()
+    # caller-known split count: no probe, no memo lookup
+    util.ensure_parallelism(docs, expected_splits=1)
+    c = util.ensure_parallelism(docs, expected_splits=10**6)
+    assert util._PROBE_COUNT == before + 1
+    assert c is docs  # plenty of splits declared -> no repartition
+
+
 def test_simhash_fold_single_eval_and_shuffle_reuse(spark, sf_dir):
     """Catalyst pins (VERDICT r6 #3b/#3c) for the banded-SimHash
     self-join: (b) the signature fold is evaluated once per join SIDE
