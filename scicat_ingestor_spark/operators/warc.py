@@ -1,0 +1,357 @@
+"""WARC web-capture framing + HTML -> text extraction (r9).
+
+Where real training data starts: every pretraining pipeline begins at
+WARC records (ISO 28500 — the Common Crawl container) holding HTTP
+responses whose bodies are HTML. This module is the capture-side front
+end of the corpus-prep family (the driver's training-data north star;
+the reference ingestor itself is HDF5-only, so there is no reference
+twin to cite — the byte-walk style follows operators/mp4.py).
+
+Division of labor, Spark-first:
+
+- **Record framing, gzip members, HTTP parsing are bytes work** —
+  Arrow-batched ``mapInPandas`` (:func:`warc_response_rows`), exactly
+  like the media decoders. Never row-at-a-time Python UDFs.
+- **Everything after the bytes is JVM Column expressions** —
+  :func:`html_text` is a ``regexp_replace``/``replace``/higher-order
+  chain that runs inside whole-stage codegen; URL parsing and
+  content-type filtering are plain Column ops. No Python in the
+  string plane.
+
+Scale: ``.warc.gz`` is a concatenation of PER-RECORD gzip members and
+is not splittable mid-file, so parallelism is per FILE — which is the
+real layout anyway (Common-Crawl ships ~1 GB files, tens of thousands
+per snapshot; file-level parallelism with ``binaryFile`` IS the scale
+path, :func:`warc_scan`). A 100 TB crawl is ~100k files >> cluster
+cores; no repartition needed, decode stays scan-local.
+
+Failure channel: malformed framing raises ``ValueError("not a WARC:
+...")`` — the shared ingest contract (never a leaked struct/zlib
+error, never a silently short parse).
+
+HTML -> text convention (documented, deterministic — both the Column
+chain and the Python twin :func:`html_to_text` implement exactly
+this):
+
+1. strip comments ``<!-- ... -->`` and the full content of
+   ``script``/``style``/``noscript``/``template`` elements;
+2. collapse ALL source whitespace runs to one space (so markup
+   line-wrapping inside a paragraph never splits a line);
+3. block-level tags (open or close: p, div, h1-h6, br, li, tr, td,
+   th, table, ul, ol, dl, dt, dd, blockquote, pre, hr, title,
+   section, article, aside, header, footer, nav, form) become one
+   newline;
+4. every remaining tag becomes one space;
+5. entities decode ONE pass (named subset lt/gt/quot/apos/nbsp +
+   numeric #34/#39, with ``&amp;`` LAST so ``&amp;lt;`` yields the
+   literal ``&lt;`` — html.unescape's one-pass semantics);
+6. per line: trim + collapse internal spaces; empty lines drop;
+   surviving lines join with ``\\n``.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1", b"WARC/0.18")
+
+_BLOCK_TAGS = (
+    "p|div|h[1-6]|br|li|tr|td|th|table|ul|ol|dl|dt|dd|blockquote|pre|"
+    "hr|title|section|article|aside|header|footer|nav|form"
+)
+_RE_COMMENT = r"(?s)<!--.*?-->"
+_RE_DROPPED = r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>"
+_RE_BLOCK = rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>"
+_RE_ANY_TAG = r"<[^>]*>"
+# one-pass entity subset; amp LAST is what makes it one-pass
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#34;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+# ---------------------------------------------------------------------------
+# bytes plane: gzip members, record framing, HTTP messages
+# ---------------------------------------------------------------------------
+
+def gunzip_members(payload: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the .warc.gz layout:
+    one member per record) to the plain byte stream. The framing's
+    explicit Content-Lengths mean records need not align with member
+    boundaries after concatenation, so one joined stream is correct."""
+    out = []
+    data = payload
+    while data:
+        if data[:2] != b"\x1f\x8b":
+            raise ValueError("not a WARC: garbage between gzip members")
+        o = zlib.decompressobj(wbits=31)
+        try:
+            out.append(o.decompress(data))
+        except zlib.error as e:
+            raise ValueError(f"not a WARC: bad gzip member ({e})")
+        if not o.eof:
+            raise ValueError("not a WARC: truncated gzip member")
+        data = o.unused_data
+    return b"".join(out)
+
+
+def warc_records(payload: bytes) -> list[dict]:
+    """Walk WARC record framing: version line, CRLF header lines (with
+    RFC-style folded continuations), blank line, exactly Content-Length
+    block bytes, then the mandatory CRLFCRLF separator. Transparent
+    for .warc.gz input (gzip magic sniff). Returns one dict per record:
+    ``warc_type, record_id, target_uri, warc_date, content_type,
+    block`` — header names case-insensitive per spec."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = gunzip_members(payload)
+    records = []
+    pos = 0
+    while pos < len(payload):
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("not a WARC: unterminated version line")
+        version = payload[pos:eol]
+        if version not in _WARC_VERSIONS:
+            raise ValueError(f"not a WARC: bad version line {version[:24]!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        last_key = None
+        while True:
+            eol = payload.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("not a WARC: truncated header block")
+            line = payload[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if line[:1] in (b" ", b"\t"):
+                if last_key is None:
+                    raise ValueError("not a WARC: header continuation first")
+                headers[last_key] += " " + line.strip().decode(
+                    "utf-8", "replace"
+                )
+                continue
+            name, sep, value = line.partition(b":")
+            if not sep:
+                raise ValueError(
+                    f"not a WARC: malformed header line {line[:40]!r}"
+                )
+            last_key = name.strip().lower().decode("ascii", "replace")
+            headers[last_key] = value.strip().decode("utf-8", "replace")
+        cl = headers.get("content-length")
+        if cl is None or not cl.isdigit():
+            raise ValueError("not a WARC: missing/bad Content-Length")
+        n = int(cl)
+        block = payload[pos : pos + n]
+        if len(block) < n:
+            raise ValueError("not a WARC: truncated record block")
+        pos += n
+        if payload[pos : pos + 4] != b"\r\n\r\n":
+            raise ValueError("not a WARC: missing record separator")
+        pos += 4
+        records.append(
+            {
+                "warc_type": headers.get("warc-type", ""),
+                "record_id": headers.get("warc-record-id", ""),
+                "target_uri": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "content_type": headers.get("content-type", ""),
+                "block": block,
+            }
+        )
+    return records
+
+
+def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Parse the HTTP response message inside a WARC response record's
+    block: status line, case-insensitive headers, body after the first
+    CRLFCRLF. Returns (status, headers, body)."""
+    if not block.startswith(b"HTTP/"):
+        raise ValueError("not a WARC: response block is not HTTP")
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("not a WARC: HTTP head missing terminator")
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[1].isdigit():
+        raise ValueError("not a WARC: bad HTTP status line")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, s, value = line.partition(b":")
+        if not s:
+            raise ValueError("not a WARC: malformed HTTP header")
+        headers[name.strip().lower().decode("ascii", "replace")] = (
+            value.strip().decode("utf-8", "replace")
+        )
+    return status, headers, body
+
+
+# ---------------------------------------------------------------------------
+# fixture builders (deterministic, spec-determined bytes)
+# ---------------------------------------------------------------------------
+
+def make_warc_record(
+    warc_type: str,
+    block: bytes,
+    target_uri: str = "",
+    content_type: str = "",
+    record_id: str = "",
+    date: str = "2026-01-01T00:00:00Z",
+) -> bytes:
+    """One fully-formed WARC/1.0 record with the mandatory headers and
+    trailing CRLFCRLF separator."""
+    heads = [
+        ("WARC-Type", warc_type),
+        ("WARC-Date", date),
+        ("WARC-Record-ID", record_id or f"<urn:uuid:{warc_type}-0>"),
+    ]
+    if target_uri:
+        heads.append(("WARC-Target-URI", target_uri))
+    if content_type:
+        heads.append(("Content-Type", content_type))
+    heads.append(("Content-Length", str(len(block))))
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in heads
+    )
+    return head + b"\r\n" + block + b"\r\n\r\n"
+
+
+def make_http_response(
+    body: bytes, content_type: str, status: int = 200
+) -> bytes:
+    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
+        status, "X"
+    )
+    return (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def make_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
+    """Concatenate records into a .warc (plain) or .warc.gz (one gzip
+    member per record — the Common-Crawl layout) byte stream."""
+    if not gzip_members:
+        return b"".join(records)
+    out = []
+    for r in records:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        out.append(co.compress(r) + co.flush())
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Spark plane
+# ---------------------------------------------------------------------------
+
+_RESPONSE_ROWS_SCHEMA = (
+    "media_id long, seq int, warc_type string, url string, "
+    "http_status int, content_type string, text string"
+)
+
+
+def warc_response_rows(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched record explode over (media_id, payload) WARC
+    files (plain or .gz): one output row per record, in file order
+    (``seq``). Response records carry their HTTP status, the HTTP
+    Content-Type, and the utf-8-decoded body for ``text/*`` types;
+    non-response records carry the WARC-level Content-Type with null
+    status/text. Partition-preserving — the decode stays scan-local at
+    any scale; filter/extract downstream in JVM expressions."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "seq", "warc_type", "url", "http_status",
+                "content_type", "text",
+            )}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for seq, rec in enumerate(warc_records(bytes(payload))):
+                    status = body_text = None
+                    ctype = rec["content_type"]
+                    if rec["warc_type"] == "response":
+                        status, hh, body = http_response(rec["block"])
+                        ctype = hh.get("content-type", ctype)
+                        if ctype.split(";")[0].strip().startswith("text/"):
+                            body_text = body.decode("utf-8", "replace")
+                    rows["media_id"].append(int(mid))
+                    rows["seq"].append(seq)
+                    rows["warc_type"].append(rec["warc_type"])
+                    rows["url"].append(rec["target_uri"] or None)
+                    rows["http_status"].append(status)
+                    rows["content_type"].append(ctype or None)
+                    rows["text"].append(body_text)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=_RESPONSE_ROWS_SCHEMA)
+
+
+def warc_scan(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file source: binaryFile scan (one task per file — the
+    correct parallelism unit for non-splittable .warc.gz; see module
+    docstring) to (media_id, path, payload). ``media_id`` is a stable
+    hash of the file path so downstream joins/dedup have a long key."""
+    files = spark.read.format("binaryFile").load(path)
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        "path",
+        F.col("content").alias("payload"),
+    )
+
+
+def html_text(col: Column | str) -> Column:
+    """HTML -> visible text as ONE JVM Column expression (the module
+    docstring's 6-step convention) — regexp_replace / replace /
+    split / transform / filter / array_join, all inside whole-stage
+    codegen. No Python anywhere: at 100 TB this is the hot string
+    path and it never leaves Tungsten."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _RE_COMMENT, " ")
+    c = F.regexp_replace(c, _RE_DROPPED, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, _RE_BLOCK, "\n")
+    c = F.regexp_replace(c, _RE_ANY_TAG, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    lines = F.split(c, "\n")
+    norm = F.transform(
+        lines, lambda x: F.trim(F.regexp_replace(x, " +", " "))
+    )
+    return F.array_join(F.filter(norm, lambda x: F.length(x) > 0), "\n")
+
+
+def html_to_text(html: str) -> str:
+    """Python twin of :func:`html_text` — same 6 steps, used by tests
+    (parity property) and by non-Spark callers. NOT the data-plane
+    path (the Column chain is)."""
+    s = re.sub(_RE_COMMENT, " ", html)
+    # Python re has no inline-flag-mid-pattern restriction issues here;
+    # translate the (?is)/(?i) prefixes directly
+    s = re.sub(_RE_DROPPED, " ", s)
+    s = re.sub(r"\s+", " ", s)
+    s = re.sub(_RE_BLOCK, "\n", s)
+    s = re.sub(_RE_ANY_TAG, " ", s)
+    for ent, rep in _ENTITIES:
+        s = s.replace(ent, rep)
+    out = []
+    for line in s.split("\n"):
+        line = re.sub(r" +", " ", line).strip()
+        if line:
+            out.append(line)
+    return "\n".join(out)

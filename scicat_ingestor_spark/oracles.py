@@ -2968,3 +2968,48 @@ ORDER BY cntrycode
 # order on the wire.
 ORACLES["multimodal_jpeg_progressive_real"] = ORACLES["multimodal_jpeg_real"]
 ORACLES["multimodal_jpeg_progressive_420"] = ORACLES["multimodal_jpeg_420_real"]
+
+
+# WARC capture plane (r9): the fixture's HTML closed form — title line,
+# h1 with a one-pass-decoded &amp;, the document text verbatim (the
+# corpus is whitespace-normal so step 6 is the identity on it), and the
+# div line with decoded &lt;&gt; and an &nbsp;-collapsed space. The
+# warcinfo/request/plain-response siblings and both container layouts
+# (gzip members on odd ids) must leave no trace.
+ORACLES["warc_extract_text"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  CAST(200 AS INTEGER) AS http_status,
+  'doc ' || doc_id || chr(10) ||
+  'Doc ' || doc_id || ' & friends' || chr(10) ||
+  text || chr(10) ||
+  'tail <' || doc_id || '> end' AS text
+FROM documents
+"""
+
+# Record walk: the per-id record multiset is a closed form of the
+# fixture rule (warcinfo always; request on even ids; html response
+# always; plain response on ids % 5 = 0), with seq following file
+# order. Responses report the HTTP-level Content-Type, others the
+# WARC-level one.
+ORACLES["warc_records_scan"] = """
+SELECT doc_id AS media_id, CAST(seq AS INTEGER) AS seq, warc_type,
+       content_type, CAST(http_status AS INTEGER) AS http_status
+FROM (
+  SELECT doc_id, 0 AS seq, 'warcinfo' AS warc_type,
+         'application/warc-fields' AS content_type,
+         NULL AS http_status
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1, 'request', 'application/http;msgtype=request', NULL
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END, 'response',
+         'text/html; charset=utf-8', 200
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END, 'response',
+         'text/plain', 200
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""

@@ -1,0 +1,245 @@
+"""WARC capture framing + HTML extraction (r9).
+
+Covers: record framing roundtrips through both container layouts,
+folded headers, the HTTP message parse, the failure-channel contract
+under structural damage, one-pass entity semantics, Python/Column
+extraction parity, and the binaryFile source end to end over real
+files on disk."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from scicat_ingestor_spark.operators import warc
+
+
+def _capture(doc_id=42, source="src3", text="alpha beta gamma"):
+    url = f"https://{source}.example.org/{doc_id}"
+    html = (
+        f"<html><head><title>doc {doc_id}</title>"
+        f"<style>body {{ color: #333; }}</style></head>"
+        f"<body><h1>Doc {doc_id} &amp; friends</h1>"
+        f'<script>if (1 < 2) {{ var s = "<p>ignored</p>"; }}</script>'
+        f"<p>{text}</p><!-- comment <p>never</p> -->"
+        f"<div>tail &lt;{doc_id}&gt; &nbsp;end</div></body></html>"
+    )
+    recs = [
+        warc.make_warc_record(
+            "warcinfo", b"software: sis-test\r\n",
+            content_type="application/warc-fields",
+        ),
+        warc.make_warc_record(
+            "request",
+            f"GET /{doc_id} HTTP/1.1\r\nHost: {source}.example.org"
+            "\r\n\r\n".encode(),
+            target_uri=url,
+            content_type="application/http;msgtype=request",
+        ),
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                html.encode(), "text/html; charset=utf-8"
+            ),
+            target_uri=url,
+            content_type="application/http;msgtype=response",
+        ),
+    ]
+    expected = (
+        f"doc {doc_id}\nDoc {doc_id} & friends\n{text}\n"
+        f"tail <{doc_id}> end"
+    )
+    return recs, url, expected
+
+
+def test_framing_roundtrip_plain_and_gz():
+    recs, url, expected = _capture()
+    for gz in (False, True):
+        buf = warc.make_warc(recs, gzip_members=gz)
+        parsed = warc.warc_records(buf)
+        assert [r["warc_type"] for r in parsed] == [
+            "warcinfo", "request", "response",
+        ]
+        assert parsed[2]["target_uri"] == url
+        status, hh, body = warc.http_response(parsed[2]["block"])
+        assert status == 200
+        assert hh["content-type"].startswith("text/html")
+        assert warc.html_to_text(body.decode()) == expected
+
+
+def test_gzip_member_boundaries_are_per_record():
+    recs, _, _ = _capture()
+    buf = warc.make_warc(recs, gzip_members=True)
+    # three independent members: each starts with the gzip magic
+    members = 0
+    data = buf
+    while data:
+        assert data[:2] == b"\x1f\x8b"
+        o = zlib.decompressobj(wbits=31)
+        o.decompress(data)
+        members += 1
+        data = o.unused_data
+    assert members == 3
+
+
+def test_folded_header_continuation():
+    rec = warc.make_warc_record(
+        "metadata", b"x", target_uri="https://a.example/1"
+    )
+    # fold the Target-URI header across two lines
+    folded = rec.replace(
+        b"WARC-Target-URI: https://a.example/1\r\n",
+        b"WARC-Target-URI: https://a.example\r\n\t/1\r\n",
+    )
+    (r,) = warc.warc_records(folded)
+    assert r["target_uri"] == "https://a.example /1"
+
+
+def test_failure_channel_contract():
+    recs, _, _ = _capture()
+    buf = warc.make_warc(recs)
+    with pytest.raises(ValueError, match="bad version line"):
+        warc.warc_records(b"WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        # mid-file cut lands in a header block or a record block
+        # depending on layout; both are the truncation contract
+        warc.warc_records(buf[: len(buf) // 2])
+    # cut precisely inside the LAST record's Content-Length span
+    with pytest.raises(ValueError, match="truncated record block"):
+        warc.warc_records(buf[:-10])
+    with pytest.raises(ValueError, match="missing record separator"):
+        warc.warc_records(buf[:-2])
+    with pytest.raises(ValueError, match="Content-Length"):
+        warc.warc_records(
+            b"WARC/1.0\r\nWARC-Type: metadata\r\n\r\n\r\n\r\n"
+        )
+    with pytest.raises(ValueError, match="malformed header"):
+        warc.warc_records(
+            b"WARC/1.0\r\nnocolonhere\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+        )
+    # gzip damage: flipped byte inside the member
+    gz = bytearray(warc.make_warc(recs, gzip_members=True))
+    gz[20] ^= 0xFF
+    with pytest.raises(ValueError, match="not a WARC"):
+        warc.warc_records(bytes(gz))
+    # truncated member
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        warc.warc_records(warc.make_warc(recs, gzip_members=True)[:30])
+    # response block that is not HTTP
+    bad = warc.make_warc_record("response", b"NOPE", target_uri="u")
+    with pytest.raises(ValueError, match="not HTTP"):
+        warc.http_response(warc.warc_records(bad)[0]["block"])
+
+
+def test_html_to_text_convention():
+    # one-pass entities: &amp;lt; is the literal string "&lt;"
+    assert warc.html_to_text("<p>&amp;lt; x</p>") == "&lt; x"
+    # markup line-wrapping inside a paragraph does not split lines
+    assert (
+        warc.html_to_text("<p>one\n  two\n three</p>") == "one two three"
+    )
+    # block tags split lines; inline tags do not
+    assert (
+        warc.html_to_text("<p>a <b>bold</b> word</p><p>next</p>")
+        == "a bold word\nnext"
+    )
+    # script content with embedded tags vanishes entirely
+    assert (
+        warc.html_to_text('<script>var s = "<p>no</p>";</script><p>yes</p>')
+        == "yes"
+    )
+    # comments vanish, nbsp becomes a normal (collapsed) space
+    assert warc.html_to_text("a<!-- <b>x</b> -->&nbsp; b") == "a b"
+    # empty extraction is the empty string
+    assert warc.html_to_text("<html><body></body></html>") == ""
+
+
+def test_column_chain_matches_python_twin(spark):
+    """The JVM html_text chain and the Python twin must agree on every
+    convention edge (Java vs Python regex differences would silently
+    fork the oracle from the data plane)."""
+    cases = [
+        "<p>plain</p>",
+        "<P CLASS='x'>case <B>insensitive</B></P>",
+        "<p>&amp;lt; &gt; &quot;q&quot; &#39;a&#39; &nbsp;</p>",
+        "<script>a<b>c</script>kept<style>x{}</style>",
+        "<div>a</div><div></div><div>b</div>",
+        "text with no markup at all",
+        "<br/>line<br />breaks",
+        "<p>wrapped\n  source\n lines</p>",
+        "<!-- only a comment -->",
+        "<h3>Header</h3>tail",
+        "<td>cell</td><td>cell2</td>",
+        "<noscript><p>hidden</p></noscript>shown",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["html"])
+    got = [
+        r["t"]
+        for r in df.select(warc.html_text("html").alias("t"))
+        .collect()
+    ]
+    assert got == [warc.html_to_text(c) for c in cases]
+
+
+def test_warc_scan_end_to_end(spark, tmp_path):
+    """Real files on disk through the binaryFile source: three .warc.gz
+    + two plain .warc, one task per file, exact texts out."""
+    docs = [
+        (i, f"src{i % 4}", f"text number {i} body words") for i in range(5)
+    ]
+    for i, source, text in docs:
+        recs, _, _ = _capture(i, source, text)
+        buf = warc.make_warc(recs, gzip_members=i < 3)
+        ext = "warc.gz" if i < 3 else "warc"
+        (tmp_path / f"capture-{i}.{ext}").write_bytes(buf)
+    from pyspark.sql import functions as F
+
+    files = warc.warc_scan(spark, str(tmp_path))
+    assert files.count() == 5
+    rows = (
+        warc.warc_response_rows(files)
+        .filter(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        )
+        .select("url", warc.html_text("text").alias("text"))
+        .collect()
+    )
+    got = {r["url"]: r["text"] for r in rows}
+    assert len(got) == 5
+    for i, source, text in docs:
+        _, url, expected = _capture(i, source, text)
+        assert got[url] == expected
+
+
+def test_response_rows_content_type_dispatch(spark):
+    """text/plain bodies decode; non-text responses carry no text;
+    non-response records carry the WARC-level content type."""
+    recs = [
+        warc.make_warc_record(
+            "warcinfo", b"k: v\r\n", content_type="application/warc-fields"
+        ),
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(b"plain body", "text/plain"),
+            target_uri="https://x.example/p",
+        ),
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                struct.pack("<I", 7) * 3, "application/octet-stream"
+            ),
+            target_uri="https://x.example/bin",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc.make_warc(recs)))], ["media_id", "payload"]
+    )
+    rows = warc.warc_response_rows(df).orderBy("seq").collect()
+    assert rows[0]["content_type"] == "application/warc-fields"
+    assert rows[0]["text"] is None and rows[0]["http_status"] is None
+    assert rows[1]["text"] == "plain body"
+    assert rows[2]["text"] is None
+    assert rows[2]["content_type"] == "application/octet-stream"
