@@ -27,11 +27,11 @@ DC-only fixture would never touch.
 
 Honesty: baseline sequential (SOF0/SOF1) AND progressive (SOF2)
 huffman decode are REAL here — full spectral selection + successive
-approximation, EOBn run codes, restart resync. Still gated:
-arithmetic-coded (SOF9/SOF10), lossless, and hierarchical variants,
-and sampling factors > 2 (see the SOF handler). At scale the decode
-is scan-local Arrow-batched ``mapInPandas``, numpy-vectorized across
-blocks.
+approximation, EOBn run codes, restart resync. All legal
+sampling grids decode (factors 1-4 each way, spec B.2.2 — 4:1:1
+included, r9). Still gated: arithmetic-coded (SOF9/SOF10), lossless,
+and hierarchical variants. At scale the decode is scan-local
+Arrow-batched ``mapInPandas``, numpy-vectorized across blocks.
 """
 from __future__ import annotations
 
@@ -231,10 +231,26 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def _samp_for(subsampling: str, ncomp: int, width: int, height: int):
+def _samp_for(subsampling, ncomp: int, width: int, height: int):
     """Sampling-factor lists for the fixture encoders: 4:4:4 (dims
     multiples of 8), 4:2:0 (multiples of 16), 4:2:2 (width multiple
-    of 16, height of 8 — chroma halved horizontally only)."""
+    of 16, height of 8 — chroma halved horizontally only), 4:1:1
+    (width multiple of 32 — the video-derived layout, r9), or an
+    EXPLICIT list of (h, v) pairs (each 1-4, dims multiples of the
+    8*hmax x 8*vmax MCU) for arbitrary general-grid fixtures."""
+    if isinstance(subsampling, (tuple, list)):
+        samp = [tuple(map(int, s)) for s in subsampling]
+        if len(samp) != ncomp:
+            raise ValueError("explicit sampling needs one pair per component")
+        if any(not (1 <= h <= 4 and 1 <= v <= 4) for h, v in samp):
+            raise ValueError("sampling factors must be 1-4")
+        hmax = max(h for h, _ in samp)
+        vmax = max(v for _, v in samp)
+        if width % (8 * hmax) or height % (8 * vmax) or width <= 0 or height <= 0:
+            raise ValueError(
+                f"fixture dims must be multiples of {8 * hmax}x{8 * vmax}"
+            )
+        return samp
     if subsampling == "444":
         if width % 8 or height % 8 or width <= 0 or height <= 0:
             raise ValueError("fixture dims must be multiples of 8")
@@ -249,6 +265,10 @@ def _samp_for(subsampling: str, ncomp: int, width: int, height: int):
         if width % 16 or height % 8 or width <= 0 or height <= 0:
             raise ValueError("4:2:2 fixture dims must be 16x8 multiples")
         return [(2, 1), (1, 1), (1, 1)]
+    if subsampling == "411":
+        if width % 32 or height % 8 or width <= 0 or height <= 0:
+            raise ValueError("4:1:1 fixture dims must be 32x8 multiples")
+        return [(4, 1), (1, 1), (1, 1)]
     raise ValueError(f"unsupported subsampling {subsampling!r}")
 
 
@@ -674,7 +694,8 @@ def jpeg_decode_coeffs(payload: bytes):
     is the per-component (h, v) sampling list and ``comp_blocks[ci]``
     is that component's OWN block grid — an (by_n, bx_n, 8, 8) int64
     array in natural (de-zigzagged) order. Handles interleaved scans
-    with arbitrary 1–2 sampling factors (4:4:4, 4:2:0, 4:2:2, 4:4:0).
+    with the full legal 1-4 sampling range (4:4:4, 4:2:0, 4:2:2,
+    4:4:0, 4:1:1, and any general h x v grid — r9).
     Tables are read from the FILE (DQT/DHT), never assumed. Lossless —
     the exact inverse of the entropy encoder, which the roundtrip
     tests pin. Structural damage raises ValueError; progressive/
@@ -760,10 +781,13 @@ def jpeg_decode_coeffs(payload: bytes):
             for ci in range(nc):
                 cid, samp_b, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp_b >> 4, samp_b & 15
-                if hi not in (1, 2) or vi not in (1, 2):
-                    raise NotImplementedError(
-                        "JPEG decode implemented for sampling factors "
-                        f"1-2 only (sampling=0x{samp_b:02X})"
+                # r9: the full legal T.81 range (1-4 each way — 4:1:1
+                # video-derived JPEGs and every general h x v grid).
+                # 0 or >4 is out of spec (B.2.2) -> structural error.
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        "not a JPEG: sampling factors must be 1-4 "
+                        f"(sampling=0x{samp_b:02X})"
                     )
                 comps.append((cid, tq, hi, vi))
             sof = (w, h, comps, progressive)
@@ -1049,11 +1073,17 @@ def jpeg_pixel_stats(payload: bytes) -> dict:
             .reshape(by_n * 8, bx_n * 8)
         )
         hi, vi = samp[ci]
-        if hi != hmax:
-            plane = np.repeat(plane, hmax // hi, axis=1)
-        if vi != vmax:
-            plane = np.repeat(plane, vmax // vi, axis=0)
-        planes.append(plane[:h, :w])
+        if hi != hmax or vi != vmax:
+            # spec A.1.1 sample mapping: full-res (x, y) reads component
+            # sample (x*hi//hmax, y*vi//vmax). Index-map instead of
+            # np.repeat so NON-DIVISOR ratios (e.g. hi=3 under hmax=4)
+            # upsample correctly too; for the divisor cases this is
+            # bit-identical to replication.
+            xs = (np.arange(w, dtype=np.int64) * hi) // hmax
+            ys_m = (np.arange(h, dtype=np.int64) * vi) // vmax
+            planes.append(plane[ys_m][:, xs])
+        else:
+            planes.append(plane[:h, :w])
     ys = np.arange(h, dtype=np.int64)
     weights = np.arange(w, dtype=np.int64)[None, :] + ys[:, None] * w
     sums = [int(p.sum()) for p in planes]

@@ -22,11 +22,12 @@ is COMPLETE (all five color types, bit depths 1–16, Adam7 interlace)
 as of the r8 third pass; ISO-BMFF (MP4) container DEMUX — box tree,
 track metadata, sample tables, mdat byte-range slicing — is real in
 :mod:`mp4`; and JPEG ENTROPY DECODE — baseline AND progressive
-(SOF2 with full successive approximation), 4:4:4 and 4:2:0, Huffman
-+ RLE/EOBn + zigzag + dequantize + IDCT, tables read from the file —
-is real in :mod:`jpegc`. The honest codec boundary after r8 is:
-arithmetic-coded and lossless/hierarchical JPEG modes, sampling
-factors >2, and H.264/AAC codec payloads — genuinely different
+(SOF2 with full successive approximation), every legal sampling grid
+(1-4 each way: 4:4:4/4:2:0/4:2:2/4:1:1 and general h x v, r9),
+Huffman + RLE/EOBn + zigzag + dequantize + IDCT, tables read from
+the file — is real in :mod:`jpegc`. The honest codec boundary after
+r9 is: arithmetic-coded and lossless/hierarchical JPEG modes and
+H.264/AAC codec payloads — genuinely different
 coding systems; their registry entries stay as clearly-marked
 ``NotImplementedError`` gates next to a deterministic ``fake`` so
 plans and tests are exact either way.

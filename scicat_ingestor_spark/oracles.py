@@ -1338,6 +1338,41 @@ JOIN (
   GROUP BY d.doc_id, d.w
 ) c ON l.media_id = c.media_id
 """,
+    # 4:1:1 (r9): luma blocks over (w//8, h//8); chroma cells are 32x8
+    # full-res regions (w//32, h//8). Per-cell position weight:
+    # sum_{x,y in cell}(x + y*w) = 8*(1024*cx + 496)
+    # + 32*w*(64*cy + 28) = 8192*cx + 3968 + w*(2048*cy + 896).
+    "multimodal_jpeg_411_real": """
+SELECT l.media_id, l.width, l.height,
+       l.mean_c0, c.mean_c1, c.mean_c2, c.pos_checksum
+FROM (
+  SELECT d.doc_id AS media_id,
+    CAST(d.w AS INTEGER) AS width,
+    CAST(d.h AS INTEGER) AS height,
+    round(avg(CAST((bx.g*29 + yb.g*31 + d.doc_id*7) % 256 AS DOUBLE)), 6)
+      AS mean_c0
+  FROM (SELECT doc_id, 32*((doc_id % 2) + 1) AS w,
+               8*((doc_id % 3) + 1) AS h FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.w//8 - 1)) AS g) bx,
+    LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) yb
+  GROUP BY d.doc_id, d.w, d.h
+) l
+JOIN (
+  SELECT d.doc_id AS media_id,
+    round(avg(CAST((cx.g*17 + cy.g*23 + d.doc_id*5) % 256 AS DOUBLE)), 6)
+      AS mean_c1,
+    round(avg(CAST((cx.g*13 + cy.g*19 + d.doc_id*11) % 256 AS DOUBLE)), 6)
+      AS mean_c2,
+    CAST(sum(((cx.g*13 + cy.g*19 + d.doc_id*11) % 256)
+             * (8192*cx.g + 3968 + d.w*(2048*cy.g + 896))) AS BIGINT)
+      AS pos_checksum
+  FROM (SELECT doc_id, 32*((doc_id % 2) + 1) AS w,
+               8*((doc_id % 3) + 1) AS h FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0, d.w//32 - 1)) AS g) cx,
+    LATERAL (SELECT unnest(generate_series(0, d.h//8 - 1)) AS g) cy
+  GROUP BY d.doc_id, d.w
+) c ON l.media_id = c.media_id
+""",
     # BMP storage-layout coverage (r8 sixth pass): doc_id % 3 cycles
     # 24-bit / 32-bit / 8-bit palette. The first two decode to the
     # SAME channel rule (x*7 + y*13 + c*29) % 256 (alpha excluded);

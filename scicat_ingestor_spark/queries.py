@@ -3553,6 +3553,49 @@ def q_multimodal_jpeg_420_real(spark, sf_dir):
     return jpegc.decode_jpeg_pixels(media)
 
 
+def q_multimodal_jpeg_411_real(spark, sf_dir):
+    """REAL baseline JPEG with 4:1:1 chroma subsampling (r9 — the
+    video-derived layout; the sampling-factor gate is gone, factors
+    1-4 decode): luma carries four horizontal 8x8 blocks per 32x8
+    MCU, chroma one each at quarter horizontal resolution. Uniform
+    blocks keep the DCT exact; every chroma pixel equals its 32x8
+    cell's rule after the spec A.1.1 index-map upsample. An MCU
+    geometry, block-order, or upsample bug breaks the hash."""
+    from scicat_ingestor_spark.operators import jpegc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+
+                def bv(ci, bx, by, _id=i):
+                    a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+                    return (bx * a + by * b + _id * c) % 256
+
+                bv.n_components = 3
+                rows.append(
+                    jpegc.make_jpeg_baseline(
+                        32 * ((i % 2) + 1),
+                        8 * ((i % 3) + 1),
+                        bv,
+                        restart_interval=2 if i % 2 else 0,
+                        subsampling="411",
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": rows}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return jpegc.decode_jpeg_pixels(media)
+
+
 def q_multimodal_jpeg_progressive_real(spark, sf_dir):
     """REAL progressive JPEG decode (r8 seventh pass — SOF2 with FULL
     successive approximation: DC at Al=1 + refinement, AC bands at
@@ -5188,6 +5231,7 @@ QUERIES = {
     "multimodal_jpeg_real": q_multimodal_jpeg_real,
     "multimodal_jpeg_color_real": q_multimodal_jpeg_color_real,
     "multimodal_jpeg_420_real": q_multimodal_jpeg_420_real,
+    "multimodal_jpeg_411_real": q_multimodal_jpeg_411_real,
     "multimodal_pcm_depths": q_multimodal_pcm_depths,
     "multimodal_pcm_float": q_multimodal_pcm_float,
     "multimodal_pixels_bmp_variants": q_multimodal_pixels_bmp_variants,

@@ -147,13 +147,72 @@ def test_unsupported_modes_stay_gated():
     prog = buf[:at] + b"\xff\xc2" + buf[at + 2 :]
     with pytest.raises(ValueError, match="progressive DC scan"):
         jpegc.jpeg_decode_coeffs(prog)
-    # sampling factors beyond 2 (legal in the spec, rare in the wild)
-    # stay gated; 4:2:0/4:2:2 decode for real as of the r8 sixth pass
+    # r9: ALL legal sampling factors (1-4) decode — the gate is gone;
+    # OUT-OF-SPEC factors (0 or >4, B.2.2) are structural errors
     sof_body = at + 4
     samp_at = sof_body + 6 + 1  # first component: id, THEN sampling
-    sub = buf[:samp_at] + bytes([0x41]) + buf[samp_at + 1 :]
-    with pytest.raises(NotImplementedError, match="sampling factors"):
-        jpegc.jpeg_decode_coeffs(sub)
+    for bad in (0x05, 0x51, 0x01, 0x10):
+        sub = buf[:samp_at] + bytes([bad]) + buf[samp_at + 1 :]
+        with pytest.raises(ValueError, match="sampling factors must be 1-4"):
+            jpegc.jpeg_decode_coeffs(sub)
+
+
+def test_general_sampling_grids_decode_exactly():
+    """r9: every legal sampling grid (factors 1-4, spec B.2.2)
+    decodes — 4:1:1 video-derived layout, restart markers across wide
+    MCUs, and NON-DIVISOR ratios (hi=2 under hmax=3) through the
+    A.1.1 index-map upsample."""
+
+    def check(w, h, samp, restart=0):
+        def bv(ci, bx, by):
+            a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+            return (bx * a + by * b + 3 * c) % 256
+
+        bv.n_components = 3
+        buf = jpegc.make_jpeg_baseline(
+            w, h, bv, restart_interval=restart, subsampling=samp
+        )
+        s = jpegc.jpeg_pixel_stats(buf)
+        assert (s["width"], s["height"]) == (w, h)
+        sl = samp if isinstance(samp, list) else [(4, 1), (1, 1), (1, 1)]
+        hmax = max(x[0] for x in sl)
+        vmax = max(x[1] for x in sl)
+        for ci, (hi, vi) in enumerate(sl):
+            a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+            exp = sum(
+                (((x * hi) // hmax // 8) * a
+                 + ((y * vi) // vmax // 8) * b + 3 * c) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert s[f"sum_c{ci}"] == exp, (samp, ci)
+
+    check(32, 8, "411")
+    check(64, 16, "411", restart=2)
+    check(24, 16, [(3, 2), (1, 1), (1, 1)])
+    check(32, 32, [(4, 4), (2, 1), (1, 2)])
+    check(24, 24, [(3, 3), (2, 2), (1, 1)])  # non-divisor 2-under-3
+
+
+def test_progressive_general_sampling_matches_baseline():
+    """Progressive re-orders the same coefficients: a 4:1:1 SOF2 file
+    must decode to the baseline fixture's exact stats."""
+
+    def bv(ci, bx, by):
+        a, b, c = ((29, 31, 7), (17, 23, 5), (13, 19, 11))[ci]
+        return (bx * a + by * b + 5 * c) % 256
+
+    bv.n_components = 3
+    base = jpegc.jpeg_pixel_stats(
+        jpegc.make_jpeg_baseline(32, 16, bv, subsampling="411")
+    )
+    for successive in (False, True):
+        prog = jpegc.jpeg_pixel_stats(
+            jpegc.make_jpeg_progressive(
+                32, 16, bv, subsampling="411", successive=successive
+            )
+        )
+        assert prog == base
 
 
 def test_untrusted_sof_dims_bounded_before_allocation():
