@@ -174,10 +174,72 @@ def warc_records(payload: bytes) -> list[dict]:
     return records
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing: hex size line (with
+    optional ;extension), chunk bytes, CRLF, ... , 0-size terminator
+    (trailers after it are ignored). Raw captures keep the wire
+    framing, so real WARC bodies are chunked constantly."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("not a WARC: unterminated chunk size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            n = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"not a WARC: bad chunk size {size_tok[:16]!r}"
+            )
+        pos = eol + 2
+        if n == 0:
+            return b"".join(out)
+        chunk = body[pos : pos + n]
+        if len(chunk) < n:
+            raise ValueError("not a WARC: truncated chunk")
+        out.append(chunk)
+        pos += n
+        if body[pos : pos + 2] != b"\r\n":
+            raise ValueError("not a WARC: missing chunk terminator")
+        pos += 2
+
+
+def _decode_content(body: bytes, encoding: str) -> bytes:
+    """Undo HTTP Content-Encoding: gzip / x-gzip / deflate (zlib OR
+    raw-deflate — servers ship both under the same name, the classic
+    HTTP wart) / identity."""
+    enc = encoding.strip().lower()
+    if enc in ("", "identity"):
+        return body
+    if enc in ("gzip", "x-gzip"):
+        o = zlib.decompressobj(wbits=31)
+        try:
+            out = o.decompress(body)
+        except zlib.error as e:
+            raise ValueError(f"not a WARC: bad gzip body ({e})")
+        if not o.eof:
+            raise ValueError("not a WARC: truncated gzip body")
+        return out
+    if enc == "deflate":
+        for wbits in (15, -15):  # zlib-wrapped first, then raw
+            o = zlib.decompressobj(wbits=wbits)
+            try:
+                out = o.decompress(body)
+            except zlib.error:
+                continue
+            if o.eof:
+                return out
+        raise ValueError("not a WARC: bad deflate body")
+    raise ValueError(f"not a WARC: unknown Content-Encoding {enc!r}")
+
+
 def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
     """Parse the HTTP response message inside a WARC response record's
     block: status line, case-insensitive headers, body after the first
-    CRLFCRLF. Returns (status, headers, body)."""
+    CRLFCRLF — then undo the WIRE layers raw captures preserve, in
+    wire order: chunked transfer framing first, Content-Encoding
+    (gzip/deflate) second. Returns (status, headers, decoded_body)."""
     if not block.startswith(b"HTTP/"):
         raise ValueError("not a WARC: response block is not HTTP")
     head, sep, body = block.partition(b"\r\n\r\n")
@@ -196,6 +258,9 @@ def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
         headers[name.strip().lower().decode("ascii", "replace")] = (
             value.strip().decode("utf-8", "replace")
         )
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    body = _decode_content(body, headers.get("content-encoding", ""))
     return status, headers, body
 
 
@@ -230,16 +295,42 @@ def make_warc_record(
 
 
 def make_http_response(
-    body: bytes, content_type: str, status: int = 200
+    body: bytes,
+    content_type: str,
+    status: int = 200,
+    content_encoding: str = "",
+    chunked: bool = False,
+    chunk_size: int = 50,
 ) -> bytes:
+    """Fixture HTTP response; ``content_encoding`` ("gzip"/"deflate")
+    and ``chunked`` apply the real wire layers in wire order
+    (compress, then chunk) so the parser must undo both."""
     reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
         status, "X"
     )
-    return (
-        f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode() + body
+    heads = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    if content_encoding == "gzip":
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        body = co.compress(body) + co.flush()
+        heads.append("Content-Encoding: gzip")
+    elif content_encoding == "deflate":
+        body = zlib.compress(body)
+        heads.append("Content-Encoding: deflate")
+    elif content_encoding:
+        raise ValueError(f"fixture encoding {content_encoding!r}")
+    if chunked:
+        chunks = [
+            body[i : i + chunk_size]
+            for i in range(0, len(body), chunk_size)
+        ] or [b""]
+        body = b"".join(
+            f"{len(c):x}".encode() + b"\r\n" + c + b"\r\n"
+            for c in chunks if c
+        ) + b"0\r\n\r\n"
+        heads.append("Transfer-Encoding: chunked")
+    else:
+        heads.append(f"Content-Length: {len(body)}")
+    return ("\r\n".join(heads) + "\r\n\r\n").encode() + body
 
 
 def make_warc(records: list[bytes], gzip_members: bool = False) -> bytes:

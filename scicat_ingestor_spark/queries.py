@@ -2782,11 +2782,19 @@ def _warc_fixture_bytes(doc_id: int, source: str, text: str) -> bytes:
                 content_type="application/http;msgtype=request",
             )
         )
+    # wire layers cycle on id: identity / gzip / chunked /
+    # chunked-over-deflate — the decoded text is identical, so the
+    # closed-form oracle never changes while every wire path is hit
+    enc = ("", "gzip", "", "deflate")[doc_id % 4]
+    chunked = doc_id % 4 in (2, 3)
     recs.append(
         warc.make_warc_record(
             "response",
             warc.make_http_response(
-                html.encode(), "text/html; charset=utf-8"
+                html.encode(),
+                "text/html; charset=utf-8",
+                content_encoding=enc,
+                chunked=chunked,
             ),
             target_uri=url,
             content_type="application/http;msgtype=response",

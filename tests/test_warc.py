@@ -214,6 +214,48 @@ def test_warc_scan_end_to_end(spark, tmp_path):
         assert got[url] == expected
 
 
+def test_http_wire_layers_decode():
+    """Content-Encoding (gzip / zlib-deflate / raw-deflate) and chunked
+    transfer framing — alone and stacked in wire order — must undo to
+    the identical body; damage raises the shared ValueError contract."""
+    body = ("word " * 40).strip().encode()
+    for enc in ("", "gzip", "deflate"):
+        for chunked in (False, True):
+            blk = warc.make_http_response(
+                body, "text/plain", content_encoding=enc, chunked=chunked
+            )
+            status, hh, got = warc.http_response(blk)
+            assert (status, got) == (200, body), (enc, chunked)
+    # raw-deflate under the "deflate" label (the HTTP wart)
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw_body = raw.compress(body) + raw.flush()
+    blk = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: deflate\r\n"
+        + f"Content-Length: {len(raw_body)}\r\n\r\n".encode()
+        + raw_body
+    )
+    assert warc.http_response(blk)[2] == body
+    # truncated gzip body
+    blk = warc.make_http_response(body, "text/plain", content_encoding="gzip")
+    with pytest.raises(ValueError, match="gzip body"):
+        warc.http_response(blk[:-4])
+    # bad chunk framing
+    blk = warc.make_http_response(body, "text/plain", chunked=True)
+    with pytest.raises(ValueError, match="chunk"):
+        warc.http_response(blk[:-7])  # rips the 0\r\n\r\n terminator
+    with pytest.raises(ValueError, match="bad chunk size"):
+        warc.http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"zz\r\nabc\r\n0\r\n\r\n"
+        )
+    # unknown encoding is an explicit error, not a silent passthrough
+    with pytest.raises(ValueError, match="unknown Content-Encoding"):
+        warc.http_response(
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nx"
+        )
+
+
 def test_response_rows_content_type_dispatch(spark):
     """text/plain bodies decode; non-text responses carry no text;
     non-response records carry the WARC-level content type."""
