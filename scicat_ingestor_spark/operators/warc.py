@@ -56,7 +56,7 @@ import zlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1", b"WARC/0.18")
@@ -351,7 +351,7 @@ def make_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
 
 _RESPONSE_ROWS_SCHEMA = (
     "media_id long, seq int, warc_type string, url string, "
-    "http_status int, content_type string, text string"
+    "warc_date string, http_status int, content_type string, text string"
 )
 
 
@@ -369,8 +369,8 @@ def warc_response_rows(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
-                "media_id", "seq", "warc_type", "url", "http_status",
-                "content_type", "text",
+                "media_id", "seq", "warc_type", "url", "warc_date",
+                "http_status", "content_type", "text",
             )}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 for seq, rec in enumerate(warc_records(bytes(payload))):
@@ -385,6 +385,7 @@ def warc_response_rows(
                     rows["seq"].append(seq)
                     rows["warc_type"].append(rec["warc_type"])
                     rows["url"].append(rec["target_uri"] or None)
+                    rows["warc_date"].append(rec["warc_date"] or None)
                     rows["http_status"].append(status)
                     rows["content_type"].append(ctype or None)
                     rows["text"].append(body_text)
@@ -403,6 +404,45 @@ def warc_scan(spark: SparkSession, path: str) -> DataFrame:
         F.xxhash64("path").alias("media_id"),
         "path",
         F.col("content").alias("payload"),
+    )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """URL canonicalization as a JVM expression — the documented
+    convention (lowercase scheme+host, drop the fragment, strip
+    trailing slashes); path/query case is preserved (case-sensitive
+    per RFC 3986). The key for capture-level dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"#.*$", "")
+    c = F.regexp_replace(c, r"/+$", "")
+    head = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    rest = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$", 1)
+    return F.when(head == "", c).otherwise(F.concat(head, rest))
+
+
+def latest_capture(rows: DataFrame) -> DataFrame:
+    """URL-level latest-capture dedup — the standard pre-content-dedup
+    step of every crawl pipeline (Common Crawl re-captures pages
+    across snapshots; content dedup must see ONE capture per page,
+    the newest). Input: :func:`warc_response_rows` output. One window
+    shuffle on the canonical URL (WARC-Date ISO-8601 strings order
+    lexicographically; (media_id, seq) breaks exact ties
+    deterministically); emits the surviving capture per canonical URL
+    with its capture count. Scales like every keep-one window here:
+    shuffle linear in captures, no self-join."""
+    canon = rows.withColumn("url", canonical_url("url"))
+    w = Window.partitionBy("url").orderBy(
+        F.col("warc_date").desc(), F.col("media_id").desc(),
+        F.col("seq").desc(),
+    )
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_captures",
+            F.count(F.lit(1)).over(Window.partitionBy("url")).cast("int"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
 
 

@@ -3022,6 +3022,21 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Latest-capture dedup: one row per page, fresh date + fresh text +
+# true capture count; the stale re-capture (older date, messy surface
+# URL folded in by canonicalization) must leave only its count.
+ORACLES["warc_latest_capture"] = """
+SELECT 'https://' || source || '.example.org/' || doc_id AS url,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+    AS n_captures,
+  '2026-02-02T00:00:00Z' AS kept_date,
+  'doc ' || doc_id || chr(10) ||
+  'Doc ' || doc_id || ' & friends' || chr(10) ||
+  text || chr(10) ||
+  'tail <' || doc_id || '> end' AS text
+FROM documents
+"""
+
 # Record walk: the per-id record multiset is a closed form of the
 # fixture rule (warcinfo always; request on even ids; html response
 # always; plain response on ids % 5 = 0), with seq following file

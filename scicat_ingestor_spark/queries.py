@@ -2747,6 +2747,21 @@ def q_corpus_prep_full_e2e(spark, sf_dir):
 # WARC capture plane (r9): where real training data starts
 # ---------------------------------------------------------------------------
 
+def _fixture_html(doc_id: int, text: str) -> str:
+    """The rich fixture page whose extraction closed form the WARC
+    oracles share: title / h1-with-entity / body text / div with
+    entities — plus script (with embedded tags), style, and a comment
+    that must all vanish."""
+    return (
+        f"<html><head><title>doc {doc_id}</title>\n"
+        f'<style type="text/css">body {{ color: #333; }}</style></head>\n'
+        f"<body><h1>Doc {doc_id} &amp; friends</h1>\n"
+        f'<script>if (1 < 2) {{ var s = "<p>ignored</p>"; }}</script>\n'
+        f"<p>{text}</p>\n<!-- comment <p>never</p> -->\n"
+        f"<div>tail &lt;{doc_id}&gt; &nbsp;end</div>\n</body></html>"
+    )
+
+
 def _warc_fixture_bytes(doc_id: int, source: str, text: str) -> bytes:
     """Deterministic multi-record WARC capture for one document:
     warcinfo + (request on even ids) + the text/html response +
@@ -2758,14 +2773,7 @@ def _warc_fixture_bytes(doc_id: int, source: str, text: str) -> bytes:
     from scicat_ingestor_spark.operators import warc
 
     url = f"https://{source}.example.org/{doc_id}"
-    html = (
-        f"<html><head><title>doc {doc_id}</title>\n"
-        f'<style type="text/css">body {{ color: #333; }}</style></head>\n'
-        f"<body><h1>Doc {doc_id} &amp; friends</h1>\n"
-        f'<script>if (1 < 2) {{ var s = "<p>ignored</p>"; }}</script>\n'
-        f"<p>{text}</p>\n<!-- comment <p>never</p> -->\n"
-        f"<div>tail &lt;{doc_id}&gt; &nbsp;end</div>\n</body></html>"
-    )
+    html = _fixture_html(doc_id, text)
     recs = [
         warc.make_warc_record(
             "warcinfo", b"software: sis-test\r\n",
@@ -2860,6 +2868,73 @@ def q_warc_extract_text(spark, sf_dir):
         "media_id",
         "url",
         "http_status",
+        warc.html_text("text").alias("text"),
+    )
+
+
+def q_warc_latest_capture(spark, sf_dir):
+    """URL-level latest-capture dedup (r9): every third doc carries a
+    STALE re-capture of the same page — older WARC-Date, different
+    content, and a messy surface URL (uppercase scheme+host, trailing
+    slash, #fragment) that only canonicalization folds onto the fresh
+    capture's key. Keep-newest must survive: the oracle expects
+    exactly one row per page, with the fresh date, the fresh
+    extracted text, and the true capture count. A canonicalization,
+    ordering, or window bug resurrects stale content — the exact
+    failure mode this operator exists to prevent."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                url = f"https://{s}.example.org/{i}"
+                recs = [
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            _fixture_html(i, t).encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=url,
+                        content_type="application/http;msgtype=response",
+                        date="2026-02-02T00:00:00Z",
+                    )
+                ]
+                if i % 3 == 0:
+                    recs.append(
+                        warc.make_warc_record(
+                            "response",
+                            warc.make_http_response(
+                                f"<p>stale {i}</p>".encode(),
+                                "text/html; charset=utf-8",
+                            ),
+                            target_uri=(
+                                f"HTTPS://{s.upper()}.EXAMPLE.ORG/{i}/#ref"
+                            ),
+                            content_type=(
+                                "application/http;msgtype=response"
+                            ),
+                            date="2026-01-01T00:00:00Z",
+                        )
+                    )
+                payloads.append(warc.make_warc(recs))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    kept = warc.latest_capture(warc.warc_response_rows(captures))
+    return kept.select(
+        "url",
+        "n_captures",
+        F.col("warc_date").alias("kept_date"),
         warc.html_text("text").alias("text"),
     )
 
@@ -5291,6 +5366,7 @@ QUERIES = {
     "corpus_prep_full_e2e": q_corpus_prep_full_e2e,
     "warc_extract_text": q_warc_extract_text,
     "warc_records_scan": q_warc_records_scan,
+    "warc_latest_capture": q_warc_latest_capture,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q4_priority_semijoin": q_q4_priority_semijoin,

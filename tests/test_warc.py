@@ -256,6 +256,46 @@ def test_http_wire_layers_decode():
         )
 
 
+def test_canonical_url_and_latest_capture(spark):
+    """Canonicalization convention + keep-newest semantics, including
+    the no-scheme passthrough and the deterministic tie-break."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTPS://WWW.Example.ORG/Path/To#frag", "https://www.example.org/Path/To"),
+        ("http://a.example/x///", "http://a.example/x"),
+        ("https://a.example", "https://a.example"),
+        ("relative/path#x", "relative/path"),  # no scheme: untouched head
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r["c"] for r in df.select(warc.canonical_url("u").alias("c")).collect()]
+    assert got == [e for _, e in cases]
+
+    rows = spark.createDataFrame(
+        [
+            # same canonical page, three captures; newest date wins
+            (1, 0, "response", "https://a.example/p", "2026-01-01T00:00:00Z", 200, "text/html", "old"),
+            (1, 1, "response", "HTTPS://A.EXAMPLE/p/", "2026-03-01T00:00:00Z", 200, "text/html", "new"),
+            (2, 0, "response", "https://a.example/p#f", "2026-02-01T00:00:00Z", 200, "text/html", "mid"),
+            # equal dates: higher (media_id, seq) wins deterministically
+            (3, 0, "response", "https://b.example/q", "2026-01-01T00:00:00Z", 200, "text/html", "t0"),
+            (3, 1, "response", "https://b.example/q", "2026-01-01T00:00:00Z", 200, "text/html", "t1"),
+        ],
+        "media_id long, seq int, warc_type string, url string, "
+        "warc_date string, http_status int, content_type string, text string",
+    )
+    kept = {
+        r["url"]: (r["text"], r["n_captures"])
+        for r in warc.latest_capture(rows).collect()
+    }
+    assert kept["https://a.example/p"] == ("new", 3)
+    assert kept["https://b.example/q"] == ("t1", 2)
+    # plan shape: ONE shuffle key (the canonical url) for both window
+    # functions — no self-join, no extra exchange
+    plan = warc.latest_capture(rows)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") <= 2
+
+
 def test_response_rows_content_type_dispatch(spark):
     """text/plain bodies decode; non-text responses carry no text;
     non-response records carry the WARC-level content type."""
