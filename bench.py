@@ -60,6 +60,7 @@ HEADLINE = [
     "pack_sequences",
     "corpus_prep_e2e",
     "asof_last_click",
+    "warc_extract_text",  # r9: the web-capture family's representative
 ]
 
 # Recall/quality DIAGNOSTICS: measurement tools, not pipeline shapes —

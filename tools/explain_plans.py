@@ -43,6 +43,13 @@ SHOWN = [
         "window + LeftAnti, all increment-sized",
     ),
     (
+        "warc_extract_text",
+        "WARC capture -> HTML -> text: scan-local bytes plane "
+        "(mapInPandas framing/HTTP), then the whole 6-step extraction "
+        "as ONE codegen Project — no Python in the string plane, no "
+        "shuffle beyond the parallelism re-split",
+    ),
+    (
         "events_user_running",
         "per-key ordered-window family on one user_id exchange",
     ),
