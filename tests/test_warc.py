@@ -133,6 +133,41 @@ def test_failure_channel_contract():
         warc.http_response(warc.warc_records(bad)[0]["block"])
 
 
+def test_framing_roundtrip_property():
+    """Property fuzz: arbitrary record sets (types, bodies with CRLFs
+    and gzip-magic bytes inside, empty blocks, unicode URLs) survive
+    make_warc -> warc_records byte-exactly through both containers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rec_st = st.tuples(
+        st.sampled_from(["warcinfo", "request", "response", "metadata",
+                         "revisit"]),
+        st.binary(max_size=200),
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FF
+            ),
+            max_size=40,
+        ),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(rec_st, min_size=1, max_size=6), st.booleans())
+    def roundtrip(recs, gz):
+        built = [
+            warc.make_warc_record(
+                t, block, target_uri=uri.replace("\r", "").replace("\n", "")
+            )
+            for t, block, uri in recs
+        ]
+        parsed = warc.warc_records(warc.make_warc(built, gzip_members=gz))
+        assert [r["warc_type"] for r in parsed] == [t for t, _, _ in recs]
+        assert [r["block"] for r in parsed] == [b for _, b, _ in recs]
+
+    roundtrip()
+
+
 def test_html_to_text_convention():
     # one-pass entities: &amp;lt; is the literal string "&lt;"
     assert warc.html_to_text("<p>&amp;lt; x</p>") == "&lt; x"
