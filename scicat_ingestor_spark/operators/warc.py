@@ -407,6 +407,22 @@ def warc_scan(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def meta_noindex(col: Column | str) -> Column:
+    """True when the RAW HTML carries a robots/googlebot meta directive
+    containing ``noindex`` — pages that asked to stay out of indexes
+    should stay out of training corpora too (the polite-crawl norm).
+    Runs on the raw HTML (before extraction strips tags), pure JVM
+    regexp: name= and content= in either order, either quote style."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(
+        r"(?is)<meta\b[^>]*name\s*=\s*['\"]?(robots|googlebot)['\"]?"
+        r"[^>]*content\s*=\s*['\"][^'\"]*noindex"
+    ) | c.rlike(
+        r"(?is)<meta\b[^>]*content\s*=\s*['\"][^'\"]*noindex[^'\"]*['\"]"
+        r"[^>]*name\s*=\s*['\"]?(robots|googlebot)"
+    )
+
+
 def canonical_url(col: Column | str) -> Column:
     """URL canonicalization as a JVM expression — the documented
     convention (lowercase scheme+host, drop the fragment, strip

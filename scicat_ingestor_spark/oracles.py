@@ -3022,6 +3022,20 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Robots-meta gate: same closed form as warc_extract_text, minus the
+# noindex pages (doc_id % 7 = 0) — the directive itself strips to
+# nothing visible, so presence/absence of text rows IS the check.
+ORACLES["warc_indexable_text"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  'doc ' || doc_id || chr(10) ||
+  'Doc ' || doc_id || ' & friends' || chr(10) ||
+  text || chr(10) ||
+  'tail <' || doc_id || '> end' AS text
+FROM documents
+WHERE doc_id % 7 <> 0
+"""
+
 # Latest-capture dedup: one row per page, fresh date + fresh text +
 # true capture count; the stale re-capture (older date, messy surface
 # URL folded in by canonicalization) must leave only its count.

@@ -2774,6 +2774,14 @@ def _warc_fixture_bytes(doc_id: int, source: str, text: str) -> bytes:
 
     url = f"https://{source}.example.org/{doc_id}"
     html = _fixture_html(doc_id, text)
+    if doc_id % 7 == 0:
+        # robots noindex directive: strips to NOTHING visible (meta is
+        # an inline tag -> one collapsed space), so the extraction
+        # oracles are untouched while warc_indexable_text filters on it
+        html = html.replace(
+            "<head>",
+            '<head><meta name="robots" content="noindex, nofollow">',
+        )
     recs = [
         warc.make_warc_record(
             "warcinfo", b"software: sis-test\r\n",
@@ -2868,6 +2876,26 @@ def q_warc_extract_text(spark, sf_dir):
         "media_id",
         "url",
         "http_status",
+        warc.html_text("text").alias("text"),
+    )
+
+
+def q_warc_indexable_text(spark, sf_dir):
+    """Extraction gated by the robots meta directive (r9): pages whose
+    raw HTML carries a robots/googlebot noindex must be EXCLUDED from
+    the corpus (the polite-crawl norm) — the filter runs on the raw
+    HTML before extraction strips the tag. Same closed-form text
+    oracle as warc_extract_text, minus the doc_id % 7 == 0 pages."""
+    from scicat_ingestor_spark.operators import warc
+
+    rows = warc.warc_response_rows(_warc_captures(spark, sf_dir))
+    return rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+        & ~warc.meta_noindex("text")
+    ).select(
+        "media_id",
+        "url",
         warc.html_text("text").alias("text"),
     )
 
@@ -5367,6 +5395,7 @@ QUERIES = {
     "warc_extract_text": q_warc_extract_text,
     "warc_records_scan": q_warc_records_scan,
     "warc_latest_capture": q_warc_latest_capture,
+    "warc_indexable_text": q_warc_indexable_text,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q4_priority_semijoin": q_q4_priority_semijoin,

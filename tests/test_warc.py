@@ -291,6 +291,32 @@ def test_http_wire_layers_decode():
         )
 
 
+def test_meta_noindex_detection(spark):
+    """Robots-meta directive detection on raw HTML: either attribute
+    order, either quote style, googlebot alias; 'nofollow'-only and
+    non-robots metas must NOT match."""
+    cases = [
+        ('<meta name="robots" content="noindex">', True),
+        ("<META NAME='ROBOTS' CONTENT='NOFOLLOW, NOINDEX'>", True),
+        ('<meta content="noindex" name="robots">', True),
+        ('<meta name="googlebot" content="noindex">', True),
+        ('<meta name=robots content="noindex">', True),
+        ('<meta name="robots" content="nofollow">', False),
+        ('<meta name="description" content="noindex mentioned">', False),
+        ("<p>the word noindex in prose</p>", False),
+        ("", False),
+    ]
+    df = spark.createDataFrame(
+        [(f"<html><head>{c}</head><body>x</body></html>",) for c, _ in cases],
+        ["html"],
+    )
+    got = [
+        r["m"]
+        for r in df.select(warc.meta_noindex("html").alias("m")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
 def test_canonical_url_and_latest_capture(spark):
     """Canonicalization convention + keep-newest semantics, including
     the no-scheme passthrough and the deterministic tie-break."""
