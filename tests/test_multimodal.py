@@ -465,11 +465,13 @@ def test_wav_pcm_depths_and_gates():
         assert st["pos_checksum"] == sum(
             k * abs(samp(k)) for k in range(n)
         )
-    # IEEE-float WAV (fmt code 3) stays gated
+    # r9: IEEE-float WAV (fmt code 3) decodes for real now — an
+    # integer-depth payload under a float fmt code is a structural
+    # error, not a gate (test_float_pcm_decode_real covers the rest)
     buf = bytearray(multimodal.make_wav(1, 4))
     assert buf[12:16] == b"fmt "
     buf[20:22] = struct.pack("<H", 3)
-    with _pytest.raises(NotImplementedError, match="integer PCM"):
+    with _pytest.raises(ValueError, match="invalid float PCM depth"):
         multimodal.wav_pcm_stats(bytes(buf))
     # invalid integer depth -> ValueError
     buf = bytearray(multimodal.make_wav(1, 4))
