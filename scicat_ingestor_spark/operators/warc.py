@@ -381,6 +381,13 @@ def warc_response_rows(
                         ctype = hh.get("content-type", ctype)
                         if ctype.split(";")[0].strip().startswith("text/"):
                             body_text = body.decode("utf-8", "replace")
+                    elif rec["warc_type"] == "conversion":
+                        # WET layout (Common Crawl's pre-extracted text):
+                        # the block IS the text, no HTTP wrapper
+                        if ctype.split(";")[0].strip().startswith("text/"):
+                            body_text = rec["block"].decode(
+                                "utf-8", "replace"
+                            )
                     rows["media_id"].append(int(mid))
                     rows["seq"].append(seq)
                     rows["warc_type"].append(rec["warc_type"])

@@ -3022,6 +3022,14 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# WET layout: conversion blocks carry the text verbatim.
+ORACLES["warc_wet_extract"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  text
+FROM documents
+"""
+
 # Robots-meta gate: same closed form as warc_extract_text, minus the
 # noindex pages (doc_id % 7 = 0) — the directive itself strips to
 # nothing visible, so presence/absence of text rows IS the check.

@@ -2900,6 +2900,53 @@ def q_warc_indexable_text(spark, sf_dir):
     )
 
 
+def q_warc_wet_extract(spark, sf_dir):
+    """WET-layout extraction (r9): Common Crawl also ships
+    pre-extracted text as WARC ``conversion`` records — the block IS
+    the text, no HTTP wrapper. A WET file per doc (warcinfo + one
+    conversion record, gzip members on odd ids) must yield each
+    document verbatim; a framing or dispatch bug (e.g. trying to
+    HTTP-parse a conversion block) breaks it."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                recs = [
+                    warc.make_warc_record(
+                        "warcinfo",
+                        b"software: sis-wet\r\n",
+                        content_type="application/warc-fields",
+                    ),
+                    warc.make_warc_record(
+                        "conversion",
+                        str(t).encode(),
+                        target_uri=f"https://{s}.example.org/{i}",
+                        content_type="text/plain",
+                    ),
+                ]
+                payloads.append(
+                    warc.make_warc(recs, gzip_members=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return (
+        warc.warc_response_rows(captures)
+        .filter(F.col("warc_type") == "conversion")
+        .select("media_id", "url", "text")
+    )
+
+
 def q_warc_latest_capture(spark, sf_dir):
     """URL-level latest-capture dedup (r9): every third doc carries a
     STALE re-capture of the same page — older WARC-Date, different
@@ -5396,6 +5443,7 @@ QUERIES = {
     "warc_records_scan": q_warc_records_scan,
     "warc_latest_capture": q_warc_latest_capture,
     "warc_indexable_text": q_warc_indexable_text,
+    "warc_wet_extract": q_warc_wet_extract,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q4_priority_semijoin": q_q4_priority_semijoin,

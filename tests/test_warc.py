@@ -357,6 +357,91 @@ def test_canonical_url_and_latest_capture(spark):
     assert plan.count("Window") <= 2
 
 
+def test_wet_conversion_records(spark):
+    """WET layout: conversion blocks are the text verbatim — no HTTP
+    parse, record-level content type governs the decode."""
+    recs = [
+        warc.make_warc_record(
+            "warcinfo", b"k: v\r\n", content_type="application/warc-fields"
+        ),
+        warc.make_warc_record(
+            "conversion", "extracted text body".encode(),
+            target_uri="https://x.example/a", content_type="text/plain",
+        ),
+        warc.make_warc_record(
+            "conversion", b"\x00binary-ish", target_uri="https://x.example/b",
+            content_type="application/octet-stream",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(warc.make_warc(recs, gzip_members=True)))],
+        ["media_id", "payload"],
+    )
+    rows = warc.warc_response_rows(df).orderBy("seq").collect()
+    assert rows[1]["text"] == "extracted text body"
+    assert rows[1]["http_status"] is None
+    assert rows[2]["text"] is None  # non-text conversion: no decode
+
+
+def test_streaming_capture_ingest_matches_batch(spark, tmp_path):
+    """Continuous crawl ingestion: .warc.gz files arriving as a file
+    stream (binaryFile source, bounded files-per-trigger) through
+    foreachBatch(extract -> append) must reproduce the batch
+    extraction row-for-row after an availableNow drain — the
+    streaming shell pattern every other family here follows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    crawl = str(tmp_path / "crawl")
+    os.makedirs(crawl)
+    docs = [(i, f"src{i % 3}", f"stream page {i} body text") for i in range(9)]
+    for i, source, text in docs:
+        recs, _, _ = _capture(i, source, text)
+        with open(os.path.join(crawl, f"c-{i}.warc.gz"), "wb") as fh:
+            fh.write(warc.make_warc(recs, gzip_members=True))
+
+    def extract(files_df):
+        rows = warc.warc_response_rows(
+            files_df.select("media_id", "payload")
+        )
+        return rows.filter(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        ).select("url", warc.html_text("text").alias("text"))
+
+    batch = sorted(map(tuple, extract(warc.warc_scan(spark, crawl)).collect()))
+    assert len(batch) == 9
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream_files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 3)
+        .load(crawl)
+        .select(
+            F.xxhash64("path").alias("media_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def sink(b, _id):
+        extract(b).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_files.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert got == batch
+
+
 def test_response_rows_content_type_dispatch(spark):
     """text/plain bodies decode; non-text responses carry no text;
     non-response records carry the WARC-level content type."""
