@@ -490,6 +490,44 @@ def html_text(col: Column | str) -> Column:
     return F.array_join(F.filter(norm, lambda x: F.length(x) > 0), "\n")
 
 
+def html_main_text(col: Column | str) -> Column:
+    """Main-content extraction — the readability-class boilerplate
+    heuristic: after comment/script/style removal, keep ONLY the
+    content of paragraph and heading elements (<p>, <h1>-<h6>); nav,
+    title, divs, tables, list chrome are treated as boilerplate and
+    dropped. Each kept element becomes one line, cleaned with the
+    same inline-tag/entity/whitespace steps as :func:`html_text`.
+    Pure JVM: regexp_extract_all + transform/filter/array_join —
+    whole-stage codegen, no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _RE_COMMENT, " ")
+    c = F.regexp_replace(c, _RE_DROPPED, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    parts = F.regexp_extract_all(
+        c, F.lit(r"(?is)<(?:p|h[1-6])\b[^>]*>(.*?)</(?:p|h[1-6])\s*>"), 1
+    )
+
+    def clean(x):
+        y = F.regexp_replace(x, _RE_ANY_TAG, " ")
+        for ent, rep in _ENTITIES:
+            y = F.replace(y, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(y, " +", " "))
+
+    cleaned = F.transform(parts, clean)
+    return F.array_join(
+        F.filter(cleaned, lambda x: F.length(x) > 0), "\n"
+    )
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased hostname of a URL (port stripped) — the grouping key
+    for per-domain crawl analytics and politeness accounting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+
+
 def html_to_text(html: str) -> str:
     """Python twin of :func:`html_text` — same 6 steps, used by tests
     (parity property) and by non-Spark callers. NOT the data-plane

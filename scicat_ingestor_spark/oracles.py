@@ -3022,6 +3022,35 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+# Main-content (readability-class) extraction: on the same fixture,
+# title and the trailing div are boilerplate — only the h1 and the
+# body paragraph survive. The contrast with warc_extract_text's
+# closed form pins the two extractors' semantic difference.
+ORACLES["warc_main_text"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  'Doc ' || doc_id || ' & friends' || chr(10) || text AS text
+FROM documents
+"""
+
+# Per-domain rollup over the extracted closed form; token convention
+# is the shared len(regexp_split_to_array(trim(x), '\\s+')).
+ORACLES["warc_domain_stats"] = """
+WITH pages AS (
+  SELECT source || '.example.org' AS domain,
+    'doc ' || doc_id || chr(10) || 'Doc ' || doc_id || ' & friends' ||
+    chr(10) || text || chr(10) || 'tail <' || doc_id || '> end' AS xt,
+    CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS indexable
+  FROM documents
+)
+SELECT domain,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  CAST(sum(len(regexp_split_to_array(trim(xt), '\\s+'))) AS BIGINT)
+    AS tokens,
+  CAST(sum(indexable) AS BIGINT) AS n_indexable
+FROM pages GROUP BY domain
+"""
+
 # WET layout: conversion blocks carry the text verbatim.
 ORACLES["warc_wet_extract"] = """
 SELECT doc_id AS media_id,

@@ -2900,6 +2900,52 @@ def q_warc_indexable_text(spark, sf_dir):
     )
 
 
+def q_warc_main_text(spark, sf_dir):
+    """Boilerplate removal (r9): the readability-class heuristic keeps
+    paragraph/heading content only — on the SAME fixture as
+    warc_extract_text, the title and the trailing div are boilerplate
+    and must vanish, leaving the h1 and the body paragraph. The
+    contrast between this oracle and warc_extract_text's pins the
+    semantic difference between the two extractors."""
+    from scicat_ingestor_spark.operators import warc
+
+    rows = warc.warc_response_rows(_warc_captures(spark, sf_dir))
+    return rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(
+        "media_id",
+        "url",
+        warc.html_main_text("text").alias("text"),
+    )
+
+
+def q_warc_domain_stats(spark, sf_dir):
+    """Per-domain crawl analytics (r9): pages grouped by lowercased
+    hostname — page counts, extracted-token sums, indexable share.
+    The crawl-planning/politeness rollup; one bounded-cardinality
+    groupBy over scan-local extraction."""
+    from scicat_ingestor_spark.operators import text as text_ops
+    from scicat_ingestor_spark.operators import warc
+
+    rows = warc.warc_response_rows(_warc_captures(spark, sf_dir))
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(
+        warc.url_host("url").alias("domain"),
+        warc.html_text("text").alias("text"),
+        (~warc.meta_noindex("text")).cast("int").alias("indexable"),
+    )
+    return pages.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(
+            text_ops.whitespace_token_count(F.col("text"))
+        ).alias("tokens"),
+        F.sum("indexable").alias("n_indexable"),
+    )
+
+
 def q_warc_wet_extract(spark, sf_dir):
     """WET-layout extraction (r9): Common Crawl also ships
     pre-extracted text as WARC ``conversion`` records — the block IS
@@ -5444,6 +5490,8 @@ QUERIES = {
     "warc_latest_capture": q_warc_latest_capture,
     "warc_indexable_text": q_warc_indexable_text,
     "warc_wet_extract": q_warc_wet_extract,
+    "warc_main_text": q_warc_main_text,
+    "warc_domain_stats": q_warc_domain_stats,
     "q6_forecast_revenue": q_q6_forecast_revenue,
     "q10_returned_items": q_q10_returned_items,
     "q4_priority_semijoin": q_q4_priority_semijoin,

@@ -357,6 +357,40 @@ def test_canonical_url_and_latest_capture(spark):
     assert plan.count("Window") <= 2
 
 
+def test_main_text_and_url_host(spark):
+    """Main-content heuristic: only p/h* content survives; inline tags
+    inside kept elements clean up; script content inside the page does
+    not leak in. url_host lowercases and strips ports."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        (
+            "<html><head><title>T</title></head><body><nav>menu</nav>"
+            "<h1>Head</h1><p>body <b>bold</b> &amp; more</p>"
+            "<div>boilerplate</div><p></p></body></html>",
+            "Head\nbody bold & more",
+        ),
+        ("<p>only</p>", "only"),
+        ("<div>nothing kept</div>", ""),
+        ("<script><p>fake</p></script><h2>kept</h2>", "kept"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], ["html"])
+    got = [
+        r["t"]
+        for r in df.select(warc.html_main_text("html").alias("t")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    urls = [
+        ("HTTPS://Www.Example.ORG:8443/Path", "www.example.org"),
+        ("http://a.b.example/x", "a.b.example"),
+        ("no-scheme/path", ""),
+    ]
+    df2 = spark.createDataFrame([(u,) for u, _ in urls], ["u"])
+    got2 = [r["h"] for r in df2.select(warc.url_host("u").alias("h")).collect()]
+    assert got2 == [e for _, e in urls]
+
+
 def test_wet_conversion_records(spark):
     """WET layout: conversion blocks are the text verbatim — no HTTP
     parse, record-level content type governs the decode."""
