@@ -476,6 +476,98 @@ def test_streaming_capture_ingest_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_crawl_ingest_loop_two_waves(spark, tmp_path):
+    """Continuous-crawl loop: two arrival waves through the streaming
+    shell (restart between waves exercises checkpoint recovery); the
+    current view must equal the batch latest_capture over ALL files,
+    re-captures must replace stale content, compaction must shrink
+    the log without changing the view, and a replayed append must
+    leave the view unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.streaming import crawl
+
+    crawl_dir = str(tmp_path / "crawl")
+    pages, ck = str(tmp_path / "pages"), str(tmp_path / "ck")
+    os.makedirs(crawl_dir)
+
+    def capture_file(name, pid, body_text, date):
+        rec = warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                f"<p>{body_text}</p>".encode(), "text/html"
+            ),
+            target_uri=f"https://s.example/page/{pid}",
+            content_type="application/http;msgtype=response",
+            date=date,
+        )
+        with open(os.path.join(crawl_dir, name), "wb") as fh:
+            fh.write(warc.make_warc([rec], gzip_members=True))
+
+    def stream_once():
+        files = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("maxFilesPerTrigger", 2)
+            .load(crawl_dir)
+        )
+        q = crawl.run_crawl_ingest_stream(files, pages, ck)
+        q.awaitTermination()
+
+    # wave 1: pages 0-3
+    for p in range(4):
+        capture_file(f"w1-{p}.warc.gz", p, f"v1 of {p}", "2026-01-01T00:00:00Z")
+    stream_once()
+    # wave 2: re-capture 0 and 1 (newer), plus new pages 4-5
+    capture_file("w2-0.warc.gz", 0, "v2 of 0", "2026-02-01T00:00:00Z")
+    capture_file("w2-1.warc.gz", 1, "v2 of 1", "2026-02-01T00:00:00Z")
+    for p in (4, 5):
+        capture_file(f"w2-{p}.warc.gz", p, f"v1 of {p}", "2026-02-01T00:00:00Z")
+    stream_once()
+
+    def view():
+        return {
+            r["url"]: (warc.html_to_text(r["text"]), r["n_captures"])
+            for r in crawl.current_pages(spark, pages).collect()
+        }
+
+    got = view()
+    assert len(got) == 6
+    assert got["https://s.example/page/0"] == ("v2 of 0", 2)
+    assert got["https://s.example/page/1"] == ("v2 of 1", 2)
+    assert got["https://s.example/page/2"] == ("v1 of 2", 1)
+    assert got["https://s.example/page/5"] == ("v1 of 5", 1)
+    # batch equivalence over all files at once
+    batch_view = {
+        r["url"]: r["n_captures"]
+        for r in warc.latest_capture(
+            crawl.extract_pages(warc.warc_scan(spark, crawl_dir))
+        ).collect()
+    }
+    assert {u: n for u, (_, n) in got.items()} == batch_view
+    # replayed append: view text unchanged (counts inflate, winner not)
+    some = warc.warc_scan(spark, crawl_dir).limit(2)
+    crawl.append_captures(
+        some.select("media_id", "payload"), pages
+    )
+    assert {u: t for u, (t, _) in view().items()} == {
+        u: t for u, (t, _) in got.items()
+    }
+    # compaction: log shrinks to |urls| rows, view text identical
+    before = spark.read.parquet(pages).count()
+    crawl.compact_pages(spark, pages)
+    after = spark.read.parquet(pages).count()
+    assert after == 6 < before
+    assert {u: t for u, (t, _) in view().items()} == {
+        u: t for u, (t, _) in got.items()
+    }
+
+
 def test_response_rows_content_type_dispatch(spark):
     """text/plain bodies decode; non-text responses carry no text;
     non-response records carry the WARC-level content type."""
