@@ -71,7 +71,12 @@ def write_crawl(out_dir: str, n_files: int = 6, pages_per_file: int = 8) -> int:
                 )
             )
             n_pages += 1
-            if pid % 5 == 0:  # stale re-capture under a messy URL
+            if pid % 5 == 0:  # stale re-capture under a messy URL:
+                # uppercase SCHEME+HOST only (path case is significant
+                # per RFC 3986 and canonical_url preserves it — an
+                # uppercased path would NOT fold onto the fresh page)
+                host, path = url.split(".org", 1)
+                messy = host.upper() + ".ORG" + path + "/#utm"
                 recs.append(
                     warc.make_warc_record(
                         "response",
@@ -79,7 +84,7 @@ def write_crawl(out_dir: str, n_files: int = 6, pages_per_file: int = 8) -> int:
                             f"<p>stale copy {pid}</p>".encode(),
                             "text/html",
                         ),
-                        target_uri=url.upper() + "/#utm",
+                        target_uri=messy,
                         content_type="application/http;msgtype=response",
                         date="2026-01-01T00:00:00Z",
                     )

@@ -1384,12 +1384,41 @@ def _png_decode_samples(payload: bytes):
         )
     if ctype == 3 and plte is None:
         raise ValueError("not a PNG: palette image missing PLTE")
+    from scicat_ingestor_spark.operators.jpegc import MAX_DECODE_PIXELS
+
+    if width * height > MAX_DECODE_PIXELS:
+        # the hard cap must precede the inflate: a zlib bomb matching
+        # the declared size would otherwise pass the size check and
+        # reach the multi-GB samples grid (same threat model as the
+        # JPEG SOF / BMP RLE caps)
+        raise ValueError(
+            f"not a PNG: declared {width}x{height} exceeds decode cap "
+            f"of {MAX_DECODE_PIXELS} pixels"
+        )
     channels = _PNG_CHANNELS[ctype]
     fbpp = max(1, channels * depth // 8)
+    # expected inflate size for BOTH layouts, computed from the (now
+    # capped) dims — the inflate is bounded to it, so a bomb can never
+    # materialize more than the legal pixel data + 1 byte
+    if interlace == 0:
+        expected_raw = height * (1 + _png_rowbytes(width, channels, depth))
+    else:
+        expected_raw = sum(
+            ph * (1 + _png_rowbytes(pw, channels, depth))
+            for _x0, _y0, _dx, _dy, pw, ph in _png_pass_dims(width, height)
+            if pw and ph
+        )
+    o = zlib.decompressobj()
     try:
-        raw = zlib.decompress(bytes(idat))
+        raw = o.decompress(bytes(idat), expected_raw + 1)
     except zlib.error as e:
         raise ValueError(f"not a PNG: bad IDAT stream ({e})")
+    if len(raw) > expected_raw:
+        raise ValueError("not a PNG: decompressed pixel data size mismatch")
+    if not o.eof:
+        # truncated stream (no end marker): the old zlib.decompress
+        # raised here; keep the failure channel
+        raise ValueError("not a PNG: bad IDAT stream (truncated)")
     if interlace == 0:
         rowbytes = _png_rowbytes(width, channels, depth)
         if len(raw) != height * (1 + rowbytes):

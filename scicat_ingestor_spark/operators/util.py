@@ -6,17 +6,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-# (session id, analyzed-plan semantic hash) -> probed scan split count.
+# session -> {analyzed-plan semantic hash: probed scan split count}.
 # The probe itself (df.rdd.getNumPartitions()) forces an ANALYSIS +
 # PHYSICAL-PLANNING pass of the upstream plan — pure driver latency,
 # invisible per call but paid once per compute-heavy operator
 # invocation and growing with plan size (VERDICT r8 #3). The same
 # logical plan yields the same split count within a session, so the
 # count is memoized on semanticHash (analysis-only, no physical plan).
-# Staleness (same plan, path rewritten with a different file count
-# mid-session) can only mis-skip an optional repartition — a perf
-# no-op, never a correctness issue.
-_SPLITS_CACHE: dict[tuple[int, int], int] = {}
+# Keyed WEAKLY on the session object — entries die with the session
+# (no id()-reuse aliasing after GC, no cross-session leakage) — with
+# a per-session entry cap as a runaway bound for drivers that build
+# unbounded distinct plan shapes. Staleness (same plan, path
+# rewritten with a different file count mid-session) can only
+# mis-skip an optional repartition — a perf no-op, never a
+# correctness issue.
+import weakref
+
+_SPLITS_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_SPLITS_CACHE_MAX = 4096  # per-session distinct-plan entries
 _PROBE_COUNT = 0  # physical-plan probes actually executed (for tests)
 
 
@@ -41,13 +48,16 @@ def ensure_parallelism(
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     n = expected_splits
     if n is None:
-        key = (id(df.sparkSession), df.semanticHash())
-        n = _SPLITS_CACHE.get(key)
+        session_cache = _SPLITS_CACHE.setdefault(df.sparkSession, {})
+        key = df.semanticHash()
+        n = session_cache.get(key)
         if n is None:
             global _PROBE_COUNT
             _PROBE_COUNT += 1
             n = df.rdd.getNumPartitions()
-            _SPLITS_CACHE[key] = n
+            if len(session_cache) >= _SPLITS_CACHE_MAX:
+                session_cache.clear()
+            session_cache[key] = n
     if n < target:
         return df.repartition(target)
     return df

@@ -86,23 +86,60 @@ _ENTITIES = (
 # bytes plane: gzip members, record framing, HTTP messages
 # ---------------------------------------------------------------------------
 
+# Hard ceiling on inflated bytes per payload/body (the decompression-
+# bomb bound — the WARC analogue of jpegc.MAX_DECODE_PIXELS). 1 GiB
+# comfortably covers real capture files (CC ships ~1 GB COMPRESSED
+# files but parses them record-by-record; single records/bodies are
+# orders of magnitude smaller) while capping a hostile 1000:1 bomb.
+MAX_INFLATED_BYTES = 1 << 30
+
+
+def _bounded_inflate(
+    o: "zlib._Decompress", data: bytes, budget: int, what: str
+) -> bytes:
+    """Inflate with an output ceiling: decompressobj.max_length chunks,
+    raising ValueError the moment the budget is exceeded — never
+    materializing an unbounded bytes object from untrusted input."""
+    out = []
+    try:
+        chunk = o.decompress(data, budget + 1)
+    except zlib.error as e:
+        raise ValueError(f"not a WARC: bad {what} ({e})")
+    while chunk:
+        out.append(chunk)
+        budget -= len(chunk)
+        if budget < 0:
+            raise ValueError(
+                f"not a WARC: {what} exceeds inflate cap "
+                f"of {MAX_INFLATED_BYTES} bytes"
+            )
+        if o.eof or not o.unconsumed_tail:
+            break
+        try:
+            chunk = o.decompress(o.unconsumed_tail, budget + 1)
+        except zlib.error as e:
+            raise ValueError(f"not a WARC: bad {what} ({e})")
+    return b"".join(out)
+
+
 def gunzip_members(payload: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the .warc.gz layout:
-    one member per record) to the plain byte stream. The framing's
-    explicit Content-Lengths mean records need not align with member
-    boundaries after concatenation, so one joined stream is correct."""
+    one member per record) to the plain byte stream, bounded by
+    MAX_INFLATED_BYTES total. The framing's explicit Content-Lengths
+    mean records need not align with member boundaries after
+    concatenation, so one joined stream is correct."""
     out = []
     data = payload
+    budget = MAX_INFLATED_BYTES
     while data:
         if data[:2] != b"\x1f\x8b":
             raise ValueError("not a WARC: garbage between gzip members")
         o = zlib.decompressobj(wbits=31)
-        try:
-            out.append(o.decompress(data))
-        except zlib.error as e:
-            raise ValueError(f"not a WARC: bad gzip member ({e})")
+        member = _bounded_inflate(o, data, budget, "gzip member")
         if not o.eof:
             raise ValueError("not a WARC: truncated gzip member")
+        out.append(member)
+        budget -= len(member)
         data = o.unused_data
     return b"".join(out)
 
@@ -206,30 +243,43 @@ def _dechunk(body: bytes) -> bytes:
 
 
 def _decode_content(body: bytes, encoding: str) -> bytes:
-    """Undo HTTP Content-Encoding: gzip / x-gzip / deflate (zlib OR
-    raw-deflate — servers ship both under the same name, the classic
-    HTTP wart) / identity."""
+    """Undo HTTP Content-Encoding: gzip / x-gzip (INCLUDING
+    multi-member concatenations — middleboxes produce them, and a
+    first-member-only decode would be a silently short parse) /
+    deflate (zlib OR raw-deflate — servers ship both under the same
+    name, the classic HTTP wart) / identity. All paths bounded by
+    MAX_INFLATED_BYTES."""
     enc = encoding.strip().lower()
     if enc in ("", "identity"):
         return body
     if enc in ("gzip", "x-gzip"):
-        o = zlib.decompressobj(wbits=31)
-        try:
-            out = o.decompress(body)
-        except zlib.error as e:
-            raise ValueError(f"not a WARC: bad gzip body ({e})")
-        if not o.eof:
-            raise ValueError("not a WARC: truncated gzip body")
-        return out
+        out = []
+        data = body
+        budget = MAX_INFLATED_BYTES
+        while data:
+            if data[:2] != b"\x1f\x8b":
+                raise ValueError("not a WARC: bad gzip body (bad magic)")
+            o = zlib.decompressobj(wbits=31)
+            member = _bounded_inflate(o, data, budget, "gzip body")
+            if not o.eof:
+                raise ValueError("not a WARC: truncated gzip body")
+            out.append(member)
+            budget -= len(member)
+            data = o.unused_data
+        return b"".join(out)
     if enc == "deflate":
         for wbits in (15, -15):  # zlib-wrapped first, then raw
             o = zlib.decompressobj(wbits=wbits)
             try:
-                out = o.decompress(body)
-            except zlib.error:
+                out_b = _bounded_inflate(
+                    o, body, MAX_INFLATED_BYTES, "deflate body"
+                )
+            except ValueError as e:
+                if "inflate cap" in str(e):
+                    raise
                 continue
             if o.eof:
-                return out
+                return out_b
         raise ValueError("not a WARC: bad deflate body")
     raise ValueError(f"not a WARC: unknown Content-Encoding {enc!r}")
 
@@ -251,13 +301,23 @@ def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
         raise ValueError("not a WARC: bad HTTP status line")
     status = int(parts[1])
     headers: dict[str, str] = {}
+    last_key = None
     for line in lines[1:]:
+        if line[:1] in (b" ", b"\t"):
+            # obs-fold continuation (deprecated but legal HTTP/1.1;
+            # raw captures preserve them) — same handling as the
+            # WARC-level header fold
+            if last_key is None:
+                raise ValueError("not a WARC: HTTP continuation first")
+            headers[last_key] += " " + line.strip().decode(
+                "utf-8", "replace"
+            )
+            continue
         name, s, value = line.partition(b":")
         if not s:
             raise ValueError("not a WARC: malformed HTTP header")
-        headers[name.strip().lower().decode("ascii", "replace")] = (
-            value.strip().decode("utf-8", "replace")
-        )
+        last_key = name.strip().lower().decode("ascii", "replace")
+        headers[last_key] = value.strip().decode("utf-8", "replace")
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     body = _decode_content(body, headers.get("content-encoding", ""))
@@ -421,12 +481,16 @@ def meta_noindex(col: Column | str) -> Column:
     Runs on the raw HTML (before extraction strips tags), pure JVM
     regexp: name= and content= in either order, either quote style."""
     c = F.col(col) if isinstance(col, str) else col
+    # content value matches quoted ("noindex, nofollow") OR unquoted
+    # HTML5 token syntax (content=noindex) — symmetric with name=
+    content_val = r"(['\"][^'\"]*noindex|[^'\"\s>]*noindex)"
     return c.rlike(
         r"(?is)<meta\b[^>]*name\s*=\s*['\"]?(robots|googlebot)['\"]?"
-        r"[^>]*content\s*=\s*['\"][^'\"]*noindex"
+        r"[^>]*content\s*=\s*" + content_val
     ) | c.rlike(
-        r"(?is)<meta\b[^>]*content\s*=\s*['\"][^'\"]*noindex[^'\"]*['\"]"
-        r"[^>]*name\s*=\s*['\"]?(robots|googlebot)"
+        r"(?is)<meta\b[^>]*content\s*=\s*"
+        + content_val
+        + r"[^>]*name\s*=\s*['\"]?(robots|googlebot)"
     )
 
 
@@ -451,9 +515,15 @@ def latest_capture(rows: DataFrame) -> DataFrame:
     shuffle on the canonical URL (WARC-Date ISO-8601 strings order
     lexicographically; (media_id, seq) breaks exact ties
     deterministically); emits the surviving capture per canonical URL
-    with its capture count. Scales like every keep-one window here:
-    shuffle linear in captures, no self-join."""
-    canon = rows.withColumn("url", canonical_url("url"))
+    with its capture count. Records WITHOUT a WARC-Target-URI are
+    EXCLUDED up front — they are not pages and cannot be keyed; left
+    in, they would all share the null window partition and silently
+    collapse to one arbitrary row. Scales like every keep-one window
+    here: shuffle linear in captures, no self-join."""
+    keyed = rows.filter(
+        F.col("url").isNotNull() & (F.length("url") > 0)
+    )
+    canon = keyed.withColumn("url", canonical_url("url"))
     w = Window.partitionBy("url").orderBy(
         F.col("warc_date").desc(), F.col("media_id").desc(),
         F.col("seq").desc(),

@@ -1021,14 +1021,32 @@ def test_untrusted_header_dims_bounded_before_allocation():
     with _pytest.raises(ValueError, match="exceeds decode cap"):
         multimodal.bmp_pixel_stats(bytes(buf))
     # interlaced PNG: patch IHDR dims to 20000x20000 (3.2 GB samples
-    # grid if allocated) + fix the CRC -> whole-stream size mismatch
-    # ValueError before the Adam7 allocation
+    # grid if allocated) + fix the CRC -> hard pixel cap BEFORE the
+    # inflate (r9 post-review: a zlib bomb matching the declared size
+    # would pass a size CHECK — the cap must precede decompression)
     png = bytearray(multimodal.make_png_filtered(8, 8, interlace=1))
     assert png[12:16] == b"IHDR"
     png[16:24] = struct.pack(">II", 20000, 20000)
     png[29:33] = struct.pack(">I", zlib.crc32(bytes(png[12:29])))
-    with _pytest.raises(ValueError, match="size mismatch"):
+    with _pytest.raises(ValueError, match="exceeds decode cap"):
         multimodal.png_pixel_stats(bytes(png))
+    # under the cap, an IDAT inflating PAST the declared size is a
+    # bounded mismatch error (the inflate stops at expected+1 bytes)
+    png2 = bytearray(multimodal.make_png_filtered(8, 8))
+    idat_at = bytes(png2).index(b"IDAT")
+    big = zlib.compress(b"\x01" * 100000)
+    new_chunk = (
+        struct.pack(">I", len(big)) + b"IDAT" + big
+        + struct.pack(">I", zlib.crc32(b"IDAT" + big))
+    )
+    (length,) = struct.unpack(">I", png2[idat_at - 4 : idat_at])
+    rebuilt = (
+        bytes(png2[: idat_at - 4])
+        + new_chunk
+        + bytes(png2[idat_at + 8 + length :])
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        multimodal.png_pixel_stats(rebuilt)
 
 
 def test_bmp_rle8_and_subbyte_decode():

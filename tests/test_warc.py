@@ -249,6 +249,52 @@ def test_warc_scan_end_to_end(spark, tmp_path):
         assert got[url] == expected
 
 
+def test_review_fix_regressions(spark):
+    """r9 post-review fixes: multi-member gzip bodies decode fully,
+    obs-fold HTTP headers parse, inflate bombs hit the cap, and
+    null-URL responses are excluded from latest_capture instead of
+    collapsing into one arbitrary row."""
+    body = b"part one " * 10 + b"| part two " * 10
+    # multi-member gzip body: two concatenated members must BOTH decode
+    half = len(body) // 2
+    members = b""
+    for piece in (body[:half], body[half:]):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        members += co.compress(piece) + co.flush()
+    blk = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: gzip\r\n"
+        + f"Content-Length: {len(members)}\r\n\r\n".encode()
+        + members
+    )
+    assert warc.http_response(blk)[2] == body
+    # obs-fold continuation in HTTP headers
+    blk = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"X-Thing: a\r\n b\r\nContent-Length: 2\r\n\r\nok"
+    )
+    status, hh, got = warc.http_response(blk)
+    assert hh["x-thing"] == "a b" and got == b"ok"
+    # inflate cap: a high-ratio bomb member raises, never materializes
+    bomb = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bomb_bytes = bomb.compress(b"\x00" * (warc.MAX_INFLATED_BYTES + 4096))
+    bomb_bytes += bomb.flush()
+    with pytest.raises(ValueError, match="inflate cap"):
+        warc.gunzip_members(bomb_bytes)
+    # null-URL responses: excluded from the page store, not collapsed
+    rows = spark.createDataFrame(
+        [
+            (1, 0, "response", None, "2026-01-01T00:00:00Z", 200, "text/html", "a"),
+            (1, 1, "response", None, "2026-01-02T00:00:00Z", 200, "text/html", "b"),
+            (1, 2, "response", "https://x.example/p", "2026-01-01T00:00:00Z", 200, "text/html", "c"),
+        ],
+        "media_id long, seq int, warc_type string, url string, "
+        "warc_date string, http_status int, content_type string, text string",
+    )
+    kept = warc.latest_capture(rows).collect()
+    assert len(kept) == 1 and kept[0]["url"] == "https://x.example/p"
+
+
 def test_http_wire_layers_decode():
     """Content-Encoding (gzip / zlib-deflate / raw-deflate) and chunked
     transfer framing — alone and stacked in wire order — must undo to
@@ -297,6 +343,7 @@ def test_meta_noindex_detection(spark):
     non-robots metas must NOT match."""
     cases = [
         ('<meta name="robots" content="noindex">', True),
+        ("<meta name=robots content=noindex>", True),  # HTML5 unquoted
         ("<META NAME='ROBOTS' CONTENT='NOFOLLOW, NOINDEX'>", True),
         ('<meta content="noindex" name="robots">', True),
         ('<meta name="googlebot" content="noindex">', True),
