@@ -494,6 +494,85 @@ def meta_noindex(col: Column | str) -> Column:
     )
 
 
+def robots_disallow_prefixes(col: Column | str, agent: str = "*") -> Column:
+    """Parse a robots.txt body into the Disallow path prefixes that
+    apply to ``agent`` — as ONE JVM ``aggregate`` fold over the lines
+    (no Python, no UDF): the accumulator tracks whether the current
+    group header matches the agent, consecutive ``User-agent`` lines
+    stack (a group may name several agents), comments strip at ``#``,
+    empty Disallow values (allow-all) are ignored. Documented
+    simplification vs RFC 9309: rules are taken from every group
+    whose agent token EQUALS ``agent`` (no longest-match precedence
+    between ``*`` and named groups)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\r?\n")  # robots.txt ships both line endings
+    init = F.struct(
+        F.lit(False).alias("active"),
+        F.lit(True).alias("header"),
+        F.array().cast("array<string>").alias("rules"),
+    )
+
+    def step(acc, line):
+        stripped = F.trim(F.substring_index(line, "#", 1))
+        low = F.lower(stripped)
+        is_ua = low.startswith("user-agent:")
+        is_dis = low.startswith("disallow:")
+        ua = F.trim(F.substring(stripped, 12, 1 << 20))
+        dis = F.trim(F.substring(stripped, 10, 1 << 20))
+        active = (
+            F.when(
+                is_ua,
+                (F.lower(ua) == agent.lower())
+                | (acc["header"] & acc["active"]),
+            )
+            .otherwise(acc["active"])
+        )
+        header = F.when(is_ua, F.lit(True)).otherwise(F.lit(False))
+        rules = F.when(
+            is_dis & acc["active"] & (F.length(dis) > 0),
+            F.array_append(acc["rules"], dis),
+        ).otherwise(acc["rules"])
+        return F.struct(
+            active.alias("active"), header.alias("header"),
+            rules.alias("rules"),
+        )
+
+    return F.aggregate(lines, init, step)["rules"]
+
+
+def url_path(col: Column | str) -> Column:
+    """The path component of a URL ('/' when absent)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    return F.when(F.length(p) > 0, p).otherwise(F.lit("/"))
+
+
+def robots_filter(
+    pages: DataFrame, robots_bodies: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """Drop pages a domain's robots.txt disallows for ``agent`` — the
+    crawl-politeness gate. ``pages`` needs a ``url`` column;
+    ``robots_bodies`` is (domain, text) — one robots.txt body per
+    domain (e.g. the ``/robots.txt`` responses of the same capture
+    set). The rule table (domain, prefix) is tiny — it rides a
+    BROADCAST left-anti join with a startswith predicate; pages never
+    shuffle."""
+    rules = robots_bodies.select(
+        "domain",
+        F.explode(robots_disallow_prefixes("text", agent)).alias("prefix"),
+    )
+    keyed = pages.withColumn("_domain", url_host("url")).withColumn(
+        "_path", url_path("url")
+    )
+    cond = (F.col("_domain") == rules["domain"]) & F.col(
+        "_path"
+    ).startswith(rules["prefix"])
+    return (
+        keyed.join(F.broadcast(rules), cond, "left_anti")
+        .drop("_domain", "_path")
+    )
+
+
 def canonical_url(col: Column | str) -> Column:
     """URL canonicalization as a JVM expression — the documented
     convention (lowercase scheme+host, drop the fragment, strip

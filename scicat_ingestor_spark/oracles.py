@@ -3051,6 +3051,23 @@ SELECT domain,
 FROM pages GROUP BY domain
 """
 
+# robots.txt gate: blocked prefix is /private-{source}/ for agent *
+# (the googlebot Disallow-all group must not apply) — allowed pages
+# are ids % 3 != 0 at their rule-determined paths, with the shared
+# extraction closed form.
+ORACLES["warc_robots_filter"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org' ||
+  CASE WHEN doc_id % 3 = 1 THEN '/doc/' ELSE '/pub/' END || doc_id
+    AS url,
+  'doc ' || doc_id || chr(10) ||
+  'Doc ' || doc_id || ' & friends' || chr(10) ||
+  text || chr(10) ||
+  'tail <' || doc_id || '> end' AS text
+FROM documents
+WHERE doc_id % 3 <> 0
+"""
+
 # WET layout: conversion blocks carry the text verbatim.
 ORACLES["warc_wet_extract"] = """
 SELECT doc_id AS media_id,

@@ -2946,6 +2946,81 @@ def q_warc_domain_stats(spark, sf_dir):
     )
 
 
+def q_warc_robots_filter(spark, sf_dir):
+    """robots.txt politeness gate (r9): every capture carries its
+    domain's /robots.txt (text/plain) alongside the page; pages under
+    a Disallow'd prefix for agent '*' must be dropped — here every
+    third doc lives under /private-{source}/. The robots body also
+    carries a 'User-agent: googlebot / Disallow: /' group that must
+    NOT apply, a comment, and a blank line. The parser is a pure JVM
+    aggregate fold; the filter is a broadcast anti-join on
+    (domain, prefix-startswith). A group-tracking, comment, or
+    prefix-match bug resurrects blocked pages or kills allowed
+    ones."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                path = (
+                    f"/private-{s}/doc/{i}"
+                    if i % 3 == 0
+                    else (f"/doc/{i}" if i % 3 == 1 else f"/pub/{i}")
+                )
+                robots = (
+                    f"# crawl policy for {s}\r\n"
+                    "User-agent: googlebot\r\nDisallow: /\r\n\r\n"
+                    f"User-agent: *\r\nDisallow: /private-{s}/\r\n"
+                    "Disallow: /tmp/\r\n"
+                )
+                recs = [
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            robots.encode(), "text/plain"
+                        ),
+                        target_uri=f"https://{s}.example.org/robots.txt",
+                        content_type="application/http;msgtype=response",
+                    ),
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            _fixture_html(i, t).encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=f"https://{s}.example.org{path}",
+                        content_type="application/http;msgtype=response",
+                    ),
+                ]
+                payloads.append(
+                    warc.make_warc(recs, gzip_members=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    robots_bodies = rows.filter(F.col("url").endswith("/robots.txt")).select(
+        warc.url_host("url").alias("domain"), "text"
+    )
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    allowed = warc.robots_filter(pages, robots_bodies)
+    return allowed.select(
+        "media_id", "url", warc.html_text("text").alias("text")
+    )
+
+
 def q_warc_wet_extract(spark, sf_dir):
     """WET-layout extraction (r9): Common Crawl also ships
     pre-extracted text as WARC ``conversion`` records — the block IS
@@ -5490,6 +5565,7 @@ QUERIES = {
     "warc_latest_capture": q_warc_latest_capture,
     "warc_indexable_text": q_warc_indexable_text,
     "warc_wet_extract": q_warc_wet_extract,
+    "warc_robots_filter": q_warc_robots_filter,
     "warc_main_text": q_warc_main_text,
     "warc_domain_stats": q_warc_domain_stats,
     "q6_forecast_revenue": q_q6_forecast_revenue,

@@ -438,6 +438,59 @@ def test_main_text_and_url_host(spark):
     assert got2 == [e for _, e in urls]
 
 
+def test_robots_parse_and_filter(spark):
+    """robots.txt fold conventions: group tracking, stacked User-agent
+    lines, comments, empty Disallow, agent selection; the filter
+    drops exactly the disallowed-prefix pages via broadcast
+    anti-join."""
+    from pyspark.sql import functions as F
+
+    body = (
+        "# policy\n"
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: badbot\n"
+        "User-agent: *\n"
+        "Disallow: /private/  # inline comment\n"
+        "Disallow:\n"
+        "Disallow: /tmp/\n"
+    )
+    df = spark.createDataFrame([(body,)], ["text"])
+    star = df.select(
+        warc.robots_disallow_prefixes("text").alias("r")
+    ).collect()[0]["r"]
+    assert star == ["/private/", "/tmp/"]
+    goog = df.select(
+        warc.robots_disallow_prefixes("text", agent="googlebot").alias("r")
+    ).collect()[0]["r"]
+    assert goog == ["/"]
+
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/private/x", 1),
+            ("https://a.example/public/x", 2),
+            ("https://b.example/private/x", 3),  # no rules for b.example
+            ("https://a.example/tmp/y", 4),
+        ],
+        ["url", "pid"],
+    )
+    robots_bodies = spark.createDataFrame(
+        [("a.example", body)], ["domain", "text"]
+    )
+    kept = sorted(
+        r["pid"]
+        for r in warc.robots_filter(pages, robots_bodies).collect()
+    )
+    assert kept == [2, 3]
+    # plan: the rule table rides a broadcast, pages do not shuffle
+    plan = (
+        warc.robots_filter(pages, robots_bodies)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
+
+
 def test_wet_conversion_records(spark):
     """WET layout: conversion blocks are the text verbatim — no HTTP
     parse, record-level content type governs the decode."""
