@@ -3131,3 +3131,81 @@ FROM (
   FROM documents WHERE doc_id % 5 = 0
 )
 """
+
+
+def _bpe_oracle(k: int = 8) -> str:
+    """Replay BPE training as k unrolled CTE stages (the
+    ann_ivf_trained precedent): stage n computes the weighted pair
+    counts over stage n-1's vocabulary symbols, takes the argmax with
+    a lexicographic tie-break, and applies the greedy left-to-right
+    NON-OVERLAPPING rewrite via run-parity windows (consecutive
+    matches form runs; odd-ranked matches within a run merge, the
+    following position is consumed). The final SELECT re-encodes every
+    document by joining its words to the trained vocabulary."""
+    parts = ["""
+WITH w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents) t
+  WHERE length(word) > 0 GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq, list(substr(word, i, 1) ORDER BY i) AS symbols
+  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g
+  GROUP BY word, freq
+)"""]
+    for n in range(1, k + 1):
+        p = n - 1
+        parts.append(f""",
+p{n} AS MATERIALIZED (
+  SELECT symbols[i] AS a, symbols[i+1] AS b, sum(freq) AS c
+  FROM s{p}, LATERAL (SELECT unnest(generate_series(1, len(symbols)-1))
+                      AS i) g
+  GROUP BY 1, 2
+),
+b{n} AS MATERIALIZED (SELECT a, b FROM p{n} ORDER BY c DESC, a, b LIMIT 1),
+e{n} AS MATERIALIZED (
+  SELECT word, freq, i, symbols[i] AS sym,
+    CASE WHEN i < len(symbols)
+          AND symbols[i] = (SELECT a FROM b{n})
+          AND symbols[i+1] = (SELECT b FROM b{n})
+         THEN 1 ELSE 0 END AS m
+  FROM s{p}, LATERAL (SELECT unnest(generate_series(1, len(symbols)))
+                      AS i) g
+),
+r{n} AS MATERIALIZED (
+  SELECT *, sum(1-m) OVER (PARTITION BY word ORDER BY i) AS run_id
+  FROM e{n}
+),
+k{n} AS MATERIALIZED (
+  SELECT *, CASE WHEN m = 1 AND (sum(m) OVER
+      (PARTITION BY word, run_id ORDER BY i)) % 2 = 1
+    THEN 1 ELSE 0 END AS km
+  FROM r{n}
+),
+o{n} AS MATERIALIZED (
+  SELECT *, lag(km) OVER (PARTITION BY word ORDER BY i) AS pk
+  FROM k{n}
+),
+s{n} AS MATERIALIZED (
+  SELECT word, freq,
+    list(CASE WHEN km = 1
+              THEN (SELECT a || b FROM b{n}) ELSE sym END ORDER BY i)
+      FILTER (WHERE coalesce(pk, 0) = 0) AS symbols
+  FROM o{n} GROUP BY word, freq
+)""")
+    parts.append(f"""
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(len(sk.symbols)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, text FROM documents) d,
+  LATERAL (SELECT unnest(regexp_split_to_array(trim(d.text), '\\s+'))
+           AS word) dw
+  JOIN s{k} sk ON sk.word = dw.word
+WHERE length(dw.word) > 0
+GROUP BY d.doc_id
+""")
+    return "".join(parts)
+
+
+ORACLES["bpe_train_segment"] = _bpe_oracle(8)

@@ -163,6 +163,23 @@ def _trained(spark, sf_dir: str, kind: str):
     return _TRAINED_CACHE[key]
 
 
+def _bpe_merges(spark, sf_dir: str, k: int = 8):
+    """Memoized trained BPE merges per (session, sf_dir) — the
+    tokenizer-training analogue of :func:`_trained`: offline training
+    runs once, every encode reuses the merge list. Deterministic
+    (lexicographic tie-break on pair counts), so the DuckDB oracle
+    replays the same k iterations as unrolled CTE stages
+    (oracles._bpe_oracle)."""
+    from scicat_ingestor_spark.operators import bpe
+
+    key = (spark, sf_dir, "bpe", k)
+    if key not in _TRAINED_CACHE:
+        _TRAINED_CACHE[key] = bpe.bpe_train(
+            _t(spark, sf_dir, "documents"), merges=k
+        )
+    return _TRAINED_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / filters (S2-S4) on the wrdn-shaped events stream
 # ---------------------------------------------------------------------------
@@ -2946,6 +2963,35 @@ def q_warc_domain_stats(spark, sf_dir):
     )
 
 
+def q_bpe_train_segment(spark, sf_dir):
+    """REAL BPE tokenizer training + encoding (r9): 8 merges learned
+    from corpus word statistics (one corpus shuffle, then
+    vocabulary-sized iterations with one-row collects), then every
+    document's token count under the TRAINED tokenizer — the chained
+    JVM fold encoder, no Python in the data plane. The oracle replays
+    all 8 training iterations as unrolled DuckDB CTE stages
+    (pair-count argmax with lexicographic tie-break + greedy
+    non-overlapping rewrite via run-parity windows) and re-counts
+    every document — a divergence in ANY iteration's argmax or in the
+    greedy rewrite shifts token counts corpus-wide."""
+    from scicat_ingestor_spark.operators import bpe
+
+    merges = _bpe_merges(spark, sf_dir, k=8)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long").alias("n_words"),
+        bpe.bpe_token_count("text", merges).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def q_warc_robots_filter(spark, sf_dir):
     """robots.txt politeness gate (r9): every capture carries its
     domain's /robots.txt (text/plain) alongside the page; pages under
@@ -5566,6 +5612,7 @@ QUERIES = {
     "warc_indexable_text": q_warc_indexable_text,
     "warc_wet_extract": q_warc_wet_extract,
     "warc_robots_filter": q_warc_robots_filter,
+    "bpe_train_segment": q_bpe_train_segment,
     "warc_main_text": q_warc_main_text,
     "warc_domain_stats": q_warc_domain_stats,
     "q6_forecast_revenue": q_q6_forecast_revenue,

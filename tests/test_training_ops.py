@@ -596,3 +596,85 @@ def test_trained_constants_match_duckdb(spark):
         for c in range(16)
         for d in range(8)
     )
+
+
+def test_bpe_train_matches_reference_and_greedy_edges(spark, sf_dir):
+    """r9: distributed BPE training must equal the serial reference
+    algorithm exactly (merge list AND per-word segmentations), and
+    the JVM fold encoder must implement greedy left-to-right
+    non-overlapping semantics."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = [tuple(m) for m in bpe.bpe_train(docs, merges=8)]
+
+    # serial reference
+    freq = Counter()
+    for r in docs.select("text").collect():
+        for w in re.split(r"\s+", r["text"].strip()):
+            if w:
+                freq[w] += 1
+    vocab = {w: list(w) for w in freq}
+    ref = []
+    for _ in range(8):
+        pc = Counter()
+        for w, sym in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += freq[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append(best)
+        a, b = best
+        for w, sym in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = out
+    assert merges == ref
+
+    # encoder parity on every vocabulary word
+    wdf = spark.createDataFrame([(w,) for w in vocab], ["w"])
+    got = {
+        r["w"]: r["s"]
+        for r in wdf.select("w", bpe.bpe_encode("w", merges).alias("s"))
+        .collect()
+    }
+    assert got == vocab
+
+    # greedy non-overlap edges for a single (a,b) fold
+    edf = spark.createDataFrame(
+        [("aab",), ("abab",), ("aaa",), ("xaby",)], ["w"]
+    )
+    out = {
+        r["w"]: r["s"]
+        for r in edf.select(
+            "w", bpe.merge_pair(bpe.chars("w"), "a", "b").alias("s")
+        ).collect()
+    }
+    assert out == {
+        "aab": ["a", "ab"],
+        "abab": ["ab", "ab"],
+        "aaa": ["a", "a", "a"],
+        "xaby": ["x", "ab", "y"],
+    }
+
+    # token count composes: sum of per-word encoded lengths
+    row = (
+        docs.orderBy("doc_id")
+        .limit(1)
+        .select("text", bpe.bpe_token_count("text", merges).alias("n"))
+        .collect()[0]
+    )
+    words = [w for w in re.split(r"\s+", row["text"].strip()) if w]
+    assert row["n"] == sum(len(vocab[w]) for w in words)
