@@ -552,14 +552,25 @@ def robots_filter(
 ) -> DataFrame:
     """Drop pages a domain's robots.txt disallows for ``agent`` — the
     crawl-politeness gate. ``pages`` needs a ``url`` column;
-    ``robots_bodies`` is (domain, text) — one robots.txt body per
-    domain (e.g. the ``/robots.txt`` responses of the same capture
-    set). The rule table (domain, prefix) is tiny — it rides a
-    BROADCAST left-anti join with a startswith predicate; pages never
-    shuffle."""
-    rules = robots_bodies.select(
-        "domain",
-        F.explode(robots_disallow_prefixes("text", agent)).alias("prefix"),
+    ``robots_bodies`` is (domain, text) robots.txt bodies (e.g. the
+    ``/robots.txt`` responses of the same capture set — a crawl
+    re-captures each domain's robots.txt constantly, so duplicates
+    are the NORM). Bodies are DISTINCT'd before parsing and the
+    (domain, prefix) rule table DISTINCT'd again before the join:
+    the startswith predicate forces a broadcast nested-loop, which
+    is effectively a scan-local filter against a |domains|-sized rule
+    table but quadratic against an un-deduped per-capture one
+    (measured 74 s -> 4 s at the ×100 replica)."""
+    rules = (
+        robots_bodies.select("domain", "text")
+        .distinct()
+        .select(
+            "domain",
+            F.explode(
+                robots_disallow_prefixes("text", agent)
+            ).alias("prefix"),
+        )
+        .distinct()
     )
     keyed = pages.withColumn("_domain", url_host("url")).withColumn(
         "_path", url_path("url")
