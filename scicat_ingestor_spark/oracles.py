@@ -3209,3 +3209,50 @@ GROUP BY d.doc_id
 
 
 ORACLES["bpe_train_segment"] = _bpe_oracle(8)
+
+
+# Exact-substring removal: duplicated-span coverage replayed with NOT
+# EXISTS interval logic, rebuild via ordered string_agg. Span hashing
+# matches dedup_duplicate_spans (lowercased 8-token md5); the rebuild
+# keeps ORIGINAL tokens. MATERIALIZED: sp feeds both the frequency
+# aggregate and the cut join.
+ORACLES["dedup_remove_spans"] = """
+WITH w AS MATERIALIZED (
+  SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS ltoks,
+    regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+sp AS MATERIALIZED (
+  SELECT doc_id, i AS s,
+    md5(concat_ws(' ', ltoks[i], ltoks[i+1], ltoks[i+2], ltoks[i+3],
+                       ltoks[i+4], ltoks[i+5], ltoks[i+6], ltoks[i+7]))
+      AS h
+  FROM w, LATERAL (SELECT unnest(range(1, greatest(len(ltoks)-7, 1)+1))
+                   AS i) g
+),
+duph AS MATERIALIZED (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h
+  ) WHERE nd > 1
+),
+cuts AS MATERIALIZED (
+  SELECT DISTINCT sp.doc_id, sp.s FROM sp JOIN duph USING (h)
+),
+tok AS MATERIALIZED (
+  SELECT w.doc_id, g.j, w.toks[g.j] AS t
+  FROM w, LATERAL (SELECT unnest(range(1, len(toks)+1)) AS j) g
+),
+kept AS MATERIALIZED (
+  SELECT t.doc_id, t.j, t.t FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c
+    WHERE c.doc_id = t.doc_id AND t.j BETWEEN c.s AND c.s + 7)
+)
+SELECT w.doc_id,
+  CAST(any_value(len(w.toks)) AS BIGINT) AS n_tokens,
+  CAST(any_value(len(w.toks)) - count(k.j) AS BIGINT) AS n_removed,
+  coalesce(string_agg(k.t, ' ' ORDER BY k.j), '') AS text
+FROM w LEFT JOIN kept k USING (doc_id)
+GROUP BY w.doc_id
+"""

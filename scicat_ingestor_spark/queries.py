@@ -1729,6 +1729,20 @@ def q_dedup_duplicate_spans(spark, sf_dir):
     )
 
 
+def q_dedup_remove_spans(spark, sf_dir):
+    """Exact-substring REMOVAL (r9 — the production counterpart of
+    dedup_duplicate_spans' signal, Lee et al. 2022): every 8-token
+    span occurring in >1 document is cut out of each document and the
+    remainder rebuilt (original tokens, single-space joined;
+    lowercased matching). Three linear shuffles + a pure-JVM rebuild;
+    the oracle replays coverage with NOT EXISTS interval logic and
+    string_agg reassembly — an off-by-one in the coverage window or a
+    reassembly-order bug changes rebuilt texts corpus-wide."""
+    from scicat_ingestor_spark.operators import dedup
+
+    return dedup.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_recall_report(spark, sf_dir):
     """Candidate-generation recall of the MinHash+LSH pipeline vs exact
     ground truth — the dedup analogue of ``ann_recall_report`` (every
@@ -5512,6 +5526,7 @@ QUERIES = {
     "dedup_recall_report": q_dedup_recall_report,
     "dedup_jaccard_ssjoin": q_dedup_jaccard_ssjoin,
     "dedup_duplicate_spans": q_dedup_duplicate_spans,
+    "dedup_remove_spans": q_dedup_remove_spans,
     "dedup_clusters": q_dedup_clusters,
     "dedup_survivors": q_dedup_survivors,
     "dedup_incremental": q_dedup_incremental,

@@ -678,3 +678,43 @@ def test_bpe_train_matches_reference_and_greedy_edges(spark, sf_dir):
     )
     words = [w for w in re.split(r"\s+", row["text"].strip()) if w]
     assert row["n"] == sum(len(vocab[w]) for w in words)
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """r9 ExactSubstr removal: case-insensitive span matching,
+    original-token rebuild, whole-short-doc removal, untouched docs
+    byte-identical, and the coverage window's exact boundaries."""
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "A b C d e f g h tail two"),  # matches 1 case-insensitively
+            (3, "completely different words here nothing shared at all ok"),
+            (4, "short doc"),
+            (5, "short doc"),  # whole-doc dup below the span width
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text"])
+        for r in dedup.remove_duplicate_spans(docs).collect()
+    }
+    # spans s=1 (a..h) and s=2 (b..tail) duplicate -> tokens 1..9 cut
+    assert out[1] == (10, 9, "one")
+    assert out[2] == (10, 9, "two")
+    assert out[3] == (
+        9, 0, "completely different words here nothing shared at all ok"
+    )
+    assert out[4] == (2, 2, "")
+    assert out[5] == (2, 2, "")
+    # boundary: ONLY the first 8 tokens shared -> token 9 survives
+    docs2 = spark.createDataFrame(
+        [(1, "p q r s t u v w END1 X"), (2, "p q r s t u v w END2 Y")],
+        ["doc_id", "text"],
+    )
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in dedup.remove_duplicate_spans(docs2).collect()
+    }
+    assert out2 == {1: "END1 X", 2: "END2 Y"}
