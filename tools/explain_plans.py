@@ -43,6 +43,16 @@ SHOWN = [
         "window + LeftAnti, all increment-sized",
     ),
     (
+        "bpe_train_segment",
+        "trained-BPE encode: chained JVM aggregate folds over every "
+        "document's words (training collected 8 argmax rows at build)",
+    ),
+    (
+        "dedup_remove_spans",
+        "ExactSubstr removal: span-hash frequency + as-of coverage "
+        "window + doc-keyed reassembly — all linear exchanges",
+    ),
+    (
         "warc_extract_text",
         "WARC capture -> HTML -> text: scan-local bytes plane "
         "(mapInPandas framing/HTTP), then the whole 6-step extraction "
