@@ -218,6 +218,40 @@ def test_column_chain_matches_python_twin(spark):
     assert got == [warc.html_to_text(c) for c in cases]
 
 
+def test_extraction_parity_fuzz(spark):
+    """Property fuzz of the JVM/Python extraction twins: random
+    ASCII-printable markup soups (fragments of tags, entities,
+    comments, script blocks, whitespace runs) must extract
+    identically through html_text (Java regex) and html_to_text
+    (Python re) — a quiet divergence here would fork the oracles from
+    the data plane."""
+    import random
+
+    rng = random.Random(20260816)
+    frags = [
+        "<p>", "</p>", "<P class='x'>", "<div>", "</div>", "<br/>",
+        "<b>", "</b>", "<h2>", "</h2>", "<td>", "</td>",
+        "<script>", "</script>", "<style>", "</style>",
+        "<!--", "-->", "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;",
+        "plain", "words", "x<y", "a>b", "&unknown;", "  ", "\n", "\t",
+        "<notatag", ">", "<p", "attr='v'>",
+    ]
+    cases = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["html"])
+    got = [
+        r["t"]
+        for r in df.select(warc.html_text("html").alias("t")).collect()
+    ]
+    exp = [warc.html_to_text(c) for c in cases]
+    mismatches = [
+        (c, g, e) for c, g, e in zip(cases, got, exp) if g != e
+    ]
+    assert not mismatches, mismatches[:3]
+
+
 def test_warc_scan_end_to_end(spark, tmp_path):
     """Real files on disk through the binaryFile source: three .warc.gz
     + two plain .warc, one task per file, exact texts out."""
