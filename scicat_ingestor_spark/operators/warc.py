@@ -51,6 +51,7 @@ this):
 
 from __future__ import annotations
 
+import codecs
 import re
 import zlib
 from typing import Iterator
@@ -144,70 +145,159 @@ def gunzip_members(payload: bytes) -> bytes:
     return b"".join(out)
 
 
+def _parse_record_at(payload: bytes, pos: int) -> tuple[dict, int]:
+    """Parse ONE record's framing at ``pos``: version line, CRLF header
+    lines (with RFC-style folded continuations), blank line, exactly
+    Content-Length block bytes, then the mandatory CRLFCRLF separator.
+    Returns (record, next_pos); raises ValueError on structural damage
+    (the strict contract both walk modes build on)."""
+    eol = payload.find(b"\r\n", pos)
+    if eol < 0:
+        raise ValueError("not a WARC: unterminated version line")
+    version = payload[pos:eol]
+    if version not in _WARC_VERSIONS:
+        raise ValueError(f"not a WARC: bad version line {version[:24]!r}")
+    pos = eol + 2
+    headers: dict[str, str] = {}
+    last_key = None
+    while True:
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("not a WARC: truncated header block")
+        line = payload[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        if line[:1] in (b" ", b"\t"):
+            if last_key is None:
+                raise ValueError("not a WARC: header continuation first")
+            headers[last_key] += " " + line.strip().decode(
+                "utf-8", "replace"
+            )
+            continue
+        name, sep, value = line.partition(b":")
+        if not sep:
+            raise ValueError(
+                f"not a WARC: malformed header line {line[:40]!r}"
+            )
+        last_key = name.strip().lower().decode("ascii", "replace")
+        headers[last_key] = value.strip().decode("utf-8", "replace")
+    cl = headers.get("content-length")
+    if cl is None or not cl.isdigit():
+        raise ValueError("not a WARC: missing/bad Content-Length")
+    n = int(cl)
+    block = payload[pos : pos + n]
+    if len(block) < n:
+        raise ValueError("not a WARC: truncated record block")
+    pos += n
+    if payload[pos : pos + 4] != b"\r\n\r\n":
+        raise ValueError("not a WARC: missing record separator")
+    pos += 4
+    record = {
+        "warc_type": headers.get("warc-type", ""),
+        "record_id": headers.get("warc-record-id", ""),
+        "target_uri": headers.get("warc-target-uri", ""),
+        "warc_date": headers.get("warc-date", ""),
+        "content_type": headers.get("content-type", ""),
+        "block": block,
+    }
+    return record, pos
+
+
 def warc_records(payload: bytes) -> list[dict]:
-    """Walk WARC record framing: version line, CRLF header lines (with
-    RFC-style folded continuations), blank line, exactly Content-Length
-    block bytes, then the mandatory CRLFCRLF separator. Transparent
-    for .warc.gz input (gzip magic sniff). Returns one dict per record:
-    ``warc_type, record_id, target_uri, warc_date, content_type,
-    block`` — header names case-insensitive per spec."""
+    """STRICT walk of WARC record framing (see :func:`_parse_record_at`
+    for the grammar). Transparent for .warc.gz input (gzip magic
+    sniff). Returns one dict per record: ``warc_type, record_id,
+    target_uri, warc_date, content_type, block`` — header names
+    case-insensitive per spec. Any structural damage raises ValueError
+    for the whole payload — the fixture/contract mode; the data plane
+    uses :func:`warc_records_tolerant` (per-record dead-letter)."""
     if payload[:2] == b"\x1f\x8b":
         payload = gunzip_members(payload)
     records = []
     pos = 0
     while pos < len(payload):
-        eol = payload.find(b"\r\n", pos)
-        if eol < 0:
-            raise ValueError("not a WARC: unterminated version line")
-        version = payload[pos:eol]
-        if version not in _WARC_VERSIONS:
-            raise ValueError(f"not a WARC: bad version line {version[:24]!r}")
-        pos = eol + 2
-        headers: dict[str, str] = {}
-        last_key = None
-        while True:
-            eol = payload.find(b"\r\n", pos)
-            if eol < 0:
-                raise ValueError("not a WARC: truncated header block")
-            line = payload[pos:eol]
-            pos = eol + 2
-            if not line:
+        rec, pos = _parse_record_at(payload, pos)
+        records.append(rec)
+    return records
+
+
+_ERROR_RECORD = {
+    "warc_type": "",
+    "record_id": "",
+    "target_uri": "",
+    "warc_date": "",
+    "content_type": "",
+    "block": b"",
+}
+
+# resync anchor: the next record's version line (preceded by nothing we
+# can rely on — the damaged span may have eaten the separator)
+_RESYNC = re.compile(rb"WARC/(?:1\.0|1\.1|0\.18)\r\n")
+
+
+def _gunzip_members_tolerant(payload: bytes, errors: list[str]) -> bytes:
+    """Member-at-a-time variant of :func:`gunzip_members`: a bad member
+    (bad magic, zlib damage, truncation, cap breach) records ONE error
+    and skips to the next gzip magic instead of raising — in the CC
+    layout (one member per record) one corrupt member then costs one
+    record, not the ~1 GB file."""
+    out = []
+    data = payload
+    budget = MAX_INFLATED_BYTES
+    while data:
+        if data[:2] != b"\x1f\x8b":
+            errors.append("not a WARC: garbage between gzip members")
+            i = data.find(b"\x1f\x8b\x08")
+            if i < 0:
                 break
-            if line[:1] in (b" ", b"\t"):
-                if last_key is None:
-                    raise ValueError("not a WARC: header continuation first")
-                headers[last_key] += " " + line.strip().decode(
-                    "utf-8", "replace"
-                )
-                continue
-            name, sep, value = line.partition(b":")
-            if not sep:
-                raise ValueError(
-                    f"not a WARC: malformed header line {line[:40]!r}"
-                )
-            last_key = name.strip().lower().decode("ascii", "replace")
-            headers[last_key] = value.strip().decode("utf-8", "replace")
-        cl = headers.get("content-length")
-        if cl is None or not cl.isdigit():
-            raise ValueError("not a WARC: missing/bad Content-Length")
-        n = int(cl)
-        block = payload[pos : pos + n]
-        if len(block) < n:
-            raise ValueError("not a WARC: truncated record block")
-        pos += n
-        if payload[pos : pos + 4] != b"\r\n\r\n":
-            raise ValueError("not a WARC: missing record separator")
-        pos += 4
-        records.append(
-            {
-                "warc_type": headers.get("warc-type", ""),
-                "record_id": headers.get("warc-record-id", ""),
-                "target_uri": headers.get("warc-target-uri", ""),
-                "warc_date": headers.get("warc-date", ""),
-                "content_type": headers.get("content-type", ""),
-                "block": block,
-            }
-        )
+            data = data[i:]
+            continue
+        o = zlib.decompressobj(wbits=31)
+        try:
+            member = _bounded_inflate(o, data, budget, "gzip member")
+            if not o.eof:
+                raise ValueError("not a WARC: truncated gzip member")
+        except ValueError as e:
+            errors.append(str(e))
+            i = data.find(b"\x1f\x8b\x08", 2)
+            if i < 0:
+                break
+            data = data[i:]
+            continue
+        out.append(member)
+        budget -= len(member)
+        data = o.unused_data
+    return b"".join(out)
+
+
+def warc_records_tolerant(payload: bytes) -> list[dict]:
+    """Fault-isolating walk (VERDICT r9 task 1 — the V3/T4 dead-letter
+    contract applied to capture framing): structural damage yields ONE
+    error record (``error`` set, empty fields) and the walk resyncs at
+    the next version line / gzip member instead of losing the file.
+    Good records carry ``error=None``. Resync heuristic: a damaged
+    record whose BLOCK bytes contain a version line (warc-in-warc) can
+    resync early and re-emit tail records — acceptable for a
+    dead-letter channel, impossible for well-formed input."""
+    errors: list[str] = []
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members_tolerant(payload, errors)
+    records: list[dict] = [
+        dict(_ERROR_RECORD, error=e) for e in errors
+    ]
+    pos = 0
+    while pos < len(payload):
+        try:
+            rec, pos = _parse_record_at(payload, pos)
+            rec["error"] = None
+            records.append(rec)
+        except ValueError as e:
+            records.append(dict(_ERROR_RECORD, error=str(e)))
+            m = _RESYNC.search(payload, pos + 1)
+            if not m:
+                break
+            pos = m.start()
     return records
 
 
@@ -268,33 +358,43 @@ def _decode_content(body: bytes, encoding: str) -> bytes:
             data = o.unused_data
         return b"".join(out)
     if enc == "deflate":
-        for wbits in (15, -15):  # zlib-wrapped first, then raw
-            o = zlib.decompressobj(wbits=wbits)
-            try:
-                out_b = _bounded_inflate(
-                    o, body, MAX_INFLATED_BYTES, "deflate body"
-                )
-            except ValueError as e:
-                if "inflate cap" in str(e):
-                    raise
-                continue
+        # zlib-wrapped first, raw-deflate as the fallback. The retry
+        # fires ONLY when the zlib attempt errored (wrong header /
+        # checksum): a zlib attempt that consumed input cleanly but
+        # never reached eof is a TRUNCATED zlib body, and retrying it
+        # as raw deflate would misread the 0x78 header as deflate data
+        # and could return corrupt bytes — the silently-short-parse
+        # failure the module contract forbids.
+        o = zlib.decompressobj(wbits=15)
+        try:
+            out_b = _bounded_inflate(
+                o, body, MAX_INFLATED_BYTES, "deflate body"
+            )
+        except ValueError as e:
+            if "inflate cap" in str(e):
+                raise
+        else:
             if o.eof:
                 return out_b
-        raise ValueError("not a WARC: bad deflate body")
+            raise ValueError("not a WARC: truncated deflate body")
+        o = zlib.decompressobj(wbits=-15)
+        try:
+            out_b = _bounded_inflate(
+                o, body, MAX_INFLATED_BYTES, "deflate body"
+            )
+        except ValueError as e:
+            if "inflate cap" in str(e):
+                raise
+            raise ValueError("not a WARC: bad deflate body")
+        if o.eof:
+            return out_b
+        raise ValueError("not a WARC: truncated deflate body")
     raise ValueError(f"not a WARC: unknown Content-Encoding {enc!r}")
 
 
-def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
-    """Parse the HTTP response message inside a WARC response record's
-    block: status line, case-insensitive headers, body after the first
-    CRLFCRLF — then undo the WIRE layers raw captures preserve, in
-    wire order: chunked transfer framing first, Content-Encoding
-    (gzip/deflate) second. Returns (status, headers, decoded_body)."""
-    if not block.startswith(b"HTTP/"):
-        raise ValueError("not a WARC: response block is not HTTP")
-    head, sep, body = block.partition(b"\r\n\r\n")
-    if not sep:
-        raise ValueError("not a WARC: HTTP head missing terminator")
+def _parse_http_head(head: bytes) -> tuple[int, dict[str, str]]:
+    """Status line + case-insensitive headers (with obs-fold
+    continuations) from the head bytes of an HTTP response message."""
     lines = head.split(b"\r\n")
     parts = lines[0].split(None, 2)
     if len(parts) < 2 or not parts[1].isdigit():
@@ -318,10 +418,36 @@ def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
             raise ValueError("not a WARC: malformed HTTP header")
         last_key = name.strip().lower().decode("ascii", "replace")
         headers[last_key] = value.strip().decode("utf-8", "replace")
+    return status, headers
+
+
+def http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Parse the HTTP response message inside a WARC response record's
+    block: status line, case-insensitive headers, body after the first
+    CRLFCRLF — then undo the WIRE layers raw captures preserve, in
+    wire order: chunked transfer framing first, Content-Encoding
+    (gzip/deflate) second. Returns (status, headers, decoded_body)."""
+    if not block.startswith(b"HTTP/"):
+        raise ValueError("not a WARC: response block is not HTTP")
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:
+        raise ValueError("not a WARC: HTTP head missing terminator")
+    status, headers = _parse_http_head(head)
     if "chunked" in headers.get("transfer-encoding", "").lower():
         body = _dechunk(body)
     body = _decode_content(body, headers.get("content-encoding", ""))
     return status, headers, body
+
+
+def http_head(block: bytes) -> tuple[int, dict[str, str]]:
+    """Head-only HTTP parse for records that legally carry NO body —
+    WARC ``revisit`` records store the new response's status line and
+    headers only (the identical-payload-digest profile), with or
+    without the trailing CRLFCRLF."""
+    if not block.startswith(b"HTTP/"):
+        raise ValueError("not a WARC: response block is not HTTP")
+    head = block.split(b"\r\n\r\n", 1)[0]
+    return _parse_http_head(head)
 
 
 # ---------------------------------------------------------------------------
@@ -411,51 +537,171 @@ def make_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
 
 _RESPONSE_ROWS_SCHEMA = (
     "media_id long, seq int, warc_type string, url string, "
-    "warc_date string, http_status int, content_type string, text string"
+    "warc_date string, http_status int, content_type string, "
+    "charset string, text string, error string"
 )
 
 
+def _norm_content_type(ct: str) -> str:
+    """Lowercase the media-type token of a Content-Type value, keeping
+    parameters verbatim — real captures ship 'Text/HTML' / 'TEXT/html'
+    constantly, and a case-sensitive downstream filter would silently
+    drop those pages. Charset parameter VALUES are matched
+    case-insensitively where they are consumed (_body_charset)."""
+    if not ct:
+        return ct
+    head, sep, rest = ct.partition(";")
+    return head.strip().lower() + (sep + rest if sep else "")
+
+
+_CT_CHARSET = re.compile(r"""(?i)charset\s*=\s*["']?([A-Za-z0-9_.:+-]+)""")
+_META_CHARSET = re.compile(
+    rb"""(?is)<meta\b[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9_.:+-]+)"""
+)
+
+
+def _lookup_codec(label: str) -> str | None:
+    """Canonical Python codec name for a charset label, or None when
+    the label is unknown or not a real text encoding (guards against
+    alias tricks like rot13/base64, which are not bytes->str)."""
+    try:
+        info = codecs.lookup(label.strip().strip("\"'"))
+    except (LookupError, ValueError):
+        return None
+    if not getattr(info, "_is_text_encoding", True):
+        return None
+    return info.name
+
+
+def decode_body_text(
+    body: bytes, content_type: str, sniff_html: bool
+) -> tuple[str, str]:
+    """Charset-aware body decode (VERDICT r9 task 2) — the WHATWG-ish
+    precedence real crawls need, since UTF-8-replace alone turns every
+    legacy-charset page into silent mojibake:
+
+    1. the Content-Type ``charset=`` parameter (header wins);
+    2. for HTML, a ``<meta charset=..>`` / http-equiv sniff in the
+       first 1024 bytes (covers both quoting styles and the
+       ``content="text/html; charset=.."`` form via the same regex);
+    3. strict UTF-8 (the modern-web default);
+    4. ISO-8859-1 last resort — total (never fails), so a page always
+       decodes to SOMETHING rather than erroring out of the corpus.
+
+    Returns (text, canonical_codec_name). A declared codec decodes
+    with errors='replace' (the declaration may still lie about a few
+    bytes); the fallback ladder only reaches latin-1 when strict UTF-8
+    refuses."""
+    m = _CT_CHARSET.search(content_type or "")
+    enc = _lookup_codec(m.group(1)) if m else None
+    if enc is None and sniff_html:
+        mm = _META_CHARSET.search(body[:1024])
+        if mm:
+            enc = _lookup_codec(mm.group(1).decode("ascii", "replace"))
+    if enc is None:
+        try:
+            return body.decode("utf-8"), "utf-8"
+        except UnicodeDecodeError:
+            return body.decode("iso8859-1"), "iso8859-1"
+    return body.decode(enc, "replace"), enc
+
+
+def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
+    """One parsed record -> the row dict of _RESPONSE_ROWS_SCHEMA
+    (minus media_id/seq). HTTP-level damage inside a record is caught
+    HERE so it dead-letters that record alone, not the file (re-raised
+    in strict mode)."""
+    status = body_text = charset = None
+    err = rec.get("error")
+    ctype = _norm_content_type(rec["content_type"])
+    if err is None:
+        try:
+            if rec["warc_type"] == "response":
+                status, hh, body = http_response(rec["block"])
+                ctype = _norm_content_type(hh.get("content-type", ctype))
+                media = ctype.partition(";")[0]
+                if media.startswith("text/"):
+                    body_text, charset = decode_body_text(
+                        body, ctype, sniff_html=media == "text/html"
+                    )
+            elif rec["warc_type"] == "revisit" and rec["block"].startswith(
+                b"HTTP/"
+            ):
+                # identical-payload re-capture: the block is the NEW
+                # response's head only — a capture of the target URI
+                # at the revisit date, with no body of its own
+                # (latest_capture backfills content from the newest
+                # response row of the same canonical URL); an empty
+                # block (also legal) keeps the WARC-level fields
+                status, hh = http_head(rec["block"])
+                ctype = _norm_content_type(hh.get("content-type", ctype))
+            elif rec["warc_type"] == "conversion":
+                # WET layout (Common Crawl's pre-extracted text):
+                # the block IS the text, no HTTP wrapper
+                if ctype.partition(";")[0].startswith("text/"):
+                    body_text, charset = decode_body_text(
+                        rec["block"], ctype, sniff_html=False
+                    )
+        except ValueError as e:
+            if not tolerant:
+                raise
+            status = body_text = charset = None
+            err = str(e)
+    return {
+        "warc_type": rec["warc_type"],
+        "url": rec["target_uri"] or None,
+        "warc_date": rec["warc_date"] or None,
+        "http_status": status,
+        "content_type": ctype or None,
+        "charset": charset,
+        "text": body_text,
+        "error": err,
+    }
+
+
 def warc_response_rows(
-    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    tolerant: bool = True,
 ) -> DataFrame:
     """Arrow-batched record explode over (media_id, payload) WARC
     files (plain or .gz): one output row per record, in file order
     (``seq``). Response records carry their HTTP status, the HTTP
-    Content-Type, and the utf-8-decoded body for ``text/*`` types;
-    non-response records carry the WARC-level Content-Type with null
-    status/text. Partition-preserving — the decode stays scan-local at
-    any scale; filter/extract downstream in JVM expressions."""
+    Content-Type (media type lowercased), the charset the body decode
+    actually used, and the decoded body for ``text/*`` types;
+    ``revisit`` records carry the new response's status/content-type
+    with null text (content resolves in :func:`latest_capture`); other
+    records carry the WARC-level Content-Type with null status/text.
+
+    Fault channel: by default (``tolerant=True``) structural damage —
+    a corrupt gzip member, broken framing, a bad HTTP message — yields
+    a DEAD-LETTER row (``error`` set, other fields null) for the
+    damaged record while every other record in the file survives (the
+    engine's V3/T4 per-record tolerance contract; at 100k-file crawls
+    a file-fatal parse would lose ~1 GB per corrupt record).
+    ``tolerant=False`` restores the strict whole-file ValueError.
+
+    Partition-preserving — the decode stays scan-local at any scale;
+    filter/extract downstream in JVM expressions."""
+    walk = warc_records_tolerant if tolerant else (
+        lambda b: [dict(r, error=None) for r in warc_records(b)]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "seq", "warc_type", "url", "warc_date",
-                "http_status", "content_type", "text",
+                "http_status", "content_type", "charset", "text",
+                "error",
             )}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                for seq, rec in enumerate(warc_records(bytes(payload))):
-                    status = body_text = None
-                    ctype = rec["content_type"]
-                    if rec["warc_type"] == "response":
-                        status, hh, body = http_response(rec["block"])
-                        ctype = hh.get("content-type", ctype)
-                        if ctype.split(";")[0].strip().startswith("text/"):
-                            body_text = body.decode("utf-8", "replace")
-                    elif rec["warc_type"] == "conversion":
-                        # WET layout (Common Crawl's pre-extracted text):
-                        # the block IS the text, no HTTP wrapper
-                        if ctype.split(";")[0].strip().startswith("text/"):
-                            body_text = rec["block"].decode(
-                                "utf-8", "replace"
-                            )
+                for seq, rec in enumerate(walk(bytes(payload))):
+                    row = _record_to_row(rec, tolerant)
                     rows["media_id"].append(int(mid))
                     rows["seq"].append(seq)
-                    rows["warc_type"].append(rec["warc_type"])
-                    rows["url"].append(rec["target_uri"] or None)
-                    rows["warc_date"].append(rec["warc_date"] or None)
-                    rows["http_status"].append(status)
-                    rows["content_type"].append(ctype or None)
-                    rows["text"].append(body_text)
+                    for k, v in row.items():
+                        rows[k].append(v)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=_RESPONSE_ROWS_SCHEMA)
@@ -495,15 +741,11 @@ def meta_noindex(col: Column | str) -> Column:
 
 
 def robots_disallow_prefixes(col: Column | str, agent: str = "*") -> Column:
-    """Parse a robots.txt body into the Disallow path prefixes that
-    apply to ``agent`` — as ONE JVM ``aggregate`` fold over the lines
-    (no Python, no UDF): the accumulator tracks whether the current
-    group header matches the agent, consecutive ``User-agent`` lines
-    stack (a group may name several agents), comments strip at ``#``,
-    empty Disallow values (allow-all) are ignored. Documented
-    simplification vs RFC 9309: rules are taken from every group
-    whose agent token EQUALS ``agent`` (no longest-match precedence
-    between ``*`` and named groups)."""
+    """LEGACY subset parser (r9): Disallow-only literal prefixes for
+    groups whose agent token EQUALS ``agent``. Kept as the simple
+    fold's contract test target; the politeness gate itself uses the
+    RFC 9309-complete :func:`robots_rules` / :func:`robots_filter`
+    (Allow, wildcards, longest-match, agent precedence) as of r10."""
     c = F.col(col) if isinstance(col, str) else col
     lines = F.split(c, r"\r?\n")  # robots.txt ships both line endings
     init = F.struct(
@@ -547,51 +789,217 @@ def url_path(col: Column | str) -> Column:
     return F.when(F.length(p) > 0, p).otherwise(F.lit("/"))
 
 
+def url_path_query(col: Column | str) -> Column:
+    """Path + '?query' of a URL ('/' when the path is absent) — the
+    string robots.txt rules match against (RFC 9309 matches the
+    path-with-query, so 'Disallow: /cgi/*?' style rules see the '?')."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*|\?[^#]*)?", 1
+    )
+    return F.when(
+        F.length(p) == 0, F.lit("/")
+    ).otherwise(
+        F.when(p.startswith("?"), F.concat(F.lit("/"), p)).otherwise(p)
+    )
+
+
+def robots_rules(col: Column | str) -> Column:
+    """Parse a robots.txt body into its full rule list — an
+    ``array<struct<agent, allow, value>>`` — as ONE JVM ``aggregate``
+    fold over the lines (no Python, no UDF). RFC 9309 grammar:
+    consecutive ``User-agent`` lines stack into one group (a group may
+    name several agents); ``Allow`` and ``Disallow`` lines attach to
+    every agent of the current group; comments strip at ``#``;
+    empty-value rules (allow-all ``Disallow:``) are ignored; agent
+    tokens lowercase (matching is case-insensitive). Group selection
+    and path matching live in :func:`robots_rule_table` /
+    :func:`robots_filter` — they are relational, over the tiny parsed
+    rule table."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\r?\n")  # robots.txt ships both line endings
+    rule_t = "array<struct<agent:string,allow:int,value:string>>"
+    init = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(True).alias("header"),
+        F.array().cast(rule_t).alias("rules"),
+    )
+
+    def step(acc, line):
+        stripped = F.trim(F.substring_index(line, "#", 1))
+        low = F.lower(stripped)
+        is_ua = low.startswith("user-agent:")
+        is_dis = low.startswith("disallow:")
+        is_alw = low.startswith("allow:")
+        ua = F.lower(F.trim(F.substring(stripped, 12, 1 << 20)))
+        val = F.when(
+            is_dis, F.trim(F.substring(stripped, 10, 1 << 20))
+        ).otherwise(F.trim(F.substring(stripped, 7, 1 << 20)))
+        agents = F.when(
+            is_ua & acc["header"], F.array_append(acc["agents"], ua)
+        ).when(is_ua, F.array(ua)).otherwise(acc["agents"])
+        rules = F.when(
+            (is_dis | is_alw) & (F.length(val) > 0),
+            F.concat(
+                acc["rules"],
+                F.transform(
+                    acc["agents"],
+                    lambda ag: F.struct(
+                        ag.alias("agent"),
+                        F.when(is_alw, F.lit(1))
+                        .otherwise(F.lit(0))
+                        .alias("allow"),
+                        val.alias("value"),
+                    ),
+                ),
+            ),
+        ).otherwise(acc["rules"])
+        return F.struct(
+            agents.alias("agents"),
+            is_ua.alias("header"),
+            rules.alias("rules"),
+        )
+
+    return F.aggregate(lines, init, step)["rules"]
+
+
+def robots_rule_table(
+    robots_bodies: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """(domain, rules) — ONE row per domain, ``rules`` the compiled
+    rule array of the group RFC 9309 selects for ``agent``:
+
+    - **group selection**: among groups whose token is ``*`` or a
+      case-insensitive PREFIX of the crawler's product token, the
+      longest token wins (``*`` counts as length 0 — a named match
+      always beats the catch-all); no applicable group -> no rules
+      (allow everything).
+    - **wildcard compilation**: rule values translate to anchored Java
+      regexes — ``*`` -> ``.*``, a TRAILING ``$`` -> end anchor, every
+      other regex metachar escaped — so real-world rules like
+      ``/*.php$`` match the way the RFC says instead of being taken as
+      literal prefixes (the r9 ADVICE gap).
+    - precedence data: each compiled rule keeps ``len`` (octets of the
+      original value — the RFC's most-specific-match measure) and
+      ``allow``.
+
+    All relational work happens on the |domains|-sized parsed table;
+    bodies are DISTINCT'd first because a crawl re-captures robots.txt
+    constantly."""
+    agent_l = agent.lower()
+    parsed = (
+        robots_bodies.select("domain", "text")
+        .distinct()
+        .select("domain", F.explode(robots_rules("text")).alias("r"))
+    )
+    applicable = parsed.filter(
+        (F.col("r.agent") == "*")
+        | F.lit(agent_l).startswith(F.col("r.agent"))
+    ).select(
+        "domain",
+        "r",
+        F.when(F.col("r.agent") == "*", F.lit(0))
+        .otherwise(F.length("r.agent"))
+        .alias("tok_len"),
+    )
+    w = Window.partitionBy("domain")
+    selected = (
+        applicable.withColumn("max_len", F.max("tok_len").over(w))
+        .filter(F.col("tok_len") == F.col("max_len"))
+        .select("domain", "r.allow", "r.value")
+        .distinct()
+    )
+    anchored = F.col("value").endswith("$")
+    core = F.when(
+        anchored, F.expr("substring(value, 1, length(value) - 1)")
+    ).otherwise(F.col("value"))
+    esc = F.regexp_replace(core, r"([\\\.\[\]\{\}\(\)\+\?\^\$\|])", "\\\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return selected.groupBy("domain").agg(
+        F.collect_list(
+            F.struct(
+                pattern.alias("pattern"),
+                F.length("value").alias("len"),
+                F.col("allow").alias("allow"),
+            )
+        ).alias("rules")
+    )
+
+
 def robots_filter(
     pages: DataFrame, robots_bodies: DataFrame, agent: str = "*"
 ) -> DataFrame:
     """Drop pages a domain's robots.txt disallows for ``agent`` — the
-    crawl-politeness gate. ``pages`` needs a ``url`` column;
+    crawl-politeness gate, RFC 9309-complete as of r10: ``Allow``
+    directives, longest-match precedence (most octets wins; equal
+    octets -> Allow wins), ``*``/``$`` wildcard rules, and
+    longest-agent-token group selection (see
+    :func:`robots_rule_table`). ``pages`` needs a ``url`` column;
     ``robots_bodies`` is (domain, text) robots.txt bodies (e.g. the
     ``/robots.txt`` responses of the same capture set — a crawl
     re-captures each domain's robots.txt constantly, so duplicates
-    are the NORM). Bodies are DISTINCT'd before parsing and the
-    (domain, prefix) rule table DISTINCT'd again before the join:
-    the startswith predicate forces a broadcast nested-loop, which
-    is effectively a scan-local filter against a |domains|-sized rule
-    table but quadratic against an un-deduped per-capture one
-    (measured 74 s -> 4 s at the ×100 replica)."""
-    rules = (
-        robots_bodies.select("domain", "text")
-        .distinct()
-        .select(
-            "domain",
-            F.explode(
-                robots_disallow_prefixes("text", agent)
-            ).alias("prefix"),
-        )
-        .distinct()
-    )
+    are the NORM; bodies are DISTINCT'd before parsing).
+
+    Plan shape (better than r9's): the per-domain rule ARRAY makes
+    this an **equi broadcast-hash join on domain** + a scan-local JVM
+    ``aggregate`` fold evaluating longest-match over the (small)
+    per-domain rule list — no non-equi nested-loop, no per-page
+    groupBy, no shuffle of the fact side at all. Pages of a domain
+    with no applicable rules pass through (rules null -> allowed)."""
+    table = robots_rule_table(robots_bodies, agent)
     keyed = pages.withColumn("_domain", url_host("url")).withColumn(
-        "_path", url_path("url")
+        "_path", url_path_query("url")
     )
-    cond = (F.col("_domain") == rules["domain"]) & F.col(
-        "_path"
-    ).startswith(rules["prefix"])
+    joined = keyed.join(F.broadcast(table),
+                        F.col("_domain") == table["domain"], "left")
+    init = F.struct(
+        F.lit(-1).alias("len"), F.lit(1).alias("allow")
+    )
+
+    def step(acc, r):
+        m = F.regexp_like(F.col("_path"), r["pattern"])
+        better = m & (
+            (r["len"] > acc["len"])
+            | ((r["len"] == acc["len"]) & (r["allow"] > acc["allow"]))
+        )
+        return F.when(
+            better,
+            F.struct(r["len"].alias("len"), r["allow"].alias("allow")),
+        ).otherwise(acc)
+
+    verdict = F.aggregate(
+        F.coalesce(
+            F.col("rules"),
+            F.array().cast(
+                "array<struct<pattern:string,len:int,allow:int>>"
+            ),
+        ),
+        init,
+        step,
+    )
     return (
-        keyed.join(F.broadcast(rules), cond, "left_anti")
-        .drop("_domain", "_path")
+        joined.filter(verdict["allow"] == 1)
+        .drop("_domain", "_path", "domain", "rules")
     )
 
 
 def canonical_url(col: Column | str) -> Column:
     """URL canonicalization as a JVM expression — the documented
     convention (lowercase scheme+host, drop the fragment, strip
-    trailing slashes); path/query case is preserved (case-sensitive
-    per RFC 3986). The key for capture-level dedup."""
+    trailing slashes from the PATH only); path/query case is preserved
+    (case-sensitive per RFC 3986). The key for capture-level dedup.
+    The slash strip is scoped to the pre-query position: stripping on
+    the whole URL would rewrite query VALUES ('?next=/' -> '?next=')
+    and conflate distinct pages under one dedup key."""
     c = F.col(col) if isinstance(col, str) else col
     c = F.regexp_replace(c, r"#.*$", "")
-    c = F.regexp_replace(c, r"/+$", "")
+    pre = F.regexp_extract(c, r"^([^?]*)", 1)
+    qry = F.regexp_extract(c, r"(\?.*)$", 1)
+    c = F.concat(F.regexp_replace(pre, r"/+$", ""), qry)
     head = F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
     rest = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(.*)$", 1)
     return F.when(head == "", c).otherwise(F.concat(head, rest))
@@ -608,21 +1016,49 @@ def latest_capture(rows: DataFrame) -> DataFrame:
     with its capture count. Records WITHOUT a WARC-Target-URI are
     EXCLUDED up front — they are not pages and cannot be keyed; left
     in, they would all share the null window partition and silently
-    collapse to one arbitrary row. Scales like every keep-one window
-    here: shuffle linear in captures, no self-join."""
+    collapse to one arbitrary row. Dead-letter rows (``error`` set)
+    are excluded too when the column is present.
+
+    Revisit resolution (VERDICT r9 task 4): a ``revisit`` row is a
+    capture of its target URI at the revisit date whose CONTENT is an
+    earlier identical capture — so the winner supplies the page's true
+    newest date while ``text`` backfills from the newest non-null text
+    in the partition (revisit and request rows carry null text; both
+    window functions share the ONE shuffle). Scales like every
+    keep-one window here: shuffle linear in captures, no self-join."""
     keyed = rows.filter(
         F.col("url").isNotNull() & (F.length("url") > 0)
     )
+    if "error" in rows.columns:
+        keyed = keyed.filter(F.col("error").isNull())
     canon = keyed.withColumn("url", canonical_url("url"))
     w = Window.partitionBy("url").orderBy(
         F.col("warc_date").desc(), F.col("media_id").desc(),
         F.col("seq").desc(),
     )
+    w_part = Window.partitionBy("url")
+    # newest non-null text as a struct-max over the UNORDERED partition
+    # spec — shares the count's Window node (no third sort pass); the
+    # struct's field order replays the window's (date, media_id, seq)
+    # precedence
+    newest_text = F.max(
+        F.when(
+            F.col("text").isNotNull(),
+            F.struct("warc_date", "media_id", "seq", "text"),
+        )
+    ).over(w_part)["text"]
+    other = [
+        c for c in canon.columns if c not in ("text", "rn", "n_captures")
+    ]
+    # one select so the two same-spec expressions share a Window node
     return (
-        canon.withColumn("rn", F.row_number().over(w))
-        .withColumn(
-            "n_captures",
-            F.count(F.lit(1)).over(Window.partitionBy("url")).cast("int"),
+        canon.select(
+            *other,
+            newest_text.alias("text"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(w_part).cast("int").alias(
+                "n_captures"
+            ),
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
@@ -691,19 +1127,24 @@ def url_host(col: Column | str) -> Column:
 def html_to_text(html: str) -> str:
     """Python twin of :func:`html_text` — same 6 steps, used by tests
     (parity property) and by non-Spark callers. NOT the data-plane
-    path (the Column chain is)."""
-    s = re.sub(_RE_COMMENT, " ", html)
+    path (the Column chain is). Compiled with ``re.ASCII`` so
+    ``\\s``/``\\b`` mean exactly what Java's ASCII-only classes mean in
+    the Column chain (Python's Unicode ``\\s`` would also collapse
+    U+00A0/U+2028 and fork the two engines on non-ASCII whitespace);
+    line trim is space-only for the same reason (Spark ``trim`` strips
+    0x20 only, Python's bare ``.strip()`` strips Unicode whitespace)."""
+    s = re.sub(_RE_COMMENT, " ", html, flags=re.ASCII)
     # Python re has no inline-flag-mid-pattern restriction issues here;
     # translate the (?is)/(?i) prefixes directly
-    s = re.sub(_RE_DROPPED, " ", s)
-    s = re.sub(r"\s+", " ", s)
-    s = re.sub(_RE_BLOCK, "\n", s)
-    s = re.sub(_RE_ANY_TAG, " ", s)
+    s = re.sub(_RE_DROPPED, " ", s, flags=re.ASCII)
+    s = re.sub(r"\s+", " ", s, flags=re.ASCII)
+    s = re.sub(_RE_BLOCK, "\n", s, flags=re.ASCII)
+    s = re.sub(_RE_ANY_TAG, " ", s, flags=re.ASCII)
     for ent, rep in _ENTITIES:
         s = s.replace(ent, rep)
     out = []
     for line in s.split("\n"):
-        line = re.sub(r" +", " ", line).strip()
+        line = re.sub(r" +", " ", line).strip(" ")
         if line:
             out.append(line)
     return "\n".join(out)

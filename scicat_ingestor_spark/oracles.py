@@ -3051,21 +3051,26 @@ SELECT domain,
 FROM pages GROUP BY domain
 """
 
-# robots.txt gate: blocked prefix is /private-{source}/ for agent *
-# (the googlebot Disallow-all group must not apply) — allowed pages
-# are ids % 3 != 0 at their rule-determined paths, with the shared
-# extraction closed form.
+# robots.txt gate (RFC 9309 as of r10): longest-match over
+# Allow+Disallow with wildcards for agent * (the googlebot
+# Disallow-all group must not apply). By the fixture's path cycle,
+# ids % 6 in (0, 4) are blocked (prefix Disallow; /*.bak$ wildcard),
+# the rest survive — including the Allow carve-out (3) and the
+# $-anchor near-miss (5) — with the shared extraction closed form.
 ORACLES["warc_robots_filter"] = """
 SELECT doc_id AS media_id,
   'https://' || source || '.example.org' ||
-  CASE WHEN doc_id % 3 = 1 THEN '/doc/' ELSE '/pub/' END || doc_id
-    AS url,
+  CASE doc_id % 6
+    WHEN 1 THEN '/doc/' || doc_id
+    WHEN 2 THEN '/pub/' || doc_id
+    WHEN 3 THEN '/private-' || source || '/ok/' || doc_id
+    ELSE '/files/' || doc_id || '.bakx' END AS url,
   'doc ' || doc_id || chr(10) ||
   'Doc ' || doc_id || ' & friends' || chr(10) ||
   text || chr(10) ||
   'tail <' || doc_id || '> end' AS text
 FROM documents
-WHERE doc_id % 3 <> 0
+WHERE doc_id % 6 NOT IN (0, 4)
 """
 
 # WET layout: conversion blocks carry the text verbatim.
@@ -3133,7 +3138,69 @@ FROM (
 """
 
 
-def _bpe_oracle(k: int = 8) -> str:
+# Fault tolerance (r10): both good pages of every doc survive with
+# exact text; the dead-letter count is 1 for the five corruption modes
+# and 0 for the control — closed-form from the doc_id % 6 cycle.
+ORACLES["warc_fault_tolerance"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id || '/' || part
+    AS url,
+  text,
+  CAST(CASE WHEN doc_id % 6 = 0 THEN 0 ELSE 1 END AS BIGINT)
+    AS n_errors
+FROM documents CROSS JOIN (SELECT 'a' AS part UNION ALL SELECT 'b') p
+"""
+
+# Charset ladder (r10): decoded text and the charset actually used,
+# closed-form from the doc_id % 5 cycle (header param / meta sniff /
+# strict-utf8 / latin-1 last resort).
+ORACLES["warc_charset_decode"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/cs/' || doc_id AS url,
+  CASE doc_id % 5
+    WHEN 0 THEN 'utf-8'
+    WHEN 1 THEN 'iso8859-1'
+    WHEN 2 THEN 'cp1252'
+    WHEN 3 THEN 'cp1252'
+    ELSE 'iso8859-1' END AS charset,
+  CASE doc_id % 5
+    WHEN 0 THEN 'café ' || text
+    WHEN 1 THEN 'café ' || doc_id
+    WHEN 2 THEN 'price € ' || doc_id
+    WHEN 3 THEN 'meta € ' || doc_id
+    ELSE 'café ' || doc_id END AS text
+FROM documents
+"""
+
+# Revisit resolution (r10): pages whose newest capture is a revisit
+# keep the revisit DATE and TYPE but the referred response's text;
+# others keep their single response row.
+ORACLES["warc_revisit_resolve"] = """
+SELECT 'https://' || source || '.example.org/' || doc_id AS url,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+    AS n_captures,
+  CASE WHEN doc_id % 3 = 0 THEN '2026-03-03T00:00:00Z'
+       ELSE '2026-01-01T00:00:00Z' END AS kept_date,
+  CASE WHEN doc_id % 3 = 0 THEN 'revisit' ELSE 'response' END
+    AS kept_type,
+  text
+FROM documents
+"""
+
+# Agent-group selection (r10): for agent 'sis-crawler' only the
+# longest-prefix group ('sis-crawler', Disallow /c/) applies — /a/
+# ('*' group) and /b/ ('sis' group) pages survive.
+ORACLES["warc_robots_agent_groups"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' ||
+  CASE doc_id % 3 WHEN 0 THEN 'a' ELSE 'b' END || '/' || doc_id AS url,
+  text
+FROM documents
+WHERE doc_id % 3 <> 2
+"""
+
+
+def _bpe_oracle(k: int = 8, mode: str = "chars") -> str:
     """Replay BPE training as k unrolled CTE stages (the
     ann_ivf_trained precedent): stage n computes the weighted pair
     counts over stage n-1's vocabulary symbols, takes the argmax with
@@ -3141,8 +3208,33 @@ def _bpe_oracle(k: int = 8) -> str:
     NON-OVERLAPPING rewrite via run-parity windows (consecutive
     matches form runs; odd-ranked matches within a run merge, the
     following position is consumed). The final SELECT re-encodes every
-    document by joining its words to the trained vocabulary."""
-    parts = ["""
+    document by joining its words to the trained vocabulary.
+
+    ``mode='bytes'`` (r10) replays the BYTE-LEVEL variant: words are
+    regex pre-tokens (operators/bpe.PRETOK_RE — identical match
+    semantics in RE2 and Java regex) and the initial symbols are the
+    UTF-8 bytes as uppercase hex pairs (hex(encode(word)) on both
+    engines); the k merge stages are IDENTICAL — only w0/s0 and the
+    final re-encode differ."""
+    if mode == "bytes":
+        from scicat_ingestor_spark.operators.bpe import PRETOK_RE
+
+        pat = PRETOK_RE.replace("'", "''")
+        head = f"""
+WITH w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(text, '{pat}')) AS word
+    FROM documents) t
+  WHERE length(word) > 0 GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq, list(substr(h, i*2-1, 2) ORDER BY i) AS symbols
+  FROM (SELECT word, freq, hex(encode(word)) AS h FROM w0) wh,
+    LATERAL (SELECT unnest(generate_series(1, length(h)//2)) AS i) g
+  GROUP BY word, freq
+)"""
+    else:
+        head = """
 WITH w0 AS MATERIALIZED (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
@@ -3153,7 +3245,8 @@ s0 AS MATERIALIZED (
   SELECT word, freq, list(substr(word, i, 1) ORDER BY i) AS symbols
   FROM w0, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g
   GROUP BY word, freq
-)"""]
+)"""
+    parts = [head]
     for n in range(1, k + 1):
         p = n - 1
         parts.append(f""",
@@ -3194,7 +3287,20 @@ s{n} AS MATERIALIZED (
       FILTER (WHERE coalesce(pk, 0) = 0) AS symbols
   FROM o{n} GROUP BY word, freq
 )""")
-    parts.append(f"""
+    if mode == "bytes":
+        parts.append(f"""
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_pretokens,
+  CAST(sum(len(sk.symbols)) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT doc_id, text FROM documents) d,
+  LATERAL (SELECT unnest(regexp_extract_all(d.text, '{pat}'))
+           AS word) dw
+  JOIN s{k} sk ON sk.word = dw.word
+WHERE length(dw.word) > 0
+GROUP BY d.doc_id
+""")
+    else:
+        parts.append(f"""
 SELECT d.doc_id,
   CAST(count(*) AS BIGINT) AS n_words,
   CAST(sum(len(sk.symbols)) AS BIGINT) AS n_bpe_tokens
@@ -3209,6 +3315,7 @@ GROUP BY d.doc_id
 
 
 ORACLES["bpe_train_segment"] = _bpe_oracle(8)
+ORACLES["bpe_train_bytes"] = _bpe_oracle(8, mode="bytes")
 
 
 # Exact-substring removal: duplicated-span coverage replayed with NOT

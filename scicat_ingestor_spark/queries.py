@@ -180,6 +180,18 @@ def _bpe_merges(spark, sf_dir: str, k: int = 8):
     return _TRAINED_CACHE[key]
 
 
+def _bpe_merges_bytes(spark, sf_dir: str, k: int = 8):
+    """Memoized byte-level trained merges (r10 twin of _bpe_merges)."""
+    from scicat_ingestor_spark.operators import bpe
+
+    key = (spark, sf_dir, "bpe_bytes", k)
+    if key not in _TRAINED_CACHE:
+        _TRAINED_CACHE[key] = bpe.bpe_train_bytes(
+            _t(spark, sf_dir, "documents"), merges=k
+        )
+    return _TRAINED_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / filters (S2-S4) on the wrdn-shaped events stream
 # ---------------------------------------------------------------------------
@@ -3006,17 +3018,46 @@ def q_bpe_train_segment(spark, sf_dir):
     )
 
 
+def q_bpe_train_bytes(spark, sf_dir):
+    """BYTE-level BPE with regex pre-tokenization (r10, VERDICT r9
+    task 5 — the GPT-2 formulation): pre-tokens carry their leading
+    space, the alphabet is the 256 UTF-8 byte values (as hex-pair
+    symbols), so the trained vocabulary is closed over arbitrary
+    input. 8 merges learned from corpus pre-token statistics (one
+    corpus shuffle, one-row collects), then every document's token
+    count under the trained tokenizer via chained JVM folds. The
+    oracle replays all 8 training iterations as unrolled DuckDB CTE
+    stages over the SAME pre-tokenization and hex-byte alphabet —
+    a divergence in pre-tok, byte mapping, any argmax, or the greedy
+    rewrite shifts token counts corpus-wide."""
+    from scicat_ingestor_spark.operators import bpe
+
+    merges = _bpe_merges_bytes(spark, sf_dir, k=8)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(bpe.pretokens("text")).cast("long").alias("n_pretokens"),
+        bpe.bpe_token_count_bytes("text", merges).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def q_warc_robots_filter(spark, sf_dir):
-    """robots.txt politeness gate (r9): every capture carries its
-    domain's /robots.txt (text/plain) alongside the page; pages under
-    a Disallow'd prefix for agent '*' must be dropped — here every
-    third doc lives under /private-{source}/. The robots body also
-    carries a 'User-agent: googlebot / Disallow: /' group that must
-    NOT apply, a comment, and a blank line. The parser is a pure JVM
-    aggregate fold; the filter is a broadcast anti-join on
-    (domain, prefix-startswith). A group-tracking, comment, or
-    prefix-match bug resurrects blocked pages or kills allowed
-    ones."""
+    """robots.txt politeness gate (r9, RFC 9309-complete r10): every
+    capture carries its domain's /robots.txt (text/plain) alongside
+    the page; for agent '*' the gate must drop pages by LONGEST-MATCH
+    over Allow+Disallow with wildcard rules — the path cycle per
+    doc_id % 6 exercises: a Disallow'd prefix (0), plain allowed
+    paths (1, 2), an Allow carve-out INSIDE the Disallow'd prefix
+    that must survive (3), a '/*.bak$' wildcard+anchor kill (4), and
+    a near-miss of that anchor that must survive (5). The robots body
+    also carries a 'User-agent: googlebot / Disallow: /' group that
+    must NOT apply, a comment, and a blank line. Parsing is a pure
+    JVM aggregate fold; the filter is an equi broadcast-hash join on
+    domain + a scan-local longest-match fold (r10 plan — no non-equi
+    nested loop). A group, precedence, or wildcard bug resurrects
+    blocked pages or kills allowed ones."""
     from scicat_ingestor_spark.operators import warc
 
     def synth(batches):
@@ -3026,15 +3067,20 @@ def q_warc_robots_filter(spark, sf_dir):
             payloads = []
             for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
                 i = int(i)
-                path = (
-                    f"/private-{s}/doc/{i}"
-                    if i % 3 == 0
-                    else (f"/doc/{i}" if i % 3 == 1 else f"/pub/{i}")
-                )
+                path = [
+                    f"/private-{s}/doc/{i}",      # blocked: prefix
+                    f"/doc/{i}",                  # allowed
+                    f"/pub/{i}",                  # allowed
+                    f"/private-{s}/ok/{i}",       # allowed: Allow override
+                    f"/files/{i}.bak",            # blocked: /*.bak$
+                    f"/files/{i}.bakx",           # allowed: anchor near-miss
+                ][i % 6]
                 robots = (
                     f"# crawl policy for {s}\r\n"
                     "User-agent: googlebot\r\nDisallow: /\r\n\r\n"
                     f"User-agent: *\r\nDisallow: /private-{s}/\r\n"
+                    f"Allow: /private-{s}/ok/\r\n"
+                    "Disallow: /*.bak$\r\n"
                     "Disallow: /tmp/\r\n"
                 )
                 recs = [
@@ -3192,6 +3238,316 @@ def q_warc_latest_capture(spark, sf_dir):
         "n_captures",
         F.col("warc_date").alias("kept_date"),
         warc.html_text("text").alias("text"),
+    )
+
+
+def q_warc_fault_tolerance(spark, sf_dir):
+    """Per-record fault tolerance (r10, VERDICT r9 task 1 — the
+    engine's V3/T4 dead-letter contract applied to capture framing):
+    every doc's capture file holds good page A, a CORRUPTION cycling
+    on doc_id % 6 (0 = none; 1 = truncated gzip member; 2 = bad
+    Content-Length; 3 = garbage between records; 4 = a response block
+    that is not HTTP; 5 = broken chunked framing), then good page B.
+    BOTH good pages must survive with their exact extracted text and
+    the dead-letter channel must count exactly one error for the five
+    corrupt modes — the file-fatal alternative loses ~1 GB per corrupt
+    record at crawl scale. Error counting is a bounded groupBy on
+    media_id; the decode stays scan-local."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+
+                def page(part, text=t, s=s, i=i):
+                    return warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            f"<p>{text}</p>".encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=(
+                            f"https://{s}.example.org/{i}/{part}"
+                        ),
+                        content_type="application/http;msgtype=response",
+                    )
+
+                a, b = page("a"), page("b")
+                mode = i % 6
+                if mode == 1:
+                    # middle gzip member truncated: STORED (level-0)
+                    # member so its bytes are ASCII record content —
+                    # no false gzip magic for the resync scan to trip
+                    # on (deterministic one-error closed form)
+                    import zlib as _z
+
+                    co = _z.compressobj(0, _z.DEFLATED, 31)
+                    mid = co.compress(page("m")) + co.flush()
+                    buf = (
+                        warc.make_warc([a], gzip_members=True)
+                        + mid[:-6]
+                        + warc.make_warc([b], gzip_members=True)
+                    )
+                elif mode == 2:
+                    bad = page("m").replace(
+                        b"Content-Length: ", b"Content-Length: NaN", 1
+                    )
+                    buf = a + bad + b
+                elif mode == 3:
+                    buf = a + b"XGARBAGEX" + b
+                elif mode == 4:
+                    bad = warc.make_warc_record(
+                        "response",
+                        b"THIS IS NOT AN HTTP MESSAGE",
+                        target_uri=f"https://{s}.example.org/{i}/x",
+                        content_type="application/http;msgtype=response",
+                    )
+                    buf = a + bad + b
+                elif mode == 5:
+                    blk = (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                        b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nnope"
+                    )
+                    bad = warc.make_warc_record(
+                        "response",
+                        blk,
+                        target_uri=f"https://{s}.example.org/{i}/x",
+                        content_type="application/http;msgtype=response",
+                    )
+                    buf = a + bad + b
+                else:
+                    buf = a + b
+                payloads.append(buf)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    good = rows.filter(
+        F.col("error").isNull()
+        & (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("media_id", "url", warc.html_text("text").alias("text"))
+    errs = rows.filter(F.col("error").isNotNull()).groupBy(
+        "media_id"
+    ).agg(F.count(F.lit(1)).alias("n_errors"))
+    return good.join(F.broadcast(errs), "media_id", "left").select(
+        "media_id",
+        "url",
+        "text",
+        F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+    )
+
+
+def q_warc_charset_decode(spark, sf_dir):
+    """Charset-aware body decode (r10, VERDICT r9 task 2): pages cycle
+    on doc_id % 5 through a header-declared utf-8 body, a
+    header-declared iso-8859-1 body, a header-declared windows-1252
+    body (the 0x80 euro), a META-declared windows-1252 body with NO
+    header parameter (the sniff path), and an undeclared latin-1 body
+    whose bytes are invalid UTF-8 (the last-resort ladder). The
+    decoded text and the charset the decode actually used must both
+    match closed forms — UTF-8-replace-only decoding (the r9
+    behavior) would mojibake four of the five."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                mode = i % 5
+                if mode == 0:
+                    html = f"<p>caf\xe9 {t}</p>".encode("utf-8")
+                    ct = "text/html; charset=utf-8"
+                elif mode == 1:
+                    html = f"<p>caf\xe9 {i}</p>".encode("iso-8859-1")
+                    ct = "text/html; charset=ISO-8859-1"
+                elif mode == 2:
+                    html = f"<p>price € {i}</p>".encode("cp1252")
+                    ct = "text/html; charset=windows-1252"
+                elif mode == 3:
+                    html = (
+                        '<html><head><meta charset="windows-1252">'
+                        f"</head><body><p>meta € {i}</p>"
+                        "</body></html>"
+                    ).encode("cp1252")
+                    ct = "text/html"
+                else:
+                    html = f"<p>caf\xe9 {i}</p>".encode("iso-8859-1")
+                    ct = "text/html"
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(html, ct),
+                                target_uri=(
+                                    f"https://{s}.example.org/cs/{i}"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return warc.warc_response_rows(captures).filter(
+        F.col("http_status") == 200
+    ).select(
+        "media_id", "url", "charset",
+        warc.html_text("text").alias("text"),
+    )
+
+
+def q_warc_revisit_resolve(spark, sf_dir):
+    """Revisit-record resolution (r10, VERDICT r9 task 4): every third
+    doc's NEWEST capture is a ``WARC-Type: revisit`` (Common Crawl's
+    identical-payload re-capture — HTTP head only, no body). The
+    surviving row must carry the REVISIT's date (the page's true
+    newest observation) with the referred RESPONSE's content — r9
+    dated such pages by the older response. Same one-window plan as
+    latest_capture; text backfills via the struct-max sharing the
+    count's Window node."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                url = f"https://{s}.example.org/{i}"
+                recs = [
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            f"<p>{t}</p>".encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=url,
+                        content_type="application/http;msgtype=response",
+                        date="2026-01-01T00:00:00Z",
+                    )
+                ]
+                if i % 3 == 0:
+                    recs.append(
+                        warc.make_warc_record(
+                            "revisit",
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n\r\n",
+                            target_uri=url,
+                            content_type=(
+                                "application/http;msgtype=response"
+                            ),
+                            date="2026-03-03T00:00:00Z",
+                        )
+                    )
+                payloads.append(
+                    warc.make_warc(recs, gzip_members=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    kept = warc.latest_capture(warc.warc_response_rows(captures))
+    return kept.select(
+        "url",
+        "n_captures",
+        F.col("warc_date").alias("kept_date"),
+        F.col("warc_type").alias("kept_type"),
+        warc.html_text("text").alias("text"),
+    )
+
+
+def q_warc_robots_agent_groups(spark, sf_dir):
+    """RFC 9309 agent-group selection (r10): each domain's robots.txt
+    carries three groups — '*' (Disallow /a/), 'sis' (Disallow /b/),
+    and 'sis-crawler' (Disallow /c/) — and the gate runs for agent
+    'sis-crawler'. Longest-prefix-token selection must pick ONLY the
+    'sis-crawler' group, so pages under /a/ and /b/ survive while
+    /c/ pages die: equality-matching (r9) would pick nothing and let
+    /c/ leak; '*'-always-applies would kill /a/."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                path = ["/a/", "/b/", "/c/"][i % 3] + str(i)
+                robots = (
+                    "User-agent: *\r\nDisallow: /a/\r\n\r\n"
+                    "User-agent: sis\r\nDisallow: /b/\r\n\r\n"
+                    "User-agent: sis-crawler\r\nDisallow: /c/\r\n"
+                )
+                recs = [
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            robots.encode(), "text/plain"
+                        ),
+                        target_uri=(
+                            f"https://{s}.example.org/robots.txt"
+                        ),
+                        content_type="application/http;msgtype=response",
+                    ),
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            f"<p>{t}</p>".encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=f"https://{s}.example.org{path}",
+                        content_type="application/http;msgtype=response",
+                    ),
+                ]
+                payloads.append(warc.make_warc(recs))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    robots_bodies = rows.filter(
+        F.col("url").endswith("/robots.txt")
+    ).select(warc.url_host("url").alias("domain"), "text")
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    )
+    allowed = warc.robots_filter(pages, robots_bodies, agent="sis-crawler")
+    return allowed.select(
+        "media_id", "url", warc.html_text("text").alias("text")
     )
 
 
@@ -5655,4 +6011,10 @@ QUERIES = {
     "q20_part_promotion": q_q20_part_promotion,
     "q21_suppliers_who_kept_waiting": q_q21_suppliers_who_kept_waiting,
     "q22_global_sales_opportunity": q_q22_global_sales_opportunity,
+    # round-10 additions: real-crawl hardening of the capture plane
+    "warc_fault_tolerance": q_warc_fault_tolerance,
+    "warc_charset_decode": q_warc_charset_decode,
+    "warc_revisit_resolve": q_warc_revisit_resolve,
+    "warc_robots_agent_groups": q_warc_robots_agent_groups,
+    "bpe_train_bytes": q_bpe_train_bytes,
 }

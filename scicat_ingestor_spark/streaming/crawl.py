@@ -49,10 +49,15 @@ def extract_pages(files: DataFrame) -> DataFrame:
     response with the canonical URL and RAW html in ``text`` —
     extraction stays raw here so downstream choices (full vs
     main-content extraction, noindex policy) remain open on the
-    stored log."""
+    stored log. ``content_type`` arrives media-type-lowercased from
+    warc_response_rows, so mixed-case captures ('Text/HTML') match.
+    Dead-letter rows are dropped; revisit rows (null text, 200 +
+    text/html head) are KEPT so latest_capture can date pages by
+    their true newest observation."""
     rows = warc.warc_response_rows(files)
     return rows.filter(
-        (F.col("http_status") == 200)
+        F.col("error").isNull()
+        & (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
     ).select(
         warc.canonical_url("url").alias("url"),

@@ -235,6 +235,9 @@ def test_extraction_parity_fuzz(spark):
         "<!--", "-->", "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;",
         "plain", "words", "x<y", "a>b", "&unknown;", "  ", "\n", "\t",
         "<notatag", ">", "<p", "attr='v'>",
+        # non-ASCII whitespace: both engines must treat these as TEXT
+        # (ASCII-only \s on both sides — the r9 ADVICE parity pin)
+        "\xa0", "\u2028", "caf\xe9",
     ]
     cases = [
         "".join(rng.choice(frags) for _ in range(rng.randint(1, 24)))
@@ -432,10 +435,13 @@ def test_canonical_url_and_latest_capture(spark):
     }
     assert kept["https://a.example/p"] == ("new", 3)
     assert kept["https://b.example/q"] == ("t1", 2)
-    # plan shape: ONE shuffle key (the canonical url) for both window
-    # functions — no self-join, no extra exchange
+    # plan shape: ONE shuffle key (the canonical url) for all three
+    # window functions — no self-join, no extra exchange. Two Window
+    # operators max (rn's ordered spec; count+text-backfill share the
+    # unordered spec); WindowGroupLimit is the rank-pushdown, not a
+    # third window.
     plan = warc.latest_capture(rows)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Window") <= 2
+    assert plan.count("Window [") <= 2
 
 
 def test_main_text_and_url_host(spark):
@@ -731,3 +737,324 @@ def test_response_rows_content_type_dispatch(spark):
     assert rows[1]["text"] == "plain body"
     assert rows[2]["text"] is None
     assert rows[2]["content_type"] == "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
+# round 10: fault tolerance, charset, revisit, canonicalization edges
+# ---------------------------------------------------------------------------
+
+def _good_response(doc_id, path, text):
+    return warc.make_warc_record(
+        "response",
+        warc.make_http_response(
+            f"<p>{text}</p>".encode(), "text/html; charset=utf-8"
+        ),
+        target_uri=f"https://x.example/{path}",
+        content_type="application/http;msgtype=response",
+    )
+
+
+def test_tolerant_walk_dead_letters_one_record_per_damage():
+    """The V3/T4 dead-letter contract on capture framing: each
+    corruption mode yields exactly ONE error record while the good
+    records before AND after survive with their content intact."""
+    a = _good_response(1, "a", "alpha")
+    b = _good_response(1, "b", "beta")
+
+    def good_urls(records):
+        return [
+            r["target_uri"] for r in records if r.get("error") is None
+        ]
+
+    def errors(records):
+        return [r["error"] for r in records if r.get("error") is not None]
+
+    # 1. truncated gzip member in the middle: member error, a+b survive
+    mid = _good_response(1, "m", "middle")
+    buf = warc.make_warc([a], gzip_members=True)
+    mid_gz = warc.make_warc([mid], gzip_members=True)
+    buf += mid_gz[:-5] + warc.make_warc([b], gzip_members=True)
+    recs = warc.warc_records_tolerant(buf)
+    assert good_urls(recs) == ["https://x.example/a", "https://x.example/b"]
+    assert len(errors(recs)) == 1 and "gzip" in errors(recs)[0]
+
+    # 2. garbage between gzip members
+    buf = (
+        warc.make_warc([a], gzip_members=True)
+        + b"JUNKJUNKJUNK"
+        + warc.make_warc([b], gzip_members=True)
+    )
+    recs = warc.warc_records_tolerant(buf)
+    assert good_urls(recs) == ["https://x.example/a", "https://x.example/b"]
+    assert errors(recs) == ["not a WARC: garbage between gzip members"]
+
+    # 3. bad Content-Length in a plain-file record, resync at next
+    # version line
+    bad = _good_response(1, "bad", "x").replace(
+        b"Content-Length: ", b"Content-Length: NaN", 1
+    )
+    recs = warc.warc_records_tolerant(a + bad + b)
+    assert good_urls(recs) == ["https://x.example/a", "https://x.example/b"]
+    assert len(errors(recs)) == 1 and "Content-Length" in errors(recs)[0]
+
+    # 4. garbage between plain records
+    recs = warc.warc_records_tolerant(a + b"GARBAGE NO CRLF" + b)
+    assert good_urls(recs) == ["https://x.example/a", "https://x.example/b"]
+    assert len(errors(recs)) == 1
+
+    # 5. trailing truncation: a survives, one error, nothing after
+    recs = warc.warc_records_tolerant((a + b)[: len(a) + 30])
+    assert good_urls(recs) == ["https://x.example/a"]
+    assert len(errors(recs)) == 1
+
+    # well-formed input: tolerant walk == strict walk, all error=None
+    buf = warc.make_warc([a, b], gzip_members=True)
+    tol = warc.warc_records_tolerant(buf)
+    strict = warc.warc_records(buf)
+    assert [dict(r, error=None) for r in tol] == [
+        dict(r, error=None) for r in strict
+    ]
+    assert all(r["error"] is None for r in tol)
+
+
+def test_tolerant_rows_http_level_dead_letter(spark):
+    """HTTP-level damage (non-HTTP response block, broken chunking)
+    dead-letters that record ROW with its url, never the file; strict
+    mode still raises."""
+    not_http = warc.make_warc_record(
+        "response", b"NOT AN HTTP MESSAGE",
+        target_uri="https://x.example/nh",
+        content_type="application/http;msgtype=response",
+    )
+    bad_chunk_body = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\nZZZ\r\nnope"
+    )
+    bad_chunk = warc.make_warc_record(
+        "response", bad_chunk_body,
+        target_uri="https://x.example/bc",
+        content_type="application/http;msgtype=response",
+    )
+    good = _good_response(1, "ok", "fine")
+    buf = warc.make_warc([not_http, bad_chunk, good])
+    df = spark.createDataFrame(
+        [(1, bytearray(buf))], ["media_id", "payload"]
+    )
+    rows = warc.warc_response_rows(df).orderBy("seq").collect()
+    assert rows[0]["error"] is not None and rows[0]["url"] == (
+        "https://x.example/nh"
+    )
+    assert rows[1]["error"] is not None and "chunk" in rows[1]["error"]
+    assert rows[2]["error"] is None and rows[2]["text"] == "<p>fine</p>"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        warc.warc_response_rows(df, tolerant=False).collect()
+
+
+def test_charset_decode_precedence():
+    """Header charset beats meta sniff beats utf-8 beats latin-1."""
+    # 1. header param
+    t, c = warc.decode_body_text(
+        "caf\xe9".encode("iso-8859-1"), "text/html; charset=ISO-8859-1",
+        sniff_html=True,
+    )
+    assert (t, c) == ("caf\xe9", "iso8859-1")
+    # 2. windows-1252 header (euro at 0x80)
+    t, c = warc.decode_body_text(
+        b"price \x80 5", "text/plain; charset=windows-1252", False
+    )
+    assert (t, c) == ("price € 5", "cp1252")
+    # 3. meta charset sniff (html only), both quoting styles
+    body = b'<html><head><meta charset="windows-1252"></head>caf\xe9'
+    t, c = warc.decode_body_text(body, "text/html", sniff_html=True)
+    assert c == "cp1252" and t.endswith("caf\xe9")
+    body = (
+        b"<html><head><meta http-equiv=Content-Type "
+        b"content='text/html; charset=iso-8859-1'></head>caf\xe9"
+    )
+    t, c = warc.decode_body_text(body, "text/html", sniff_html=True)
+    assert c == "iso8859-1" and t.endswith("caf\xe9")
+    # no sniff for non-html
+    t, c = warc.decode_body_text(body, "text/plain", sniff_html=False)
+    assert c == "utf-8" or c == "iso8859-1"  # falls through the ladder
+    # 4. strict utf-8 default
+    t, c = warc.decode_body_text("caf\xe9".encode(), "text/html", True)
+    assert (t, c) == ("caf\xe9", "utf-8")
+    # 5. latin-1 last resort: invalid utf-8, no declaration
+    t, c = warc.decode_body_text(b"caf\xe9 raw", "text/html", True)
+    assert (t, c) == ("caf\xe9 raw", "iso8859-1")
+    # declared-but-bogus charset falls through the ladder
+    t, c = warc.decode_body_text(
+        "ok".encode(), "text/html; charset=bogus-enc", True
+    )
+    assert (t, c) == ("ok", "utf-8")
+    # alias tricks that aren't bytes->str codecs are rejected
+    t, c = warc.decode_body_text(b"ok", "text/html; charset=rot13", True)
+    assert (t, c) == ("ok", "utf-8")
+
+
+def test_mixed_case_content_type_normalizes(spark):
+    """'Text/HTML' captures must flow through text/html filters — the
+    media type lowercases at the source; parameters stay verbatim."""
+    rec = warc.make_warc_record(
+        "response",
+        warc.make_http_response(b"<p>hi</p>", "Text/HTML; charset=UTF-8"),
+        target_uri="https://x.example/cc",
+        content_type="application/http;msgtype=response",
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(warc.make_warc([rec])))], ["media_id", "payload"]
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        warc.warc_response_rows(df)
+        .filter(F.col("content_type").startswith("text/html"))
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["content_type"] == "text/html; charset=UTF-8"
+    assert rows[0]["charset"] == "utf-8"
+
+
+def test_canonical_url_query_strings(spark):
+    """ADVICE r9: trailing-slash stripping is PATH-scoped — query
+    values keep their slashes; distinct pages stay distinct keys."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://a.com/p?next=/", "https://a.com/p?next=/"),
+        (
+            "https://a.com/login?redirect=//x//",
+            "https://a.com/login?redirect=//x//",
+        ),
+        ("https://a.com/p/?q=1", "https://a.com/p?q=1"),
+        ("https://a.com/p///?q=/", "https://a.com/p?q=/"),
+        ("HTTPS://A.com/p/#f", "https://a.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [
+        r["c"]
+        for r in df.select(warc.canonical_url("u").alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_truncated_zlib_deflate_raises_not_corrupts():
+    """ADVICE r9: a TRUNCATED zlib-wrapped deflate body must raise the
+    truncation contract — never fall through to the raw-deflate retry
+    and return silently corrupt bytes."""
+    full = zlib.compress(b"hello deflate world " * 20)
+    with pytest.raises(ValueError, match="truncated deflate body"):
+        warc._decode_content(full[:-8], "deflate")
+    # raw deflate still decodes through the fallback
+    raw = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = raw.compress(b"raw bytes here") + raw.flush()
+    assert warc._decode_content(body, "deflate") == b"raw bytes here"
+
+
+def test_revisit_resolution(spark):
+    """A page whose NEWEST capture is a revisit keeps the revisit date
+    but the referred (older response) content — VERDICT r9 task 4."""
+    page = warc.make_warc_record(
+        "response",
+        warc.make_http_response(
+            b"<p>the real body</p>", "text/html; charset=utf-8"
+        ),
+        target_uri="https://x.example/rv",
+        content_type="application/http;msgtype=response",
+        date="2026-01-01T00:00:00Z",
+    )
+    revisit = warc.make_warc_record(
+        "revisit",
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+        target_uri="https://x.example/rv",
+        content_type=(
+            'application/http;msgtype=response'
+        ),
+        date="2026-02-02T00:00:00Z",
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(warc.make_warc([page, revisit])))],
+        ["media_id", "payload"],
+    )
+    rows = warc.warc_response_rows(df)
+    got = rows.orderBy("seq").collect()
+    assert got[1]["warc_type"] == "revisit"
+    assert got[1]["http_status"] == 200 and got[1]["text"] is None
+    kept = warc.latest_capture(rows).collect()
+    assert len(kept) == 1
+    assert kept[0]["warc_date"] == "2026-02-02T00:00:00Z"
+    assert kept[0]["text"] == "<p>the real body</p>"
+    assert kept[0]["n_captures"] == 2
+
+
+def test_robots_rfc9309_semantics(spark):
+    """RFC 9309 completeness (VERDICT r9 task 3 + ADVICE medium):
+    Allow overrides Disallow by longest-match, equal-length ties go to
+    Allow, '*'/'$' wildcard rules compile to real matches, rules see
+    the query string, and group selection picks the longest agent
+    token (named beats '*', longer named beats shorter)."""
+    body = (
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/public/\n"
+        "Disallow: /*.bak$\n"
+        "Disallow: /cgi/*?\n"
+        "Allow: /tie/\n"
+        "Disallow: /tie/\n"
+    )
+    robots_bodies = spark.createDataFrame(
+        [("a.example", body)], ["domain", "text"]
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://a.example/private/x", 1),        # blocked: prefix
+            ("https://a.example/private/public/x", 2), # allowed: longer Allow
+            ("https://a.example/f/x.bak", 3),          # blocked: /*.bak$
+            ("https://a.example/f/x.bakx", 4),         # allowed: $ anchor
+            ("https://a.example/cgi/run?q=1", 5),      # blocked: query seen
+            ("https://a.example/cgi/run", 6),          # allowed: no '?'
+            ("https://a.example/tie/x", 7),            # allowed: tie -> Allow
+            ("https://a.example/open/x", 8),           # allowed: no match
+        ],
+        ["url", "pid"],
+    )
+    kept = sorted(
+        r["pid"] for r in warc.robots_filter(pages, robots_bodies).collect()
+    )
+    assert kept == [2, 4, 6, 7, 8]
+
+    # agent-token group selection: longest prefix of the product token
+    body2 = (
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: sis\nDisallow: /b/\n\n"
+        "User-agent: sis-crawler\nDisallow: /c/\n"
+    )
+    rb = spark.createDataFrame([("x.example", body2)], ["domain", "text"])
+    pages2 = spark.createDataFrame(
+        [(f"https://x.example/{p}/1", i) for i, p in enumerate("abc")],
+        ["url", "pid"],
+    )
+
+    def kept_for(agent):
+        return sorted(
+            r["pid"]
+            for r in warc.robots_filter(pages2, rb, agent=agent).collect()
+        )
+
+    assert kept_for("sis-crawler") == [0, 1]   # only /c/ blocked
+    assert kept_for("sisbot") == [0, 2]        # 'sis' group: /b/ blocked
+    assert kept_for("otherbot") == [1, 2]      # '*' group: /a/ blocked
+    # googlebot-style disallow-all via the first fixture
+    kept_g = sorted(
+        r["pid"]
+        for r in warc.robots_filter(
+            pages, robots_bodies, agent="googlebot"
+        ).collect()
+    )
+    assert kept_g == []
