@@ -55,6 +55,9 @@ def write_crawl(out_dir: str, n_files: int = 6, pages_per_file: int = 8) -> int:
                     f"to clear the quality gate threshold comfortably</p>"
                     for j in range(6)
                 )
+                + f'<a href="https://src{(pid + 1) % 4}.example.org/'
+                + f'page/{(pid + 1) % 48}">next</a>'
+                + f'<a href="/page/{(pid + 2) % 48}">skip</a>'
                 + "</body></html>"
             ).encode()
             recs.append(
@@ -133,6 +136,38 @@ def main() -> None:
     kept = packed.count()
     assert kept > 0
     print(f"packed corpus rows: {kept}")
+
+    # r10 surface: the crawl graph (out-links -> domain PageRank) and
+    # the WET sink (write the extracted corpus back as standard WET
+    # shards any WARC consumer can read)
+    from scicat_ingestor_spark.operators import graph
+
+    outlinks = warc.page_outlinks(pages.select("url", "text"))
+    edges = graph.domain_edges(outlinks)
+    top = (
+        graph.pagerank(edges, iterations=4)
+        .orderBy(F.col("rank").desc())
+        .limit(3)
+        .collect()
+    )
+    for r in top:
+        print(f"  rank {r['rank']:.4f}  {r['node']}")
+    wet_out = os.path.join(work, "wet")
+    n_shards = warc.write_wet_dir(
+        warc.wet_shard_bytes(
+            pages.select(
+                "url", warc.html_text("text").alias("text"), "warc_date"
+            ),
+            shards=4,
+        ),
+        wet_out,
+    )
+    back = (
+        warc.warc_response_rows(warc.warc_scan(spark, wet_out))
+        .filter(F.col("warc_type") == "conversion")
+        .count()
+    )
+    print(f"WET sink: {n_shards} shards, {back} pages read back")
     spark.stop()
 
 

@@ -487,14 +487,19 @@ def make_http_response(
     content_encoding: str = "",
     chunked: bool = False,
     chunk_size: int = 50,
+    location: str = "",
 ) -> bytes:
     """Fixture HTTP response; ``content_encoding`` ("gzip"/"deflate")
     and ``chunked`` apply the real wire layers in wire order
-    (compress, then chunk) so the parser must undo both."""
-    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently"}.get(
-        status, "X"
-    )
+    (compress, then chunk) so the parser must undo both; ``location``
+    adds the redirect header 3xx fixtures need."""
+    reason = {
+        200: "OK", 404: "Not Found", 301: "Moved Permanently",
+        302: "Found",
+    }.get(status, "X")
     heads = [f"HTTP/1.1 {status} {reason}", f"Content-Type: {content_type}"]
+    if location:
+        heads.append(f"Location: {location}")
     if content_encoding == "gzip":
         co = zlib.compressobj(6, zlib.DEFLATED, 31)
         body = co.compress(body) + co.flush()
@@ -538,7 +543,7 @@ def make_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
 _RESPONSE_ROWS_SCHEMA = (
     "media_id long, seq int, warc_type string, url string, "
     "warc_date string, http_status int, content_type string, "
-    "charset string, text string, error string"
+    "charset string, text string, error string, redirect_to string"
 )
 
 
@@ -611,7 +616,7 @@ def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
     (minus media_id/seq). HTTP-level damage inside a record is caught
     HERE so it dead-letters that record alone, not the file (re-raised
     in strict mode)."""
-    status = body_text = charset = None
+    status = body_text = charset = redirect = None
     err = rec.get("error")
     ctype = _norm_content_type(rec["content_type"])
     if err is None:
@@ -619,6 +624,10 @@ def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
             if rec["warc_type"] == "response":
                 status, hh, body = http_response(rec["block"])
                 ctype = _norm_content_type(hh.get("content-type", ctype))
+                if 300 <= status < 400:
+                    # Location may be relative per RFC 7231 — resolve
+                    # downstream (url_resolve) where the page URL is
+                    redirect = hh.get("location") or None
                 media = ctype.partition(";")[0]
                 if media.startswith("text/"):
                     body_text, charset = decode_body_text(
@@ -656,6 +665,7 @@ def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
         "charset": charset,
         "text": body_text,
         "error": err,
+        "redirect_to": redirect,
     }
 
 
@@ -693,7 +703,7 @@ def warc_response_rows(
             rows = {k: [] for k in (
                 "media_id", "seq", "warc_type", "url", "warc_date",
                 "http_status", "content_type", "charset", "text",
-                "error",
+                "error", "redirect_to",
             )}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 for seq, rec in enumerate(walk(bytes(payload))):
@@ -718,6 +728,97 @@ def warc_scan(spark: SparkSession, path: str) -> DataFrame:
         "path",
         F.col("content").alias("payload"),
     )
+
+
+def wet_shard_bytes(
+    pages: DataFrame,
+    shards: int = 8,
+    url_col: str = "url",
+    text_col: str = "text",
+    date_col: str | None = "warc_date",
+) -> DataFrame:
+    """The SINK side of the capture plane (r10): serialize extracted
+    pages back to standard WET shards — (shard_id, payload) rows where
+    each payload is a spec-complete .warc.gz byte stream (warcinfo +
+    one ``conversion`` record per page, per-record gzip members — the
+    exact layout Common Crawl publishes), readable by ANY WARC
+    consumer including this module's own scan.
+
+    Plan: one hash repartition on the URL (the only exchange), then
+    each partition serializes ITSELF — mapInPandas accumulates the
+    partition's records and emits one row, so a 100 TB corpus writes
+    as `shards` independent scan-local serializations with no driver
+    involvement. Use :func:`write_wet_dir` to land the payloads as
+    .warc.gz files."""
+    cols = [url_col, text_col] + ([date_col] if date_col else [])
+    rows = pages.select(*cols).repartition(shards, F.col(url_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        recs = [
+            make_warc_record(
+                "warcinfo",
+                b"software: scicat-ingestor-spark wet writer\r\n",
+                content_type="application/warc-fields",
+            )
+        ]
+        n = 0
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                url = getattr(row, url_col)
+                text = getattr(row, text_col) or ""
+                date = (
+                    getattr(row, date_col)
+                    if date_col and hasattr(row, date_col)
+                    else None
+                )
+                recs.append(
+                    make_warc_record(
+                        "conversion",
+                        str(text).encode("utf-8"),
+                        target_uri=str(url),
+                        content_type="text/plain",
+                        date=str(date or "2026-01-01T00:00:00Z"),
+                    )
+                )
+                n += 1
+        if n:
+            yield pd.DataFrame(
+                {
+                    "shard_id": [TaskContext.get().partitionId()],
+                    "n_pages": [n],
+                    "payload": [make_warc(recs, gzip_members=True)],
+                }
+            )
+
+    return rows.mapInPandas(
+        run, schema="shard_id int, n_pages int, payload binary"
+    )
+
+
+def write_wet_dir(shards: DataFrame, path: str) -> int:
+    """Land WET shard payloads as files ``wet-<shard>.warc.gz`` under
+    ``path`` (local/posix). Returns the file count. Each task writes
+    its own shard file — no driver byte traffic; on object stores
+    point this at a fuse mount or swap in a put-object call."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_one(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        wrote = []
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                fn = os.path.join(path, f"wet-{row.shard_id:05d}.warc.gz")
+                with open(fn, "wb") as fh:
+                    fh.write(bytes(row.payload))
+                wrote.append(row.shard_id)
+        yield pd.DataFrame({"shard_id": wrote})
+
+    return shards.mapInPandas(
+        write_one, schema="shard_id int"
+    ).count()
 
 
 def meta_noindex(col: Column | str) -> Column:
@@ -1065,6 +1166,69 @@ def latest_capture(rows: DataFrame) -> DataFrame:
     )
 
 
+def resolve_redirects(rows: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Follow HTTP redirect chains (r10): every capture row gains
+    ``final_url`` (the canonical URL its chain terminates at, within
+    ``max_hops``) and ``n_hops``. 3xx captures are how a crawl records
+    half the web's moves; a pipeline that keeps only 200s silently
+    loses the alias structure dedup and link analysis need.
+
+    Plan shape: the redirect EDGE relation (3xx rows only — a small
+    fraction of captures) is built once, then ``max_hops`` left joins
+    fold chains onto it; the fact side joins the folded map ONCE. The
+    edge relation is usually broadcastable (|3xx| << |captures|); AQE
+    decides. Cycles and over-length chains stop at ``max_hops`` with
+    the last URL reached (documented: no cycle detection beyond the
+    hop bound — the standard crawler behavior). Location values
+    resolve against their page URL (RFC 7231 allows relative)."""
+    canon = rows.withColumn("_u", canonical_url("url"))
+    edges = (
+        canon.filter(
+            F.col("http_status").between(300, 399)
+            & F.col("redirect_to").isNotNull()
+            & (F.length("redirect_to") > 0)
+        )
+        .select(
+            F.col("_u").alias("src"),
+            canonical_url(
+                url_resolve(F.col("url"), F.col("redirect_to"))
+            ).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+    # fold chains one edge per round: after max_hops-1 extension
+    # rounds the map covers chains up to max_hops hops with exact
+    # hop counts
+    mapping = edges.select(
+        "src", "dst", F.lit(1).alias("hops")
+    )
+    for _ in range(max_hops - 1):
+        nxt = edges.select(
+            F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+        )
+        mapping = mapping.join(
+            nxt, mapping["dst"] == nxt["m_src"], "left"
+        ).select(
+            "src",
+            F.coalesce(F.col("m_dst"), F.col("dst")).alias("dst"),
+            (
+                F.col("hops")
+                + F.when(F.col("m_dst").isNotNull(), 1).otherwise(0)
+            ).alias("hops"),
+        )
+    return (
+        canon.join(
+            mapping, canon["_u"] == mapping["src"], "left"
+        )
+        .select(
+            *[c for c in rows.columns],
+            F.coalesce(F.col("dst"), F.col("_u")).alias("final_url"),
+            F.coalesce(F.col("hops"), F.lit(0)).alias("n_hops"),
+        )
+    )
+
+
 def html_text(col: Column | str) -> Column:
     """HTML -> visible text as ONE JVM Column expression (the module
     docstring's 6-step convention) — regexp_replace / replace /
@@ -1113,6 +1277,122 @@ def html_main_text(col: Column | str) -> Column:
     return F.array_join(
         F.filter(cleaned, lambda x: F.length(x) > 0), "\n"
     )
+
+
+def html_article_text(col: Column | str) -> Column:
+    """Main-content extraction, the OTHER half of the readability
+    heuristic (r10, VERDICT r9 task 6): :func:`html_main_text` keeps
+    only <p>/<h1-6> and so loses body text that sits in <div>s on
+    nav-heavy pages. This variant keeps ALL visible block lines but
+
+    1. scopes to the first ``<article>`` element when one exists (the
+       HTML5 semantic main-content marker), and
+    2. drops LINK-DENSE lines — lines where more than half the visible
+       characters sit inside ``<a>`` elements (nav bars, footers,
+       related-links lists), the classic boilerplate signal.
+
+    Pure JVM: the per-line score is a transform to (visible_text,
+    anchor_chars) structs, the gate a filter over it — regexp chains
+    inside whole-stage codegen, no Python. Ties (exactly half anchor
+    chars) are kept."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _RE_COMMENT, " ")
+    c = F.regexp_replace(c, _RE_DROPPED, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    art = F.regexp_extract(c, r"(?is)<article\b[^>]*>(.*?)</article\s*>", 1)
+    c = F.when(F.length(art) > 0, art).otherwise(c)
+    c = F.regexp_replace(c, _RE_BLOCK, "\n")
+
+    def vis(x):
+        y = F.regexp_replace(x, _RE_ANY_TAG, " ")
+        for ent, rep in _ENTITIES:
+            y = F.replace(y, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(y, " +", " "))
+
+    def anchor_chars(x):
+        anchors = F.regexp_extract_all(
+            x, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+        )
+        return F.aggregate(
+            anchors, F.lit(0), lambda acc, a: acc + F.length(vis(a))
+        )
+
+    scored = F.transform(
+        F.split(c, "\n"),
+        lambda x: F.struct(
+            vis(x).alias("v"), anchor_chars(x).alias("a")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["v"]) > 0)
+        & (2 * s["a"] <= F.length(s["v"])),
+    )
+    return F.array_join(F.transform(kept, lambda s: s["v"]), "\n")
+
+
+def extract_hrefs(col: Column | str) -> Column:
+    """All ``<a href>`` values of a RAW html column, as an
+    array<string> — quoted attributes only (both quote styles), the
+    documented convention (unquoted hrefs are vanishingly rare in real
+    markup and ambiguous to delimit). Two regexp_extract_all passes,
+    pure JVM."""
+    c = F.col(col) if isinstance(col, str) else col
+    dq = F.regexp_extract_all(
+        c, F.lit(r'(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"'), 1
+    )
+    sq = F.regexp_extract_all(
+        c, F.lit(r"(?is)<a\b[^>]*?\bhref\s*=\s*'([^']*)'"), 1
+    )
+    return F.concat(dq, sq)
+
+
+def url_resolve(base: Column | str, href: Column | str) -> Column:
+    """Resolve an href against its page URL — the RFC 3986 subset a
+    link-graph extractor needs, as pure Column expressions:
+
+    - absolute URLs (any scheme) pass through;
+    - scheme-relative ``//host/path`` takes the base scheme;
+    - root-relative ``/path`` takes the base origin;
+    - path-relative resolves against the base directory — EXCEPT
+      links carrying dot-segments (``../``/``./``), which return null
+      (normalizing them needs an iterative pass; real extractors drop
+      them at far below 1% of links — documented subset);
+    - empty and pure-fragment hrefs return null (same page);
+    - the fragment strips from every resolved URL.
+    """
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.trim(F.col(href) if isinstance(href, str) else href)
+    scheme = F.regexp_extract(b, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(b, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    base_dir = F.regexp_extract(url_path(b), r"^(.*/)", 1)
+    has_scheme = h.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    dotted = h.rlike(r"(^|/)\.\.?(/|$)")
+    resolved = (
+        F.when((F.length(h) == 0) | h.startswith("#"), F.lit(None))
+        .when(has_scheme, h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(dotted, F.lit(None))
+        .otherwise(F.concat(origin, base_dir, h))
+    )
+    return F.regexp_replace(resolved, r"#.*$", "")
+
+
+def page_outlinks(pages: DataFrame, html_col: str = "text") -> DataFrame:
+    """One row per resolved http(s) out-link of every page — the WAT
+    side of a crawl (link-graph extraction). Input rows need ``url``
+    (the capture URI) and raw html; output adds ``link``. Scan-local:
+    extraction + resolution are codegen'd expressions ahead of an
+    explode, no shuffle."""
+    out = pages.withColumn(
+        "link",
+        F.explode(extract_hrefs(F.col(html_col))),
+    ).withColumn("link", url_resolve(F.col("url"), F.col("link")))
+    return out.filter(
+        F.col("link").isNotNull()
+        & F.col("link").rlike("^https?://")
+    ).drop(html_col)
 
 
 def url_host(col: Column | str) -> Column:

@@ -3187,6 +3187,22 @@ SELECT 'https://' || source || '.example.org/' || doc_id AS url,
 FROM documents
 """
 
+# Article-scoped, link-density-gated extraction (r10): even docs are
+# <article>-wrapped (outside divs vanish by scoping), odd docs are
+# whole-page; the link-list nav div dies by density in both; the
+# body <div> text and the h1 survive in both; the title line only
+# exists (and survives) outside an article scope (odd docs).
+ORACLES["warc_article_extract"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  CASE WHEN doc_id % 2 = 0
+    THEN 'Doc ' || doc_id || chr(10) || text
+    ELSE 'doc ' || doc_id || chr(10) ||
+         'Doc ' || doc_id || chr(10) || text
+  END AS text
+FROM documents
+"""
+
 # Agent-group selection (r10): for agent 'sis-crawler' only the
 # longest-prefix group ('sis-crawler', Disallow /c/) applies — /a/
 # ('*' group) and /b/ ('sis' group) pages survive.
@@ -3198,6 +3214,127 @@ SELECT doc_id AS media_id,
 FROM documents
 WHERE doc_id % 3 <> 2
 """
+
+
+# Out-link extraction (r10): 3 resolved links per doc (absolute
+# cross-domain, root-relative, path-relative against /d/) + the
+# scheme-relative 4th on even ids; fragment and mailto links vanish.
+ORACLES["warc_outlinks"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/d/' || doc_id AS url,
+  link
+FROM (
+  SELECT doc_id, source,
+    'https://t' || (doc_id % 7) || '.example.net/page' AS link
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+    'https://' || source || '.example.org/local/' || doc_id
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+    'https://' || source || '.example.org/d/other/' || doc_id || '.html'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+    'https://t' || ((doc_id + 1) % 7) || '.example.net/s'
+  FROM documents WHERE doc_id % 2 = 0
+)
+"""
+
+
+# WET writer roundtrip (r10): write-side framing must read back
+# verbatim through the scan path.
+ORACLES["warc_wet_writer_roundtrip"] = """
+SELECT 'https://' || source || '.example.org/' || doc_id AS url,
+  '2026-02-02T00:00:00Z' AS warc_date,
+  text
+FROM documents
+"""
+
+# Redirect-chain resolution (r10): the content page resolves to
+# itself (0 hops); each 3xx capture in the length-(doc_id % 4) chain
+# resolves to the content page with its exact hop count.
+ORACLES["warc_redirect_resolve"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org' || path AS url,
+  CAST(status AS INTEGER) AS http_status,
+  'https://' || source || '.example.org/p' || doc_id AS final_url,
+  CAST(hops AS INTEGER) AS n_hops
+FROM (
+  SELECT doc_id, source, '/p' || doc_id AS path, 200 AS status,
+         0 AS hops
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source, '/r1/' || doc_id, 301, 1
+  FROM documents WHERE doc_id % 4 >= 1
+  UNION ALL
+  SELECT doc_id, source, '/r2/' || doc_id, 302, 2
+  FROM documents WHERE doc_id % 4 >= 2
+  UNION ALL
+  SELECT doc_id, source, '/r3/' || doc_id, 301, 3
+  FROM documents WHERE doc_id % 4 >= 3
+)
+"""
+
+
+def _pagerank_oracle(k: int = 4, damping: float = 0.85) -> str:
+    """Unrolled damped power iteration over the closed-form domain
+    edge set (the bpe_train precedent): contribution join + dangling
+    mass + uniform teleport per stage, doubles throughout, mirroring
+    the Spark algebra term for term (including rank * (1/deg) rather
+    than rank/deg, so both engines take the identical float path)."""
+    parts = [f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT source || '.example.org' AS src,
+         't' || (doc_id % 7) || '.example.net' AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT source || '.example.org',
+         't' || ((doc_id + 1) % 7) || '.example.net'
+  FROM documents WHERE doc_id % 2 = 0
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+deg AS MATERIALIZED (
+  SELECT src, CAST(1.0 AS DOUBLE) / count(*) AS w
+  FROM edges GROUP BY src
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes
+)"""]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.r * deg.w) AS c
+  FROM edges e
+  JOIN r{p} p ON p.node = e.src
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+d{i} AS MATERIALIZED (
+  SELECT coalesce(sum(r), CAST(0.0 AS DOUBLE)) AS dm
+  FROM r{p} WHERE node NOT IN (SELECT src FROM deg)
+),
+r{i} AS MATERIALIZED (
+  SELECT nodes.node,
+    CAST({1.0 - damping} AS DOUBLE) / (SELECT n FROM nn)
+    + CAST({damping} AS DOUBLE) * (
+        coalesce(c{i}.c, CAST(0.0 AS DOUBLE))
+        + (SELECT dm FROM d{i}) / (SELECT n FROM nn)
+      ) AS r
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node
+)""")
+    parts.append(f"""
+SELECT node AS domain, round(r, 6) AS rank FROM r{k}
+""")
+    return "".join(parts)
+
+
+ORACLES["link_pagerank"] = _pagerank_oracle(4, 0.85)
 
 
 def _bpe_oracle(k: int = 8, mode: str = "chars") -> str:

@@ -3018,6 +3018,290 @@ def q_bpe_train_segment(spark, sf_dir):
     )
 
 
+def q_warc_article_extract(spark, sf_dir):
+    """Readability-class main content, the link-density half (r10,
+    VERDICT r9 task 6): pages cycle on parity — even docs wrap the
+    body in <article> (outside divs must vanish by scoping), odd docs
+    have no <article> (whole page in scope). In BOTH, a <div> carrying
+    the document text must SURVIVE (the gap in the p/h-only
+    heuristic) while a link-list nav div (3 anchors, >50% anchor
+    chars) must die by link density. Closed-form text oracle per
+    parity; a scoping, density, or line-accounting bug shifts every
+    affected page's text."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                nav = (
+                    '<div><a href="/x">home</a> <a href="/y">about</a> '
+                    '<a href="/z">contact</a></div>'
+                )
+                core = (
+                    f"<h1>Doc {i}</h1>\n<div>{t}</div>\n{nav}\n"
+                )
+                if i % 2 == 0:
+                    body = (
+                        f"<div>OUTSIDE boilerplate {i}</div>\n"
+                        f"<article>\n{core}</article>\n"
+                        "<div>footer junk</div>"
+                    )
+                else:
+                    body = core
+                html = (
+                    f"<html><head><title>doc {i}</title></head>"
+                    f"<body>{body}</body></html>"
+                )
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    html.encode(),
+                                    "text/html; charset=utf-8",
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/{i}"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    return rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select(
+        "media_id",
+        "url",
+        warc.html_article_text("text").alias("text"),
+    )
+
+
+def _link_fixture_captures(spark, sf_dir):
+    """Capture files whose pages carry a deterministic link mix: an
+    absolute cross-domain link, a root-relative link, a path-relative
+    link (against the /d/ base directory), a pure fragment (dropped),
+    a mailto (non-http, dropped), and — on even ids — a
+    scheme-relative second cross-domain link."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                links = [
+                    f'<a href="https://t{i % 7}.example.net/page">x</a>',
+                    f'<a href="/local/{i}">l</a>',
+                    f"<a href='other/{i}.html'>r</a>",
+                    '<a href="#top">top</a>',
+                    '<a href="mailto:x@example.com">m</a>',
+                ]
+                if i % 2 == 0:
+                    links.append(
+                        f'<a href="//t{(i + 1) % 7}.example.net/s">p</a>'
+                    )
+                html = (
+                    "<html><body><p>page</p>"
+                    + "".join(links)
+                    + "</body></html>"
+                )
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    html.encode(),
+                                    "text/html; charset=utf-8",
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/d/{i}"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+
+
+def q_warc_outlinks(spark, sf_dir):
+    """Out-link extraction — the WAT side of a crawl (r10): hrefs in
+    both quote styles, resolved per the documented RFC 3986 subset
+    (absolute pass-through, scheme-relative, root-relative,
+    path-relative against the base directory), fragments and non-http
+    schemes dropped. Closed-form oracle: 3 links per doc + a 4th on
+    even ids. Scan-local — extraction, resolution, and the explode
+    all ride the capture scan."""
+    from scicat_ingestor_spark.operators import warc
+
+    rows = warc.warc_response_rows(_link_fixture_captures(spark, sf_dir))
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("media_id", "url", "text")
+    return warc.page_outlinks(pages).select("media_id", "url", "link")
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Domain-level PageRank from capture bytes (r10): WARC -> html ->
+    out-links -> distinct cross-domain edges -> 4 damped power
+    iterations with dangling-mass redistribution (Page et al. 1999) —
+    the crawl-prioritization ranking every web-corpus pipeline
+    publishes (Common Crawl's domain ranks). NO driver collects: the
+    two per-iteration scalars ride 1-row broadcast cross-joins. The
+    oracle replays the exact iteration algebra as unrolled CTE stages
+    over the closed-form edge set; ranks round to 6 decimals on both
+    engines (float-sum-order convention)."""
+    from scicat_ingestor_spark.operators import graph, warc
+
+    rows = warc.warc_response_rows(_link_fixture_captures(spark, sf_dir))
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("media_id", "url", "text")
+    edges = graph.domain_edges(warc.page_outlinks(pages))
+    ranks = graph.pagerank(edges, damping=0.85, iterations=4)
+    return ranks.select(
+        F.col("node").alias("domain"),
+        F.round(F.col("rank"), 6).alias("rank"),
+    )
+
+
+def q_warc_redirect_resolve(spark, sf_dir):
+    """HTTP redirect-chain resolution (r10): 3xx captures carry their
+    Location (relative — must resolve against the page URL); chains of
+    length 0-3 cycle on doc_id % 4 and every capture row must report
+    its terminal URL and exact hop count. The edge relation is 3xx
+    rows only (broadcast-sized in practice); chains fold with
+    max_hops=3 single-edge extension rounds, the fact side joins the
+    folded map once. Pipelines that keep only 200s lose exactly this
+    alias structure."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                base = f"https://{s}.example.org"
+                recs = [
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            f"<p>{t}</p>".encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=f"{base}/p{i}",
+                        content_type="application/http;msgtype=response",
+                    )
+                ]
+                chain = [
+                    (f"/r1/{i}", 301, f"/p{i}"),
+                    (f"/r2/{i}", 302, f"/r1/{i}"),
+                    (f"/r3/{i}", 301, f"/r2/{i}"),
+                ]
+                for path, st, loc in chain[: i % 4]:
+                    recs.append(
+                        warc.make_warc_record(
+                            "response",
+                            warc.make_http_response(
+                                b"", "text/html", status=st,
+                                location=loc,
+                            ),
+                            target_uri=base + path,
+                            content_type=(
+                                "application/http;msgtype=response"
+                            ),
+                        )
+                    )
+                payloads.append(
+                    warc.make_warc(recs, gzip_members=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    resolved = warc.resolve_redirects(rows, max_hops=3)
+    return resolved.select(
+        "media_id",
+        "url",
+        "http_status",
+        "final_url",
+        F.col("n_hops").cast("int").alias("n_hops"),
+    )
+
+
+def q_warc_wet_writer_roundtrip(spark, sf_dir):
+    """WET WRITER roundtrip (r10) — the sink side of the capture
+    plane: every document serializes into standard WET shards (one
+    hash exchange on url, then each partition builds its own
+    .warc.gz — warcinfo + conversion records, per-record gzip
+    members) and re-extracting THROUGH THE SCAN PATH must recover
+    every (url, text) verbatim. A framing, gzip-member, or
+    content-length bug on the WRITE side breaks the read-back hash —
+    the interchange guarantee a corpus exporter owes any downstream
+    WARC consumer."""
+    from scicat_ingestor_spark.operators import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.org/"), F.col("doc_id"),
+        ).alias("url"),
+        F.col("text"),
+        F.lit("2026-02-02T00:00:00Z").alias("warc_date"),
+    )
+    shards = warc.wet_shard_bytes(pages, shards=8)
+    reread = warc.warc_response_rows(
+        shards.select(
+            F.col("shard_id").cast("long").alias("media_id"), "payload"
+        )
+    )
+    return reread.filter(F.col("warc_type") == "conversion").select(
+        "url", "warc_date", "text"
+    )
+
+
 def q_bpe_train_bytes(spark, sf_dir):
     """BYTE-level BPE with regex pre-tokenization (r10, VERDICT r9
     task 5 — the GPT-2 formulation): pre-tokens carry their leading
@@ -6017,4 +6301,9 @@ QUERIES = {
     "warc_revisit_resolve": q_warc_revisit_resolve,
     "warc_robots_agent_groups": q_warc_robots_agent_groups,
     "bpe_train_bytes": q_bpe_train_bytes,
+    "warc_article_extract": q_warc_article_extract,
+    "warc_outlinks": q_warc_outlinks,
+    "link_pagerank": q_link_pagerank,
+    "warc_redirect_resolve": q_warc_redirect_resolve,
+    "warc_wet_writer_roundtrip": q_warc_wet_writer_roundtrip,
 }

@@ -68,9 +68,55 @@ def extract_pages(files: DataFrame) -> DataFrame:
     )
 
 
-def append_captures(batch: DataFrame, pages_path: str) -> None:
-    """foreachBatch body: extract and append this batch's pages."""
-    extract_pages(batch).write.mode("append").parquet(pages_path)
+def decontaminate_pages(
+    pages: DataFrame,
+    eval_grams: DataFrame,
+    bloom_pack: tuple[list[int], int, int] | None = None,
+    n: int = 4,
+) -> DataFrame:
+    """Drop pages whose EXTRACTED text shares any word ``n``-gram with
+    the eval set (r10, VERDICT r9 task 7 — the batch
+    ``text_decontaminate_bloom`` contract applied at crawl admission,
+    so eval leakage never reaches the stored pages log). ``eval_grams``
+    is a (gram) relation; ``bloom_pack`` is the packed
+    (words, m_bits, k) filter from ``operators.bloom.build`` — built
+    ONCE offline, shipped to every micro-batch as a literal, so the
+    per-batch cost is a codegen'd hash+mask prefilter plus an exact
+    broadcast verify join on the tiny survivor stream (no false
+    negatives; false positives die in the join). Deterministic per
+    row, so at-least-once replays admit/drop identically."""
+    from scicat_ingestor_spark.operators import bloom, dedup
+
+    grams = pages.select(
+        "media_id",
+        "seq",
+        F.explode(
+            dedup.word_shingles(warc.html_text(F.col("text")), n=n)
+        ).alias("gram"),
+    )
+    if bloom_pack is not None:
+        words, m_bits, k = bloom_pack
+        grams = bloom.probe(grams, "gram", words, m_bits, k)
+    hits = (
+        grams.join(F.broadcast(eval_grams.select("gram")), "gram")
+        .select("media_id", "seq")
+        .distinct()
+    )
+    return pages.join(hits, ["media_id", "seq"], "left_anti")
+
+
+def append_captures(
+    batch: DataFrame,
+    pages_path: str,
+    eval_grams: DataFrame | None = None,
+    bloom_pack: tuple[list[int], int, int] | None = None,
+) -> None:
+    """foreachBatch body: extract (optionally decontaminate) and
+    append this batch's pages."""
+    pages = extract_pages(batch)
+    if eval_grams is not None:
+        pages = decontaminate_pages(pages, eval_grams, bloom_pack)
+    pages.write.mode("append").parquet(pages_path)
 
 
 def current_pages(spark: SparkSession, pages_path: str) -> DataFrame:
@@ -102,11 +148,16 @@ def run_crawl_ingest_stream(
     checkpoint: str,
     available_now: bool = True,
     compact_every_n_batches: int = 0,
+    eval_grams: DataFrame | None = None,
+    bloom_pack: tuple[list[int], int, int] | None = None,
 ):
     """Wire a binaryFile capture stream (columns: path, content or
     media_id, payload) through the append loop, with the same
     batch-id-keyed compaction cadence as the LSH index loop (monotone
-    across restarts, stable under replay)."""
+    across restarts, stable under replay). Pass ``eval_grams`` (and
+    optionally the packed ``bloom_pack`` prefilter) to
+    eval-leak-check pages on admission — see
+    :func:`decontaminate_pages`."""
     cols = set(stream_files.columns)
     if "payload" not in cols:
         stream_files = stream_files.select(
@@ -115,7 +166,7 @@ def run_crawl_ingest_stream(
         )
 
     def _body(b: DataFrame, bid: int) -> None:
-        append_captures(b, pages_path)
+        append_captures(b, pages_path, eval_grams, bloom_pack)
         if (
             compact_every_n_batches > 0
             and (bid + 1) % compact_every_n_batches == 0

@@ -1058,3 +1058,330 @@ def test_robots_rfc9309_semantics(spark):
         ).collect()
     )
     assert kept_g == []
+
+
+def test_html_article_text(spark):
+    """Article scoping + link-density gate: body text in a <div>
+    survives (the p/h-only gap), the link-list div dies, content
+    outside <article> dies when an article exists, whole page is in
+    scope when none does, and a half-anchor tie is kept."""
+    from pyspark.sql import functions as F
+
+    nav = '<div><a href="/x">home</a> <a href="/y">about me</a></div>'
+    art = (
+        "<html><body><div>outside</div><article><h1>T</h1>"
+        f"<div>real body text here</div>{nav}</article>"
+        "<div>footer</div></body></html>"
+    )
+    noart = f"<html><body><h1>T</h1><div>plain body</div>{nav}</body></html>"
+    tie = "<div><a href='/x'>abcde</a> abcd</div>"  # 5 anchor vs 10 total
+    cases = [
+        (art, "T\nreal body text here"),
+        (noart, "T\nplain body"),
+        (tie, "abcde abcd"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["html"])
+    got = [
+        r["t"]
+        for r in df.select(
+            warc.html_article_text("html").alias("t")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Crawl-admission eval-leak gate: pages sharing an eval 4-gram
+    never reach the stored pages log; the streamed (Bloom-prefiltered)
+    result equals the batch decontaminate_pages result row-for-row,
+    and a full replay into the same log leaves the current view
+    unchanged (at-least-once safety)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import bloom, dedup
+    from scicat_ingestor_spark.streaming import crawl
+
+    crawl_dir = str(tmp_path / "crawl")
+    os.makedirs(crawl_dir)
+    leak = "leak mark eval gram"
+    docs = [
+        (
+            i,
+            f"src{i % 3}",
+            f"stream page {i} body " + (leak if i % 4 == 0 else "clean"),
+        )
+        for i in range(12)
+    ]
+    for i, source, text in docs:
+        recs, _, _ = _capture(i, source, text)
+        with open(os.path.join(crawl_dir, f"c-{i}.warc.gz"), "wb") as fh:
+            fh.write(warc.make_warc(recs, gzip_members=True))
+
+    eval_grams = (
+        spark.createDataFrame([(f"the {leak} secret",)], ["text"])
+        .select(
+            F.explode(dedup.word_shingles(F.col("text"), n=4)).alias(
+                "gram"
+            )
+        )
+        .distinct()
+    )
+    pack = bloom.build(eval_grams, "gram")
+
+    files = warc.warc_scan(spark, crawl_dir)
+    batch = sorted(
+        (r["url"], r["text"])
+        for r in crawl.decontaminate_pages(
+            crawl.extract_pages(files), eval_grams, pack
+        ).collect()
+    )
+    assert len(batch) == 9  # 12 pages, 3 contaminated (0, 4, 8)
+
+    pages, ck = str(tmp_path / "pages"), str(tmp_path / "ck")
+    stream_files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 4)
+        .load(crawl_dir)
+    )
+    q = crawl.run_crawl_ingest_stream(
+        stream_files, pages, ck,
+        eval_grams=eval_grams, bloom_pack=pack,
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["url"], r["text"])
+        for r in spark.read.parquet(pages).collect()
+    )
+    assert got == batch
+
+    # replay: drain the same files again under a FRESH checkpoint (the
+    # worst-case duplicate admission); the current view is unchanged
+    view_before = sorted(
+        (r["url"], r["text"])
+        for r in crawl.current_pages(spark, pages).collect()
+    )
+    q2 = crawl.run_crawl_ingest_stream(
+        stream_files, pages, str(tmp_path / "ck2"),
+        eval_grams=eval_grams, bloom_pack=pack,
+    )
+    q2.awaitTermination()
+    view_after = sorted(
+        (r["url"], r["text"])
+        for r in crawl.current_pages(spark, pages).collect()
+    )
+    assert view_after == view_before and len(view_after) == 9
+
+
+def test_tolerant_walk_corruption_fuzz():
+    """Fuzz the dead-letter walk: random single-byte mutations and
+    truncations anywhere in a multi-record capture (both containers)
+    must NEVER raise, and records that framed BEFORE the damage point
+    must survive byte-identically. Damage strictly after record j's
+    bytes can't affect records 0..j."""
+    import random
+
+    rng = random.Random(20260816)
+    recs = [
+        _good_response(1, p, f"text {p} " + "w" * (rng.randint(0, 40)))
+        for p in "abcdef"
+    ]
+    strict = [
+        dict(r, error=None) for r in warc.warc_records(b"".join(recs))
+    ]
+    offsets = [0]
+    for r in recs:
+        offsets.append(offsets[-1] + len(r))
+
+    for trial in range(300):
+        gz = trial % 2 == 1
+        buf = bytearray(warc.make_warc(recs, gzip_members=gz))
+        mode = trial % 3
+        if mode == 0:
+            pos = rng.randrange(len(buf))
+            buf[pos] ^= 1 << rng.randrange(8)
+        elif mode == 1:
+            buf = buf[: rng.randrange(len(buf))]
+            pos = len(buf)
+        else:
+            pos = rng.randrange(len(buf))
+            buf = buf[:pos] + b"\x00\xff" * 3 + buf[pos:]
+        got = warc.warc_records_tolerant(bytes(buf))
+        assert all(isinstance(r.get("error"), (str, type(None))) for r in got)
+        if not gz:
+            # plain container: records fully before the damage offset
+            # must parse identically to the strict walk's prefix
+            intact = 0
+            while intact < 6 and offsets[intact + 1] <= pos:
+                intact += 1
+            good = [r for r in got if r["error"] is None]
+            assert [g["block"] for g in good[:intact]] == [
+                s["block"] for s in strict[:intact]
+            ]
+
+
+def test_robots_filter_plan_is_equi_broadcast(spark):
+    """r10 plan shape: the rule table joins as an EQUI broadcast-hash
+    join on domain (the longest-match fold is scan-local) — no
+    BroadcastNestedLoopJoin, no shuffle of the page side."""
+    pages = spark.createDataFrame(
+        [("https://a.example/p", 1)], ["url", "pid"]
+    )
+    robots_bodies = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x/")],
+        ["domain", "text"],
+    )
+    plan = (
+        warc.robots_filter(pages, robots_bodies)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_url_resolve_and_outlinks(spark):
+    """RFC 3986-subset resolution conventions and the outlink filter
+    (http(s) only, fragments/empties/dot-segments dropped)."""
+    from pyspark.sql import functions as F
+
+    base = "https://a.example/d/sub/page.html"
+    cases = [
+        ("https://other.example/x", "https://other.example/x"),
+        ("//cdn.example/y", "https://cdn.example/y"),
+        ("/root/z", "https://a.example/root/z"),
+        ("rel.html", "https://a.example/d/sub/rel.html"),
+        ("rel.html#frag", "https://a.example/d/sub/rel.html"),
+        ("#top", None),
+        ("", None),
+        ("../up.html", None),      # dot-segment: documented drop
+        ("./here.html", None),
+        ("mailto:x@y.z", "mailto:x@y.z"),  # resolves; filtered later
+    ]
+    df = spark.createDataFrame([(base, h) for h, _ in cases], ["u", "h"])
+    got = [
+        r["r"]
+        for r in df.select(
+            warc.url_resolve("u", "h").alias("r")
+        ).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    html = (
+        '<p><a href="https://b.example/1">x</a>'
+        "<a href='/two'>y</a><a href=\"#f\">z</a>"
+        '<a class="q" href="mailto:m@e.x">m</a></p>'
+    )
+    pages = spark.createDataFrame(
+        [("https://a.example/d/p", html)], ["url", "text"]
+    )
+    links = sorted(
+        r["link"] for r in warc.page_outlinks(pages).collect()
+    )
+    assert links == ["https://a.example/two", "https://b.example/1"]
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    """The DataFrame power iteration equals a serial reference PR on a
+    small graph with a dangling node and asymmetric degrees."""
+    from scicat_ingestor_spark.operators import graph
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+        ("b", "e"),  # e is dangling
+    ]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, 0.85, iterations=5).collect()
+    }
+
+    nodes = sorted({n for e in edge_list for n in e})
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += r[s] * (1.0 / len(ds))
+        dm = sum(r[v] for v in nodes if v not in out)
+        r = {
+            v: 0.15 / n + 0.85 * (contrib[v] + dm / n) for v in nodes
+        }
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    # ranks stay a distribution (mass conservation under damping)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_resolve_redirects_chains_and_cycles(spark):
+    """Chains resolve with exact hop counts; relative Locations
+    resolve against their page; cycles stop at the hop bound instead
+    of looping."""
+    rows = spark.createDataFrame(
+        [
+            # chain: r2 -> r1 -> p (content)
+            (1, 0, "response", "https://a.example/p", None, 200,
+             "text/html", None, "body", None, None),
+            (1, 1, "response", "https://a.example/r1", None, 301,
+             "text/html", None, None, None, "/p"),
+            (1, 2, "response", "https://a.example/r2", None, 302,
+             "text/html", None, None, None, "r1"),
+            # 2-cycle: x <-> y, must stop at max_hops
+            (1, 3, "response", "https://a.example/x", None, 301,
+             "text/html", None, None, None, "/y"),
+            (1, 4, "response", "https://a.example/y", None, 301,
+             "text/html", None, None, None, "/x"),
+        ],
+        "media_id long, seq int, warc_type string, url string, "
+        "warc_date string, http_status int, content_type string, "
+        "charset string, text string, error string, redirect_to string",
+    )
+    got = {
+        r["url"]: (r["final_url"], r["n_hops"])
+        for r in warc.resolve_redirects(rows, max_hops=3).collect()
+    }
+    assert got["https://a.example/p"] == ("https://a.example/p", 0)
+    assert got["https://a.example/r1"] == ("https://a.example/p", 1)
+    assert got["https://a.example/r2"] == ("https://a.example/p", 2)
+    # cycle: 3 hops of x->y->x->y ends at y with hops = max_hops
+    assert got["https://a.example/x"] == ("https://a.example/y", 3)
+    assert got["https://a.example/y"] == ("https://a.example/x", 3)
+
+
+def test_wet_writer_to_disk_and_scan_back(spark, tmp_path):
+    """write_wet_dir lands real .warc.gz files that the binaryFile
+    scan path re-reads verbatim — the interchange contract."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://s{i % 3}.example/p{i}", f"text body {i}",
+             "2026-01-05T00:00:00Z")
+            for i in range(10)
+        ],
+        ["url", "text", "warc_date"],
+    )
+    out = str(tmp_path / "wet")
+    shards = warc.wet_shard_bytes(pages, shards=4)
+    n = warc.write_wet_dir(shards, out)
+    assert 1 <= n <= 4
+    back = (
+        warc.warc_response_rows(warc.warc_scan(spark, out))
+        .filter(F.col("warc_type") == "conversion")
+        .select("url", "text")
+        .collect()
+    )
+    got = sorted((r["url"], r["text"]) for r in back)
+    exp = sorted(
+        (f"https://s{i % 3}.example/p{i}", f"text body {i}")
+        for i in range(10)
+    )
+    assert got == exp

@@ -143,6 +143,29 @@ SHOWN = [
         "SSL-prototypes pruning: scan-local cosine-to-own-centroid from "
         "the transposed dot fold, per-cell rank window (one shuffle)",
     ),
+    (
+        "warc_robots_filter",
+        "RFC 9309 politeness gate (r10 plan): per-domain rule ARRAY -> "
+        "equi BroadcastHashJoin on domain + scan-local longest-match "
+        "fold — replaces r9's non-equi BroadcastNestedLoop entirely",
+    ),
+    (
+        "bpe_train_bytes",
+        "byte-level BPE encode: regex pre-tokenization + hex-byte "
+        "alphabet, chained JVM folds (training collected 8 argmax rows)",
+    ),
+    (
+        "warc_article_extract",
+        "article-scoped link-density extraction: the whole per-line "
+        "score/gate/join is ONE codegen Project after the scan-local "
+        "bytes plane",
+    ),
+    (
+        "link_pagerank",
+        "domain PageRank from capture bytes: scan-local link "
+        "extraction, per-iteration contribution shuffle + 1-row "
+        "broadcast scalars (N, dangling mass) — zero driver collects",
+    ),
 ]
 
 
