@@ -3278,6 +3278,132 @@ FROM (
 """
 
 
+# DSIR importance weights (r10): hashed-bigram bucket counts with
+# Laplace smoothing, per-doc sum of log(p_target/p_raw). Bucket =
+# first 8 md5 hex chars as int, mod 64 — the engine-portable hash.
+ORACLES["dsir_importance"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> length(x) > 0) AS t
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 1)) AS i
+  ) gg
+  WHERE len(t) >= 2
+),
+bks AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 64
+         AS INTEGER) AS b
+  FROM grams
+),
+ct AS (SELECT b, count(*) AS c FROM bks WHERE doc_id % 97 = 0 GROUP BY b),
+cr AS (SELECT b, count(*) AS c FROM bks WHERE doc_id % 97 <> 0 GROUP BY b),
+tot AS (
+  SELECT (SELECT coalesce(sum(c), 0) FROM ct) AS tt,
+         (SELECT coalesce(sum(c), 0) FROM cr) AS tr
+),
+lut AS MATERIALIZED (
+  SELECT bb.b,
+    ln(((coalesce(ct.c, 0) + CAST(1.0 AS DOUBLE))
+         / ((SELECT tt FROM tot) + 64))
+       / ((coalesce(cr.c, 0) + CAST(1.0 AS DOUBLE))
+         / ((SELECT tr FROM tot) + 64))) AS lr
+  FROM (SELECT unnest(generate_series(0, 63)) AS b) bb
+  LEFT JOIN ct ON ct.b = bb.b
+  LEFT JOIN cr ON cr.b = bb.b
+)
+SELECT d.doc_id,
+  round(coalesce(s.v, CAST(0.0 AS DOUBLE)), 6) AS dsir_logweight
+FROM documents d
+LEFT JOIN (
+  SELECT bks.doc_id, sum(lut.lr) AS v
+  FROM bks JOIN lut USING (b) GROUP BY bks.doc_id
+) s USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+def _quality_lr_oracle(k: int = 8, lr: float = 0.5) -> str:
+    """Replay the full-batch logistic-regression training as k
+    unrolled CTE stages (the bpe_train precedent): stage n computes
+    the sigmoid residuals under stage n-1's weights, aggregates the
+    five gradient sums, and steps the weights; the final SELECT
+    scores every document with the trained weights. Feature algebra
+    and the dot-product term order mirror operators/selection.py
+    exactly so both engines walk the same float path."""
+    head = """
+WITH feats AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN length(text) > 500 THEN CAST(1.0 AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS y,
+    ln(CAST(1.0 AS DOUBLE) + n) AS x0,
+    total_len / greatest(n, CAST(1.0 AS DOUBLE)) AS x1,
+    alpha / greatest(n, CAST(1.0 AS DOUBLE)) AS x2,
+    longw / greatest(n, CAST(1.0 AS DOUBLE)) AS x3
+  FROM (
+    SELECT doc_id, text,
+      CAST(len(t) AS DOUBLE) AS n,
+      CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        AS total_len,
+      CAST(len(list_filter(t, x -> regexp_full_match(x, '[a-z]+')))
+        AS DOUBLE) AS alpha,
+      CAST(len(list_filter(t, x -> length(x) > 7)) AS DOUBLE) AS longw
+    FROM (
+      SELECT doc_id, text,
+        list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                    x -> length(x) > 0) AS t
+      FROM documents
+    )
+  )
+),
+w0 AS MATERIALIZED (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS w1,
+              CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3,
+              CAST(0.0 AS DOUBLE) AS w4)"""
+    parts = [head]
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f""",
+g{i} AS MATERIALIZED (
+  SELECT count(*) AS n,
+    sum(e) AS g0, sum(e * x0) AS g1, sum(e * x1) AS g2,
+    sum(e * x2) AS g3, sum(e * x3) AS g4
+  FROM (
+    SELECT y, x0, x1, x2, x3,
+      CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+        (SELECT b FROM w{p}) + (SELECT w1 FROM w{p}) * x0
+        + (SELECT w2 FROM w{p}) * x1 + (SELECT w3 FROM w{p}) * x2
+        + (SELECT w4 FROM w{p}) * x3))) - y AS e
+    FROM feats
+  )
+),
+w{i} AS MATERIALIZED (
+  SELECT
+    (SELECT b FROM w{p}) - {lr} * g0 / n AS b,
+    (SELECT w1 FROM w{p}) - {lr} * g1 / n AS w1,
+    (SELECT w2 FROM w{p}) - {lr} * g2 / n AS w2,
+    (SELECT w3 FROM w{p}) - {lr} * g3 / n AS w3,
+    (SELECT w4 FROM w{p}) - {lr} * g4 / n AS w4
+  FROM g{i}
+)""")
+    parts.append(f"""
+SELECT doc_id, CAST(y AS INTEGER) AS label,
+  round(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-(
+    (SELECT b FROM w{k}) + (SELECT w1 FROM w{k}) * x0
+    + (SELECT w2 FROM w{k}) * x1 + (SELECT w3 FROM w{k}) * x2
+    + (SELECT w4 FROM w{k}) * x3))), 6) AS p_quality
+FROM feats
+""")
+    return "".join(parts)
+
+
+ORACLES["quality_classifier"] = _quality_lr_oracle(8, 0.5)
+
+
 def _pagerank_oracle(k: int = 4, damping: float = 0.85) -> str:
     """Unrolled damped power iteration over the closed-form domain
     edge set (the bpe_train precedent): contribution join + dangling

@@ -192,6 +192,38 @@ def _bpe_merges_bytes(spark, sf_dir: str, k: int = 8):
     return _TRAINED_CACHE[key]
 
 
+def _dsir_ratios(spark, sf_dir: str, n_buckets: int = 64):
+    """Memoized DSIR log-ratio vector (target = the %97 eval-ish
+    split, raw = the rest)."""
+    from scicat_ingestor_spark.operators import selection
+
+    key = (spark, sf_dir, "dsir", n_buckets)
+    if key not in _TRAINED_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        _TRAINED_CACHE[key] = selection.dsir_log_ratios(
+            docs.filter(F.col("doc_id") % 97 == 0),
+            docs.filter(F.col("doc_id") % 97 != 0),
+            n_buckets=n_buckets,
+        )
+    return _TRAINED_CACHE[key]
+
+
+def _quality_weights(spark, sf_dir: str, k: int = 8):
+    """Memoized trained quality-classifier weights (labels: long
+    documents are the curated-positive stand-in)."""
+    from scicat_ingestor_spark.operators import selection
+
+    key = (spark, sf_dir, "qlr", k)
+    if key not in _TRAINED_CACHE:
+        docs = _t(spark, sf_dir, "documents").withColumn(
+            "label", (F.length("text") > 500).cast("int")
+        )
+        _TRAINED_CACHE[key] = selection.train_quality_lr(
+            docs, "label", iterations=k, lr=0.5
+        )
+    return _TRAINED_CACHE[key]
+
+
 # ---------------------------------------------------------------------------
 # §2.1 scans / filters (S2-S4) on the wrdn-shaped events stream
 # ---------------------------------------------------------------------------
@@ -3270,6 +3302,55 @@ def q_warc_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_dsir_importance(spark, sf_dir):
+    """DSIR data selection (r10; Xie et al. 2023): every raw document
+    scores sum(log(p_target/p_raw)) over its hashed word-bigram
+    buckets — the cheap domain-matching importance weight pipelines
+    use to pick target-domain-like subsets of a crawl. Target = the
+    %97 split, raw = the rest; 64 md5 buckets (the engine-portable
+    hash). The bucket probability tables are two bounded
+    aggregations; the log-ratio vector collects ONCE (64 doubles, the
+    codebook pattern) and scoring is a scan-local JVM fold. The
+    oracle recomputes the full estimator relationally — bucket
+    counts, Laplace smoothing, per-doc fold — and a smoothing, hash,
+    or multiplicity bug shifts every score."""
+    from scicat_ingestor_spark.operators import selection
+
+    ratios = _dsir_ratios(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.round(
+            selection.dsir_score(F.col("text"), ratios), 6
+        ).alias("dsir_logweight"),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (r10; the GPT-3-report recipe):
+    logistic regression on four engineered text features
+    (log1p tokens, mean word length, alpha-word ratio, long-word
+    ratio), trained with 8 deterministic full-batch GD iterations
+    (one aggregation + one-row collect per iteration — the BPE
+    bounded-collect pattern), then every document scored with the
+    trained weights as a pure Column expression. Labels: long
+    documents stand in for the curated-positive set. The oracle
+    replays ALL 8 gradient iterations as unrolled CTE stages and
+    re-scores every document — a feature, gradient, or learning-rate
+    divergence shifts every probability."""
+    from scicat_ingestor_spark.operators import selection
+
+    w = _quality_weights(spark, sf_dir, k=8)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.length("text") > 500).cast("int").alias("label"),
+        F.round(
+            selection.quality_probability(F.col("text"), w), 6
+        ).alias("p_quality"),
+    )
+
+
 def q_warc_wet_writer_roundtrip(spark, sf_dir):
     """WET WRITER roundtrip (r10) — the sink side of the capture
     plane: every document serializes into standard WET shards (one
@@ -6306,4 +6387,6 @@ QUERIES = {
     "link_pagerank": q_link_pagerank,
     "warc_redirect_resolve": q_warc_redirect_resolve,
     "warc_wet_writer_roundtrip": q_warc_wet_writer_roundtrip,
+    "dsir_importance": q_dsir_importance,
+    "quality_classifier": q_quality_classifier,
 }
