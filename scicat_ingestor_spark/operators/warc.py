@@ -749,7 +749,12 @@ def wet_shard_bytes(
     partition's records and emits one row, so a 100 TB corpus writes
     as `shards` independent scan-local serializations with no driver
     involvement. Use :func:`write_wet_dir` to land the payloads as
-    .warc.gz files."""
+    .warc.gz files.
+
+    SIZE ``shards`` TO THE CORPUS (~1 GB/shard, like real crawl
+    files): shards are non-splittable on read, so an under-sharded
+    corpus serializes every downstream re-read — measured 61 s ->
+    5.5 s at the ×100 replica going 8 -> 64 shards (SCALE.md r10)."""
     cols = [url_col, text_col] + ([date_col] if date_col else [])
     rows = pages.select(*cols).repartition(shards, F.col(url_col))
 

@@ -3372,7 +3372,12 @@ def q_warc_wet_writer_roundtrip(spark, sf_dir):
         F.col("text"),
         F.lit("2026-02-02T00:00:00Z").alias("warc_date"),
     )
-    shards = warc.wet_shard_bytes(pages, shards=8)
+    # shards must TRACK data (like real crawl file counts): wet shards
+    # are non-splittable on read, so an under-sharded corpus serializes
+    # its read-back — measured 61 s -> 5.5 s at the x100 replica going
+    # 8 -> 64 shards (SCALE.md r10)
+    n_shards = max(8, spark.sparkContext.defaultParallelism)
+    shards = warc.wet_shard_bytes(pages, shards=n_shards)
     reread = warc.warc_response_rows(
         shards.select(
             F.col("shard_id").cast("long").alias("media_id"), "payload"
