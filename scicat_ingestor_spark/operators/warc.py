@@ -25,9 +25,15 @@ per snapshot; file-level parallelism with ``binaryFile`` IS the scale
 path, :func:`warc_scan`). A 100 TB crawl is ~100k files >> cluster
 cores; no repartition needed, decode stays scan-local.
 
-Failure channel: malformed framing raises ``ValueError("not a WARC:
-...")`` — the shared ingest contract (never a leaked struct/zlib
-error, never a silently short parse).
+Failure channel (r10): the data plane is per-record fault-TOLERANT —
+structural damage yields a dead-letter row (``error`` set) and the
+walk resyncs at the next version line / gzip member, so one corrupt
+record never loses a ~1 GB capture file (the engine's V3/T4
+contract applied to bytes). The strict mode
+(:func:`warc_records`, ``tolerant=False``) raises
+``ValueError("not a WARC: ...")`` for the whole payload — the
+fixture/contract surface. Either way: never a leaked struct/zlib
+error, never a silently short parse.
 
 HTML -> text convention (documented, deterministic — both the Column
 chain and the Python twin :func:`html_to_text` implement exactly

@@ -3278,6 +3278,20 @@ FROM (
 """
 
 
+# CDX index lookup (r10): SURT urlkey (reversed host labels) folds
+# the messy stale URL onto the fresh key; the newest timestamp wins
+# with the true capture count — all derivable closed-form.
+ORACLES["cdx_index_lookup"] = """
+SELECT 'org,example,' || source || ')/' || doc_id AS urlkey,
+  '20260202000000' AS timestamp,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  CAST(200 AS INTEGER) AS http_status,
+  'text/html' AS mime,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+    AS n_captures
+FROM documents
+"""
+
 # DSIR importance weights (r10): hashed-bigram bucket counts with
 # Laplace smoothing, per-doc sum of log(p_target/p_raw). Bucket =
 # first 8 md5 hex chars as int, mod 64 — the engine-portable hash.

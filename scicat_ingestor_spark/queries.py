@@ -3302,6 +3302,77 @@ def q_warc_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_cdx_index_lookup(spark, sf_dir):
+    """CDX(J) capture index (r10): captures index into wayback-style
+    `urlkey timestamp json` lines (SURT urlkey, JVM to_json), parse
+    back (split-with-limit + get_json_object), and answer the
+    latest-capture-per-page lookup FROM THE INDEX ALONE — no payload
+    byte touched, the real Common-Crawl access pattern (text index
+    files are splittable; .warc.gz payloads are not). Every third doc
+    carries a stale re-capture under a messy surface URL
+    (uppercase scheme+host, trailing slash, fragment) that only SURT
+    folds onto the fresh key. A surt, timestamp, json, or window bug
+    resurrects stale captures or splits pages."""
+    from scicat_ingestor_spark.operators import warc
+    from scicat_ingestor_spark.sources import cdx
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                url = f"https://{s}.example.org/{i}"
+                recs = [
+                    warc.make_warc_record(
+                        "response",
+                        warc.make_http_response(
+                            f"<p>{t}</p>".encode(),
+                            "text/html; charset=utf-8",
+                        ),
+                        target_uri=url,
+                        content_type="application/http;msgtype=response",
+                        date="2026-02-02T00:00:00Z",
+                    )
+                ]
+                if i % 3 == 0:
+                    recs.append(
+                        warc.make_warc_record(
+                            "response",
+                            warc.make_http_response(
+                                f"<p>stale {i}</p>".encode(),
+                                "text/html",
+                            ),
+                            target_uri=(
+                                f"HTTPS://{s.upper()}.EXAMPLE.ORG/{i}/#x"
+                            ),
+                            content_type=(
+                                "application/http;msgtype=response"
+                            ),
+                            date="2026-01-01T00:00:00Z",
+                        )
+                    )
+                payloads.append(
+                    warc.make_warc(recs, gzip_members=bool(i % 2))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    lines = cdx.cdxj_lines(rows)
+    latest = cdx.cdx_latest(cdx.cdx_parse(lines))
+    return latest.select(
+        "urlkey", "timestamp", "url", "http_status", "mime",
+        "n_captures",
+    )
+
+
 def q_dsir_importance(spark, sf_dir):
     """DSIR data selection (r10; Xie et al. 2023): every raw document
     scores sum(log(p_target/p_raw)) over its hashed word-bigram
@@ -6394,4 +6465,5 @@ QUERIES = {
     "warc_wet_writer_roundtrip": q_warc_wet_writer_roundtrip,
     "dsir_importance": q_dsir_importance,
     "quality_classifier": q_quality_classifier,
+    "cdx_index_lookup": q_cdx_index_lookup,
 }

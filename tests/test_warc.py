@@ -1385,3 +1385,49 @@ def test_wet_writer_to_disk_and_scan_back(spark, tmp_path):
         for i in range(10)
     )
     assert got == exp
+
+
+def test_cdx_surt_and_roundtrip(spark):
+    """SURT key conventions + CDXJ generate/parse symmetry + the
+    index-only latest lookup."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.sources import cdx
+
+    cases = [
+        ("https://www.Example.ORG/A/b?Q=1", "org,example,www)/a/b?q=1"),
+        ("http://a.b.c.example/x/", "example,c,b,a)/x"),
+        ("https://host.net/p#frag", "net,host)/p"),
+        ("https://host.net/", "net,host)"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [
+        r["k"] for r in df.select(cdx.surt_key("u").alias("k")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+    rows = spark.createDataFrame(
+        [
+            (1, 0, "response", "https://a.example/p", "2026-01-02T03:04:05Z",
+             200, "text/html; charset=utf-8", "utf-8", "<p>new</p>", None, None),
+            (1, 1, "response", "HTTPS://A.EXAMPLE/p/#f", "2025-01-01T00:00:00Z",
+             200, "text/html", "utf-8", "<p>old</p>", None, None),
+            (1, 2, "warcinfo", None, "2026-01-01T00:00:00Z",
+             None, "application/warc-fields", None, None, None, None),
+            (1, 3, "response", "https://a.example/err", "2026-01-01T00:00:00Z",
+             None, None, None, None, "boom", None),
+        ],
+        "media_id long, seq int, warc_type string, url string, "
+        "warc_date string, http_status int, content_type string, "
+        "charset string, text string, error string, redirect_to string",
+    )
+    lines = cdx.cdxj_lines(rows)
+    raw = [r["line"] for r in lines.collect()]
+    assert len(raw) == 2  # warcinfo + dead-letter rows excluded
+    assert all(l.startswith("example,a)/p ") for l in raw)
+    latest = cdx.cdx_latest(cdx.cdx_parse(lines)).collect()
+    assert len(latest) == 1
+    r = latest[0]
+    assert r["timestamp"] == "20260102030405"
+    assert r["url"] == "https://a.example/p"
+    assert r["n_captures"] == 2 and r["mime"] == "text/html"
