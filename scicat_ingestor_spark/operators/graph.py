@@ -62,20 +62,28 @@ def pagerank(
     groupBy dst) and redistributes the dangling mass (rank sitting on
     nodes with no out-edges) uniformly. ``rank`` is the raw double —
     callers round for cross-engine comparison."""
+    # pin the loop-invariant relations once and truncate the rank
+    # lineage per iteration (the bpe_train localCheckpoint pattern):
+    # without this, every iteration's plan re-embeds the whole
+    # upstream (capture scan -> link extraction -> ...) per reference
+    # and plan size grows combinatorially with the iteration count
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     edges_w = edges.join(outdeg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
-    )
+    ).localCheckpoint()
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(iterations):
+        ranks = ranks.localCheckpoint()
         contrib = (
             edges_w.join(ranks, edges_w["src"] == ranks["node"])
             .groupBy("dst")
