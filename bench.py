@@ -61,6 +61,10 @@ HEADLINE = [
     "corpus_prep_e2e",
     "asof_last_click",
     "warc_extract_text",  # r9: the web-capture family's representative
+    # r10 representatives: the fault-tolerant capture walk and the
+    # RFC 9309 politeness gate's new equi-join plan
+    "warc_fault_tolerance",
+    "warc_robots_filter",
 ]
 
 # Recall/quality DIAGNOSTICS: measurement tools, not pipeline shapes —

@@ -975,6 +975,91 @@ def robots_rules(col: Column | str) -> Column:
     return F.aggregate(lines, init, step)["rules"]
 
 
+def robots_sitemaps(col: Column | str) -> Column:
+    """Sitemap URLs of a robots.txt body — ``Sitemap:`` lines are
+    group-INDEPENDENT per the sitemaps.org protocol, so this is a
+    plain line filter (comment-stripped), no group tracking. JVM
+    transform/filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.transform(
+        F.split(c, r"\r?\n"),
+        lambda x: F.trim(F.substring_index(x, "#", 1)),
+    )
+    hits = F.filter(
+        lines, lambda x: F.lower(x).startswith("sitemap:")
+    )
+    return F.transform(
+        hits, lambda x: F.trim(F.substring(x, 9, 1 << 20))
+    )
+
+
+def robots_crawl_delay(col: Column | str, agent: str = "*") -> Column:
+    """Crawl-delay (seconds, double; null when absent) for ``agent``
+    under the same group model as the rule engine: delays attach to
+    the current group's agent tokens, and the group RFC 9309 selects
+    (longest applicable token, ``*`` = length 0) supplies the value.
+    Two JVM folds: one collecting (agent, delay) pairs, one picking
+    the winner — no Python, no extra relation."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\r?\n")
+    pair_t = "array<struct<agent:string,delay:double>>"
+    init = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(True).alias("header"),
+        F.array().cast(pair_t).alias("pairs"),
+    )
+
+    def step(acc, line):
+        stripped = F.trim(F.substring_index(line, "#", 1))
+        low = F.lower(stripped)
+        is_ua = low.startswith("user-agent:")
+        is_cd = low.startswith("crawl-delay:")
+        ua = F.lower(F.trim(F.substring(stripped, 12, 1 << 20)))
+        delay = F.trim(F.substring(stripped, 13, 1 << 20)).cast("double")
+        agents = F.when(
+            is_ua & acc["header"], F.array_append(acc["agents"], ua)
+        ).when(is_ua, F.array(ua)).otherwise(acc["agents"])
+        pairs = F.when(
+            is_cd & delay.isNotNull(),
+            F.concat(
+                acc["pairs"],
+                F.transform(
+                    acc["agents"],
+                    lambda ag: F.struct(
+                        ag.alias("agent"), delay.alias("delay")
+                    ),
+                ),
+            ),
+        ).otherwise(acc["pairs"])
+        return F.struct(
+            agents.alias("agents"),
+            is_ua.alias("header"),
+            pairs.alias("pairs"),
+        )
+
+    pairs = F.aggregate(lines, init, step)["pairs"]
+    agent_l = agent.lower()
+    best_init = F.struct(
+        F.lit(-1).alias("len"),
+        F.lit(None).cast("double").alias("delay"),
+    )
+
+    def pick(acc, p):
+        applicable = (p["agent"] == "*") | F.lit(agent_l).startswith(
+            p["agent"]
+        )
+        tok_len = F.when(p["agent"] == "*", F.lit(0)).otherwise(
+            F.length(p["agent"])
+        )
+        better = applicable & (tok_len > acc["len"])
+        return F.when(
+            better,
+            F.struct(tok_len.alias("len"), p["delay"].alias("delay")),
+        ).otherwise(acc)
+
+    return F.aggregate(pairs, best_init, pick)["delay"]
+
+
 def robots_rule_table(
     robots_bodies: DataFrame, agent: str = "*"
 ) -> DataFrame:

@@ -3278,6 +3278,19 @@ FROM (
 """
 
 
+
+# robots politeness metadata (r10): crawl-delay under agent-group
+# precedence ('sis-crawler' 0.5 beats '*' 2 where present) + sitemap
+# counts, keyed closed-form on length(source).
+ORACLES["warc_robots_politeness"] = """
+SELECT DISTINCT source || '.example.org' AS domain,
+  CAST(CASE WHEN length(source) % 2 = 0 THEN 0.5 ELSE 2.0 END
+       AS DOUBLE) AS crawl_delay,
+  CAST(CASE WHEN length(source) % 3 = 0 THEN 2 ELSE 1 END
+       AS INTEGER) AS n_sitemaps
+FROM documents
+"""
+
 # CDX index lookup (r10): SURT urlkey (reversed host labels) folds
 # the messy stale URL onto the fresh key; the newest timestamp wins
 # with the true capture count — all derivable closed-form.

@@ -3302,6 +3302,77 @@ def q_warc_redirect_resolve(spark, sf_dir):
     )
 
 
+def q_warc_robots_politeness(spark, sf_dir):
+    """robots.txt politeness metadata (r10): Crawl-delay under the
+    same longest-agent-token group model as the rule engine (the
+    'sis-crawler' group's 0.5 s must beat '*'-group 2 s where
+    present), plus group-independent Sitemap lines — the two
+    directives a crawl scheduler consumes. Pure JVM folds over the
+    DISTINCT per-domain bodies; variant structure keys on
+    length(source) so the oracle stays closed-form."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                body = (
+                    "User-agent: *\r\nCrawl-delay: 2\r\n"
+                    "Disallow: /x/\r\n\r\n"
+                )
+                if len(s) % 2 == 0:
+                    body += (
+                        "User-agent: sis-crawler\r\n"
+                        "Crawl-delay: 0.5\r\n\r\n"
+                    )
+                body += f"Sitemap: https://{s}.example.org/sitemap.xml\r\n"
+                if len(s) % 3 == 0:
+                    body += (
+                        f"Sitemap: https://{s}.example.org/s2.xml\r\n"
+                    )
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    body.encode(), "text/plain"
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/robots.txt"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    robots = rows.filter(F.col("url").endswith("/robots.txt")).select(
+        warc.url_host("url").alias("domain"), "text"
+    ).distinct()
+    return robots.select(
+        "domain",
+        warc.robots_crawl_delay("text", "sis-crawler").alias(
+            "crawl_delay"
+        ),
+        F.size(warc.robots_sitemaps("text")).alias("n_sitemaps"),
+    )
+
+
 def q_cdx_index_lookup(spark, sf_dir):
     """CDX(J) capture index (r10): captures index into wayback-style
     `urlkey timestamp json` lines (SURT urlkey, JVM to_json), parse
@@ -6466,4 +6537,5 @@ QUERIES = {
     "dsir_importance": q_dsir_importance,
     "quality_classifier": q_quality_classifier,
     "cdx_index_lookup": q_cdx_index_lookup,
+    "warc_robots_politeness": q_warc_robots_politeness,
 }

@@ -1431,3 +1431,31 @@ def test_cdx_surt_and_roundtrip(spark):
     assert r["timestamp"] == "20260102030405"
     assert r["url"] == "https://a.example/p"
     assert r["n_captures"] == 2 and r["mime"] == "text/html"
+
+
+def test_robots_crawl_delay_and_sitemaps(spark):
+    """Crawl-delay honors the longest-agent-token group; Sitemap lines
+    are group-independent; absent directives yield null."""
+    from pyspark.sql import functions as F
+
+    body = (
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x/\n\n"
+        "User-agent: sis\nCrawl-delay: 1\n\n"
+        "User-agent: sis-crawler\nCrawl-delay: 0.5\n"
+        "Sitemap: https://a.example/s1.xml\n"
+        "# comment\nSitemap: https://a.example/s2.xml  # trailing\n"
+    )
+    df = spark.createDataFrame([(body,), ("User-agent: *\nDisallow: /\n",)], ["text"])
+    rows = df.select(
+        warc.robots_crawl_delay("text", "sis-crawler").alias("d_sc"),
+        warc.robots_crawl_delay("text", "sisbot").alias("d_sb"),
+        warc.robots_crawl_delay("text", "otherbot").alias("d_o"),
+        warc.robots_sitemaps("text").alias("maps"),
+    ).collect()
+    assert rows[0]["d_sc"] == 0.5   # longest token wins
+    assert rows[0]["d_sb"] == 1.0   # 'sis' prefix group
+    assert rows[0]["d_o"] == 2.0    # falls to '*'
+    assert rows[0]["maps"] == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml",
+    ]
+    assert rows[1]["d_sc"] is None and rows[1]["maps"] == []
