@@ -3279,6 +3279,42 @@ FROM (
 
 
 
+
+# Bigram LM scoring (r10): add-1 conditional model over the corpus's
+# own statistics; per-doc mean -ln P(w2|w1).
+ORACLES["text_bigram_logprob"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+uni AS MATERIALIZED (
+  SELECT w, count(*) AS n1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+v AS (SELECT count(*) AS v FROM uni),
+big AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 1)) AS i
+  ) g
+  WHERE len(t) >= 2
+),
+model AS MATERIALIZED (
+  SELECT w1, w2,
+    ln((count(*) + CAST(1.0 AS DOUBLE)) / (uni.n1 + (SELECT v FROM v)))
+      AS logp
+  FROM big JOIN uni ON uni.w = big.w1
+  GROUP BY w1, w2, uni.n1
+)
+SELECT big.doc_id,
+  round(avg(-model.logp), 6) AS mean_neg_logp,
+  CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big JOIN model USING (w1, w2)
+GROUP BY big.doc_id
+"""
+
 # robots politeness metadata (r10): crawl-delay under agent-group
 # precedence ('sis-crawler' 0.5 beats '*' 2 where present) + sitemap
 # counts, keyed closed-form on length(source).

@@ -2703,6 +2703,62 @@ def q_text_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Model-based quality scoring, order-aware (r10): a corpus-trained
+    add-1 BIGRAM LM — ln((c(w1,w2)+1)/(c(w1)+V)) — scores every doc's
+    mean -log P(w2|w1); the distributed shape of the CCNet/KenLM
+    perplexity filter one order up from text_unigram_logprob (which
+    ignores word order entirely). The conditional model table is
+    distinct-bigram-sized: at 100 TB the score join shuffles on
+    (w1, w2) — a plain equi-join AQE plans (broadcast at gate scale,
+    sort-merge at web scale); nothing here is quadratic. Rounded to
+    6 dp for bit-stable cross-engine compare."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+    )
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    toks = docs.select(
+        F.explode(arr).alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n1"))
+    v_df = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    model = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .join(uni.withColumnRenamed("term", "w1"), "w1")
+        .crossJoin(F.broadcast(v_df))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("n12") + F.lit(1.0))
+                / (F.col("n1") + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.col("logp")), 6).alias("mean_neg_logp"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def q_corpus_prep_e2e(spark, sf_dir):
     """The training-corpus preparation flow as ONE composed plan —
     quality gate -> eval-split decontamination -> exact dedup -> token
@@ -6538,4 +6594,5 @@ QUERIES = {
     "quality_classifier": q_quality_classifier,
     "cdx_index_lookup": q_cdx_index_lookup,
     "warc_robots_politeness": q_warc_robots_politeness,
+    "text_bigram_logprob": q_text_bigram_logprob,
 }
