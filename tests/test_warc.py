@@ -1459,3 +1459,62 @@ def test_robots_crawl_delay_and_sitemaps(spark):
         "https://a.example/s1.xml", "https://a.example/s2.xml",
     ]
     assert rows[1]["d_sc"] is None and rows[1]["maps"] == []
+
+
+def test_streaming_crawl_feeds_link_graph(spark, tmp_path):
+    """Composition: the streamed pages log's current view feeds
+    out-link extraction and PageRank identically to the batch path —
+    the crawl-frontier loop (ingest -> current web -> rank domains)
+    closes over the streaming shell."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import graph
+    from scicat_ingestor_spark.streaming import crawl
+
+    crawl_dir = str(tmp_path / "crawl")
+    os.makedirs(crawl_dir)
+    for i in range(9):
+        html = (
+            f"<html><body><p>page {i}</p>"
+            f'<a href="https://hub{i % 3}.example.net/x">h</a>'
+            "</body></html>"
+        )
+        rec = warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                html.encode(), "text/html; charset=utf-8"
+            ),
+            target_uri=f"https://src{i % 4}.example.org/{i}",
+            content_type="application/http;msgtype=response",
+        )
+        with open(os.path.join(crawl_dir, f"c-{i}.warc.gz"), "wb") as fh:
+            fh.write(warc.make_warc([rec], gzip_members=True))
+
+    def ranks_of(pages_df):
+        edges = graph.domain_edges(
+            warc.page_outlinks(pages_df.select("url", "text"))
+        )
+        return {
+            r["node"]: round(r["rank"], 9)
+            for r in graph.pagerank(edges, iterations=3).collect()
+        }
+
+    batch = ranks_of(crawl.extract_pages(warc.warc_scan(spark, crawl_dir)))
+
+    pages, ck = str(tmp_path / "pages"), str(tmp_path / "ck")
+    stream_files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("maxFilesPerTrigger", 3)
+        .load(crawl_dir)
+    )
+    crawl.run_crawl_ingest_stream(
+        stream_files, pages, ck
+    ).awaitTermination()
+    streamed = ranks_of(crawl.current_pages(spark, pages))
+    assert streamed == batch and len(batch) == 7  # 4 srcs + 3 hubs
