@@ -1291,7 +1291,13 @@ def resolve_redirects(rows: DataFrame, max_hops: int = 3) -> DataFrame:
             ).alias("dst"),
         )
         .filter(F.col("dst").isNotNull())
-        .distinct()
+        # a URL whose captures redirected to DIFFERENT targets over
+        # time must still map to ONE target, or the fact join would
+        # duplicate capture rows: keep the lexicographically-largest
+        # (deterministic; carry dates through here for a
+        # newest-capture-wins policy instead)
+        .groupBy("src")
+        .agg(F.max("dst").alias("dst"))
     )
     # fold chains one edge per round: after max_hops-1 extension
     # rounds the map covers chains up to max_hops hops with exact

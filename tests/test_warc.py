@@ -1518,3 +1518,23 @@ def test_streaming_crawl_feeds_link_graph(spark, tmp_path):
     ).awaitTermination()
     streamed = ranks_of(crawl.current_pages(spark, pages))
     assert streamed == batch and len(batch) == 7  # 4 srcs + 3 hubs
+
+
+def test_resolve_redirects_conflicting_targets_no_fanout(spark):
+    """A URL whose captures redirected to different targets across
+    time maps to exactly ONE deterministic target — never duplicating
+    the capture rows through the resolve join."""
+    rows = spark.createDataFrame(
+        [
+            (1, 0, "response", "https://a.example/r", None, 301,
+             "text/html", None, None, None, "/new"),
+            (1, 1, "response", "https://a.example/r", None, 301,
+             "text/html", None, None, None, "/old"),
+        ],
+        "media_id long, seq int, warc_type string, url string, "
+        "warc_date string, http_status int, content_type string, "
+        "charset string, text string, error string, redirect_to string",
+    )
+    got = warc.resolve_redirects(rows, max_hops=2).collect()
+    assert len(got) == 2  # both capture rows survive, no fan-out
+    assert {r["final_url"] for r in got} == {"https://a.example/old"}
