@@ -3525,6 +3525,24 @@ SELECT node AS domain, round(r, 6) AS rank FROM r{k}
 
 ORACLES["link_pagerank"] = _pagerank_oracle(4, 0.85)
 
+# Crawl-frontier budget (r10): PageRank x politeness — the scheduler
+# composition. Same pagerank stages; the final select joins each
+# SOURCE domain's crawl-delay closed form (1 + len(source) % 3
+# seconds) and divides the UNROUNDED rank by it, mirroring the Spark
+# algebra.
+_frontier = _pagerank_oracle(4, 0.85)
+ORACLES["crawl_frontier_budget"] = _frontier[
+    : _frontier.rindex("\nSELECT")
+] + """
+SELECT r4.node AS domain,
+  round(r4.r, 6) AS rank,
+  CAST(1 + (length(s.source) % 3) AS DOUBLE) AS crawl_delay,
+  round(r4.r / CAST(1 + (length(s.source) % 3) AS DOUBLE), 6)
+    AS fetch_budget
+FROM r4 JOIN (SELECT DISTINCT source FROM documents) s
+  ON r4.node = s.source || '.example.org'
+"""
+
 
 def _bpe_oracle(k: int = 8, mode: str = "chars") -> str:
     """Replay BPE training as k unrolled CTE stages (the

@@ -3214,9 +3214,28 @@ def _link_fixture_captures(spark, sf_dir):
                     + "".join(links)
                     + "</body></html>"
                 )
+                # per-domain robots.txt rides along (text/plain, so
+                # the html page filters are untouched): the frontier
+                # composition consumes its Crawl-delay
+                robots = (
+                    "User-agent: *\r\n"
+                    f"Crawl-delay: {1 + len(s) % 3}\r\n"
+                )
                 payloads.append(
                     warc.make_warc(
                         [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    robots.encode(), "text/plain"
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/robots.txt"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            ),
                             warc.make_warc_record(
                                 "response",
                                 warc.make_http_response(
@@ -3229,7 +3248,7 @@ def _link_fixture_captures(spark, sf_dir):
                                 content_type=(
                                     "application/http;msgtype=response"
                                 ),
-                            )
+                            ),
                         ],
                         gzip_members=bool(i % 2),
                     )
@@ -3583,6 +3602,43 @@ def q_warc_wet_writer_roundtrip(spark, sf_dir):
     )
     return reread.filter(F.col("warc_type") == "conversion").select(
         "url", "warc_date", "text"
+    )
+
+
+def q_crawl_frontier_budget(spark, sf_dir):
+    """Crawl-frontier scheduling (r10): the composition a crawler's
+    frontier actually runs — rank domains by PageRank over the
+    extracted link graph, then divide by each domain's robots
+    Crawl-delay to get a politeness-weighted fetch budget. One
+    fixture carries both planes (robots.txt text/plain beside the
+    html pages); the oracle composes the unrolled PageRank stages
+    with the closed-form delay rule and divides the UNROUNDED rank,
+    mirroring the Spark float path."""
+    from scicat_ingestor_spark.operators import graph, warc
+
+    rows = warc.warc_response_rows(_link_fixture_captures(spark, sf_dir))
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("media_id", "url", "text")
+    edges = graph.domain_edges(warc.page_outlinks(pages))
+    ranks = graph.pagerank(edges, damping=0.85, iterations=4)
+    robots = rows.filter(F.col("url").endswith("/robots.txt")).select(
+        warc.url_host("url").alias("domain"), "text"
+    ).distinct()
+    delays = robots.select(
+        "domain",
+        warc.robots_crawl_delay("text").alias("crawl_delay"),
+    )
+    return ranks.join(
+        delays, ranks["node"] == delays["domain"]
+    ).select(
+        "domain",
+        F.round(F.col("rank"), 6).alias("rank"),
+        "crawl_delay",
+        F.round(F.col("rank") / F.col("crawl_delay"), 6).alias(
+            "fetch_budget"
+        ),
     )
 
 
@@ -6595,4 +6651,5 @@ QUERIES = {
     "cdx_index_lookup": q_cdx_index_lookup,
     "warc_robots_politeness": q_warc_robots_politeness,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "crawl_frontier_budget": q_crawl_frontier_budget,
 }
