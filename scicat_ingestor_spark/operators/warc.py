@@ -48,9 +48,13 @@ this):
    section, article, aside, header, footer, nav, form) become one
    newline;
 4. every remaining tag becomes one space;
-5. entities decode ONE pass (named subset lt/gt/quot/apos/nbsp +
-   numeric #34/#39, with ``&amp;`` LAST so ``&amp;lt;`` yields the
-   literal ``&lt;`` — html.unescape's one-pass semantics);
+5. entities decode ONE pass (r11: ALL numeric character references —
+   decimal ``&#233;`` and hex ``&#x2019;``, with the WHATWG
+   windows-1252 override for 0x80-0x9F and U+FFFD for invalid
+   codepoints — plus the common-web named table, ``&amp;`` LAST so
+   ``&amp;lt;`` yields the literal ``&lt;`` — html.unescape's
+   one-pass semantics; ``&nbsp;`` normalizes to ASCII space, the
+   module's pre-existing hygiene convention);
 6. per line: trim + collapse internal spaces; empty lines drop;
    surviving lines join with ``\\n``.
 """
@@ -76,17 +80,145 @@ _RE_COMMENT = r"(?s)<!--.*?-->"
 _RE_DROPPED = r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>"
 _RE_BLOCK = rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>"
 _RE_ANY_TAG = r"<[^>]*>"
-# one-pass entity subset; amp LAST is what makes it one-pass
+# one-pass NAMED entity table (r11: full common-web subset of the
+# WHATWG named-references list — the long tail a training corpus
+# actually hits; numeric character references decode separately in
+# _entity_numeric_* BEFORE this table runs). amp LAST is what makes
+# the pass one-pass: '&amp;mdash;' must yield literal '&mdash;', never
+# an em-dash, exactly as a browser renders it.
 _ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&apos;", "'"),
-    ("&#34;", '"'),
-    ("&#39;", "'"),
-    ("&nbsp;", " "),
+    ("&nbsp;", "\x20"),
+    # punctuation / typography
+    ("&mdash;", "—"),
+    ("&ndash;", "–"),
+    ("&hellip;", "…"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&sbquo;", "‚"),
+    ("&bdquo;", "„"),
+    ("&laquo;", "«"),
+    ("&raquo;", "»"),
+    ("&middot;", "·"),
+    ("&bull;", "•"),
+    ("&dagger;", "†"),
+    ("&Dagger;", "‡"),
+    ("&permil;", "‰"),
+    ("&prime;", "′"),
+    ("&Prime;", "″"),
+    ("&minus;", "−"),
+    ("&shy;", "­"),
+    ("&ensp;", " "),
+    ("&emsp;", " "),
+    ("&thinsp;", " "),
+    # signs / currency
+    ("&copy;", "©"),
+    ("&reg;", "®"),
+    ("&trade;", "™"),
+    ("&deg;", "°"),
+    ("&plusmn;", "±"),
+    ("&times;", "×"),
+    ("&divide;", "÷"),
+    ("&frac12;", "½"),
+    ("&frac14;", "¼"),
+    ("&frac34;", "¾"),
+    ("&sup1;", "¹"),
+    ("&sup2;", "²"),
+    ("&sup3;", "³"),
+    ("&micro;", "µ"),
+    ("&para;", "¶"),
+    ("&sect;", "§"),
+    ("&euro;", "€"),
+    ("&pound;", "£"),
+    ("&yen;", "¥"),
+    ("&cent;", "¢"),
+    ("&curren;", "¤"),
+    ("&iexcl;", "¡"),
+    ("&iquest;", "¿"),
+    ("&ordf;", "ª"),
+    ("&ordm;", "º"),
+    ("&not;", "¬"),
+    ("&macr;", "¯"),
+    ("&acute;", "´"),
+    ("&cedil;", "¸"),
+    ("&uml;", "¨"),
+    ("&larr;", "←"),
+    ("&uarr;", "↑"),
+    ("&rarr;", "→"),
+    ("&darr;", "↓"),
+    ("&harr;", "↔"),
+    # latin-1 letters (the big accented block, both cases)
+    ("&Agrave;", "À"), ("&Aacute;", "Á"),
+    ("&Acirc;", "Â"), ("&Atilde;", "Ã"),
+    ("&Auml;", "Ä"), ("&Aring;", "Å"),
+    ("&AElig;", "Æ"), ("&Ccedil;", "Ç"),
+    ("&Egrave;", "È"), ("&Eacute;", "É"),
+    ("&Ecirc;", "Ê"), ("&Euml;", "Ë"),
+    ("&Igrave;", "Ì"), ("&Iacute;", "Í"),
+    ("&Icirc;", "Î"), ("&Iuml;", "Ï"),
+    ("&ETH;", "Ð"), ("&Ntilde;", "Ñ"),
+    ("&Ograve;", "Ò"), ("&Oacute;", "Ó"),
+    ("&Ocirc;", "Ô"), ("&Otilde;", "Õ"),
+    ("&Ouml;", "Ö"), ("&Oslash;", "Ø"),
+    ("&Ugrave;", "Ù"), ("&Uacute;", "Ú"),
+    ("&Ucirc;", "Û"), ("&Uuml;", "Ü"),
+    ("&Yacute;", "Ý"), ("&THORN;", "Þ"),
+    ("&szlig;", "ß"),
+    ("&agrave;", "à"), ("&aacute;", "á"),
+    ("&acirc;", "â"), ("&atilde;", "ã"),
+    ("&auml;", "ä"), ("&aring;", "å"),
+    ("&aelig;", "æ"), ("&ccedil;", "ç"),
+    ("&egrave;", "è"), ("&eacute;", "é"),
+    ("&ecirc;", "ê"), ("&euml;", "ë"),
+    ("&igrave;", "ì"), ("&iacute;", "í"),
+    ("&icirc;", "î"), ("&iuml;", "ï"),
+    ("&eth;", "ð"), ("&ntilde;", "ñ"),
+    ("&ograve;", "ò"), ("&oacute;", "ó"),
+    ("&ocirc;", "ô"), ("&otilde;", "õ"),
+    ("&ouml;", "ö"), ("&oslash;", "ø"),
+    ("&ugrave;", "ù"), ("&uacute;", "ú"),
+    ("&ucirc;", "û"), ("&uuml;", "ü"),
+    ("&yacute;", "ý"), ("&thorn;", "þ"),
+    ("&yuml;", "ÿ"),
+    ("&OElig;", "Œ"), ("&oelig;", "œ"),
+    ("&Scaron;", "Š"), ("&scaron;", "š"),
+    ("&Yuml;", "Ÿ"), ("&fnof;", "ƒ"),
+    # greek the web actually uses
+    ("&alpha;", "α"), ("&beta;", "β"),
+    ("&gamma;", "γ"), ("&delta;", "δ"),
+    ("&pi;", "π"), ("&mu;", "μ"),
+    ("&Omega;", "Ω"), ("&lambda;", "λ"),
+    ("&sigma;", "σ"), ("&omega;", "ω"),
     ("&amp;", "&"),
 )
+
+# WHATWG numeric-character-reference override table: codepoints
+# 0x80-0x9F decode as their WINDOWS-1252 characters (the '&#146;'
+# apostrophe real legacy pages ship constantly), not as C1 controls.
+# Codepoints absent here (0x81, 0x8D, 0x8F, 0x90, 0x9D) pass through
+# as the raw codepoint, per the spec's table.
+_NUMREF_C1 = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+# sentinel-rewrite markers for the numeric-reference split pass; NUL /
+# SOH cannot appear in legal HTML text, and a raw occurrence in a
+# hostile page only costs that page a mis-split, never an error
+_NR_OPEN = "\x00"
+_NR_CLOSE = "\x01"
+_RE_NUMREF_HEX = r"&#[xX]([0-9a-fA-F]{1,6});"
+_RE_NUMREF_DEC = r"&#([0-9]{1,7});"
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +337,7 @@ def _parse_record_at(payload: bytes, pos: int) -> tuple[dict, int]:
         "target_uri": headers.get("warc-target-uri", ""),
         "warc_date": headers.get("warc-date", ""),
         "content_type": headers.get("content-type", ""),
+        "payload_digest": headers.get("warc-payload-digest", ""),
         "block": block,
     }
     return record, pos
@@ -234,6 +367,7 @@ _ERROR_RECORD = {
     "target_uri": "",
     "warc_date": "",
     "content_type": "",
+    "payload_digest": "",
     "block": b"",
 }
 
@@ -467,9 +601,14 @@ def make_warc_record(
     content_type: str = "",
     record_id: str = "",
     date: str = "2026-01-01T00:00:00Z",
+    payload_digest: str = "",
 ) -> bytes:
     """One fully-formed WARC/1.0 record with the mandatory headers and
-    trailing CRLFCRLF separator."""
+    trailing CRLFCRLF separator. ``payload_digest`` emits a
+    WARC-Payload-Digest header (the ``sha1:BASE32`` labelled-digest
+    form real crawlers stamp; revisit records carry the ORIGINAL
+    response's digest — how archives match a revisit to the capture
+    it re-observed)."""
     heads = [
         ("WARC-Type", warc_type),
         ("WARC-Date", date),
@@ -477,6 +616,8 @@ def make_warc_record(
     ]
     if target_uri:
         heads.append(("WARC-Target-URI", target_uri))
+    if payload_digest:
+        heads.append(("WARC-Payload-Digest", payload_digest))
     if content_type:
         heads.append(("Content-Type", content_type))
     heads.append(("Content-Length", str(len(block))))
@@ -549,7 +690,8 @@ def make_warc(records: list[bytes], gzip_members: bool = False) -> bytes:
 _RESPONSE_ROWS_SCHEMA = (
     "media_id long, seq int, warc_type string, url string, "
     "warc_date string, http_status int, content_type string, "
-    "charset string, text string, error string, redirect_to string"
+    "charset string, text string, error string, redirect_to string, "
+    "payload_digest string"
 )
 
 
@@ -672,6 +814,7 @@ def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
         "text": body_text,
         "error": err,
         "redirect_to": redirect,
+        "payload_digest": rec.get("payload_digest") or None,
     }
 
 
@@ -709,7 +852,7 @@ def warc_response_rows(
             rows = {k: [] for k in (
                 "media_id", "seq", "warc_type", "url", "warc_date",
                 "http_status", "content_type", "charset", "text",
-                "error", "redirect_to",
+                "error", "redirect_to", "payload_digest",
             )}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 for seq, rec in enumerate(walk(bytes(payload))):
@@ -742,6 +885,7 @@ def wet_shard_bytes(
     url_col: str = "url",
     text_col: str = "text",
     date_col: str | None = "warc_date",
+    max_mb_per_row: int = 512,
 ) -> DataFrame:
     """The SINK side of the capture plane (r10): serialize extracted
     pages back to standard WET shards — (shard_id, payload) rows where
@@ -751,11 +895,20 @@ def wet_shard_bytes(
     consumer including this module's own scan.
 
     Plan: one hash repartition on the URL (the only exchange), then
-    each partition serializes ITSELF — mapInPandas accumulates the
-    partition's records and emits one row, so a 100 TB corpus writes
-    as `shards` independent scan-local serializations with no driver
-    involvement. Use :func:`write_wet_dir` to land the payloads as
-    .warc.gz files.
+    each partition serializes ITSELF — mapInPandas gzip-compresses
+    record-at-a-time and yields a finished payload row every
+    ``max_mb_per_row`` MiB of RAW record bytes, so a 100 TB corpus
+    writes as `shards` independent scan-local serializations with no
+    driver involvement. Use :func:`write_wet_dir` to land the
+    payloads as .warc.gz files (one file per (shard, part) row).
+
+    Memory contract (r11, per r10 ADVICE): a task's peak is ~one raw
+    record + the current part's COMPRESSED members — never the whole
+    shard raw+gzipped at once — and the flush cap keeps every binary
+    cell far under Arrow's ~2 GB limit, so an under-sharded corpus
+    degrades into more part rows instead of failing at write. An
+    oversized SINGLE page still emits (its own part) rather than
+    erroring.
 
     SIZE ``shards`` TO THE CORPUS (~1 GB/shard, like real crawl
     files): shards are non-splittable on read, so an under-sharded
@@ -763,18 +916,40 @@ def wet_shard_bytes(
     5.5 s at the ×100 replica going 8 -> 64 shards (SCALE.md r10)."""
     cols = [url_col, text_col] + ([date_col] if date_col else [])
     rows = pages.select(*cols).repartition(shards, F.col(url_col))
+    cap = max_mb_per_row * 1024 * 1024
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        recs = [
-            make_warc_record(
-                "warcinfo",
-                b"software: scicat-ingestor-spark wet writer\r\n",
-                content_type="application/warc-fields",
+        pid = TaskContext.get().partitionId()
+        info = make_warc(
+            [
+                make_warc_record(
+                    "warcinfo",
+                    b"software: scicat-ingestor-spark wet writer\r\n",
+                    content_type="application/warc-fields",
+                )
+            ],
+            gzip_members=True,
+        )
+        members = [info]
+        raw = n = part = 0
+
+        def flush():
+            nonlocal members, raw, n, part
+            out = pd.DataFrame(
+                {
+                    "shard_id": [pid],
+                    "part": [part],
+                    "n_pages": [n],
+                    "payload": [b"".join(members)],
+                }
             )
-        ]
-        n = 0
+            members = [info]
+            raw = n = 0
+            part += 1
+            return out
+
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 url = getattr(row, url_col)
@@ -784,35 +959,32 @@ def wet_shard_bytes(
                     if date_col and hasattr(row, date_col)
                     else None
                 )
-                recs.append(
-                    make_warc_record(
-                        "conversion",
-                        str(text).encode("utf-8"),
-                        target_uri=str(url),
-                        content_type="text/plain",
-                        date=str(date or "2026-01-01T00:00:00Z"),
-                    )
+                rec = make_warc_record(
+                    "conversion",
+                    str(text).encode("utf-8"),
+                    target_uri=str(url),
+                    content_type="text/plain",
+                    date=str(date or "2026-01-01T00:00:00Z"),
                 )
+                members.append(make_warc([rec], gzip_members=True))
+                raw += len(rec)
                 n += 1
+                if raw >= cap:
+                    yield flush()
         if n:
-            yield pd.DataFrame(
-                {
-                    "shard_id": [TaskContext.get().partitionId()],
-                    "n_pages": [n],
-                    "payload": [make_warc(recs, gzip_members=True)],
-                }
-            )
+            yield flush()
 
     return rows.mapInPandas(
-        run, schema="shard_id int, n_pages int, payload binary"
+        run, schema="shard_id int, part int, n_pages int, payload binary"
     )
 
 
 def write_wet_dir(shards: DataFrame, path: str) -> int:
-    """Land WET shard payloads as files ``wet-<shard>.warc.gz`` under
-    ``path`` (local/posix). Returns the file count. Each task writes
-    its own shard file — no driver byte traffic; on object stores
-    point this at a fuse mount or swap in a put-object call."""
+    """Land WET shard payloads as files
+    ``wet-<shard>-<part>.warc.gz`` under ``path`` (local/posix).
+    Returns the file count. Each task writes its own shard files — no
+    driver byte traffic; on object stores point this at a fuse mount
+    or swap in a put-object call."""
     import os
 
     os.makedirs(path, exist_ok=True)
@@ -821,7 +993,10 @@ def write_wet_dir(shards: DataFrame, path: str) -> int:
         wrote = []
         for pdf in pdf_iter:
             for row in pdf.itertuples(index=False):
-                fn = os.path.join(path, f"wet-{row.shard_id:05d}.warc.gz")
+                fn = os.path.join(
+                    path,
+                    f"wet-{row.shard_id:05d}-{row.part:05d}.warc.gz",
+                )
                 with open(fn, "wb") as fh:
                     fh.write(bytes(row.payload))
                 wrote.append(row.shard_id)
@@ -921,10 +1096,12 @@ def robots_rules(col: Column | str) -> Column:
     ``array<struct<agent, allow, value>>`` — as ONE JVM ``aggregate``
     fold over the lines (no Python, no UDF). RFC 9309 grammar:
     consecutive ``User-agent`` lines stack into one group (a group may
-    name several agents); ``Allow`` and ``Disallow`` lines attach to
-    every agent of the current group; comments strip at ``#``;
-    empty-value rules (allow-all ``Disallow:``) are ignored; agent
-    tokens lowercase (matching is case-insensitive). Group selection
+    name several agents; RFC 9309's grammar allows BLANK / comment-only
+    lines between the startgrouplines, so only a rule line closes the
+    header run — the r10 ADVICE gap); ``Allow`` and ``Disallow`` lines
+    attach to every agent of the current group; comments strip at
+    ``#``; empty-value rules (allow-all ``Disallow:``) are ignored;
+    agent tokens lowercase (matching is case-insensitive). Group selection
     and path matching live in :func:`robots_rule_table` /
     :func:`robots_filter` — they are relational, over the tiny parsed
     rule table."""
@@ -940,6 +1117,7 @@ def robots_rules(col: Column | str) -> Column:
     def step(acc, line):
         stripped = F.trim(F.substring_index(line, "#", 1))
         low = F.lower(stripped)
+        is_blank = F.length(stripped) == 0
         is_ua = low.startswith("user-agent:")
         is_dis = low.startswith("disallow:")
         is_alw = low.startswith("allow:")
@@ -966,9 +1144,12 @@ def robots_rules(col: Column | str) -> Column:
                 ),
             ),
         ).otherwise(acc["rules"])
+        # blank/comment-only lines do NOT close a User-agent header
+        # run (RFC 9309 grammar: startgrouplines may be separated by
+        # empty lines) — only a rule/other directive line does
         return F.struct(
             agents.alias("agents"),
-            is_ua.alias("header"),
+            (is_ua | (acc["header"] & is_blank)).alias("header"),
             rules.alias("rules"),
         )
 
@@ -995,69 +1176,105 @@ def robots_sitemaps(col: Column | str) -> Column:
 
 def robots_crawl_delay(col: Column | str, agent: str = "*") -> Column:
     """Crawl-delay (seconds, double; null when absent) for ``agent``
-    under the same group model as the rule engine: delays attach to
-    the current group's agent tokens, and the group RFC 9309 selects
-    (longest applicable token, ``*`` = length 0) supplies the value.
-    Two JVM folds: one collecting (agent, delay) pairs, one picking
-    the winner — no Python, no extra relation."""
+    under the same GROUP-EXCLUSIVE model as the rule engine
+    (:func:`robots_rule_table`): the winning group is selected by
+    longest applicable agent token over ALL groups — delay-bearing or
+    not — and then THAT group's delay (or null when it declares none)
+    is the answer. A named group without a Crawl-delay therefore does
+    NOT inherit the ``*`` group's delay (the r10 ADVICE gap:
+    directives never mix across groups). Blank/comment-only lines keep
+    a User-agent header run open, matching :func:`robots_rules`. Ties
+    between equally-specific groups resolve to the FIRST group in file
+    order (Crawl-delay is a de-facto extension; RFC 9309 merges rule
+    sets of identical tokens, but a scalar can't merge, so first-wins
+    is the deterministic choice). Pure JVM folds — no Python, no
+    extra relation."""
     c = F.col(col) if isinstance(col, str) else col
     lines = F.split(c, r"\r?\n")
-    pair_t = "array<struct<agent:string,delay:double>>"
+    grp_t = "array<struct<agents:array<string>,delay:double>>"
     init = F.struct(
         F.array().cast("array<string>").alias("agents"),
         F.lit(True).alias("header"),
-        F.array().cast(pair_t).alias("pairs"),
+        F.lit(None).cast("double").alias("delay"),
+        F.array().cast(grp_t).alias("groups"),
     )
+
+    def close_group(acc):
+        return F.when(
+            F.size(acc["agents"]) > 0,
+            F.array_append(
+                acc["groups"],
+                F.struct(
+                    acc["agents"].alias("agents"),
+                    acc["delay"].alias("delay"),
+                ),
+            ),
+        ).otherwise(acc["groups"])
 
     def step(acc, line):
         stripped = F.trim(F.substring_index(line, "#", 1))
         low = F.lower(stripped)
+        is_blank = F.length(stripped) == 0
         is_ua = low.startswith("user-agent:")
         is_cd = low.startswith("crawl-delay:")
         ua = F.lower(F.trim(F.substring(stripped, 12, 1 << 20)))
-        delay = F.trim(F.substring(stripped, 13, 1 << 20)).cast("double")
+        delay_v = F.trim(
+            F.substring(stripped, 13, 1 << 20)
+        ).cast("double")
+        new_group = is_ua & ~acc["header"]
+        groups = F.when(new_group, close_group(acc)).otherwise(
+            acc["groups"]
+        )
         agents = F.when(
             is_ua & acc["header"], F.array_append(acc["agents"], ua)
         ).when(is_ua, F.array(ua)).otherwise(acc["agents"])
-        pairs = F.when(
-            is_cd & delay.isNotNull(),
-            F.concat(
-                acc["pairs"],
-                F.transform(
-                    acc["agents"],
-                    lambda ag: F.struct(
-                        ag.alias("agent"), delay.alias("delay")
-                    ),
-                ),
-            ),
-        ).otherwise(acc["pairs"])
+        delay = (
+            F.when(new_group, F.lit(None).cast("double"))
+            .when(
+                is_cd & delay_v.isNotNull(),
+                F.coalesce(acc["delay"], delay_v),
+            )
+            .otherwise(acc["delay"])
+        )
         return F.struct(
             agents.alias("agents"),
-            is_ua.alias("header"),
-            pairs.alias("pairs"),
+            (is_ua | (acc["header"] & is_blank)).alias("header"),
+            delay.alias("delay"),
+            groups.alias("groups"),
         )
 
-    pairs = F.aggregate(lines, init, step)["pairs"]
+    groups = F.aggregate(lines, init, step, close_group)
     agent_l = agent.lower()
+
+    def tok_len(ag):
+        return F.when(ag == "*", F.lit(0)).otherwise(F.length(ag))
+
+    # per-group specificity: longest applicable token, -1 when the
+    # group names no applicable agent at all
+    scored = F.transform(
+        groups,
+        lambda g: F.struct(
+            F.aggregate(
+                g["agents"],
+                F.lit(-1),
+                lambda best, ag: F.when(
+                    ((ag == "*") | F.lit(agent_l).startswith(ag))
+                    & (tok_len(ag) > best),
+                    tok_len(ag),
+                ).otherwise(best),
+            ).alias("len"),
+            g["delay"].alias("delay"),
+        ),
+    )
     best_init = F.struct(
         F.lit(-1).alias("len"),
         F.lit(None).cast("double").alias("delay"),
     )
-
-    def pick(acc, p):
-        applicable = (p["agent"] == "*") | F.lit(agent_l).startswith(
-            p["agent"]
-        )
-        tok_len = F.when(p["agent"] == "*", F.lit(0)).otherwise(
-            F.length(p["agent"])
-        )
-        better = applicable & (tok_len > acc["len"])
-        return F.when(
-            better,
-            F.struct(tok_len.alias("len"), p["delay"].alias("delay")),
-        ).otherwise(acc)
-
-    return F.aggregate(pairs, best_init, pick)["delay"]
+    return F.aggregate(
+        scored,
+        best_init,
+        lambda b, g: F.when(g["len"] > b["len"], g).otherwise(b),
+    )["delay"]
 
 
 def robots_rule_table(
@@ -1331,6 +1548,76 @@ def resolve_redirects(rows: DataFrame, max_hops: int = 3) -> DataFrame:
     )
 
 
+def _numref_char(cp: Column) -> Column:
+    """One Unicode character from a numeric-reference codepoint:
+    the WHATWG windows-1252 override for 0x80-0x9F (legacy pages ship
+    '&#146;' apostrophes constantly), U+FFFD for out-of-range /
+    surrogate codepoints, else the codepoint itself — decoded JVM-side
+    as UTF-32BE bytes (Spark's chr() is latin-1-only and useless past
+    0xFF)."""
+    c1 = F.create_map(
+        *[
+            x
+            for k, v in _NUMREF_C1.items()
+            for x in (F.lit(k).cast("long"), F.lit(v))
+        ]
+    )
+    valid = (
+        (cp >= 1)
+        & (cp <= 0x10FFFF)
+        & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+    )
+    general = F.when(
+        valid, F.decode(F.unhex(F.lpad(F.hex(cp), 8, "0")), "UTF-32")
+    ).otherwise(F.lit("�"))
+    return F.coalesce(F.element_at(c1, cp), general)
+
+
+def decode_numeric_refs(col: Column | str) -> Column:
+    """Decode HTML numeric character references — decimal ``&#233;``
+    and hex ``&#x2019;`` — as pure Column expressions (r11, VERDICT
+    r10 task 2). Strategy: regexp-rewrite every reference to a
+    sentinel-framed token, split on the sentinel, decode each token
+    scan-locally, rejoin. The sentinel pass (not direct substitution)
+    is what keeps the semantics one-pass: a decoded '&' can never
+    combine with following text to form a second reference, matching
+    how a browser tokenizes. Guarded by a contains() prefilter so
+    pages without '&#' skip the machinery entirely."""
+    c = F.col(col) if isinstance(col, str) else col
+    r = F.regexp_replace(
+        c, _RE_NUMREF_HEX, _NR_OPEN + "x$1" + _NR_CLOSE
+    )
+    r = F.regexp_replace(
+        r, _RE_NUMREF_DEC, _NR_OPEN + "d$1" + _NR_CLOSE
+    )
+    parts = F.split(r, _NR_OPEN, -1)
+
+    def decode_part(p, i):
+        tok = F.substring_index(p, _NR_CLOSE, 1)
+        tail = F.substr(p, F.length(tok) + 2)
+        cp = F.when(
+            F.substr(tok, F.lit(1), F.lit(1)) == "x",
+            F.conv(F.substr(tok, F.lit(2)), 16, 10),
+        ).otherwise(F.substr(tok, F.lit(2))).cast("long")
+        decoded = F.concat(_numref_char(cp), F.coalesce(tail, F.lit("")))
+        return F.when(
+            (i > 0) & F.contains(p, F.lit(_NR_CLOSE)), decoded
+        ).otherwise(p)
+
+    decoded = F.array_join(F.transform(parts, decode_part), "")
+    return F.when(F.contains(c, F.lit("&#")), decoded).otherwise(c)
+
+
+def decode_entities(col: Column | str) -> Column:
+    """Full entity decode — numeric references first (sentinel pass),
+    then the one-pass named table with ``&amp;`` last. The shared
+    entity step of every extraction variant."""
+    c = decode_numeric_refs(col)
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return c
+
+
 def html_text(col: Column | str) -> Column:
     """HTML -> visible text as ONE JVM Column expression (the module
     docstring's 6-step convention) — regexp_replace / replace /
@@ -1343,8 +1630,7 @@ def html_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"\s+", " ")
     c = F.regexp_replace(c, _RE_BLOCK, "\n")
     c = F.regexp_replace(c, _RE_ANY_TAG, " ")
-    for ent, rep in _ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = decode_entities(c)
     lines = F.split(c, "\n")
     norm = F.transform(
         lines, lambda x: F.trim(F.regexp_replace(x, " +", " "))
@@ -1371,8 +1657,7 @@ def html_main_text(col: Column | str) -> Column:
 
     def clean(x):
         y = F.regexp_replace(x, _RE_ANY_TAG, " ")
-        for ent, rep in _ENTITIES:
-            y = F.replace(y, F.lit(ent), F.lit(rep))
+        y = decode_entities(y)
         return F.trim(F.regexp_replace(y, " +", " "))
 
     cleaned = F.transform(parts, clean)
@@ -1407,8 +1692,7 @@ def html_article_text(col: Column | str) -> Column:
 
     def vis(x):
         y = F.regexp_replace(x, _RE_ANY_TAG, " ")
-        for ent, rep in _ENTITIES:
-            y = F.replace(y, F.lit(ent), F.lit(rep))
+        y = decode_entities(y)
         return F.trim(F.regexp_replace(y, " +", " "))
 
     def anchor_chars(x):
@@ -1506,6 +1790,38 @@ def url_host(col: Column | str) -> Column:
     )
 
 
+def decode_entities_py(s: str) -> str:
+    """Python twin of :func:`decode_entities` — the SAME sentinel
+    pass for numeric references (a direct re.sub would let a decoded
+    '&' combine with following text into a second reference, forking
+    the engines on inputs like '&#x26;#65;'), then the one-pass named
+    table."""
+    s = re.sub(_RE_NUMREF_HEX, _NR_OPEN + r"x\1" + _NR_CLOSE, s,
+               flags=re.ASCII)
+    s = re.sub(_RE_NUMREF_DEC, _NR_OPEN + r"d\1" + _NR_CLOSE, s,
+               flags=re.ASCII)
+    if _NR_OPEN in s:
+        parts = s.split(_NR_OPEN)
+        out = [parts[0]]
+        for p in parts[1:]:
+            if _NR_CLOSE not in p:
+                out.append(p)
+                continue
+            tok, tail = p.split(_NR_CLOSE, 1)
+            cp = int(tok[1:], 16 if tok[0] == "x" else 10)
+            if cp in _NUMREF_C1:
+                ch = _NUMREF_C1[cp]
+            elif cp < 1 or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                ch = "�"
+            else:
+                ch = chr(cp)
+            out.append(ch + tail)
+        s = "".join(out)
+    for ent, rep in _ENTITIES:
+        s = s.replace(ent, rep)
+    return s
+
+
 def html_to_text(html: str) -> str:
     """Python twin of :func:`html_text` — same 6 steps, used by tests
     (parity property) and by non-Spark callers. NOT the data-plane
@@ -1522,8 +1838,7 @@ def html_to_text(html: str) -> str:
     s = re.sub(r"\s+", " ", s, flags=re.ASCII)
     s = re.sub(_RE_BLOCK, "\n", s, flags=re.ASCII)
     s = re.sub(_RE_ANY_TAG, " ", s, flags=re.ASCII)
-    for ent, rep in _ENTITIES:
-        s = s.replace(ent, rep)
+    s = decode_entities_py(s)
     out = []
     for line in s.split("\n"):
         line = re.sub(r" +", " ", line).strip(" ")

@@ -3315,12 +3315,15 @@ FROM big JOIN model USING (w1, w2)
 GROUP BY big.doc_id
 """
 
-# robots politeness metadata (r10): crawl-delay under agent-group
-# precedence ('sis-crawler' 0.5 beats '*' 2 where present) + sitemap
-# counts, keyed closed-form on length(source).
+# robots politeness metadata (r10; group semantics pinned r11):
+# group-exclusive crawl-delay — the blank-line-stacked 'sis-crawler'
+# group's 0.5 beats '*' 2 on even-length sources; on odd-length
+# sources the selected 'sis-crawler' group has NO delay and must
+# yield NULL (no cross-group inheritance) — plus sitemap counts,
+# keyed closed-form on length(source).
 ORACLES["warc_robots_politeness"] = """
 SELECT DISTINCT source || '.example.org' AS domain,
-  CAST(CASE WHEN length(source) % 2 = 0 THEN 0.5 ELSE 2.0 END
+  CAST(CASE WHEN length(source) % 2 = 0 THEN 0.5 ELSE NULL END
        AS DOUBLE) AS crawl_delay,
   CAST(CASE WHEN length(source) % 3 = 0 THEN 2 ELSE 1 END
        AS INTEGER) AS n_sitemaps
@@ -3706,4 +3709,16 @@ SELECT w.doc_id,
   coalesce(string_agg(k.t, ' ' ORDER BY k.j), '') AS text
 FROM w LEFT JOIN kept k USING (doc_id)
 GROUP BY w.doc_id
+"""
+
+# Full entity decoding (r11): numeric refs (dec/hex + the
+# windows-1252 &#146; override) and long-tail named entities decode
+# to real codepoints; the one-pass '&amp;#65;' trap stays literal
+# '&#65;'. Closed form spells the expected Unicode directly.
+ORACLES["warc_entity_decode"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/' || doc_id AS url,
+  'café ' || text || ' — résumé' || chr(10) ||
+  '’' || doc_id || '’ © ½ &#65; fin' AS text
+FROM documents
 """

@@ -3378,13 +3378,18 @@ def q_warc_redirect_resolve(spark, sf_dir):
 
 
 def q_warc_robots_politeness(spark, sf_dir):
-    """robots.txt politeness metadata (r10): Crawl-delay under the
-    same longest-agent-token group model as the rule engine (the
-    'sis-crawler' group's 0.5 s must beat '*'-group 2 s where
-    present), plus group-independent Sitemap lines — the two
-    directives a crawl scheduler consumes. Pure JVM folds over the
-    DISTINCT per-domain bodies; variant structure keys on
-    length(source) so the oracle stays closed-form."""
+    """robots.txt politeness metadata (r10; group semantics pinned
+    r11): Crawl-delay under the GROUP-EXCLUSIVE longest-agent-token
+    model of the rule engine — on even-length sources the
+    'sis-crawler' group is STACKED across a blank line with a second
+    agent ('User-agent: sis-crawler\\n\\nUser-agent: other-bot'), per
+    RFC 9309's grammar, and its 0.5 s must still beat '*'-group 2 s;
+    on odd-length sources the selected 'sis-crawler' group declares
+    NO delay, and the answer must be NULL (never inherited from the
+    '*' group — directives don't mix across groups). Plus
+    group-independent Sitemap lines. Pure JVM folds over the DISTINCT
+    per-domain bodies; variant structure keys on length(source) so
+    the oracle stays closed-form."""
     from scicat_ingestor_spark.operators import warc
 
     def synth(batches):
@@ -3400,8 +3405,14 @@ def q_warc_robots_politeness(spark, sf_dir):
                 )
                 if len(s) % 2 == 0:
                     body += (
-                        "User-agent: sis-crawler\r\n"
+                        "User-agent: sis-crawler\r\n\r\n"
+                        "User-agent: other-bot\r\n"
                         "Crawl-delay: 0.5\r\n\r\n"
+                    )
+                else:
+                    body += (
+                        "User-agent: sis-crawler\r\n"
+                        "Disallow: /nodelaygroup/\r\n\r\n"
                     )
                 body += f"Sitemap: https://{s}.example.org/sitemap.xml\r\n"
                 if len(s) % 3 == 0:
@@ -6454,6 +6465,65 @@ def q_ingest_e2e(spark, sf_dir):
     return anti_by_key(out, existing, "pid_value")
 
 
+def q_warc_entity_decode(spark, sf_dir):
+    """Full HTML entity decoding (r11, VERDICT r10 task 2): pages
+    carrying numeric character references — decimal ``&#233;``, hex
+    ``&#x2019;``, the windows-1252 override ``&#146;`` legacy pages
+    ship constantly — plus long-tail named entities
+    (``&eacute;``/``&mdash;``/``&copy;``/``&frac12;``) must extract
+    to the RIGHT codepoints, while the one-pass trap ``&amp;#65;``
+    stays the literal ``&#65;`` a browser renders. Decoding is pure
+    JVM (sentinel split + UTF-32 byte decode — Spark's chr() is
+    latin-1-only); the oracle spells the expected text closed-form
+    with the real Unicode characters."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s, t in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                i = int(i)
+                html = (
+                    f"<p>caf&eacute; {t} &mdash; r&#233;sum&#xE9;</p>"
+                    f"<div>&#146;{i}&#146; &copy; &frac12; "
+                    f"&amp;#65; fin</div>"
+                )
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    html.encode(),
+                                    "text/html; charset=utf-8",
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/{i}"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    return rows.filter(F.col("http_status") == 200).select(
+        "media_id", "url", warc.html_text("text").alias("text")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -6652,4 +6722,6 @@ QUERIES = {
     "warc_robots_politeness": q_warc_robots_politeness,
     "text_bigram_logprob": q_text_bigram_logprob,
     "crawl_frontier_budget": q_crawl_frontier_budget,
+    # round-11 additions: corpus-quality gaps
+    "warc_entity_decode": q_warc_entity_decode,
 }

@@ -54,13 +54,28 @@ def cdxj_lines(rows: DataFrame, filename: str = "capture.warc.gz") -> DataFrame:
     """Index parsed captures: one CDXJ line per response/revisit row
     (the record types an index serves). Pure JVM — surt/timestamp/
     to_json are Column expressions; ``filename`` stands in for the
-    source file name when the scan didn't carry one."""
+    source file name when the scan didn't carry one.
+
+    Digest semantics (r11, per r10 ADVICE): when the capture carried a
+    ``WARC-Payload-Digest`` header it is indexed VERBATIM — that is the
+    payload-equivalence key real archives use, and it is the only form
+    under which a revisit row (no body of its own) can dedup against
+    the identical response it re-observed. Rows without the header
+    fall back to md5 of the DECODED text, which is a TEXT-hash only:
+    it cannot match a revisit (null text) to its sibling response, so
+    dedup-by-digest over header-less captures is best-effort."""
     idx = rows.filter(
         F.col("warc_type").isin("response", "revisit")
         & F.col("url").isNotNull()
     )
     if "error" in rows.columns:
         idx = idx.filter(F.col("error").isNull())
+    text_md5 = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    digest = (
+        F.coalesce(F.col("payload_digest"), text_md5)
+        if "payload_digest" in rows.columns
+        else text_md5
+    )
     payload = F.to_json(
         F.struct(
             F.col("url").alias("url"),
@@ -68,7 +83,7 @@ def cdxj_lines(rows: DataFrame, filename: str = "capture.warc.gz") -> DataFrame:
             F.substring_index(F.col("content_type"), ";", 1).alias(
                 "mime"
             ),
-            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"),
+            digest.alias("digest"),
             F.lit(filename).alias("filename"),
         )
     )

@@ -84,7 +84,15 @@ def decontaminate_pages(
     per-batch cost is a codegen'd hash+mask prefilter plus an exact
     broadcast verify join on the tiny survivor stream (no false
     negatives; false positives die in the join). Deterministic per
-    row, so at-least-once replays admit/drop identically."""
+    row, so at-least-once replays admit/drop identically.
+
+    The drop propagates to EVERY row of the same canonical URL in the
+    batch (r11, per r10 ADVICE): revisit rows carry null text, so
+    they never gram — without propagation a contaminated page's
+    revisit sibling would be admitted and ``latest_capture`` could
+    surface the contaminated URL through its null-text newest
+    observation. Both joins broadcast the (tiny) contaminated side —
+    the page stream never shuffles."""
     from scicat_ingestor_spark.operators import bloom, dedup
 
     grams = pages.select(
@@ -102,7 +110,12 @@ def decontaminate_pages(
         .select("media_id", "seq")
         .distinct()
     )
-    return pages.join(hits, ["media_id", "seq"], "left_anti")
+    bad_urls = (
+        pages.join(F.broadcast(hits), ["media_id", "seq"])
+        .select("url")
+        .distinct()
+    )
+    return pages.join(F.broadcast(bad_urls), ["url"], "left_anti")
 
 
 def append_captures(

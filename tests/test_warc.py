@@ -238,6 +238,13 @@ def test_extraction_parity_fuzz(spark):
         # non-ASCII whitespace: both engines must treat these as TEXT
         # (ASCII-only \s on both sides — the r9 ADVICE parity pin)
         "\xa0", "\u2028", "caf\xe9",
+        # r11 entity alphabet: numeric refs (dec/hex, valid/invalid/
+        # windows-1252 override), named long tail, one-pass traps
+        "&#233;", "&#x2019;", "&#146;", "&#65;", "&#x41;",
+        "&#0;", "&#xD800;", "&#x110000;", "&#1114112;",
+        "&eacute;", "&mdash;", "&hellip;", "&uuml;", "&euro;",
+        "&copy;", "&frac12;", "&unknown;", "&amp;#65;", "&#x26;#65;",
+        "&amp;eacute;", "&#", "&#;", "&#x;", "&#xG1;", "#65;",
     ]
     cases = [
         "".join(rng.choice(frags) for _ in range(rng.randint(1, 24)))
@@ -1538,3 +1545,232 @@ def test_resolve_redirects_conflicting_targets_no_fanout(spark):
     got = warc.resolve_redirects(rows, max_hops=2).collect()
     assert len(got) == 2  # both capture rows survive, no fan-out
     assert {r["final_url"] for r in got} == {"https://a.example/old"}
+
+
+def test_robots_blank_line_group_stacking(spark):
+    """RFC 9309 grammar: blank / comment-only lines between stacked
+    User-agent lines do NOT close the header run — in
+    'User-agent: a\\n\\nUser-agent: b\\nDisallow: /x' BOTH agents get
+    the rule (the r10 ADVICE under-block)."""
+    from pyspark.sql import functions as F
+
+    body = (
+        "User-agent: aaa-bot\n\n"
+        "# still the same header run\n"
+        "User-agent: bbb-bot\n"
+        "Disallow: /x\n"
+        "Crawl-delay: 3\n"
+    )
+    df = spark.createDataFrame([(body,)], ["text"])
+    rules = df.select(warc.robots_rules("text").alias("r")).collect()[0]["r"]
+    assert {(r["agent"], r["allow"], r["value"]) for r in rules} == {
+        ("aaa-bot", 0, "/x"),
+        ("bbb-bot", 0, "/x"),
+    }
+    got = df.select(
+        warc.robots_crawl_delay("text", "aaa-bot").alias("da"),
+        warc.robots_crawl_delay("text", "bbb-bot").alias("db"),
+        warc.robots_crawl_delay("text", "other").alias("dn"),
+    ).collect()[0]
+    assert got["da"] == 3.0 and got["db"] == 3.0 and got["dn"] is None
+
+
+def test_robots_crawl_delay_group_exclusive(spark):
+    """Directives never mix across groups (r10 ADVICE): when the
+    RFC-selected group declares no Crawl-delay the answer is NULL —
+    it does not inherit the '*' group's delay. First-wins on a
+    duplicated delay inside one group; delay outside any group is
+    ignored."""
+    body = (
+        "Crawl-delay: 9\n"  # outside any group: ignored
+        "User-agent: *\nCrawl-delay: 2\nDisallow: /x/\n\n"
+        "User-agent: sis-crawler\nDisallow: /y/\n\n"
+        "User-agent: twice\nCrawl-delay: 4\nCrawl-delay: 7\n"
+    )
+    df = spark.createDataFrame([(body,)], ["text"])
+    got = df.select(
+        warc.robots_crawl_delay("text", "sis-crawler").alias("d_sel"),
+        warc.robots_crawl_delay("text", "other").alias("d_star"),
+        warc.robots_crawl_delay("text", "twice").alias("d_first"),
+    ).collect()[0]
+    assert got["d_sel"] is None       # selected group has no delay
+    assert got["d_star"] == 2.0       # '*' group still serves others
+    assert got["d_first"] == 4.0      # first delay in a group wins
+
+
+def test_decontaminate_drops_revisit_siblings(spark):
+    """A contaminated page's revisit sibling (null text, same
+    canonical URL) must ALSO drop (r10 ADVICE): otherwise the pages
+    log records the contaminated URL via a null-text revisit row that
+    latest_capture can surface as the newest observation."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import dedup
+    from scicat_ingestor_spark.streaming import crawl
+
+    leak = "leak mark eval gram"
+    pages = spark.createDataFrame(
+        [
+            # contaminated response + its revisit (null text)
+            ("https://a.example/1", "2026-02-02T00:00:00Z", 1, 0,
+             f"<p>page {leak} body</p>"),
+            ("https://a.example/1", "2026-03-03T00:00:00Z", 2, 0, None),
+            # clean response + its revisit: both survive
+            ("https://a.example/2", "2026-02-02T00:00:00Z", 1, 1,
+             "<p>clean body</p>"),
+            ("https://a.example/2", "2026-03-03T00:00:00Z", 2, 1, None),
+        ],
+        "url string, warc_date string, media_id long, seq int, "
+        "text string",
+    )
+    eval_grams = (
+        spark.createDataFrame([(f"the {leak} secret",)], ["text"])
+        .select(F.explode(dedup.word_shingles("text", n=4)).alias("gram"))
+        .distinct()
+    )
+    got = sorted(
+        (
+            (r["url"], r["text"])
+            for r in crawl.decontaminate_pages(pages, eval_grams).collect()
+        ),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    assert got == [
+        ("https://a.example/2", None),
+        ("https://a.example/2", "<p>clean body</p>"),
+    ]
+
+
+def test_wet_shard_parts_cap_and_roundtrip(spark, tmp_path):
+    """wet_shard_bytes flushes a payload row every max_mb_per_row MiB
+    of raw record bytes (r10 ADVICE: bounded task memory, no ~2 GB
+    Arrow cell) — an 'under-sharded' corpus degrades into more part
+    rows, every page still roundtrips through the scan path, and
+    write_wet_dir lands one file per (shard, part)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    body = "wet " * 80_000  # ~320 KiB per page
+    pages = spark.createDataFrame(
+        [(f"https://w.example/{i}", body + str(i),
+          "2026-02-02T00:00:00Z") for i in range(8)],
+        "url string, text string, warc_date string",
+    )
+    shards = warc.wet_shard_bytes(pages, shards=1, max_mb_per_row=1)
+    rows = shards.collect()
+    assert len(rows) >= 2                       # the cap split the shard
+    assert sum(r["n_pages"] for r in rows) == 8
+    assert len({(r["shard_id"], r["part"]) for r in rows}) == len(rows)
+    assert all(len(r["payload"]) < 2 * 1024 * 1024 for r in rows)
+
+    out = str(tmp_path / "wet")
+    n = warc.write_wet_dir(shards, out)
+    files = sorted(os.listdir(out))
+    assert len(files) == len(rows) and n == len(rows)
+
+    reread = warc.warc_response_rows(warc.warc_scan(spark, out))
+    got = sorted(
+        r["url"]
+        for r in reread.filter(F.col("warc_type") == "conversion")
+        .select("url").collect()
+    )
+    assert got == sorted(f"https://w.example/{i}" for i in range(8))
+
+
+def test_payload_digest_carried_into_cdx(spark):
+    """WARC-Payload-Digest rides through warc_response_rows into the
+    CDXJ digest verbatim (r10 ADVICE), so a revisit row indexes the
+    SAME digest as the identical response it re-captured — the
+    payload-equivalence dedup an index owes its consumers; rows
+    without the header fall back to md5(text) (text-hash-only)."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.sources import cdx
+
+    digest = "sha1:AAAABBBBCCCCDDDDEEEEFFFFGGGGHHHHIIIIJJJJ"
+    url = "https://d.example/page"
+    recs = [
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(b"<p>same body</p>", "text/html"),
+            target_uri=url,
+            content_type="application/http;msgtype=response",
+            date="2026-01-01T00:00:00Z",
+            payload_digest=digest,
+        ),
+        warc.make_warc_record(
+            "revisit",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+            target_uri=url,
+            content_type=(
+                'application/http;msgtype=response'
+            ),
+            date="2026-02-02T00:00:00Z",
+            payload_digest=digest,
+        ),
+        warc.make_warc_record(  # no digest header: md5-of-text fallback
+            "response",
+            warc.make_http_response(b"<p>other</p>", "text/html"),
+            target_uri="https://d.example/other",
+            content_type="application/http;msgtype=response",
+            date="2026-01-01T00:00:00Z",
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(1, warc.make_warc(recs))], "media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(df)
+    assert [r["payload_digest"] for r in rows.orderBy("seq").collect()] == [
+        digest, digest, None,
+    ]
+    parsed = cdx.cdx_parse(cdx.cdxj_lines(rows)).collect()
+    by_url = {}
+    for r in parsed:
+        by_url.setdefault(r["url"], []).append(r["digest"])
+    assert by_url[url] == [digest, digest]  # revisit matches response
+    [md5d] = by_url["https://d.example/other"]
+    import hashlib
+
+    assert md5d == hashlib.md5("<p>other</p>".encode()).hexdigest()
+
+
+def test_warc_in_warc_resync_reemit():
+    """Pin the DOCUMENTED resync trade (warc.py walker): a damaged
+    record whose block embeds a complete WARC record (warc-in-warc
+    payload) dead-letters the outer record and RE-EMITS the embedded
+    record plus the true tail — never raises, never loses a
+    well-formed record that follows the damage. Fuzzed over damage
+    kinds and container layouts."""
+    import random
+
+    rng = random.Random(20260817)
+    inner = _good_response(7, "inner", "embedded payload")
+    tail = _good_response(8, "tail", "after the damage")
+    head = _good_response(6, "head", "before the damage")
+
+    for trial in range(60):
+        # outer record whose block IS a warc (warc-in-warc)
+        outer = warc.make_warc_record(
+            "resource", inner, target_uri="https://x.example/nested",
+            content_type="application/warc",
+        )
+        buf = bytearray(head + outer + tail)
+        # damage inside the OUTER record's framing/bytes, before the
+        # embedded version line, so the walk must resync
+        damage_at = len(head) + rng.randrange(12)
+        if trial % 2 == 0:
+            buf[damage_at] ^= 1 << rng.randrange(8)
+        else:
+            del buf[damage_at]
+        got = warc.warc_records_tolerant(bytes(buf))
+        urls = [r["target_uri"] for r in got if r.get("error") is None]
+        # head may or may not survive depending on damage position;
+        # the tail record and (documented re-emit) the embedded
+        # record must both be present when the outer framing broke
+        assert "https://x.example/tail" in urls
+        if any(r.get("error") for r in got):
+            assert "https://x.example/inner" in urls or (
+                "https://x.example/nested" in urls
+            )
+        assert all(isinstance(r.get("error"), (str, type(None))) for r in got)
