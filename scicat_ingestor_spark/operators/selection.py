@@ -213,3 +213,207 @@ def quality_probability(text: Column, weights: list[float]) -> Column:
     expression, scan-local."""
     z = _dot(weights, quality_features(text))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# ---------------------------------------------------------------------------
+# trained language identification (r11, VERDICT r10 task 1)
+# ---------------------------------------------------------------------------
+#
+# The fastText-class recipe CCNet/RefinedWeb/FineWeb use, built from
+# the two halves this module already owns: hashed char-n-gram features
+# (the DSIR bucket hash) + oracle-replayable full-batch gradient
+# descent (the quality-classifier precedent), extended one-vs-rest to
+# C classes. The marker-word scorer in operators/text.py remains the
+# cheap fallback; this is the trained path.
+#
+# Scale shape: training builds the dense per-doc histograms
+# RELATIONALLY (explode -> two hash aggregations — codegen'd JVM, not
+# an interpreted per-element fold) and localCheckpoints them once;
+# each GD iteration is one posexplode aggregation collapsing to
+# n_buckets rows x C classes + a 1-row bias aggregate — the
+# bounded-collect pattern. A 100 TB deployment trains on a bounded
+# labeled sample (as every real langid model does) and SCORES the
+# corpus scan-locally: one md5 per char-n-gram, then a C-way
+# weight-table fold per doc — no shuffle, no Python.
+
+
+def char_ngram_list(text: Column, n: int = 3) -> Column:
+    """Char n-grams (with multiplicity) of the lowercased trimmed
+    text, spaces included — the fastText feature alphabet. Empty
+    array below n chars (the sequence(1,0)-descends guard)."""
+    t = F.lower(F.trim(text))
+    idx = F.sequence(F.lit(1), F.length(t) - (n - 1))
+    return F.when(
+        F.length(t) >= n,
+        F.transform(idx, lambda i: F.substr(t, i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def langid_buckets(
+    text: Column, n_buckets: int = 64, n: int = 3
+) -> Column:
+    """Hashed char-n-gram bucket ids, ``array<long>`` — ONE md5 per
+    gram. Select this as its own column before scoring so the hash
+    pass materializes once, not per class."""
+    return F.transform(
+        char_ngram_list(text, n), lambda g: hash_bucket(g, n_buckets)
+    )
+
+
+def langid_feature_table(
+    docs: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str = "text",
+    n_buckets: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(_id, _lang, _x) training-feature table: the dense NORMALIZED
+    histogram x[b] = count_b / n_grams as ``array<double>``, built
+    relationally (explode -> count -> map_from_entries) so the heavy
+    lifting is two codegen'd hash aggregations. Gram-less docs (under
+    n chars) keep an all-zero histogram via explode_outer."""
+    bks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_lang"),
+        F.explode_outer(
+            langid_buckets(F.col(text_col), n_buckets, n)
+        ).alias("_b"),
+    )
+    cnt = bks.groupBy("_id", "_lang", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    hist = cnt.groupBy("_id", "_lang").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(
+                    F.col("_b").isNotNull(),
+                    F.struct(F.col("_b"), F.col("_c")),
+                )
+            )
+        ).alias("_m"),
+        F.sum(
+            F.when(F.col("_b").isNotNull(), F.col("_c")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_tot"),
+    )
+    tot = F.greatest(F.col("_tot").cast("double"), F.lit(1.0))
+    x = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("long")).cast("double"),
+            F.lit(0.0),
+        )
+        / tot,
+    )
+    return hist.select("_id", "_lang", x.alias("_x"))
+
+
+def _langid_dot(x_col: Column, w: list[float], bias: float) -> Column:
+    """bias + sum_i x[i]*w[i], folded in POSITION ORDER 0..n-1 over
+    the dense feature array (the training-loop float path)."""
+    w_lit = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        F.zip_with(x_col, w_lit, lambda a, b: a * b),
+        F.lit(float(bias)),
+        lambda acc, v: acc + v,
+    )
+
+
+def train_langid_lr(
+    docs: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str = "text",
+    classes: list[str] | None = None,
+    n_buckets: int = 64,
+    n: int = 3,
+    iterations: int = 4,
+    lr: float = 1.0,
+) -> dict[str, tuple[float, list[float]]]:
+    """One-vs-rest logistic regression over
+    :func:`langid_feature_table`, zero-initialized full-batch GD —
+    deterministic given the corpus, so the oracle replays every
+    iteration as unrolled CTE stages. Per iteration: ONE posexplode
+    aggregation (n_buckets rows x C residual sums) + one 1-row bias
+    aggregate, each a bounded collect. Returns
+    {class: (bias, weights)}."""
+    if classes is None:
+        classes = sorted(
+            r[0] for r in docs.select(label_col).distinct().collect()
+        )
+    feats = langid_feature_table(
+        docs, id_col, label_col, text_col, n_buckets, n
+    ).localCheckpoint()
+    n_docs = float(feats.count())
+    w = {c: (0.0, [0.0] * n_buckets) for c in classes}
+    for _ in range(iterations):
+        resids = []
+        for c in classes:
+            z = _langid_dot(F.col("_x"), w[c][1], w[c][0])
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            y = (F.col("_lang") == c).cast("double")
+            resids.append((p - y).alias(f"_r_{c}"))
+        base = feats.select(*resids, F.col("_x"))
+        bias_row = base.agg(
+            *[F.sum(f"_r_{c}").alias(f"g_{c}") for c in classes]
+        ).collect()[0]
+        grad_rows = (
+            base.select(
+                *[F.col(f"_r_{c}") for c in classes],
+                F.posexplode("_x").alias("pos", "val"),
+            )
+            .groupBy("pos")
+            .agg(
+                *[
+                    F.sum(F.col(f"_r_{c}") * F.col("val")).alias(
+                        f"g_{c}"
+                    )
+                    for c in classes
+                ]
+            )
+            .collect()
+        )
+        g = {r["pos"]: r for r in grad_rows}
+        new_w = {}
+        for c in classes:
+            bias = w[c][0] - lr * float(bias_row[f"g_{c}"]) / n_docs
+            ws = [
+                w[c][1][i] - lr * float(g[i][f"g_{c}"]) / n_docs
+                if i in g
+                else w[c][1][i]
+                for i in range(n_buckets)
+            ]
+            new_w[c] = (bias, ws)
+        w = new_w
+    return w
+
+
+def langid_scores(
+    x: Column, weights: dict[str, tuple[float, list[float]]]
+) -> Column:
+    """Per-class logits (sorted class order) as ``array<double>``
+    from a DENSE features column (:func:`langid_feature_table`'s
+    ``_x``): the same position-ordered dot product as training — one
+    float path for training, scoring, and the oracle. 64 fold steps
+    per doc per class; the per-gram work (md5 + count) happened in
+    the feature table's codegen'd aggregations, never here."""
+    return F.array(
+        *[
+            _langid_dot(x, ws, bias)
+            for _, (bias, ws) in sorted(weights.items())
+        ]
+    )
+
+
+def langid_predict(
+    x: Column, weights: dict[str, tuple[float, list[float]]]
+) -> Column:
+    """argmax class over :func:`langid_scores`; ties break to the
+    FIRST class in sorted order (array_position finds the first
+    maximum), mirroring the oracle's ORDER BY score DESC, class."""
+    classes = F.array(*[F.lit(c) for c in sorted(weights)])
+    scores = langid_scores(x, weights)
+    pos = F.array_position(scores, F.array_max(scores)).cast("int")
+    return F.element_at(classes, pos)

@@ -3722,3 +3722,125 @@ SELECT doc_id AS media_id,
   '’' || doc_id || '’ © ½ &#65; fin' AS text
 FROM documents
 """
+
+
+def _langid_oracle(final: str, k: int = 4, lr: float = 1.0) -> str:
+    """Replay the trained-langid estimator end to end (the quality-LR
+    precedent scaled to C=4 classes x 64 hashed buckets): synthesize
+    the 4-language corpus, build normalized char-trigram histograms
+    (md5 bucket hash, the engine-portable convention), unroll all k
+    one-vs-rest GD iterations as CTE stages over a (class, b, w)
+    weight relation (b = -1 is the bias), then score the held-out
+    split and take argmax with ties to the first class in sorted
+    order. ``final`` picks the last SELECT (predictions vs confusion
+    counts)."""
+    iters = ""
+    prev = "w0"
+    for i in range(1, k + 1):
+        iters += f"""
+z{i} AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, wb.class, wb.w + coalesce(dp.dot, 0.0) AS z
+  FROM tdocs d
+  CROSS JOIN (SELECT class, w FROM {prev} WHERE b = -1) wb
+  LEFT JOIN (
+    SELECT f.doc_id, w.class, sum(f.x * w.w) AS dot
+    FROM tfeats f JOIN {prev} w ON w.b = f.b
+    GROUP BY f.doc_id, w.class
+  ) dp ON dp.doc_id = d.doc_id AND dp.class = wb.class
+),
+g{i} AS MATERIALIZED (
+  SELECT z.class, f.b,
+    sum((1.0/(1.0+exp(-z.z)) -
+         CASE WHEN z.lang = z.class THEN 1.0 ELSE 0.0 END) * f.x)
+      / (SELECT n FROM tn) AS gw
+  FROM z{i} z JOIN tfeats f ON f.doc_id = z.doc_id
+  GROUP BY z.class, f.b
+  UNION ALL
+  SELECT z.class, -1 AS b,
+    sum(1.0/(1.0+exp(-z.z)) -
+        CASE WHEN z.lang = z.class THEN 1.0 ELSE 0.0 END)
+      / (SELECT n FROM tn) AS gw
+  FROM z{i} z GROUP BY z.class
+),
+w{i} AS MATERIALIZED (
+  SELECT w.class, w.b, w.w - {lr} * coalesce(g.gw, 0.0) AS w
+  FROM {prev} w LEFT JOIN g{i} g ON g.class = w.class AND g.b = w.b
+),"""
+        prev = f"w{i}"
+    return f"""
+WITH variants AS MATERIALIZED (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN 'eng' WHEN 1 THEN 'rev' WHEN 2 THEN 'sfx'
+      ELSE 'vow' END AS lang,
+    CASE CAST(doc_id % 4 AS INTEGER)
+      WHEN 0 THEN lower(text)
+      WHEN 1 THEN array_to_string(
+        list_transform(string_split(lower(text), ' '),
+                       x -> reverse(x)), ' ')
+      WHEN 2 THEN regexp_replace(lower(text), '([a-z]+)', '\\1os', 'g')
+      ELSE translate(lower(text), 'aeiou', 'äéíöü') END AS t
+  FROM documents
+),
+docs3 AS MATERIALIZED (
+  SELECT doc_id, lang, lower(trim(t)) AS t FROM variants
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 3) AS g
+  FROM docs3, LATERAL (
+    SELECT unnest(generate_series(1, length(t) - 2)) AS i
+  ) s
+  WHERE length(t) >= 3
+),
+bk AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 64
+         AS INTEGER) AS b
+  FROM grams
+),
+feats_all AS MATERIALIZED (
+  SELECT c.doc_id, c.b,
+    CAST(c.cnt AS DOUBLE) / greatest(t.tot, 1.0) AS x
+  FROM (SELECT doc_id, b, count(*) AS cnt FROM bk GROUP BY 1, 2) c
+  JOIN (SELECT doc_id, CAST(count(*) AS DOUBLE) AS tot
+        FROM bk GROUP BY 1) t USING (doc_id)
+),
+tdocs AS MATERIALIZED (
+  SELECT doc_id, lang FROM docs3 WHERE doc_id % 5 <> 0
+),
+tn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tdocs),
+tfeats AS MATERIALIZED (
+  SELECT f.* FROM feats_all f JOIN tdocs USING (doc_id)
+),
+w0 AS (
+  SELECT c.class, b.b, CAST(0.0 AS DOUBLE) AS w
+  FROM (SELECT unnest(['eng', 'rev', 'sfx', 'vow']) AS class) c
+  CROSS JOIN (SELECT unnest(generate_series(-1, 63)) AS b) b
+),{iters}
+hdocs AS (SELECT doc_id, lang FROM docs3 WHERE doc_id % 5 = 0),
+hz AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, wb.class, wb.w + coalesce(dp.dot, 0.0) AS z
+  FROM hdocs d
+  CROSS JOIN (SELECT class, w FROM {prev} WHERE b = -1) wb
+  LEFT JOIN (
+    SELECT f.doc_id, w.class, sum(f.x * w.w) AS dot
+    FROM feats_all f JOIN {prev} w ON w.b = f.b
+    GROUP BY f.doc_id, w.class
+  ) dp ON dp.doc_id = d.doc_id AND dp.class = wb.class
+),
+pred AS (
+  SELECT doc_id, any_value(lang) AS true_lang,
+    (list(class ORDER BY z DESC, class ASC))[1] AS pred_lang
+  FROM hz GROUP BY doc_id
+)
+{final}
+"""
+
+
+ORACLES["text_langid_trained"] = _langid_oracle(
+    "SELECT doc_id, true_lang, pred_lang FROM pred"
+)
+ORACLES["text_langid_confusion"] = _langid_oracle(
+    "SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n "
+    "FROM pred GROUP BY 1, 2"
+)

@@ -6524,6 +6524,111 @@ def q_warc_entity_decode(spark, sf_dir):
     )
 
 
+_LANGID_CLASSES = ["eng", "rev", "sfx", "vow"]
+
+
+def _langid_corpus(spark, sf_dir):
+    """Deterministic 4-'language' corpus for the trained langid
+    operator: each document transforms per doc_id % 4 into a variant
+    with a distinct char-trigram distribution — identity, per-word
+    reversal, '-os' suffixation, vowel diacritics — the same closed
+    forms the oracle spells in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    lang = F.col("doc_id") % 4
+    base = F.lower(F.col("text"))
+    variant = (
+        F.when(lang == 0, base)
+        .when(
+            lang == 1,
+            F.array_join(
+                F.transform(
+                    F.split(base, " "), lambda x: F.reverse(x)
+                ),
+                " ",
+            ),
+        )
+        .when(lang == 2, F.regexp_replace(base, "([a-z]+)", "$1os"))
+        .otherwise(F.translate(base, "aeiou", "äéíöü"))
+    )
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(c) for c in _LANGID_CLASSES]),
+            (lang + 1).cast("int"),
+        ).alias("lang"),
+        variant.alias("text"),
+    )
+
+
+def _langid_weights(spark, sf_dir, k: int = 4):
+    """Memoized trained one-vs-rest langid weights (train split:
+    doc_id % 5 != 0)."""
+    from scicat_ingestor_spark.operators import selection
+
+    key = (spark, sf_dir, "langid", k)
+    if key not in _TRAINED_CACHE:
+        train = _langid_corpus(spark, sf_dir).filter(
+            F.col("doc_id") % 5 != 0
+        )
+        _TRAINED_CACHE[key] = selection.train_langid_lr(
+            train,
+            "doc_id",
+            "lang",
+            classes=_LANGID_CLASSES,
+            iterations=k,
+            lr=1.0,
+        )
+    return _TRAINED_CACHE[key]
+
+
+def q_text_langid_trained(spark, sf_dir):
+    """TRAINED language identification (r11, VERDICT r10 task 1 — the
+    fastText-class recipe CCNet/RefinedWeb/FineWeb use, replacing
+    marker-word counting as the first-class langid path): hashed
+    char-trigram histograms + one-vs-rest logistic regression trained
+    in-engine with 4 deterministic full-batch GD iterations (one
+    bounded-collect aggregation pair per iteration), then every
+    HELD-OUT document (doc_id % 5 == 0) classified by argmax logit.
+    The oracle replays the full estimator — the 4-language corpus
+    synthesis, md5 bucket hashing, normalized histograms, all 4
+    gradient iterations as unrolled CTE stages, and the argmax — so a
+    feature, gradient, learning-rate, or tie-break divergence flips
+    predictions."""
+    from scicat_ingestor_spark.operators import selection
+
+    w = _langid_weights(spark, sf_dir)
+    held = _langid_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    feats = selection.langid_feature_table(held, "doc_id", "lang")
+    return feats.select(
+        F.col("_id").alias("doc_id"),
+        F.col("_lang").alias("true_lang"),
+        selection.langid_predict(F.col("_x"), w).alias("pred_lang"),
+    )
+
+
+def q_text_langid_confusion(spark, sf_dir):
+    """Held-out confusion matrix of the trained langid model (r11) —
+    the quality report a langid deployment ships with. Same trained
+    weights (memoized), one aggregation over the held-out
+    predictions."""
+    from scicat_ingestor_spark.operators import selection
+
+    w = _langid_weights(spark, sf_dir)
+    held = _langid_corpus(spark, sf_dir).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    feats = selection.langid_feature_table(held, "doc_id", "lang")
+    pred = feats.select(
+        F.col("_lang").alias("true_lang"),
+        selection.langid_predict(F.col("_x"), w).alias("pred_lang"),
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -6724,4 +6829,6 @@ QUERIES = {
     "crawl_frontier_budget": q_crawl_frontier_budget,
     # round-11 additions: corpus-quality gaps
     "warc_entity_decode": q_warc_entity_decode,
+    "text_langid_trained": q_text_langid_trained,
+    "text_langid_confusion": q_text_langid_confusion,
 }
