@@ -1,0 +1,372 @@
+"""PDF text extraction — the honest subset (r11, VERDICT r10 task 3).
+
+Real crawls carry a large token mass in ``application/pdf``; until now
+the capture plane kept only ``text/*`` bodies (operators/warc.py). This
+module extracts text from the PDF layouts that dominate that mass,
+pure-stdlib (zlib only), in the repo's codec discipline (jpegc/mp4):
+a real parser for the documented subset, loud ``ValueError`` gates at
+the boundaries, never a silent wrong answer.
+
+Supported (the subset that covers machine-generated text PDFs):
+
+- object scan: ``N G obj .. endobj`` walked in FILE ORDER (no xref
+  chase — robust to linearized/appended files; the xref is only a
+  byte index over the same objects);
+- streams: raw or ``/FlateDecode`` (zlib), inflate-capped;
+- page discovery: ``/Type /Page`` objects in file order, content via
+  ``/Contents N 0 R`` (single ref or array);
+- content-stream text operators: ``BT``/``ET`` text objects, ``Tj``
+  (show), ``TJ`` (array show — kerning numbers ignored), ``'`` and
+  ``"`` (next-line show), ``Td``/``TD``/``T*`` (line breaks);
+- string syntax: ``(..)`` literals with the full escape table
+  (``\\n \\r \\t \\b \\f \\( \\) \\\\``, octal ``\\ddd``,
+  line continuations) and ``<..>`` hex strings;
+- bytes -> str via latin-1 (the PDFDocEncoding-compatible total
+  decode for the simple-font subset).
+
+Explicitly GATED (ValueError — dead-letters the record in the WARC
+plane, never a corrupt extraction):
+
+- encrypted documents (``/Encrypt`` in the trailer);
+- filters other than FlateDecode (DCT/LZW/ASCII85/CCITT...);
+- no text recovered AND no pages found (not a text PDF / not a PDF).
+
+Known boundary (documented, not gated): CID/composite fonts (Type0,
+Identity-H) show as latin-1 of the 2-byte CIDs — real extraction needs
+the font's ToUnicode CMap; that is the next honest increment, not a
+silent failure mode (output is visibly garbled, and machine-text PDFs
+overwhelmingly use simple fonts).
+
+Every layout rule cites ISO 32000-1 (public spec). Spark-side use:
+:func:`pdf_text` is called inside ``warc.warc_response_rows``'s
+Arrow-batched record decode — scan-local per capture file, no extra
+plan node, dead-letter channel shared with the HTTP/gzip faults.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+MAX_INFLATED_BYTES = 1 << 30  # same bomb cap as the WARC plane
+
+_RE_OBJ = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_RE_PAGE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_RE_CONTENTS_REF = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_RE_CONTENTS_ARR = re.compile(rb"/Contents\s*\[((?:\s*\d+\s+\d+\s+R)+)\s*\]")
+_RE_REF = re.compile(rb"(\d+)\s+\d+\s+R")
+_RE_FILTER = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+_RE_FLATE = re.compile(rb"/FlateDecode\b")
+
+
+def _inflate(data: bytes) -> bytes:
+    o = zlib.decompressobj(wbits=15)
+    try:
+        out = o.decompress(data, MAX_INFLATED_BYTES + 1)
+    except zlib.error as e:
+        raise ValueError(f"not a PDF: bad FlateDecode stream ({e})")
+    if len(out) > MAX_INFLATED_BYTES:
+        raise ValueError("not a PDF: stream exceeds inflate cap")
+    return out
+
+
+def pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Scan ``N G obj .. endobj`` spans in file order -> {num: (head,
+    decoded_stream_or_None)}. The head is everything before the
+    ``stream`` keyword (the object's dictionary); streams decode
+    through the /Filter gate. Later definitions of the same object
+    number win (incremental-update semantics, ISO 32000-1 §7.5.6)."""
+    out: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _RE_OBJ.finditer(data):
+        num = int(m.group(1))
+        end = data.find(b"endobj", m.end())
+        if end < 0:
+            raise ValueError("not a PDF: unterminated object")
+        body = data[m.end():end]
+        sm = re.search(rb"stream(\r\n|\n|\r)", body)
+        if sm is None:
+            out[num] = (body, None)
+            continue
+        head = body[: sm.start()]
+        se = body.find(b"endstream", sm.end())
+        if se < 0:
+            raise ValueError("not a PDF: unterminated stream")
+        raw = body[sm.end():se]
+        # trailing EOL before endstream is part of the framing, not
+        # the stream (ISO 32000-1 §7.3.8.1)
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+        fm = _RE_FILTER.search(head)
+        if fm:
+            if _RE_FLATE.search(fm.group(1)) and not re.search(
+                rb"/(DCTDecode|LZWDecode|ASCII85Decode|ASCIIHexDecode|"
+                rb"RunLengthDecode|CCITTFaxDecode|JBIG2Decode|"
+                rb"JPXDecode|Crypt)\b",
+                fm.group(1),
+            ):
+                raw = _inflate(raw)
+            elif _RE_FLATE.search(fm.group(1)):
+                raise ValueError(
+                    "not a PDF: unsupported filter chain "
+                    f"{fm.group(1)[:40]!r}"
+                )
+            else:
+                raise ValueError(
+                    f"not a PDF: unsupported filter {fm.group(1)[:40]!r}"
+                )
+        out[num] = (head, raw)
+    return out
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[bytes, int]:
+    """One ``(..)`` literal string starting at ``data[i] == '('`` ->
+    (decoded bytes, next index). Full escape table + balanced nested
+    parens (ISO 32000-1 §7.3.4.2)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(data)
+    esc = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9,
+        ord("b"): 8, ord("f"): 12,
+        ord("("): 40, ord(")"): 41, ord("\\"): 92,
+    }
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if e in esc:
+                out.append(esc[e])
+                i += 1
+            elif 0x30 <= e <= 0x37:  # up to 3 octal digits
+                val = 0
+                k = 0
+                while k < 3 and i < n and 0x30 <= data[i] <= 0x37:
+                    val = val * 8 + (data[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif e in (0x0D, 0x0A):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # lone backslash drops (spec: ignore)
+                out.append(e)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("not a PDF: unterminated literal string")
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
+    """One ``<..>`` hex string starting at ``data[i] == '<'`` (odd
+    digit count pads a trailing 0, §7.3.4.3)."""
+    j = data.find(b">", i + 1)
+    if j < 0:
+        raise ValueError("not a PDF: unterminated hex string")
+    digits = re.sub(rb"\s+", b"", data[i + 1 : j])
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")), j + 1
+    except ValueError:
+        raise ValueError("not a PDF: bad hex string")
+
+
+_RE_KEYWORD = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def content_text(stream: bytes) -> list[str]:
+    """Text lines of ONE page content stream: walk the operator
+    stream, show-op strings append to the current line, line-break
+    ops (Td/TD/T*/'/\"/BT) flush it. Kerning numbers inside TJ arrays
+    are ignored (pure concatenation — documented simplification)."""
+    lines: list[str] = []
+    buf: list[str] = []
+    strings: list[bytes] = []
+    in_text = False
+
+    def newline():
+        if buf:
+            lines.append("".join(buf))
+            buf.clear()
+
+    i = 0
+    n = len(stream)
+    while i < n:
+        c = stream[i]
+        if c == 0x28:  # (
+            s, i = _parse_literal(stream, i)
+            strings.append(s)
+        elif c == 0x3C and not stream.startswith(b"<<", i):  # <
+            s, i = _parse_hex(stream, i)
+            strings.append(s)
+        elif c == 0x25:  # % comment to EOL
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            m = _RE_KEYWORD.match(stream, i)
+            if not m:
+                i += 1
+                continue
+            kw = m.group(0)
+            i = m.end()
+            if kw == b"BT":
+                in_text = True
+                newline()
+                strings.clear()
+            elif kw == b"ET":
+                in_text = False
+                strings.clear()
+            elif not in_text:
+                strings.clear()
+            elif kw == b"Tj" and strings:
+                buf.append(strings[-1].decode("latin-1"))
+                strings.clear()
+            elif kw == b"TJ" and strings:
+                # every string since the last op belongs to the array
+                buf.append(
+                    b"".join(strings).decode("latin-1")
+                )
+                strings.clear()
+            elif kw in (b"'", b'"') and strings:
+                newline()
+                buf.append(strings[-1].decode("latin-1"))
+                strings.clear()
+            elif kw in (b"Td", b"TD", b"T*"):
+                newline()
+                strings.clear()
+            elif kw in (b"Tf", b"Tc", b"Tw", b"Tz", b"TL", b"Ts",
+                        b"Tr", b"Tm"):
+                strings.clear()  # operands consumed, none were shown
+    newline()
+    return lines
+
+
+def pdf_text(data: bytes) -> tuple[str, int]:
+    """(text, n_pages) of a PDF byte stream — pages in file order,
+    lines joined with newlines, pages with page breaks folded to the
+    same newline. Raises ValueError on the documented gates."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("not a PDF: missing %PDF- header")
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data) or re.search(
+        rb"/Encrypt\s*<<", data
+    ):
+        raise ValueError("not a PDF: encrypted (unsupported)")
+    objs = pdf_objects(data)
+    page_lines: list[str] = []
+    n_pages = 0
+    for num in objs:  # dict preserves file order (later defs win)
+        head, _ = objs[num]
+        if not _RE_PAGE.search(head):
+            continue
+        n_pages += 1
+        refs: list[int] = []
+        am = _RE_CONTENTS_ARR.search(head)
+        if am:
+            refs = [int(r.group(1)) for r in _RE_REF.finditer(am.group(1))]
+        else:
+            rm = _RE_CONTENTS_REF.search(head)
+            if rm:
+                refs = [int(rm.group(1))]
+        for r in refs:
+            if r not in objs or objs[r][1] is None:
+                raise ValueError("not a PDF: missing content stream")
+            page_lines.extend(content_text(objs[r][1]))
+    if n_pages == 0:
+        raise ValueError("not a PDF: no pages")
+    return "\n".join(page_lines), n_pages
+
+
+# ---------------------------------------------------------------------------
+# fixture builder (deterministic, spec-complete: real xref + trailer)
+# ---------------------------------------------------------------------------
+
+def make_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
+    """A deterministic single-font PDF: one content stream per page
+    (``BT /F1 12 Tf 72 720 Td (line) Tj T* ... ET``), FlateDecode
+    optional, correct xref byte offsets + trailer — readable by any
+    conforming viewer, not just this module's parser."""
+    objs: list[bytes] = []
+    kids = []
+    first_page = 4  # 1 catalog, 2 pages, 3 font
+    for p in range(len(pages)):
+        kids.append(f"{first_page + 2 * p} 0 R")
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        (
+            f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+            f"/Count {len(pages)} >>"
+        ).encode()
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    streams: list[bytes | None] = [None, None, None]
+    for p, lines in enumerate(pages):
+        page_num = first_page + 2 * p
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {page_num + 1} 0 R >>"
+            ).encode()
+        )
+        streams.append(None)
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for li, line in enumerate(lines):
+            esc = (
+                line.encode("latin-1", "replace")
+                .replace(b"\\", rb"\\")
+                .replace(b"(", rb"\(")
+                .replace(b")", rb"\)")
+            )
+            if li:
+                ops.append(b"T*")
+            ops.append(b"(" + esc + b") Tj")
+        ops.append(b"ET")
+        content = b" ".join(ops)
+        if flate:
+            content = zlib.compress(content, 6)
+            head = (
+                f"<< /Length {len(content)} /Filter /FlateDecode >>"
+            ).encode()
+        else:
+            head = f"<< /Length {len(content)} >>".encode()
+        objs.append(head)
+        streams.append(content)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj
+        s = streams[i - 1] if i - 1 < len(streams) else None
+        if s is not None:
+            out += b"\nstream\n" + s + b"\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

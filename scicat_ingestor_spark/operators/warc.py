@@ -781,6 +781,15 @@ def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
                     body_text, charset = decode_body_text(
                         body, ctype, sniff_html=media == "text/html"
                     )
+                elif media == "application/pdf":
+                    # r11: PDF text extraction (operators/pdf.py) —
+                    # ValueError gates (encrypted, exotic filters,
+                    # damage) dead-letter THIS record via the shared
+                    # fault channel below
+                    from scicat_ingestor_spark.operators import pdf
+
+                    body_text, _ = pdf.pdf_text(body)
+                    charset = "pdf"
             elif rec["warc_type"] == "revisit" and rec["block"].startswith(
                 b"HTTP/"
             ):

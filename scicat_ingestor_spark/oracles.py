@@ -3844,3 +3844,17 @@ ORACLES["text_langid_confusion"] = _langid_oracle(
     "SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n "
     "FROM pred GROUP BY 1, 2"
 )
+
+# PDF extraction (r11): two-page PDFs extract closed-form; encrypted
+# docs (ids % 7 = 0) dead-letter with the documented gate message.
+ORACLES["warc_pdf_extract"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/d' || doc_id || '.pdf' AS url,
+  CASE WHEN doc_id % 7 = 0 THEN NULL
+       ELSE 'doc ' || doc_id || chr(10) || text || chr(10) ||
+            'tail ' || doc_id END AS text,
+  CASE WHEN doc_id % 7 = 0
+       THEN 'not a PDF: encrypted (unsupported)'
+       ELSE NULL END AS error
+FROM documents
+"""

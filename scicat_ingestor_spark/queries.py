@@ -6524,6 +6524,68 @@ def q_warc_entity_decode(spark, sf_dir):
     )
 
 
+def q_warc_pdf_extract(spark, sf_dir):
+    """PDF text extraction in the capture plane (r11, VERDICT r10
+    task 3): every doc is captured as a two-page ``application/pdf``
+    response (FlateDecode on odd ids, raw streams on even; real xref
+    + trailer) and must extract its text through the honest-subset
+    parser (operators/pdf.py — object scan, zlib streams, BT/ET
+    Tj/TJ/Td text operators). Every 7th doc is ENCRYPTED
+    (``/Encrypt`` in the trailer) and must dead-letter with the
+    documented gate message through the same per-record fault channel
+    as HTTP/gzip damage — never a silent wrong extraction."""
+    from scicat_ingestor_spark.operators import pdf, warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            payloads = []
+            for i, s, t in zip(
+                pdf_batch["doc_id"], pdf_batch["source"],
+                pdf_batch["text"],
+            ):
+                i = int(i)
+                buf = pdf.make_pdf(
+                    [[f"doc {i}", str(t)], [f"tail {i}"]],
+                    flate=bool(i % 2),
+                )
+                if i % 7 == 0:
+                    buf += b"trailer\n<< /Encrypt 9 0 R >>\n"
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    buf, "application/pdf"
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/d{i}.pdf"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf_batch["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    return rows.filter(
+        F.col("content_type").startswith("application/pdf")
+        | F.col("error").isNotNull()
+    ).select("media_id", "url", "text", "error")
+
+
 _LANGID_CLASSES = ["eng", "rev", "sfx", "vow"]
 
 
@@ -6831,4 +6893,5 @@ QUERIES = {
     "warc_entity_decode": q_warc_entity_decode,
     "text_langid_trained": q_text_langid_trained,
     "text_langid_confusion": q_text_langid_confusion,
+    "warc_pdf_extract": q_warc_pdf_extract,
 }
