@@ -3858,3 +3858,26 @@ SELECT doc_id AS media_id,
        ELSE NULL END AS error
 FROM documents
 """
+
+# Sitemap frontier (r11): per DISTINCT domain, urlset entries /s/1..3
+# (with lastmod) + the &-entity query URL (no lastmod) are uncaptured;
+# /s/0 is captured; len%3=0 domains add /extra via the sitemapindex
+# hop. Canonical anti keys on the URL.
+ORACLES["sitemap_frontier"] = """
+WITH doms AS (SELECT DISTINCT source AS s FROM documents),
+fr AS (
+  SELECT s || '.example.org' AS domain,
+    'https://' || s || '.example.org/s/' || k AS url,
+    '2026-0' || (k + 1) || '-01' AS lastmod
+  FROM doms, LATERAL (SELECT unnest(generate_series(1, 3)) AS k) g
+  UNION ALL
+  SELECT s || '.example.org',
+    'https://' || s || '.example.org/q?a=1&b=2', NULL
+  FROM doms
+  UNION ALL
+  SELECT s || '.example.org',
+    'https://' || s || '.example.org/extra', NULL
+  FROM doms WHERE length(s) % 3 = 0
+)
+SELECT domain, url, lastmod FROM fr
+"""

@@ -1774,3 +1774,72 @@ def test_warc_in_warc_resync_reemit():
                 "https://x.example/nested" in urls
             )
         assert all(isinstance(r.get("error"), (str, type(None))) for r in got)
+
+
+def test_sitemap_parse_and_frontier(spark):
+    """urlset/sitemapindex parsing (entity-decoded locs, nullable
+    lastmod) and the one-hop frontier composition: discovered minus
+    captured."""
+    from pyspark.sql import functions as F
+
+    urlset = (
+        "<urlset>"
+        "<url><loc> https://a.example/p1 </loc>"
+        "<lastmod>2026-01-02</lastmod></url>"
+        "<url><loc>https://a.example/q?x=1&amp;y=2</loc></url>"
+        "<url><lastmod>2026-01-01</lastmod></url>"  # no loc: dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap>"
+        "<loc>https://a.example/sitemap.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame([(urlset, index)], ["u", "x"])
+    got = df.select(
+        warc.sitemap_entries("u").alias("e"),
+        warc.sitemap_index_locs("x").alias("l"),
+        warc.is_sitemap_index("u").alias("iu"),
+        warc.is_sitemap_index("x").alias("ix"),
+    ).collect()[0]
+    assert [(e["loc"], e["lastmod"]) for e in got["e"]] == [
+        ("https://a.example/p1", "2026-01-02"),
+        ("https://a.example/q?x=1&y=2", None),
+    ]
+    assert got["l"] == ["https://a.example/sitemap.xml"]
+    assert (got["iu"], got["ix"]) == (False, True)
+
+    recs = [
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                b"Sitemap: https://a.example/sitemap.xml\r\n",
+                "text/plain",
+            ),
+            target_uri="https://a.example/robots.txt",
+            content_type="application/http;msgtype=response",
+        ),
+        warc.make_warc_record(
+            "response",
+            warc.make_http_response(
+                urlset.encode(), "text/xml; charset=utf-8"
+            ),
+            target_uri="https://a.example/sitemap.xml",
+            content_type="application/http;msgtype=response",
+        ),
+        warc.make_warc_record(  # p1 already captured
+            "response",
+            warc.make_http_response(b"<p>have it</p>", "text/html"),
+            target_uri="https://a.example/p1",
+            content_type="application/http;msgtype=response",
+        ),
+    ]
+    rows = warc.warc_response_rows(
+        spark.createDataFrame(
+            [(1, warc.make_warc(recs))], "media_id long, payload binary"
+        )
+    )
+    frontier = warc.sitemap_frontier(rows).collect()
+    assert [(r["domain"], r["url"], r["lastmod"]) for r in frontier] == [
+        ("a.example", "https://a.example/q?x=1&y=2", None)
+    ]
