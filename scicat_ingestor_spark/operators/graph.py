@@ -110,3 +110,57 @@ def pagerank(
             )
         )
     return ranks
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Hop-bounded harmonic centrality over a (src, dst) edge relation
+    -> (node, harmonic): H(v) = sum over nodes u with directed
+    distance d(u -> v) <= max_hops of 1/d — the OTHER published
+    Common-Crawl domain rank (r11, VERDICT r10 task 5), reusing the
+    PageRank iteration scaffold (localCheckpoint lineage truncation,
+    no driver collects).
+
+    Exact truncated BFS: hop k extends only the pairs whose MIN
+    distance is k-1 (one equi-join on the edge relation) and a
+    groupBy-min folds candidates — per hop one join + one aggregation
+    shuffle over the PAIR relation. The pair relation is the scale
+    boundary (|reachable pairs within max_hops|, quadratic on dense
+    graphs): the web-scale variant replaces it with per-node
+    HyperLogLog reachability counters (HyperBall, Boldi & Vigna
+    2013 — the estimator Common Crawl's published ranks use); the
+    hop-bounded exact form here is the oracle-checkable contract the
+    approximation must converge to."""
+    edges = edges.localCheckpoint()
+    pairs = edges.select(
+        "src", "dst", F.lit(1).alias("d")
+    )
+    for k in range(2, max_hops + 1):
+        pairs = pairs.localCheckpoint()
+        ext = (
+            pairs.filter(F.col("d") == k - 1)
+            .alias("p")
+            .join(edges.alias("e"), F.col("p.dst") == F.col("e.src"))
+            .select(
+                F.col("p.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.lit(k).alias("d"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        pairs = (
+            pairs.unionByName(ext)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+        )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = pairs.groupBy("dst").agg(
+        F.sum(F.lit(1.0) / F.col("d")).alias("harmonic")
+    )
+    return nodes.join(h, nodes["node"] == h["dst"], "left").select(
+        "node",
+        F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
+    )

@@ -1871,6 +1871,89 @@ def extract_hrefs(col: Column | str) -> Column:
     return F.concat(dq, sq)
 
 
+def extract_links(col: Column | str) -> Column:
+    """``<a>`` elements of a RAW html column as
+    ``array<struct<href:string,anchor:string>>`` — href (both quote
+    styles) plus the VISIBLE anchor text (inner tags stripped,
+    entities decoded, whitespace collapsed) — the page-quality signal
+    real pipelines aggregate per link target (r11, VERDICT r10
+    task 5). Pure JVM; nested ``<a>`` is illegal HTML so the
+    non-greedy span match is exact on real markup."""
+    c = F.col(col) if isinstance(col, str) else col
+    blocks = F.regexp_extract_all(
+        c, F.lit(r"(?is)(<a\b[^>]*>.*?</a\s*>)"), 1
+    )
+
+    def link(b):
+        dq = F.regexp_extract(
+            b, r'(?is)<a\b[^>]*?\bhref\s*=\s*"([^"]*)"', 1
+        )
+        sq = F.regexp_extract(
+            b, r"(?is)<a\b[^>]*?\bhref\s*=\s*'([^']*)'", 1
+        )
+        href = F.when(F.length(dq) > 0, dq).otherwise(sq)
+        inner = F.regexp_extract(b, r"(?is)<a\b[^>]*>(.*?)</a\s*>", 1)
+        anchor = F.trim(
+            F.regexp_replace(
+                decode_entities(
+                    F.regexp_replace(inner, _RE_ANY_TAG, " ")
+                ),
+                r"\s+",
+                " ",
+            )
+        )
+        return F.struct(href.alias("href"), anchor.alias("anchor"))
+
+    return F.filter(
+        F.transform(blocks, link), lambda s: F.length(s["href"]) > 0
+    )
+
+
+def page_anchor_links(pages: DataFrame, html_col: str = "text") -> DataFrame:
+    """One row per resolved http(s) out-link WITH its anchor text —
+    the WAT layout extended by the anchor span. Scan-local like
+    :func:`page_outlinks`."""
+    out = pages.withColumn(
+        "l", F.explode(extract_links(F.col(html_col)))
+    ).withColumn("link", url_resolve(F.col("url"), F.col("l.href")))
+    return (
+        out.filter(
+            F.col("link").isNotNull()
+            & F.col("link").rlike("^https?://")
+        )
+        .withColumn("anchor", F.col("l.anchor"))
+        .drop("l", html_col)
+    )
+
+
+def anchor_text_agg(
+    links: DataFrame, max_anchors: int = 64
+) -> DataFrame:
+    """Aggregate anchor text per link TARGET (canonical URL):
+    (url, n_refs, anchors) where ``anchors`` is the sorted distinct
+    non-empty anchor set CAPPED at ``max_anchors`` (mega-targets like
+    front pages collect millions of anchors; the cap keeps the row
+    bounded, the way CC's WAT consumers sample). One shuffle keyed by
+    target."""
+    return (
+        links.groupBy(canonical_url(F.col("link")).alias("url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.slice(
+                F.sort_array(
+                    F.collect_set(
+                        F.when(
+                            F.length("anchor") > 0, F.col("anchor")
+                        )
+                    )
+                ),
+                1,
+                max_anchors,
+            ).alias("anchors"),
+        )
+    )
+
+
 def url_resolve(base: Column | str, href: Column | str) -> Column:
     """Resolve an href against its page URL — the RFC 3986 subset a
     link-graph extractor needs, as pure Column expressions:

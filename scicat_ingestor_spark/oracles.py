@@ -3881,3 +3881,66 @@ fr AS (
 )
 SELECT domain, url, lastmod FROM fr
 """
+
+# Anchor-text aggregation (r11): per canonical target, ref counts and
+# the sorted distinct cleaned anchors ('R&D note k' with the entity
+# decoded and the nested <b> stripped; 'local j').
+ORACLES["warc_anchor_text"] = """
+WITH links AS (
+  SELECT 'https://t' || (doc_id % 7) || '.example.net/page' AS url,
+         'R&D note ' || (doc_id % 5) AS anchor
+  FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example.org/go/' || (doc_id % 3),
+         'local ' || (doc_id % 3)
+  FROM documents
+)
+SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+  string_agg(DISTINCT anchor, ' | ' ORDER BY anchor) AS anchors
+FROM links GROUP BY url
+"""
+
+# Harmonic centrality (r11): unrolled 3-hop BFS over the closed-form
+# 9-node functional graph (i -> 2i mod 9 sans self, i -> i+3 mod 9);
+# H(v) = sum 1/d over pairs within 3 hops.
+ORACLES["link_harmonic"] = """
+WITH base AS (SELECT unnest(generate_series(0, 8)) AS i),
+edges AS MATERIALIZED (
+  SELECT 'n' || i || '.example.net' AS src,
+         'n' || ((2 * i) % 9) || '.example.net' AS dst
+  FROM base WHERE i <> (2 * i) % 9
+  UNION
+  SELECT 'n' || i || '.example.net',
+         'n' || ((i + 3) % 9) || '.example.net'
+  FROM base
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+d1 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM edges),
+e2 AS (
+  SELECT p.src, e.dst, 2 AS d
+  FROM d1 p JOIN edges e ON e.src = p.dst
+  WHERE p.src <> e.dst
+),
+d2 AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d
+  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM e2)
+  GROUP BY src, dst
+),
+e3 AS (
+  SELECT p.src, e.dst, 3 AS d
+  FROM (SELECT * FROM d2 WHERE d = 2) p
+  JOIN edges e ON e.src = p.dst
+  WHERE p.src <> e.dst
+),
+d3 AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d
+  FROM (SELECT * FROM d2 UNION ALL SELECT * FROM e3)
+  GROUP BY src, dst
+),
+h AS (
+  SELECT dst, sum(CAST(1.0 AS DOUBLE) / d) AS harmonic
+  FROM d3 GROUP BY dst
+)
+SELECT n.node, round(coalesce(h.harmonic, 0.0), 6) AS harmonic
+FROM nodes n LEFT JOIN h ON h.dst = n.node
+"""

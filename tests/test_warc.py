@@ -1843,3 +1843,81 @@ def test_sitemap_parse_and_frontier(spark):
     assert [(r["domain"], r["url"], r["lastmod"]) for r in frontier] == [
         ("a.example", "https://a.example/q?x=1&y=2", None)
     ]
+
+
+def test_extract_links_and_anchor_agg(spark):
+    """extract_links pairs hrefs with CLEANED visible anchor text
+    (inner tags stripped, entities decoded, whitespace collapsed);
+    anchor_text_agg groups by canonical target with the sorted
+    distinct anchor cap."""
+    from pyspark.sql import functions as F
+
+    html = (
+        '<a href="https://t.example/page">R&amp;D <b>note</b>  1</a>'
+        "<a href='/go'>local</a>"
+        '<a href="https://t.example/page#frag">R&amp;D <b>note</b>  1'
+        "</a>"
+        '<a href="">empty href skipped</a>'
+        '<a href="https://t.example/page">zzz</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://s.example/p", html)], ["url", "text"]
+    )
+    links = warc.page_anchor_links(pages).collect()
+    assert sorted((r["link"], r["anchor"]) for r in links) == [
+        ("https://s.example/go", "local"),
+        ("https://t.example/page", "R&D note 1"),
+        ("https://t.example/page", "R&D note 1"),
+        ("https://t.example/page", "zzz"),
+    ]
+    agg = {
+        r["url"]: r
+        for r in warc.anchor_text_agg(
+            warc.page_anchor_links(pages), max_anchors=1
+        ).collect()
+    }
+    t = agg["https://t.example/page"]
+    assert t["n_refs"] == 3
+    assert t["anchors"] == ["R&D note 1"]  # capped after sort
+
+
+def test_harmonic_centrality_matches_reference(spark):
+    """Exact truncated-BFS harmonic centrality against a serial
+    Floyd-style reference on a graph with 1/2/3-hop paths and an
+    unreachable node."""
+    from scicat_ingestor_spark.operators import graph
+
+    edge_list = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "a"),
+    ]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: round(r["harmonic"], 9)
+        for r in graph.harmonic_centrality(edges, max_hops=3).collect()
+    }
+    nodes = sorted({x for e in edge_list for x in e})
+    INF = 99
+    dist = {(u, v): INF for u in nodes for v in nodes}
+    for u, v in edge_list:
+        dist[(u, v)] = 1
+    for _ in range(3):
+        for u in nodes:
+            for w in nodes:
+                for v in nodes:
+                    d = dist[(u, w)] + dist[(w, v)]
+                    if d < dist[(u, v)]:
+                        dist[(u, v)] = d
+    exp = {
+        v: round(
+            sum(
+                1.0 / dist[(u, v)]
+                for u in nodes
+                if u != v and dist[(u, v)] <= 3
+            ),
+            9,
+        )
+        for v in nodes
+    }
+    assert got == exp
+    assert got["a"] == 1.0        # only e -> a
+    assert got["e"] == 0.0        # nothing reaches e
