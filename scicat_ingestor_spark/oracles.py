@@ -3944,3 +3944,147 @@ h AS (
 SELECT n.node, round(coalesce(h.harmonic, 0.0), 6) AS harmonic
 FROM nodes n LEFT JOIN h ON h.dst = n.node
 """
+
+
+def _unigram_oracle(
+    final: str,
+    rounds: int = 2,
+    vocab_size: int = 64,
+    maxp: int = 4,
+    maxw: int = 10,
+) -> str:
+    """Replay the unigram-LM trainer end to end (r11): substring
+    seeding, then per EM round the forward Viterbi DP unrolled as one
+    CTE per word position (each candidate is ONE multiply of a prior
+    score by an exact integer-ratio probability — bit-identical to
+    the Spark fold), the argmax choice table (row_number ties to the
+    smallest split point = longest piece), the backtrack as a
+    recursive CTE walking choices from length(word) to 0, and the
+    smoothed M-step. ``maxw`` bounds the unroll at the corpus's max
+    word length."""
+    pre = f"""
+WITH RECURSIVE toks AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(trim(text)), '\\s+'),
+    x -> length(x) > 0)) AS word
+  FROM documents
+),
+wrds AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM toks GROUP BY word
+),
+subc AS MATERIALIZED (
+  SELECT substr(w.word, CAST(i AS INTEGER), CAST(l AS INTEGER))
+    AS piece, sum(w.freq) AS cnt
+  FROM wrds w,
+    LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS i) a,
+    LATERAL (SELECT unnest(generate_series(
+      1, least({maxp}, length(w.word) - i + 1))) AS l) b
+  GROUP BY piece
+),
+topn AS (
+  SELECT piece, cnt FROM subc
+  ORDER BY cnt DESC, piece ASC LIMIT {vocab_size}
+),
+chosen AS MATERIALIZED (
+  SELECT piece, max(cnt) AS cnt FROM (
+    SELECT * FROM topn
+    UNION ALL SELECT piece, cnt FROM subc WHERE length(piece) = 1
+  ) GROUP BY piece
+),
+v0 AS MATERIALIZED (
+  SELECT piece, CAST(cnt AS DOUBLE) /
+    (SELECT CAST(sum(cnt) AS DOUBLE) FROM chosen) AS p
+  FROM chosen
+)"""
+    parts = [pre]
+    for r in range(1, rounds + 2):  # last pass: segmentation only
+        pv = f"v{r - 1}"
+        parts.append(f""",
+s{r}_0 AS (SELECT word, CAST(1.0 AS DOUBLE) AS sc FROM wrds)""")
+        for i in range(1, maxw + 1):
+            branches = []
+            for j in range(max(0, i - maxp), i):
+                branches.append(f"""
+    SELECT w.word, {i} AS pos, {j} AS j,
+      substr(w.word, {j + 1}, {i - j}) AS piece,
+      s.sc * v.p AS cand
+    FROM wrds w
+    JOIN s{r}_{j} s ON s.word = w.word
+    JOIN {pv} v ON v.piece = substr(w.word, {j + 1}, {i - j})
+    WHERE length(w.word) >= {i}""")
+            parts.append(f""",
+cands{r}_{i} AS MATERIALIZED ({' UNION ALL '.join(branches)}
+),
+s{r}_{i} AS MATERIALIZED (
+  SELECT word, max(cand) AS sc FROM cands{r}_{i} GROUP BY word
+)""")
+        allc = " UNION ALL ".join(
+            f"SELECT * FROM cands{r}_{i}" for i in range(1, maxw + 1)
+        )
+        alls = " UNION ALL ".join(
+            f"SELECT word, {i} AS pos, sc FROM s{r}_{i}"
+            for i in range(1, maxw + 1)
+        )
+        parts.append(f""",
+allc{r} AS MATERIALIZED ({allc}),
+alls{r} AS MATERIALIZED ({alls}),
+choice{r} AS MATERIALIZED (
+  SELECT word, pos, j, piece FROM (
+    SELECT c.word, c.pos, c.j, c.piece,
+      row_number() OVER (
+        PARTITION BY c.word, c.pos ORDER BY c.j) AS rn
+    FROM allc{r} c
+    JOIN alls{r} t
+      ON t.word = c.word AND t.pos = c.pos AND c.cand = t.sc
+  ) WHERE rn = 1
+),
+bt{r} AS (
+  SELECT word, length(word) AS pos FROM wrds
+  UNION ALL
+  SELECT c.word, c.j FROM bt{r} b
+  JOIN choice{r} c ON c.word = b.word AND c.pos = b.pos
+  WHERE b.pos > 0
+),
+used{r} AS MATERIALIZED (
+  SELECT c.piece, w.freq FROM bt{r} b
+  JOIN choice{r} c ON c.word = b.word AND c.pos = b.pos
+  JOIN wrds w ON w.word = b.word
+)""")
+        if r <= rounds:
+            parts.append(f""",
+cnt{r} AS MATERIALIZED (
+  SELECT piece, sum(freq) AS c FROM used{r} GROUP BY piece
+),
+tot{r} AS (
+  SELECT CAST(sum(c) AS DOUBLE) +
+    (SELECT count(*) FROM {pv} WHERE length(piece) = 1) AS t
+  FROM cnt{r}
+),
+v{r} AS MATERIALIZED (
+  SELECT v.piece,
+    CASE WHEN length(v.piece) = 1
+      THEN (coalesce(c.c, 0) + 1) / (SELECT t FROM tot{r})
+      ELSE c.c / (SELECT t FROM tot{r}) END AS p
+  FROM {pv} v LEFT JOIN cnt{r} c USING (piece)
+  WHERE length(v.piece) = 1 OR coalesce(c.c, 0) > 0
+)""")
+    fr = rounds + 1
+    parts.append(f""",
+npieces AS MATERIALIZED (
+  SELECT b.word, count(*) AS n
+  FROM bt{fr} b
+  JOIN choice{fr} c ON c.word = b.word AND c.pos = b.pos
+  GROUP BY b.word
+)
+{final}""")
+    return "".join(parts)
+
+
+ORACLES["unigram_train_vocab"] = _unigram_oracle(
+    f"SELECT piece, round(p, 9) AS p FROM v2"
+)
+ORACLES["unigram_token_counts"] = _unigram_oracle(
+    "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+    "CAST(sum(np.n) AS BIGINT) AS n_tokens "
+    "FROM toks t JOIN npieces np USING (word) GROUP BY t.doc_id"
+)

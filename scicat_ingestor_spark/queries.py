@@ -6810,6 +6810,63 @@ def q_link_harmonic(spark, sf_dir):
     )
 
 
+def _unigram_vocab(spark, sf_dir, rounds: int = 2):
+    """Memoized trained unigram-LM vocab (64 seed pieces + chars,
+    2 hard-EM rounds)."""
+    from scicat_ingestor_spark.operators import unigram
+
+    key = (spark, sf_dir, "unigram", rounds)
+    if key not in _TRAINED_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        _TRAINED_CACHE[key] = unigram.unigram_train(
+            docs, vocab_size=64, max_piece_len=4, rounds=rounds
+        )
+    return _TRAINED_CACHE[key]
+
+
+def q_unigram_train_vocab(spark, sf_dir):
+    """Unigram-LM tokenizer training (r11, VERDICT r10 task 6 — the
+    SentencePiece/Llama-family counterpart of the BPE trainer):
+    substring-seeded vocab + 2 deterministic hard-EM rounds
+    (Viterbi E-step over the DISTINCT-word relation, smoothed M-step
+    with single-char coverage floor). Scores are PRODUCTS of exact
+    integer-ratio probabilities — no logarithms — so both engines
+    walk bit-identical DP paths. The oracle replays everything:
+    seeding, both EM rounds with the forward DP unrolled per position
+    and the backtrack as a recursive CTE over the argmax choices."""
+    from scicat_ingestor_spark.operators import unigram  # noqa: F401
+
+    v = _unigram_vocab(spark, sf_dir)
+    rows = [(p, float(pr)) for p, pr in sorted(v.items())]
+    return spark.createDataFrame(
+        rows, "piece string, p double"
+    ).select("piece", F.round("p", 9).alias("p"))
+
+
+def q_unigram_token_counts(spark, sf_dir):
+    """Per-document token counts under the trained unigram vocab
+    (r11): the corpus never re-segments per doc — Viterbi runs once
+    per DISTINCT word, and the (word, n_pieces) relation broadcasts
+    onto the exploded tokens (one join + one groupBy)."""
+    from scicat_ingestor_spark.operators import unigram
+
+    v = _unigram_vocab(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    words = unigram.word_freqs(docs).localCheckpoint()
+    wpc = unigram.word_piece_counts(words, v)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: F.length(w) > 0,
+    )
+    per_tok = docs.select(
+        "doc_id", F.explode(toks).alias("word")
+    ).join(F.broadcast(wpc), "word")
+    return per_tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").alias("n_tokens"),
+    )
+
+
 _LANGID_CLASSES = ["eng", "rev", "sfx", "vow"]
 
 
@@ -7121,4 +7178,6 @@ QUERIES = {
     "sitemap_frontier": q_sitemap_frontier,
     "warc_anchor_text": q_warc_anchor_text,
     "link_harmonic": q_link_harmonic,
+    "unigram_train_vocab": q_unigram_train_vocab,
+    "unigram_token_counts": q_unigram_token_counts,
 }
