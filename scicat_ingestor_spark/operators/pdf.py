@@ -70,12 +70,48 @@ def _inflate(data: bytes) -> bytes:
     return out
 
 
+_RE_OBJSTM = re.compile(rb"/Type\s*/ObjStm\b")
+_RE_N = re.compile(rb"/N\s+(\d+)")
+_RE_FIRST = re.compile(rb"/First\s+(\d+)")
+
+
+def _objstm_members(head: bytes, data: bytes) -> dict[int, bytes]:
+    """Expand a /Type /ObjStm stream (PDF 1.5+, ISO 32000-1 §7.5.7 —
+    where modern writers put most non-stream objects, page dicts
+    included): ``/N`` pairs of ``objnum offset`` before ``/First``,
+    then the headerless object bodies."""
+    nm, fm = _RE_N.search(head), _RE_FIRST.search(head)
+    if not nm or not fm:
+        raise ValueError("not a PDF: object stream missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    toks = data[:first].split()
+    if len(toks) < 2 * n:
+        raise ValueError("not a PDF: short object-stream index")
+    try:
+        ints = [int(t) for t in toks[: 2 * n]]
+    except ValueError:
+        raise ValueError("not a PDF: bad object-stream index")
+    pairs = list(zip(ints[0::2], ints[1::2]))
+    out: dict[int, bytes] = {}
+    for i, (num, off) in enumerate(pairs):
+        end = (
+            first + pairs[i + 1][1] if i + 1 < len(pairs) else len(data)
+        )
+        if first + off > len(data) or end > len(data) or off < 0:
+            raise ValueError("not a PDF: object-stream offset out of range")
+        out[num] = data[first + off : end]
+    return out
+
+
 def pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """Scan ``N G obj .. endobj`` spans in file order -> {num: (head,
     decoded_stream_or_None)}. The head is everything before the
     ``stream`` keyword (the object's dictionary); streams decode
-    through the /Filter gate. Later definitions of the same object
-    number win (incremental-update semantics, ISO 32000-1 §7.5.6)."""
+    through the /Filter gate; ``/Type /ObjStm`` streams expand to
+    their member objects in place (so page dicts inside compressed
+    object streams — the PDF 1.5+ default layout — are found). Later
+    definitions of the same object number win (incremental-update
+    semantics, ISO 32000-1 §7.5.6)."""
     out: dict[int, tuple[bytes, bytes | None]] = {}
     for m in _RE_OBJ.finditer(data):
         num = int(m.group(1))
@@ -117,6 +153,9 @@ def pdf_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                     f"not a PDF: unsupported filter {fm.group(1)[:40]!r}"
                 )
         out[num] = (head, raw)
+        if raw is not None and _RE_OBJSTM.search(head):
+            for mnum, body in _objstm_members(head, raw).items():
+                out[mnum] = (body, None)
     return out
 
 
@@ -298,6 +337,128 @@ def pdf_text(data: bytes) -> tuple[str, int]:
 # fixture builder (deterministic, spec-complete: real xref + trailer)
 # ---------------------------------------------------------------------------
 
+def _content_stream(lines: list[str], flate: bool) -> tuple[bytes, bytes]:
+    """(dict_head, stream_bytes) for one page's content."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for li, line in enumerate(lines):
+        esc = (
+            line.encode("latin-1", "replace")
+            .replace(b"\\", rb"\\")
+            .replace(b"(", rb"\(")
+            .replace(b")", rb"\)")
+        )
+        if li:
+            ops.append(b"T*")
+        ops.append(b"(" + esc + b") Tj")
+    ops.append(b"ET")
+    content = b" ".join(ops)
+    if flate:
+        content = zlib.compress(content, 6)
+        head = (
+            f"<< /Length {len(content)} /Filter /FlateDecode >>"
+        ).encode()
+    else:
+        head = f"<< /Length {len(content)} >>".encode()
+    return head, content
+
+
+def make_pdf_objstm(pages: list[list[str]], flate: bool = True) -> bytes:
+    """The MODERN (PDF 1.5+) layout of :func:`make_pdf`: every
+    non-stream object (catalog, page tree, font, page dicts) lives
+    inside one ``/Type /ObjStm`` compressed object stream, indexed by
+    a cross-reference STREAM (``/Type /XRef``, W [1 3 2], type-2
+    entries for the members) — the default output of today's PDF
+    writers, and the layout a file-order ``obj..endobj`` scan alone
+    would miss pages in."""
+    n_pages = len(pages)
+    first_page = 4
+    # member (non-stream) objects
+    kids = " ".join(f"{first_page + 2 * p} 0 R" for p in range(n_pages))
+    members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        ),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    for p in range(n_pages):
+        num = first_page + 2 * p
+        members.append(
+            (
+                num,
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 3 0 R >> >> "
+                    f"/Contents {num + 1} 0 R >>"
+                ).encode(),
+            )
+        )
+    objstm_num = first_page + 2 * n_pages
+    xref_num = objstm_num + 1
+    size = xref_num + 1
+    # serialize the object stream: index pairs, then bodies
+    bodies = [b for _, b in members]
+    offs = []
+    pos = 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b) + 1
+    index = " ".join(
+        f"{num} {off}" for (num, _), off in zip(members, offs)
+    ).encode()
+    payload = index + b"\n" + b" ".join(bodies) + b" "
+    first = len(index) + 1
+    stm = zlib.compress(payload, 6) if flate else payload
+    filt = " /Filter /FlateDecode" if flate else ""
+    objstm_head = (
+        f"<< /Type /ObjStm /N {len(members)} /First {first} "
+        f"/Length {len(stm)}{filt} >>"
+    ).encode()
+
+    out = bytearray(b"%PDF-1.5\n")
+    top_offsets: dict[int, int] = {}
+    for p in range(n_pages):
+        num = first_page + 2 * p + 1
+        head, content = _content_stream(pages[p], flate)
+        top_offsets[num] = len(out)
+        out += (
+            f"{num} 0 obj\n".encode() + head
+            + b"\nstream\n" + content + b"\nendstream\nendobj\n"
+        )
+    top_offsets[objstm_num] = len(out)
+    out += (
+        f"{objstm_num} 0 obj\n".encode() + objstm_head
+        + b"\nstream\n" + stm + b"\nendstream\nendobj\n"
+    )
+    # xref stream: W [1 3 2]
+    xref_at = len(out)
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in top_offsets or num == xref_num:
+            t = 1
+            f2 = top_offsets.get(num, xref_at)
+            f3 = 0
+        else:
+            t = 2
+            f2 = objstm_num
+            f3 = next(
+                i for i, (n, _) in enumerate(members) if n == num
+            )
+        rows += bytes([t]) + f2.to_bytes(3, "big") + f3.to_bytes(2, "big")
+    xrows = zlib.compress(bytes(rows), 6) if flate else bytes(rows)
+    xfilt = " /Filter /FlateDecode" if flate else ""
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 3 2] "
+        f"/Root 1 0 R /Length {len(xrows)}{xfilt} >>\nstream\n"
+    ).encode() + xrows + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
 def make_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
     """A deterministic single-font PDF: one content stream per page
     (``BT /F1 12 Tf 72 720 Td (line) Tj T* ... ET``), FlateDecode
@@ -329,26 +490,7 @@ def make_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
             ).encode()
         )
         streams.append(None)
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
-        for li, line in enumerate(lines):
-            esc = (
-                line.encode("latin-1", "replace")
-                .replace(b"\\", rb"\\")
-                .replace(b"(", rb"\(")
-                .replace(b")", rb"\)")
-            )
-            if li:
-                ops.append(b"T*")
-            ops.append(b"(" + esc + b") Tj")
-        ops.append(b"ET")
-        content = b" ".join(ops)
-        if flate:
-            content = zlib.compress(content, 6)
-            head = (
-                f"<< /Length {len(content)} /Filter /FlateDecode >>"
-            ).encode()
-        else:
-            head = f"<< /Length {len(content)} >>".encode()
+        head, content = _content_stream(lines, flate)
         objs.append(head)
         streams.append(content)
     out = bytearray(b"%PDF-1.4\n")

@@ -6530,7 +6530,10 @@ def q_warc_pdf_extract(spark, sf_dir):
     response (FlateDecode on odd ids, raw streams on even; real xref
     + trailer) and must extract its text through the honest-subset
     parser (operators/pdf.py — object scan, zlib streams, BT/ET
-    Tj/TJ/Td text operators). Every 7th doc is ENCRYPTED
+    Tj/TJ/Td text operators). Every 3rd doc uses the MODERN PDF 1.5
+    layout — page dicts inside a compressed /Type /ObjStm object
+    stream indexed by an xref STREAM — which a bare obj..endobj scan
+    would miss pages in. Every 7th doc is ENCRYPTED
     (``/Encrypt`` in the trailer) and must dead-letter with the
     documented gate message through the same per-record fault channel
     as HTTP/gzip damage — never a silent wrong extraction."""
@@ -6546,7 +6549,8 @@ def q_warc_pdf_extract(spark, sf_dir):
                 pdf_batch["text"],
             ):
                 i = int(i)
-                buf = pdf.make_pdf(
+                maker = pdf.make_pdf_objstm if i % 3 == 0 else pdf.make_pdf
+                buf = maker(
                     [[f"doc {i}", str(t)], [f"tail {i}"]],
                     flate=bool(i % 2),
                 )

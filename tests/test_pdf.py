@@ -160,3 +160,49 @@ def test_warc_pdf_dead_letter_integration(spark):
     b = rows["https://p.example/bad.pdf"]
     assert b["text"] is None
     assert "encrypted" in b["error"]
+
+
+def test_objstm_modern_layout_roundtrip():
+    """PDF 1.5 object-stream layout: page dicts inside /Type /ObjStm,
+    xref STREAM with type-2 entries — extraction must find the pages
+    through the expanded members."""
+    pages = [["modern one", "line two"], ["page 2"]]
+    for flate in (True, False):
+        buf = pdf.make_pdf_objstm(pages, flate=flate)
+        assert b"/ObjStm" in buf and b"/XRef" in buf
+        assert pdf.pdf_text(buf) == ("modern one\nline two\npage 2", 2)
+
+
+def test_objstm_gates():
+    import zlib as _z
+
+    bad = (
+        b"%PDF-1.5\n1 0 obj\n"
+        b"<< /Type /ObjStm /N 2 /First 4 /Length 6 >>\n"
+        b"stream\nxx yy\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="object-stream index"):
+        pdf.pdf_objects(bad)
+    missing = (
+        b"%PDF-1.5\n1 0 obj\n"
+        b"<< /Type /ObjStm /Length 3 >>\nstream\nabc\nendstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="/N or /First"):
+        pdf.pdf_objects(missing)
+
+
+def test_objstm_mutation_fuzz_value_error_only():
+    import random
+
+    rng = random.Random(20260817)
+    base = pdf.make_pdf_objstm([["fuzz modern", "row"]])
+    for trial in range(200):
+        buf = bytearray(base)
+        if trial % 2 == 0:
+            buf = buf[: rng.randrange(1, len(buf))]
+        else:
+            buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        try:
+            pdf.pdf_text(bytes(buf))
+        except ValueError:
+            pass
