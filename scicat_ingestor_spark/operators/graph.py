@@ -164,3 +164,109 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 3) -> DataFrame:
         "node",
         F.coalesce(F.col("harmonic"), F.lit(0.0)).alias("harmonic"),
     )
+
+
+# deterministic engine-portable HLL (the q_text_vocab_sketch sketch:
+# md5 12-bit register index, rho over the next 60 bits, exact decimal
+# register sums, one folded float numerator)
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_NUM = (
+    (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 61)
+)
+
+
+def _node_regs(nodes: DataFrame) -> DataFrame:
+    """Sparse B_0 counters: each node's HLL contains exactly itself —
+    one (node, idx, rho) row per node."""
+    h = F.md5(F.col("node"))
+    idx = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    w = F.conv(F.substring(h, 4, 15), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(w))
+    )
+    return nodes.select("node", idx.alias("idx"), rho.alias("rho"))
+
+
+def _hll_estimate(regs: DataFrame) -> DataFrame:
+    """(node, est): the vocab-sketch estimator over sparse registers —
+    exact integer register math, one float division, linear counting
+    below the small-range threshold."""
+    sk = regs.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr("CAST(shiftleft(1L, 61 - rho) AS DECIMAL(38,0))")
+        ).alias("scaled_present"),
+    )
+    total = F.col("scaled_present").cast("double") + (
+        F.lit(_HLL_M) - F.col("n_present")
+    ).cast("double") * F.lit(float(1 << 61))
+    e_raw = F.lit(_HLL_NUM) / total
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * _HLL_M)) & (zeros > 0),
+        F.lit(float(_HLL_M))
+        * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return sk.select("node", est.alias("est"))
+
+
+def harmonic_centrality_hll(
+    edges: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013) — the estimator Common Crawl's
+    published harmonic ranks actually use, and the WEB-SCALE path the
+    exact :func:`harmonic_centrality` contract pins: per node an HLL
+    counter of the nodes that REACH it; hop t unions each node's
+    counter with its in-neighbors' (sparse (node, idx, rho) rows, so
+    the union is one equi-join + one groupBy-max — both map-side
+    combinable); H(v) ~= sum_t (|B(v,t)| - |B(v,t-1)|) / t.
+
+    State per node is <= m registers (sparse: <= |reached| rows), so
+    the per-hop shuffle is O(|edges| * avg registers) with NO
+    quadratic pair relation — the scale difference vs the exact
+    operator. Same lineage-truncation discipline as pagerank; the
+    sketch is the deterministic engine-portable HLL (vocab-sketch
+    convention), so the oracle replays every hop."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    regs = _node_regs(nodes).localCheckpoint()
+    est_prev = _hll_estimate(regs)
+    deltas = None
+    for t in range(1, max_hops + 1):
+        prop = edges.join(
+            regs, regs["node"] == edges["src"]
+        ).select(F.col("dst").alias("node"), "idx", "rho")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "idx")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        est_t = _hll_estimate(regs)
+        d = (
+            est_t.alias("a")
+            .join(est_prev.alias("b"), "node")
+            .select(
+                "node",
+                (
+                    (F.col("a.est") - F.col("b.est")) / F.lit(float(t))
+                ).alias("delta"),
+            )
+        )
+        deltas = d if deltas is None else deltas.unionByName(d)
+        est_prev = est_t
+    acc = deltas.groupBy("node").agg(
+        F.sum("delta").alias("harmonic_est")
+    )
+    return nodes.join(acc, "node", "left").select(
+        "node",
+        F.coalesce(F.col("harmonic_est"), F.lit(0.0)).alias(
+            "harmonic_est"
+        ),
+    )

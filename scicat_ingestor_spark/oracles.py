@@ -4088,3 +4088,102 @@ ORACLES["unigram_token_counts"] = _unigram_oracle(
     "CAST(sum(np.n) AS BIGINT) AS n_tokens "
     "FROM toks t JOIN npieces np USING (word) GROUP BY t.doc_id"
 )
+
+
+def _harmonic_hll_oracle() -> str:
+    """Replay HyperBall over the 9-node closed-form graph: per-hop
+    register unions (groupBy-max over the sparse (node, idx, rho)
+    rows) + the deterministic HLL estimator (vocab-sketch math), and
+    the exact 3-hop BFS beside it."""
+    p = 12
+    m = 1 << p
+    num = repr((0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 61))
+    two61 = repr(float(1 << 61))
+    parts = ["""
+WITH base AS (SELECT unnest(generate_series(0, 8)) AS i),
+edges AS MATERIALIZED (
+  SELECT 'n' || i || '.example.net' AS src,
+         'n' || ((2 * i) % 9) || '.example.net' AS dst
+  FROM base WHERE i <> (2 * i) % 9
+  UNION
+  SELECT 'n' || i || '.example.net',
+         'n' || ((i + 3) % 9) || '.example.net'
+  FROM base
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+d1 AS MATERIALIZED (SELECT src, dst, 1 AS d FROM edges),
+e2x AS (
+  SELECT p.src, e.dst, 2 AS d
+  FROM d1 p JOIN edges e ON e.src = p.dst WHERE p.src <> e.dst
+),
+d2 AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d
+  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM e2x)
+  GROUP BY src, dst
+),
+e3x AS (
+  SELECT p.src, e.dst, 3 AS d
+  FROM (SELECT * FROM d2 WHERE d = 2) p
+  JOIN edges e ON e.src = p.dst WHERE p.src <> e.dst
+),
+d3 AS MATERIALIZED (
+  SELECT src, dst, min(d) AS d
+  FROM (SELECT * FROM d2 UNION ALL SELECT * FROM e3x)
+  GROUP BY src, dst
+),
+hx AS (
+  SELECT dst, sum(CAST(1.0 AS DOUBLE) / d) AS harmonic
+  FROM d3 GROUP BY dst
+),
+b0 AS MATERIALIZED (
+  SELECT node,
+    ('0x' || substr(md5(node), 1, 3))::BIGINT AS idx,
+    CASE WHEN ('0x' || substr(md5(node), 4, 15))::BIGINT = 0 THEN 61
+      ELSE 61 - length(bin(('0x' || substr(md5(node), 4, 15))::BIGINT))
+      END AS rho
+  FROM nodes
+)"""]
+    for t in range(1, 4):
+        parts.append(f""",
+b{t} AS MATERIALIZED (
+  SELECT node, idx, max(rho) AS rho FROM (
+    SELECT * FROM b{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, b.idx, b.rho
+    FROM edges e JOIN b{t - 1} b ON b.node = e.src
+  ) GROUP BY node, idx
+)""")
+    for t in range(0, 4):
+        parts.append(f""",
+e{t} AS MATERIALIZED (
+  SELECT node,
+    CASE WHEN ({num} / total) <= {2.5 * m!r} AND zeros > 0
+      THEN {float(m)!r} * ln({float(m)!r} / zeros)
+      ELSE {num} / total END AS est
+  FROM (
+    SELECT node,
+      CAST(sp AS DOUBLE) + ({m} - n_present)::DOUBLE * {two61} AS total,
+      {m} - n_present AS zeros
+    FROM (
+      SELECT node, count(*) AS n_present,
+        sum(((1::BIGINT) << (61 - rho))::DECIMAL(38,0)) AS sp
+      FROM b{t} GROUP BY node
+    )
+  )
+)""")
+    parts.append("""
+SELECT n.node,
+  round(coalesce(hx.harmonic, 0.0), 6) AS harmonic,
+  round((e1.est - e0.est) / 1.0 + (e2.est - e1.est) / 2.0
+        + (e3.est - e2.est) / 3.0, 6) AS harmonic_est
+FROM nodes n
+LEFT JOIN hx ON hx.dst = n.node
+JOIN e0 ON e0.node = n.node
+JOIN e1 ON e1.node = n.node
+JOIN e2 ON e2.node = n.node
+JOIN e3 ON e3.node = n.node
+""")
+    return "".join(parts)
+
+
+ORACLES["link_harmonic_hll"] = _harmonic_hll_oracle()

@@ -6751,16 +6751,11 @@ def q_warc_anchor_text(spark, sf_dir):
     )
 
 
-def q_link_harmonic(spark, sf_dir):
-    """Harmonic centrality over the extracted link graph (r11,
-    VERDICT r10 task 5 — the other published Common-Crawl domain
-    rank): pages on the 9-node functional graph n_i -> n_{2i mod 9},
-    n_i -> n_{i+3 mod 9} give multi-hop shortest paths; H(v) =
-    sum of 1/d over nodes within 3 hops, computed by the exact
-    truncated-BFS operator (one join + one groupBy-min per hop,
-    lineage-truncated). The oracle unrolls the same three hop stages
-    over the closed-form edge set."""
-    from scicat_ingestor_spark.operators import graph, warc
+def _ninenode_captures(spark, sf_dir):
+    """Captures over the 9-node functional graph n_i -> n_{2i mod 9},
+    n_i -> n_{i+3 mod 9} — multi-hop shortest paths for the
+    centrality queries; edge set closed-form from the residues."""
+    from scicat_ingestor_spark.operators import warc
 
     def synth(batches):
         import pandas as pd
@@ -6799,18 +6794,59 @@ def q_link_harmonic(spark, sf_dir):
             )
 
     docs = _t(spark, sf_dir, "documents")
-    captures = docs.select("doc_id").mapInPandas(
+    return docs.select("doc_id").mapInPandas(
         synth, schema="media_id long, payload binary"
     )
-    rows = warc.warc_response_rows(captures)
+
+
+def _ninenode_edges(spark, sf_dir):
+    from scicat_ingestor_spark.operators import graph, warc
+
+    rows = warc.warc_response_rows(_ninenode_captures(spark, sf_dir))
     pages = rows.filter(
         (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
     ).select("url", "text")
-    edges = graph.domain_edges(warc.page_outlinks(pages))
-    h = graph.harmonic_centrality(edges, max_hops=3)
+    return graph.domain_edges(warc.page_outlinks(pages))
+
+
+def q_link_harmonic(spark, sf_dir):
+    """Harmonic centrality over the extracted link graph (r11,
+    VERDICT r10 task 5 — the other published Common-Crawl domain
+    rank): pages on the 9-node functional graph give multi-hop
+    shortest paths; H(v) = sum of 1/d over nodes within 3 hops,
+    computed by the exact truncated-BFS operator (one join + one
+    groupBy-min per hop, lineage-truncated). The oracle unrolls the
+    same three hop stages over the closed-form edge set."""
+    from scicat_ingestor_spark.operators import graph
+
+    h = graph.harmonic_centrality(
+        _ninenode_edges(spark, sf_dir), max_hops=3
+    )
     return h.select(
         "node", F.round(F.col("harmonic"), 6).alias("harmonic")
+    )
+
+
+def q_link_harmonic_hll(spark, sf_dir):
+    """HyperBall harmonic centrality (r11) — the HLL-counter
+    estimator Common Crawl's published domain ranks use (Boldi &
+    Vigna 2013), side by side with the exact truncated-BFS value it
+    approximates: per node a deterministic engine-portable HLL of the
+    reaching set, one equi-join + groupBy-max per hop (sparse
+    registers — no quadratic pair relation, the 100 TB shape). The
+    oracle replays every hop's register union AND the estimator
+    (exact decimal register sums, linear-counting branch), so a
+    hashing, union, or estimator divergence shifts the estimates."""
+    from scicat_ingestor_spark.operators import graph
+
+    edges = _ninenode_edges(spark, sf_dir).localCheckpoint()
+    exact = graph.harmonic_centrality(edges, max_hops=3)
+    est = graph.harmonic_centrality_hll(edges, max_hops=3)
+    return exact.join(est, "node").select(
+        "node",
+        F.round(F.col("harmonic"), 6).alias("harmonic"),
+        F.round(F.col("harmonic_est"), 6).alias("harmonic_est"),
     )
 
 
@@ -7182,6 +7218,7 @@ QUERIES = {
     "sitemap_frontier": q_sitemap_frontier,
     "warc_anchor_text": q_warc_anchor_text,
     "link_harmonic": q_link_harmonic,
+    "link_harmonic_hll": q_link_harmonic_hll,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_token_counts": q_unigram_token_counts,
 }

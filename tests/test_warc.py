@@ -1921,3 +1921,36 @@ def test_harmonic_centrality_matches_reference(spark):
     assert got == exp
     assert got["a"] == 1.0        # only e -> a
     assert got["e"] == 0.0        # nothing reaches e
+
+
+def test_hyperball_tracks_exact_harmonic(spark):
+    """On a 60-node random graph the HLL estimate stays within the
+    sketch's error envelope of the exact truncated-BFS value (4096
+    registers -> ~1.6% rsd; small counts hit the exact
+    linear-counting branch, so the envelope is tight)."""
+    import random
+
+    from scicat_ingestor_spark.operators import graph
+
+    rng = random.Random(20260816)
+    nodes = [f"h{i}.example" for i in range(60)]
+    edge_set = set()
+    while len(edge_set) < 180:
+        a, b = rng.sample(range(60), 2)
+        edge_set.add((nodes[a], nodes[b]))
+    edges = spark.createDataFrame(sorted(edge_set), ["src", "dst"])
+    exact = {
+        r["node"]: r["harmonic"]
+        for r in graph.harmonic_centrality(edges, max_hops=3).collect()
+    }
+    est = {
+        r["node"]: r["harmonic_est"]
+        for r in graph.harmonic_centrality_hll(
+            edges, max_hops=3
+        ).collect()
+    }
+    assert set(exact) == set(est)
+    for n in exact:
+        assert abs(est[n] - exact[n]) <= max(0.05 * exact[n], 0.2), (
+            n, exact[n], est[n],
+        )
