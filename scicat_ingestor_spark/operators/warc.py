@@ -808,6 +808,15 @@ def _record_to_row(rec: dict, tolerant: bool = True) -> dict:
                     body_text, charset = decode_body_text(
                         rec["block"], ctype, sniff_html=False
                     )
+            elif rec["warc_type"] == "metadata" and ctype.partition(
+                ";"
+            )[0] == "application/json":
+                # WAT layout (Common Crawl's metadata sidecar): the
+                # block is the JSON envelope — surfaced as text so
+                # consumers parse it with from_json/get_json_object
+                body_text, charset = decode_body_text(
+                    rec["block"], ctype, sniff_html=False
+                )
         except ValueError as e:
             if not tolerant:
                 raise
@@ -895,6 +904,8 @@ def wet_shard_bytes(
     text_col: str = "text",
     date_col: str | None = "warc_date",
     max_mb_per_row: int = 512,
+    record_type: str = "conversion",
+    content_type: str = "text/plain",
 ) -> DataFrame:
     """The SINK side of the capture plane (r10): serialize extracted
     pages back to standard WET shards — (shard_id, payload) rows where
@@ -969,10 +980,10 @@ def wet_shard_bytes(
                     else None
                 )
                 rec = make_warc_record(
-                    "conversion",
+                    record_type,
                     str(text).encode("utf-8"),
                     target_uri=str(url),
-                    content_type="text/plain",
+                    content_type=content_type,
                     date=str(date or "2026-01-01T00:00:00Z"),
                 )
                 members.append(make_warc([rec], gzip_members=True))

@@ -4187,3 +4187,30 @@ JOIN e3 ON e3.node = n.node
 
 
 ORACLES["link_harmonic_hll"] = _harmonic_hll_oracle()
+
+# WAT writer roundtrip (r11): the link fixture's resolved out-links
+# with their anchor text survive the JSON envelope + metadata-record
+# framing verbatim.
+ORACLES["warc_wat_roundtrip"] = """
+SELECT 'https://' || source || '.example.org/d/' || doc_id AS url,
+       link, anchor
+FROM (
+  SELECT doc_id, source,
+    'https://t' || (doc_id % 7) || '.example.net/page' AS link,
+    'x' AS anchor
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+    'https://' || source || '.example.org/local/' || doc_id, 'l'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+    'https://' || source || '.example.org/d/other/' || doc_id
+      || '.html', 'r'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, source,
+    'https://t' || ((doc_id + 1) % 7) || '.example.net/s', 'p'
+  FROM documents WHERE doc_id % 2 = 0
+)
+"""

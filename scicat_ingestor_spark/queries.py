@@ -6850,6 +6850,61 @@ def q_link_harmonic_hll(spark, sf_dir):
     )
 
 
+def q_warc_wat_roundtrip(spark, sf_dir):
+    """WAT WRITER roundtrip (r11) — the metadata sidecar of the
+    capture plane, completing the CC triple (WARC r9 / WET r10 / WAT
+    r11): every page's out-links + anchor text serialize into a JSON
+    envelope inside WARC ``metadata`` records (per-record gzip
+    members, the published WAT layout), and re-extracting THROUGH THE
+    SCAN PATH + a from_json parse must recover every (url, link,
+    anchor) verbatim. Same bounded-memory shard writer as WET
+    (record_type/content_type parameterized)."""
+    from scicat_ingestor_spark.operators import warc
+
+    rows = warc.warc_response_rows(_link_fixture_captures(spark, sf_dir))
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("url", "text")
+    links = warc.page_anchor_links(pages)
+    per_page = links.groupBy("url").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("link"), F.col("anchor")))
+        ).alias("links")
+    )
+    wat = per_page.select(
+        "url",
+        F.lit("2026-02-02T00:00:00Z").alias("warc_date"),
+        F.to_json(F.struct(F.col("links"))).alias("text"),
+    )
+    n_shards = max(8, spark.sparkContext.defaultParallelism)
+    shards = warc.wet_shard_bytes(
+        wat,
+        shards=n_shards,
+        record_type="metadata",
+        content_type="application/json",
+    )
+    reread = warc.warc_response_rows(
+        shards.select(
+            F.col("shard_id").cast("long").alias("media_id"), "payload"
+        )
+    )
+    parsed = reread.filter(F.col("warc_type") == "metadata").select(
+        "url",
+        F.explode(
+            F.from_json(
+                F.col("text"),
+                "struct<links:array<struct<link:string,anchor:string>>>",
+            )["links"]
+        ).alias("l"),
+    )
+    return parsed.select(
+        "url",
+        F.col("l.link").alias("link"),
+        F.col("l.anchor").alias("anchor"),
+    )
+
+
 def _unigram_vocab(spark, sf_dir, rounds: int = 2):
     """Memoized trained unigram-LM vocab (64 seed pieces + chars,
     2 hard-EM rounds)."""
@@ -7219,6 +7274,7 @@ QUERIES = {
     "warc_anchor_text": q_warc_anchor_text,
     "link_harmonic": q_link_harmonic,
     "link_harmonic_hll": q_link_harmonic_hll,
+    "warc_wat_roundtrip": q_warc_wat_roundtrip,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_token_counts": q_unigram_token_counts,
 }
