@@ -1568,6 +1568,54 @@ def canonical_url(col: Column | str) -> Column:
     return F.when(head == "", c).otherwise(F.concat(head, rest))
 
 
+# tracking parameters the policy normalizer strips: the de-facto list
+# every wayback/SEO canonicalizer ships (Google Analytics utm_*,
+# click ids, session ids) — parameters that never change page CONTENT
+_TRACKING_PARAM_PREFIXES = ("utm_",)
+_TRACKING_PARAMS = (
+    "fbclid", "gclid", "msclkid", "dclid", "mc_cid", "mc_eid",
+    "sessionid", "phpsessid", "jsessionid", "sid", "ref_src",
+)
+
+
+def normalize_url_policy(
+    col: Column | str,
+    sort_query: bool = True,
+    strip_tracking: bool = True,
+) -> Column:
+    """POLICY-level URL normalization on top of :func:`canonical_url`
+    (r11 — the half the SURT subset documented as 'policy, not
+    format'): sort query parameters (the same page under ``?a=1&b=2``
+    and ``?b=2&a=1`` folds to one dedup key) and strip the tracking
+    parameters (utm_*, click ids, session ids) that never change page
+    content. Empty surviving query drops the ``?`` entirely. Pure JVM
+    (split / filter / sort_array / array_join); parameter-name match
+    is case-insensitive, values preserved verbatim."""
+    c = canonical_url(col)
+    pre = F.regexp_extract(c, r"^([^?]*)", 1)
+    q = F.regexp_extract(c, r"^[^?]*\?(.*)$", 1)
+    parts = F.filter(F.split(q, "&"), lambda p: F.length(p) > 0)
+    if strip_tracking:
+        def keep(p):
+            name = F.lower(F.substring_index(p, "=", 1))
+            cond = ~name.isin(*_TRACKING_PARAMS)
+            for pref in _TRACKING_PARAM_PREFIXES:
+                cond = cond & ~name.startswith(pref)
+            return cond
+
+        parts = F.filter(parts, keep)
+    if sort_query:
+        parts = F.sort_array(parts)
+    rebuilt = F.when(
+        F.size(parts) > 0,
+        F.concat(pre, F.lit("?"), F.array_join(parts, "&")),
+    ).otherwise(
+        # the pre-query slash strip re-applies when the query vanished
+        F.regexp_replace(pre, r"/+$", "")
+    )
+    return F.when(c.contains("?"), rebuilt).otherwise(c)
+
+
 def latest_capture(rows: DataFrame) -> DataFrame:
     """URL-level latest-capture dedup — the standard pre-content-dedup
     step of every crawl pipeline (Common Crawl re-captures pages

@@ -4214,3 +4214,12 @@ FROM (
   FROM documents WHERE doc_id % 2 = 0
 )
 """
+
+# URL policy normalization (r11): all three surface variants fold to
+# the sorted-query tracking-stripped key.
+ORACLES["url_policy_dedup"] = """
+SELECT 'https://' || source || '.example.org/p/' || doc_id
+  || '?a=1&b=2' AS url,
+  CAST(3 AS BIGINT) AS n_variants
+FROM documents
+"""

@@ -6905,6 +6905,46 @@ def q_warc_wat_roundtrip(spark, sf_dir):
     )
 
 
+def q_url_policy_dedup(spark, sf_dir):
+    """Policy-level URL normalization (r11): three surface variants
+    of every page — shuffled query order, uppercase scheme/host +
+    tracking params (utm_*, fbclid with a UNIQUE value per capture,
+    the worst dedup poison), and a trailing-slash + fragment + more
+    tracking — must fold onto ONE normalized key with the query
+    parameters sorted and the tracking stripped. The operator is the
+    'policy' half the SURT/CDX format layer documents as out of
+    scope; a sort, strip, or case bug splits every page three ways."""
+    from scicat_ingestor_spark.operators import warc
+
+    docs = _t(spark, sf_dir, "documents")
+    variants = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.org/p/"), F.col("doc_id"),
+                    F.lit("?b=2&a=1"),
+                ),
+                F.concat(
+                    F.lit("HTTPS://"), F.upper("source"),
+                    F.lit(".EXAMPLE.ORG/p/"), F.col("doc_id"),
+                    F.lit("?a=1&b=2&utm_source=tw&fbclid=X"),
+                    F.col("doc_id"),
+                ),
+                F.concat(
+                    F.lit("https://"), F.col("source"),
+                    F.lit(".example.org/p/"), F.col("doc_id"),
+                    F.lit("/?utm_campaign=x&b=2&a=1#frag"),
+                ),
+            )
+        ).alias("surface_url"),
+    )
+    return variants.groupBy(
+        warc.normalize_url_policy("surface_url").alias("url")
+    ).agg(F.count(F.lit(1)).alias("n_variants"))
+
+
 def _unigram_vocab(spark, sf_dir, rounds: int = 2):
     """Memoized trained unigram-LM vocab (64 seed pieces + chars,
     2 hard-EM rounds)."""
@@ -7275,6 +7315,7 @@ QUERIES = {
     "link_harmonic": q_link_harmonic,
     "link_harmonic_hll": q_link_harmonic_hll,
     "warc_wat_roundtrip": q_warc_wat_roundtrip,
+    "url_policy_dedup": q_url_policy_dedup,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_token_counts": q_unigram_token_counts,
 }

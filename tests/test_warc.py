@@ -1954,3 +1954,28 @@ def test_hyperball_tracks_exact_harmonic(spark):
         assert abs(est[n] - exact[n]) <= max(0.05 * exact[n], 0.2), (
             n, exact[n], est[n],
         )
+
+
+def test_normalize_url_policy(spark):
+    """Query-param sorting, tracking strip (case-insensitive names,
+    values preserved), empty-query collapse with slash strip, and
+    value-bearing '?next=/' safety."""
+    cases = [
+        ("https://a.example/p?b=2&a=1", "https://a.example/p?a=1&b=2"),
+        ("https://a.example/p?a=1&UTM_Source=x&FBCLID=z",
+         "https://a.example/p?a=1"),
+        ("https://a.example/p/?utm_campaign=x#f", "https://a.example/p"),
+        ("https://a.example/p?sessionid=42", "https://a.example/p"),
+        ("https://a.example/p?next=/&a=1",
+         "https://a.example/p?a=1&next=/"),
+        ("https://a.example/p", "https://a.example/p"),
+        ("https://a.example/p?", "https://a.example/p"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["u"])
+    got = [
+        r["n"]
+        for r in df.select(
+            warc.normalize_url_policy("u").alias("n")
+        ).collect()
+    ]
+    assert got == [c[1] for c in cases]
