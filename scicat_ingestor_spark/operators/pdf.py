@@ -22,7 +22,12 @@ Supported (the subset that covers machine-generated text PDFs):
   (``\\n \\r \\t \\b \\f \\( \\) \\\\``, octal ``\\ddd``,
   line continuations) and ``<..>`` hex strings;
 - bytes -> str via latin-1 (the PDFDocEncoding-compatible total
-  decode for the simple-font subset).
+  decode) for simple fonts, and through the font's **/ToUnicode
+  CMap** (bfchar + bfrange, both forms; ``Tf`` tracks the current
+  font) for composite/CID fonts — the Type0 / Identity-H layout
+  every non-latin and most modern latin PDFs ship;
+- object streams (``/Type /ObjStm``) and xref streams (ignored
+  structurally, expanded for members) — the PDF 1.5+ layout.
 
 Explicitly GATED (ValueError — dead-letters the record in the WARC
 plane, never a corrupt extraction):
@@ -31,11 +36,11 @@ plane, never a corrupt extraction):
 - filters other than FlateDecode (DCT/LZW/ASCII85/CCITT...);
 - no text recovered AND no pages found (not a text PDF / not a PDF).
 
-Known boundary (documented, not gated): CID/composite fonts (Type0,
-Identity-H) show as latin-1 of the 2-byte CIDs — real extraction needs
-the font's ToUnicode CMap; that is the next honest increment, not a
-silent failure mode (output is visibly garbled, and machine-text PDFs
-overwhelmingly use simple fonts).
+Known boundary (documented, not gated): CID fonts WITHOUT a
+/ToUnicode CMap show as latin-1 of the raw 2-byte codes, and codes a
+CMap omits emit U+FFFD — visibly garbled, never silently wrong
+(resolving those needs the font program's internal cmap table, the
+next honest increment).
 
 Every layout rule cites ISO 32000-1 (public spec). Spark-side use:
 :func:`pdf_text` is called inside ``warc.warc_response_rows``'s
@@ -229,22 +234,114 @@ def _parse_hex(data: bytes, i: int) -> tuple[bytes, int]:
 
 
 _RE_KEYWORD = re.compile(rb"[A-Za-z'\"*]+")
+_RE_NAME = re.compile(rb"/([A-Za-z0-9_.+-]+)")
+_RE_HEXTOK = re.compile(rb"<([0-9a-fA-F\s]*)>")
 
 
-def content_text(stream: bytes) -> list[str]:
+def parse_tounicode(stream: bytes) -> tuple[int, dict[int, str]]:
+    """(code_bytes, {code: unicode}) from a /ToUnicode CMap stream
+    (ISO 32000-1 §9.10.3 / Adobe CMap spec): ``bfchar`` pairs,
+    ``bfrange`` runs (consecutive and array form), destination values
+    UTF-16BE. Code width comes from the codespacerange token (2 bytes
+    for Identity-H, the overwhelming real-world case)."""
+    code_len = 2
+    m = re.search(
+        rb"begincodespacerange\s*<([0-9a-fA-F]+)>", stream
+    )
+    if m:
+        code_len = max(1, len(m.group(1)) // 2)
+
+    def hx(tok: bytes) -> bytes:
+        digits = re.sub(rb"\s+", b"", tok)
+        if len(digits) % 2:
+            digits += b"0"
+        return bytes.fromhex(digits.decode("ascii"))
+
+    out: dict[int, str] = {}
+    for sec in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", stream, re.S
+    ):
+        toks = _RE_HEXTOK.findall(sec.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            out[int.from_bytes(hx(src), "big")] = hx(dst).decode(
+                "utf-16-be", "replace"
+            )
+    for sec in re.finditer(
+        rb"beginbfrange(.*?)endbfrange", stream, re.S
+    ):
+        body = sec.group(1)
+        pos = 0
+        while True:
+            mm = re.compile(
+                rb"<([0-9a-fA-F\s]*)>\s*<([0-9a-fA-F\s]*)>\s*"
+                rb"(\[|<[0-9a-fA-F\s]*>)"
+            ).search(body, pos)
+            if not mm:
+                break
+            lo = int.from_bytes(hx(mm.group(1)), "big")
+            hi = int.from_bytes(hx(mm.group(2)), "big")
+            if hi - lo > 1 << 16:
+                raise ValueError("not a PDF: oversized bfrange")
+            if mm.group(3) == b"[":
+                end = body.find(b"]", mm.end())
+                if end < 0:
+                    raise ValueError("not a PDF: unterminated bfrange")
+                dsts = _RE_HEXTOK.findall(body[mm.end():end])
+                for k, d in zip(range(lo, hi + 1), dsts):
+                    out[k] = hx(d).decode("utf-16-be", "replace")
+                pos = end + 1
+            else:
+                base = int.from_bytes(hx(mm.group(3)[1:-1]), "big")
+                width = len(re.sub(rb"\s+", b"", mm.group(3)[1:-1]))
+                width = max(2, width // 2 * 2) // 2  # dst byte count
+                for k in range(lo, hi + 1):
+                    out[k] = (base + (k - lo)).to_bytes(
+                        max(width, 2), "big"
+                    ).decode("utf-16-be", "replace")
+                pos = mm.end()
+    return code_len, out
+
+
+def _decode_shown(
+    s: bytes, font: str | None, font_maps: dict | None
+) -> str:
+    """Shown-string bytes -> text: through the current font's
+    ToUnicode map when one exists (unmapped codes -> U+FFFD, loud
+    not silent), latin-1 otherwise (the simple-font subset)."""
+    if font_maps and font in font_maps:
+        code_len, cmap = font_maps[font]
+        out = []
+        for i in range(0, len(s) - code_len + 1, code_len):
+            code = int.from_bytes(s[i : i + code_len], "big")
+            out.append(cmap.get(code, "�"))
+        return "".join(out)
+    return s.decode("latin-1")
+
+
+def content_text(
+    stream: bytes, font_maps: dict | None = None
+) -> list[str]:
     """Text lines of ONE page content stream: walk the operator
     stream, show-op strings append to the current line, line-break
-    ops (Td/TD/T*/'/\"/BT) flush it. Kerning numbers inside TJ arrays
-    are ignored (pure concatenation — documented simplification)."""
+    ops (Td/TD/T*/'/\"/BT) flush it. ``font_maps`` maps resource font
+    names ('F1') to (code_bytes, ToUnicode dict); the ``Tf`` operator
+    tracks the current font so CID strings decode through their CMap.
+    Kerning numbers inside TJ arrays are ignored (pure
+    concatenation — documented simplification)."""
     lines: list[str] = []
     buf: list[str] = []
     strings: list[bytes] = []
     in_text = False
+    font: str | None = None
+    last_name: str | None = None
 
     def newline():
         if buf:
             lines.append("".join(buf))
             buf.clear()
+
+    def shown(b: bytes) -> str:
+        return _decode_shown(b, font, font_maps)
 
     i = 0
     n = len(stream)
@@ -256,6 +353,13 @@ def content_text(stream: bytes) -> list[str]:
         elif c == 0x3C and not stream.startswith(b"<<", i):  # <
             s, i = _parse_hex(stream, i)
             strings.append(s)
+        elif c == 0x2F:  # /Name
+            m = _RE_NAME.match(stream, i)
+            if m:
+                last_name = m.group(1).decode("latin-1")
+                i = m.end()
+            else:
+                i += 1
         elif c == 0x25:  # % comment to EOL
             j = stream.find(b"\n", i)
             i = n if j < 0 else j + 1
@@ -273,25 +377,26 @@ def content_text(stream: bytes) -> list[str]:
             elif kw == b"ET":
                 in_text = False
                 strings.clear()
+            elif kw == b"Tf":
+                font = last_name
+                strings.clear()
             elif not in_text:
                 strings.clear()
             elif kw == b"Tj" and strings:
-                buf.append(strings[-1].decode("latin-1"))
+                buf.append(shown(strings[-1]))
                 strings.clear()
             elif kw == b"TJ" and strings:
                 # every string since the last op belongs to the array
-                buf.append(
-                    b"".join(strings).decode("latin-1")
-                )
+                buf.append("".join(shown(s) for s in strings))
                 strings.clear()
             elif kw in (b"'", b'"') and strings:
                 newline()
-                buf.append(strings[-1].decode("latin-1"))
+                buf.append(shown(strings[-1]))
                 strings.clear()
             elif kw in (b"Td", b"TD", b"T*"):
                 newline()
                 strings.clear()
-            elif kw in (b"Tf", b"Tc", b"Tw", b"Tz", b"TL", b"Ts",
+            elif kw in (b"Tc", b"Tw", b"Tz", b"TL", b"Ts",
                         b"Tr", b"Tm"):
                 strings.clear()  # operands consumed, none were shown
     newline()
@@ -324,13 +429,52 @@ def pdf_text(data: bytes) -> tuple[str, int]:
             rm = _RE_CONTENTS_REF.search(head)
             if rm:
                 refs = [int(rm.group(1))]
+        fm = _page_font_maps(head, objs)
         for r in refs:
             if r not in objs or objs[r][1] is None:
                 raise ValueError("not a PDF: missing content stream")
-            page_lines.extend(content_text(objs[r][1]))
+            page_lines.extend(content_text(objs[r][1], fm))
     if n_pages == 0:
         raise ValueError("not a PDF: no pages")
     return "\n".join(page_lines), n_pages
+
+
+_RE_FONT_DICT = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_RE_FONT_REF = re.compile(rb"/Font\s+(\d+)\s+\d+\s+R")
+_RE_FONT_ENTRY = re.compile(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R")
+_RE_TOUNI = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
+def _page_font_maps(head: bytes, objs: dict) -> dict | None:
+    """{font resource name: (code_bytes, ToUnicode dict)} of one
+    page's /Resources /Font dictionary (inline or by reference) —
+    only fonts that CARRY a /ToUnicode CMap appear; simple fonts keep
+    the latin-1 default path (r11: the CID-font boundary from the
+    first PDF increment, now real for the CMap-bearing majority of
+    composite-font PDFs — CID fonts WITHOUT ToUnicode still emit
+    U+FFFD-free latin-1 of the raw codes, visibly garbled, never
+    silently wrong)."""
+    body = b""
+    dm = _RE_FONT_DICT.search(head)
+    if dm:
+        body = dm.group(1)
+    else:
+        rm = _RE_FONT_REF.search(head)
+        if rm and int(rm.group(1)) in objs:
+            body = objs[int(rm.group(1))][0]
+    fm: dict = {}
+    for name, fnum in _RE_FONT_ENTRY.findall(body):
+        fobj = objs.get(int(fnum))
+        if fobj is None:
+            continue
+        tu = _RE_TOUNI.search(fobj[0])
+        if tu:
+            tnum = int(tu.group(1))
+            if tnum in objs and objs[tnum][1] is not None:
+                fm[name.decode("latin-1")] = parse_tounicode(
+                    objs[tnum][1]
+                )
+    return fm or None
 
 
 # ---------------------------------------------------------------------------
@@ -499,6 +643,104 @@ def make_pdf(pages: list[list[str]], flate: bool = True) -> bytes:
         offsets.append(len(out))
         out += f"{i} 0 obj\n".encode() + obj
         s = streams[i - 1] if i - 1 < len(streams) else None
+        if s is not None:
+            out += b"\nstream\n" + s + b"\nendstream"
+        out += b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def make_pdf_cid(pages: list[list[str]], flate: bool = True) -> bytes:
+    """A composite-font (Type0 / Identity-H) PDF whose text shows as
+    2-byte CIDs through a /ToUnicode CMap — the layout every
+    non-latin and most modern latin PDFs use. The CMap maps CID
+    0x1000+ord(ch) back to ASCII via one bfrange, plus bfchar entries
+    for 'é' (0x0001) and the right single quote (0x0002), so
+    extraction must actually WALK the CMap to recover the text."""
+
+    def enc(line: str) -> bytes:
+        codes = []
+        for ch in line:
+            if ch == "é":
+                codes.append(1)
+            elif ch == "’":
+                codes.append(2)
+            else:
+                codes.append(0x1000 + ord(ch))
+        return "".join(f"{c:04X}" for c in codes).encode()
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0001> <00E9>\n<0002> <2019>\nendbfchar\n"
+        b"1 beginbfrange\n<1020> <107E> <0020>\nendbfrange\n"
+        b"endcmap\nend\nend\n"
+    )
+    cstm = zlib.compress(cmap, 6) if flate else cmap
+    cfilt = " /Filter /FlateDecode" if flate else ""
+    objs: list[bytes] = []
+    streams: list[bytes | None] = []
+    first_page = 5
+    kids = " ".join(
+        f"{first_page + 2 * p} 0 R" for p in range(len(pages))
+    )
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    streams.append(None)
+    objs.append(
+        (
+            f"<< /Type /Pages /Kids [{kids}] /Count {len(pages)} >>"
+        ).encode()
+    )
+    streams.append(None)
+    objs.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SISFake "
+        b"/Encoding /Identity-H /ToUnicode 4 0 R >>"
+    )
+    streams.append(None)
+    objs.append(f"<< /Length {len(cstm)}{cfilt} >>".encode())
+    streams.append(cstm)
+    for p, lines in enumerate(pages):
+        num = first_page + 2 * p
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {num + 1} 0 R >>"
+            ).encode()
+        )
+        streams.append(None)
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for li, line in enumerate(lines):
+            if li:
+                ops.append(b"T*")
+            ops.append(b"<" + enc(line) + b"> Tj")
+        ops.append(b"ET")
+        content = b" ".join(ops)
+        if flate:
+            content = zlib.compress(content, 6)
+            objs.append(
+                (
+                    f"<< /Length {len(content)} /Filter /FlateDecode >>"
+                ).encode()
+            )
+        else:
+            objs.append(f"<< /Length {len(content)} >>".encode())
+        streams.append(content)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj
+        s = streams[i - 1]
         if s is not None:
             out += b"\nstream\n" + s + b"\nendstream"
         out += b"\nendobj\n"

@@ -4223,3 +4223,12 @@ SELECT 'https://' || source || '.example.org/p/' || doc_id
   CAST(3 AS BIGINT) AS n_variants
 FROM documents
 """
+
+# CID-font PDF extraction (r11): the ToUnicode CMap recovers the
+# ASCII range plus the two bfchar specials, closed-form.
+ORACLES["warc_pdf_cid_extract"] = """
+SELECT doc_id AS media_id,
+  'https://' || source || '.example.org/c' || doc_id || '.pdf' AS url,
+  'doc ' || doc_id || ' é’' || chr(10) || text AS text
+FROM documents
+"""

@@ -6905,6 +6905,59 @@ def q_warc_wat_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_pdf_cid_extract(spark, sf_dir):
+    """CID-font PDF extraction (r11): every doc is a composite-font
+    (Type0 / Identity-H) PDF whose text shows as 2-byte CIDs — the
+    layout every non-latin and most modern latin PDFs use — and the
+    extractor must WALK the /ToUnicode CMap (a bfrange back to ASCII
+    plus bfchar entries for 'é' and a curly quote) to recover the
+    text; latin-1 of the raw codes would be visibly garbled and
+    hash-mismatch every row."""
+    from scicat_ingestor_spark.operators import pdf, warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pb in batches:
+            payloads = []
+            for i, s, t in zip(pb["doc_id"], pb["source"], pb["text"]):
+                i = int(i)
+                buf = pdf.make_pdf_cid(
+                    [[f"doc {i} é’", str(t)]], flate=bool(i % 2)
+                )
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    buf, "application/pdf"
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/c{i}.pdf"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pb["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source", "text").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    return rows.filter(
+        F.col("content_type").startswith("application/pdf")
+    ).select("media_id", "url", "text")
+
+
 def q_url_policy_dedup(spark, sf_dir):
     """Policy-level URL normalization (r11): three surface variants
     of every page — shuffled query order, uppercase scheme/host +
@@ -7316,6 +7369,7 @@ QUERIES = {
     "link_harmonic_hll": q_link_harmonic_hll,
     "warc_wat_roundtrip": q_warc_wat_roundtrip,
     "url_policy_dedup": q_url_policy_dedup,
+    "warc_pdf_cid_extract": q_warc_pdf_cid_extract,
     "unigram_train_vocab": q_unigram_train_vocab,
     "unigram_token_counts": q_unigram_token_counts,
 }

@@ -206,3 +206,76 @@ def test_objstm_mutation_fuzz_value_error_only():
             pdf.pdf_text(bytes(buf))
         except ValueError:
             pass
+
+
+def test_tounicode_cmap_parsing():
+    cl, cm = pdf.parse_tounicode(
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0041> <00E9> <0042> <2019> endbfchar\n"
+        b"1 beginbfrange <0100> <0102> <0061> endbfrange\n"
+        b"1 beginbfrange <0200> <0201> [<0058> <0059>] endbfrange\n"
+    )
+    assert cl == 2
+    assert cm == {
+        0x41: "é", 0x42: "’",
+        0x100: "a", 0x101: "b", 0x102: "c",
+        0x200: "X", 0x201: "Y",
+    }
+    # 1-byte codespace
+    cl1, _ = pdf.parse_tounicode(
+        b"begincodespacerange <00> <FF> endcodespacerange"
+    )
+    assert cl1 == 1
+    with pytest.raises(ValueError, match="oversized bfrange"):
+        pdf.parse_tounicode(
+            b"1 beginbfrange <0000> <FFFF0000> <0000> endbfrange"
+        )
+
+
+def test_cid_pdf_roundtrip_and_unmapped_codes():
+    for flate in (True, False):
+        buf = pdf.make_pdf_cid(
+            [["doc é’ quote", "second line"], ["page 2"]], flate=flate
+        )
+        assert pdf.pdf_text(buf) == (
+            "doc é’ quote\nsecond line\npage 2", 2
+        )
+    # unmapped code -> U+FFFD, never a silent wrong char
+    cl, cm = pdf.parse_tounicode(
+        b"1 beginbfchar <0041> <0058> endbfchar"
+    )
+    got = pdf.content_text(
+        b"BT /F1 1 Tf <00410099> Tj ET", {"F1": (cl, cm)}
+    )
+    assert got == ["X�"]
+    # font without a map keeps the latin-1 simple path
+    assert pdf.content_text(b"BT /F9 1 Tf (abc) Tj ET", {"F1": (cl, cm)}) == [
+        "abc"
+    ]
+
+
+def test_tf_switches_fonts_mid_stream():
+    cl, cm = pdf.parse_tounicode(
+        b"1 beginbfchar <0041> <005A> endbfchar"
+    )
+    content = (
+        b"BT /F1 1 Tf <0041> Tj /F2 1 Tf (A) Tj /F1 1 Tf <0041> Tj ET"
+    )
+    assert pdf.content_text(content, {"F1": (cl, cm)}) == ["ZAZ"]
+
+
+def test_cid_mutation_fuzz_value_error_only():
+    import random
+
+    rng = random.Random(20260818)
+    base = pdf.make_pdf_cid([["cid fuzz é", "line"]])
+    for trial in range(200):
+        buf = bytearray(base)
+        if trial % 2 == 0:
+            buf = buf[: rng.randrange(1, len(buf))]
+        else:
+            buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        try:
+            pdf.pdf_text(bytes(buf))
+        except ValueError:
+            pass
