@@ -95,6 +95,23 @@ SHOWN = [
         "as-of join via tag-union-window (one shuffle, no range nested loop)",
     ),
     (
+        "sitemap_frontier",
+        "sitemap-fed frontier: domain-sized discovery joins broadcast; "
+        "the big capture side scans once under a broadcast semi filter "
+        "+ broadcast anti (never shuffles)",
+    ),
+    (
+        "link_harmonic_hll",
+        "HyperBall harmonic centrality: per hop one equi-join + one "
+        "partial-aggregatable groupBy-max over sparse HLL register rows",
+    ),
+    (
+        "warc_pdf_extract",
+        "application/pdf decode rides the scan-local bytes plane "
+        "(mapInPandas), dead-letters per record; downstream is one "
+        "codegen Project",
+    ),
+    (
         "dedup_simhash_hamming",
         "banded 64-bit SimHash: self-join candidates, XOR+bit_count verify",
     ),
