@@ -3315,6 +3315,64 @@ FROM big JOIN model USING (w1, w2)
 GROUP BY big.doc_id
 """
 
+# interpolated Kneser-Ney bigram scoring (r11): the KenLM arithmetic
+# replayed exactly — every model term is an integer aggregate over
+# the distinct-bigram TYPE relation (prefix occurrences c(w1.),
+# distinct continuations N1+, total types, count-of-counts discount
+# D = n1/(n1+2*n2)), so both engines divide the same exact integers.
+ORACLES["text_kn_logprob"] = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                x -> x <> '') AS t
+  FROM documents
+),
+big AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t) - 1)) AS i
+  ) g
+  WHERE len(t) >= 2
+),
+bt AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2
+),
+pre AS MATERIALIZED (
+  SELECT w1, sum(c12) AS c1, count(*) AS fol FROM bt GROUP BY w1
+),
+cont AS MATERIALIZED (
+  SELECT w2, count(*) AS prec FROM bt GROUP BY w2
+),
+gstats AS MATERIALIZED (
+  SELECT count(*) AS tt,
+    CASE WHEN sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+            + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) > 0
+      THEN CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+                  + 2 * sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+      ELSE 0.75 END AS d
+  FROM bt
+),
+model AS MATERIALIZED (
+  SELECT bt.w1, bt.w2,
+    ln(greatest(CAST(bt.c12 AS DOUBLE) - g.d, 0.0)
+         / CAST(pre.c1 AS DOUBLE)
+       + g.d * CAST(pre.fol AS DOUBLE) / CAST(pre.c1 AS DOUBLE)
+             * CAST(cont.prec AS DOUBLE) / CAST(g.tt AS DOUBLE))
+      AS logp
+  FROM bt
+  JOIN pre ON pre.w1 = bt.w1
+  JOIN cont ON cont.w2 = bt.w2
+  CROSS JOIN gstats g
+)
+SELECT big.doc_id,
+  round(avg(-model.logp), 6) AS mean_neg_logp_kn,
+  CAST(count(*) AS BIGINT) AS n_bigrams
+FROM big JOIN model USING (w1, w2)
+GROUP BY big.doc_id
+"""
+
 # robots politeness metadata (r10; group semantics pinned r11):
 # group-exclusive crawl-delay — the blank-line-stacked 'sis-crawler'
 # group's 0.5 beats '*' 2 on even-length sources; on odd-length
@@ -3663,6 +3721,152 @@ GROUP BY d.doc_id
 
 ORACLES["bpe_train_segment"] = _bpe_oracle(8)
 ORACLES["bpe_train_bytes"] = _bpe_oracle(8, mode="bytes")
+
+
+def _wordpiece_oracle(k: int = 8) -> str:
+    """Replay WordPiece training + longest-match encoding (r11). The
+    k training stages are the _bpe_oracle scaffold with two changes:
+    initial symbols carry the ``##`` continuation prefix (first char
+    bare), and the argmax is LIKELIHOOD-scored —
+    c(ab) / (c(a)·c(b)) in double, ties on (a, b) — with the merged
+    symbol fusing ``a || strip##(b)``. Encoding is replayed exactly:
+    a per-(word, pos) best-match-length table (max-munch against the
+    final vocabulary = alphabet + merge products) drives a RECURSIVE
+    CTE whose single deterministic chain per word terminates either
+    past the word end (piece count = steps) or at a matchless
+    position ([UNK], 1 token)."""
+    parts = ["""
+WITH RECURSIVE w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+    FROM documents) t
+  WHERE length(word) > 0 GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+    list(CASE WHEN i = 1 THEN substr(word, i, 1)
+              ELSE '##' || substr(word, i, 1) END ORDER BY i)
+      AS symbols
+  FROM w0, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) g
+  GROUP BY word, freq
+)"""]
+    for n in range(1, k + 1):
+        p = n - 1
+        parts.append(f""",
+p{n} AS MATERIALIZED (
+  SELECT symbols[i] AS a, symbols[i+1] AS b, sum(freq) AS cp
+  FROM s{p}, LATERAL (SELECT unnest(generate_series(1, len(symbols)-1))
+                      AS i) g
+  GROUP BY 1, 2
+),
+u{n} AS MATERIALIZED (
+  SELECT sym, sum(freq) AS cs
+  FROM (SELECT freq, unnest(symbols) AS sym FROM s{p}) t GROUP BY sym
+),
+b{n} AS MATERIALIZED (
+  SELECT p.a, p.b,
+    p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3) ELSE p.b END
+      AS m
+  FROM p{n} p
+  JOIN u{n} ua ON ua.sym = p.a
+  JOIN u{n} ub ON ub.sym = p.b
+  ORDER BY CAST(p.cp AS DOUBLE)
+             / (CAST(ua.cs AS DOUBLE) * CAST(ub.cs AS DOUBLE)) DESC,
+           p.a, p.b
+  LIMIT 1
+),
+e{n} AS MATERIALIZED (
+  SELECT word, freq, i, symbols[i] AS sym,
+    CASE WHEN i < len(symbols)
+          AND symbols[i] = (SELECT a FROM b{n})
+          AND symbols[i+1] = (SELECT b FROM b{n})
+         THEN 1 ELSE 0 END AS m
+  FROM s{p}, LATERAL (SELECT unnest(generate_series(1, len(symbols)))
+                      AS i) g
+),
+r{n} AS MATERIALIZED (
+  SELECT *, sum(1-m) OVER (PARTITION BY word ORDER BY i) AS run_id
+  FROM e{n}
+),
+k{n} AS MATERIALIZED (
+  SELECT *, CASE WHEN m = 1 AND (sum(m) OVER
+      (PARTITION BY word, run_id ORDER BY i)) % 2 = 1
+    THEN 1 ELSE 0 END AS km
+  FROM r{n}
+),
+o{n} AS MATERIALIZED (
+  SELECT *, lag(km) OVER (PARTITION BY word ORDER BY i) AS pk
+  FROM k{n}
+),
+s{n} AS MATERIALIZED (
+  SELECT word, freq,
+    list(CASE WHEN km = 1
+              THEN (SELECT m FROM b{n}) ELSE sym END ORDER BY i)
+      FILTER (WHERE coalesce(pk, 0) = 0) AS symbols
+  FROM o{n} GROUP BY word, freq
+)""")
+    merged_union = "\n  UNION\n".join(
+        f"  SELECT m AS piece FROM b{n}" for n in range(1, k + 1)
+    )
+    parts.append(f""",
+vocabt AS MATERIALIZED (
+  SELECT DISTINCT sym AS piece
+  FROM (SELECT unnest(symbols) AS sym FROM s0) t
+  UNION
+{merged_union}
+),
+mx AS (
+  SELECT max(length(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                         ELSE piece END)) AS m
+  FROM vocabt
+),
+words AS MATERIALIZED (SELECT word FROM w0),
+bestl AS MATERIALIZED (
+  SELECT w.word, g.pos, max(i.l) AS bl
+  FROM words w,
+    LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS pos) g,
+    LATERAL (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS l) i
+  WHERE g.pos + i.l - 1 <= length(w.word)
+    AND EXISTS (
+      SELECT 1 FROM vocabt v
+      WHERE v.piece = CASE WHEN g.pos = 1
+                        THEN substr(w.word, g.pos, i.l)
+                        ELSE '##' || substr(w.word, g.pos, i.l) END)
+  GROUP BY w.word, g.pos
+),
+enc AS (
+  SELECT word, 1 AS pos, 0 AS n, false AS failed FROM words
+  UNION ALL
+  SELECT e.word,
+    CASE WHEN b.bl IS NULL THEN length(e.word) + 1
+         ELSE e.pos + b.bl END,
+    e.n + CASE WHEN b.bl IS NULL THEN 0 ELSE 1 END,
+    b.bl IS NULL
+  FROM enc e
+  LEFT JOIN bestl b ON b.word = e.word AND b.pos = e.pos
+  WHERE e.pos <= length(e.word) AND NOT e.failed
+),
+wp AS MATERIALIZED (
+  SELECT word,
+    CASE WHEN failed THEN 1 ELSE n END AS pieces,
+    CASE WHEN failed THEN 1 ELSE 0 END AS unk
+  FROM enc WHERE failed OR pos > length(word)
+)
+SELECT d.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(wp.pieces) AS BIGINT) AS n_wp_tokens,
+  CAST(sum(wp.unk) AS BIGINT) AS n_unk_words
+FROM (SELECT doc_id, text FROM documents) d,
+  LATERAL (SELECT unnest(regexp_split_to_array(trim(d.text), '\\s+'))
+           AS word) dw
+  JOIN wp ON wp.word = dw.word
+WHERE length(dw.word) > 0
+GROUP BY d.doc_id
+""")
+    return "".join(parts)
+
+
+ORACLES["wordpiece_train_tokens"] = _wordpiece_oracle(8)
 
 
 # Exact-substring removal: duplicated-span coverage replayed with NOT

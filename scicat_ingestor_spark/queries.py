@@ -192,6 +192,22 @@ def _bpe_merges_bytes(spark, sf_dir: str, k: int = 8):
     return _TRAINED_CACHE[key]
 
 
+def _wp_vocab(spark, sf_dir: str, k: int = 8):
+    """Memoized trained WordPiece vocabulary per (session, sf_dir) —
+    the BERT-family member of the tokenizer-training cache trio
+    (_bpe_merges / unigram). Deterministic (likelihood score with
+    (a, b) tie-break), so the DuckDB oracle replays the same k
+    iterations as unrolled CTE stages (oracles._wordpiece_oracle)."""
+    from scicat_ingestor_spark.operators import wordpiece
+
+    key = (spark, sf_dir, "wordpiece", k)
+    if key not in _TRAINED_CACHE:
+        _TRAINED_CACHE[key] = wordpiece.wordpiece_train(
+            _t(spark, sf_dir, "documents"), merges=k
+        )
+    return _TRAINED_CACHE[key]
+
+
 def _dsir_ratios(spark, sf_dir: str, n_buckets: int = 64):
     """Memoized DSIR log-ratio vector (target = the %97 eval-ish
     split, raw = the rest)."""
@@ -2759,6 +2775,92 @@ def q_text_bigram_logprob(spark, sf_dir):
     )
 
 
+def q_text_kn_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (r11) — the smoothing
+    KenLM actually ships (Ney, Essen & Kneser 1994; Chen & Goodman
+    1999), upgrading q_text_bigram_logprob's add-1 estimator to the
+    production CCNet-filter arithmetic:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+                 + D · N1+(w1,·)/c(w1·) · N1+(·,w2)/N1+(··)
+
+    with the discount D = n1/(n1 + 2·n2) estimated from the bigram
+    count-of-counts (the KenLM default). Every term is an exact
+    integer aggregate over the distinct-bigram TYPE relation (c(w1·)
+    prefix occurrences, N1+ distinct-continuation counts, total type
+    count, n1/n2 singleton/doubleton types), so both engines compute
+    bit-identical doubles; D and the type total ride a one-row
+    broadcast. Scale shape is the bigram query's: the model table is
+    distinct-bigram-sized, the score join is a plain (w1, w2)
+    equi-join AQE plans, nothing quadratic. Rounded to 6 dp for
+    cross-engine compare."""
+    docs = _t(spark, sf_dir, "documents")
+    arr = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+    )
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    big = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    bt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pre = bt.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("fol")
+    )
+    cont = bt.groupBy("w2").agg(F.count(F.lit(1)).alias("prec"))
+    glob = bt.agg(
+        F.count(F.lit(1)).alias("tt"),
+        F.sum(F.when(F.col("c12") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("c12") == 2, 1).otherwise(0)).alias("n2"),
+    ).select(
+        "tt",
+        F.when(
+            (F.col("n1") + 2 * F.col("n2")) > 0,
+            F.col("n1").cast("double")
+            / (F.col("n1") + 2 * F.col("n2")).cast("double"),
+        )
+        .otherwise(F.lit(0.75))
+        .alias("d"),
+    )
+    model = (
+        bt.join(pre, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(
+                    F.col("c12").cast("double") - F.col("d"),
+                    F.lit(0.0),
+                )
+                / F.col("c1").cast("double")
+                + F.col("d")
+                * F.col("fol").cast("double")
+                / F.col("c1").cast("double")
+                * F.col("prec").cast("double")
+                / F.col("tt").cast("double")
+            ).alias("logp"),
+        )
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.col("logp")), 6).alias("mean_neg_logp_kn"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+
+
 def q_corpus_prep_e2e(spark, sf_dir):
     """The training-corpus preparation flow as ONE composed plan —
     quality gate -> eval-split decontamination -> exact dedup -> token
@@ -3103,6 +3205,41 @@ def q_bpe_train_segment(spark, sf_dir):
         bpe.bpe_token_count("text", merges).cast("long").alias(
             "n_bpe_tokens"
         ),
+    )
+
+
+def q_wordpiece_train_tokens(spark, sf_dir):
+    """WordPiece tokenizer training + longest-match encoding (r11) —
+    the BERT-family tokenizer completing the trained trio next to BPE
+    (bpe_train_segment) and unigram-LM (unigram_train_vocab): 8
+    likelihood-scored merges (score = c(ab)/(c(a)·c(b)), ties on
+    (a, b)) learned over the character alphabet with ``##``
+    continuation marking, then every document's piece count and
+    [UNK]-word count under greedy longest-match-first encoding — the
+    exact BERT `WordpieceTokenizer` algorithm as a pure JVM fold. The
+    oracle replays all 8 training iterations as unrolled CTE stages
+    (pair + symbol counts, double-division score argmax, run-parity
+    greedy rewrite) and re-encodes every word with a recursive
+    longest-match CTE — a divergence in ANY iteration's score argmax
+    or in max-munch order shifts counts corpus-wide."""
+    from scicat_ingestor_spark.operators import wordpiece
+
+    vocab = _wp_vocab(spark, sf_dir, k=8)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).cast("long").alias("n_words"),
+        wordpiece.wordpiece_token_counts("text", vocab).alias("wp"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.col("wp.n").cast("long").alias("n_wp_tokens"),
+        F.col("wp.unk").cast("long").alias("n_unk_words"),
     )
 
 
@@ -7314,6 +7451,7 @@ QUERIES = {
     "warc_wet_extract": q_warc_wet_extract,
     "warc_robots_filter": q_warc_robots_filter,
     "bpe_train_segment": q_bpe_train_segment,
+    "wordpiece_train_tokens": q_wordpiece_train_tokens,
     "warc_main_text": q_warc_main_text,
     "warc_domain_stats": q_warc_domain_stats,
     "q6_forecast_revenue": q_q6_forecast_revenue,
@@ -7357,6 +7495,7 @@ QUERIES = {
     "cdx_index_lookup": q_cdx_index_lookup,
     "warc_robots_politeness": q_warc_robots_politeness,
     "text_bigram_logprob": q_text_bigram_logprob,
+    "text_kn_logprob": q_text_kn_logprob,
     "crawl_frontier_budget": q_crawl_frontier_budget,
     # round-11 additions: corpus-quality gaps
     "warc_entity_decode": q_warc_entity_decode,
