@@ -1144,3 +1144,95 @@ def remove_duplicate_spans(
             F.coalesce(F.col("_text"), F.lit("")).alias("text"),
         )
     )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose precomputed bit-string
+    signatures agree on >= 1 of ``bands`` equal-width bands and differ
+    in <= ``max_hamming`` bits — the dedup_simhash candidate/verify
+    machinery (r11) factored over an EXTERNAL signature column, so
+    non-text signature planes (perceptual image hashes in
+    operators/multimodal.py) reuse the identical join shape.
+
+    Pigeonhole: bands-band agreement gives FULL recall at hamming <=
+    bands - 1 (the default threshold). Scale shape is dedup_simhash's:
+    band values become long join keys (coalesced non-null so no
+    inferred isnotnull re-runs the upstream stage), each pair is
+    emitted ONLY in its first matching band (codegen'd filter — no
+    pair-sized distinct shuffle), and the verify is two XOR+bit_count
+    half-words."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    width = bits // bands
+    half = (bits + 1) // 2
+    bvs = [
+        F.coalesce(
+            F.conv(
+                F.substring(sig_col, b * width + 1, width), 2, 10
+            ).cast("long"),
+            F.lit(-1),
+        ).alias(f"bv{b}")
+        for b in range(bands)
+    ]
+    s = ensure_parallelism(sig).select(
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            F.conv(F.substring(sig_col, 1, half), 2, 10).cast("long"),
+            F.lit(0),
+        ).alias("h1"),
+        F.coalesce(
+            F.conv(
+                F.substring(sig_col, half + 1, bits - half), 2, 10
+            ).cast("long"),
+            F.lit(0),
+        ).alias("h2"),
+        *bvs,
+    )
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), F.col(f"bv{b}").alias("bkey"))
+        for b in range(bands)
+    ]
+    banded = s.select(
+        "id",
+        "h1",
+        "h2",
+        *[f"bv{b}" for b in range(bands)],
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        "id",
+        "h1",
+        "h2",
+        *[f"bv{b}" for b in range(bands)],
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    first_match = F.lit(True)
+    for j in range(bands - 1):
+        first_match = first_match & (
+            (F.col("a.band") <= j)
+            | (F.col(f"a.bv{j}") != F.col(f"b.bv{j}"))
+        )
+    joined = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.id") < F.col("b.id"))
+        & first_match,
+    )
+    ham = (
+        F.bit_count(F.col("a.h1").bitwiseXOR(F.col("b.h1")))
+        + F.bit_count(F.col("a.h2").bitwiseXOR(F.col("b.h2")))
+    ).cast("long")
+    return joined.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        ham.alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

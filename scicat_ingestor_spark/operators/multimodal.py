@@ -2198,3 +2198,125 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
         )
         .filter(F.col("frame_idx") % every_n == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (r11) — the LAION-class image-dedup key
+# ---------------------------------------------------------------------------
+#
+# dHash (row-gradient sign, 9x8 grid) and aHash (mean threshold, 8x8)
+# over REAL decoded pixels: the content-addressable keys web-scale
+# image pipelines (LAION-5B's pHash-family dedup, CommonPool) use to
+# collapse re-encoded/re-hosted copies of the same picture. Both
+# hashes are 64-char '0'/'1' strings — the engine-portable signature
+# convention operators/dedup.py's SimHash plane already pins — so the
+# SAME banded-Hamming join machinery dedups text and images.
+#
+# The grayscale is the exact integer channel SUM (B+G+R, no division),
+# and the downsample is the bmp_resize nearest-neighbor convention
+# (src = (X*w)//target), so every bit is integer-exact arithmetic the
+# DuckDB oracle replays closed-form. aHash thresholds strictly
+# (64*g > sum over the 64 cells) to stay division-free.
+
+
+def bmp_gray_grid(payload: bytes):
+    """(h, w) int32 grayscale grid (B+G+R) of an uncompressed 24-bit
+    BMP — the perceptual-hash substrate. Other formats gate with the
+    documented codec-boundary discipline (the hash CONTRACT is
+    format-independent; the real decode exists for the format the
+    pipeline fixtures synthesize)."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, height_raw = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            "perceptual hash decode implemented for uncompressed "
+            "24-bit BMP (the fixture format); route other formats "
+            "through their pixel decoders"
+        )
+    h = abs(height_raw)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < data_off + stride * h:
+        raise ValueError("not a BMP: truncated pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3).astype(np.int32)
+    if height_raw > 0:  # bottom-up storage -> image order
+        px = px[::-1]
+    return px.sum(axis=2)
+
+
+def _nn_grid(gray, tw: int, th: int):
+    """Nearest-neighbor downsample to (th, tw) — the bmp_resize index
+    convention ((X*w)//tw, (Y*h)//th)."""
+    import numpy as np
+
+    h, w = gray.shape
+    xs = (np.arange(tw) * w) // tw
+    ys = (np.arange(th) * h) // th
+    return gray[np.ix_(ys, xs)]
+
+
+def dhash64(gray) -> str:
+    """64-bit dHash as a '0'/'1' string, bit (Y*8+X) = 1 iff the 9x8
+    downsampled grid increases left-to-right at (X, Y) — invariant to
+    uniform brightness/contrast scaling, the property that makes it a
+    re-encode-stable dedup key."""
+    import numpy as np
+
+    g = _nn_grid(gray, 9, 8)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def ahash64(gray) -> str:
+    """64-bit aHash: 8x8 downsample, bit = cell strictly above the
+    64-cell mean (64*g > total — division-free, integer-exact)."""
+    import numpy as np
+
+    g = _nn_grid(gray, 8, 8).astype(np.int64)
+    total = int(g.sum())
+    bits = (64 * g > total).astype(np.uint8)
+    return "".join("1" if b else "0" for b in bits.ravel())
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """(media_id, width, height, dhash, ahash) over (media_id,
+    payload) image rows — Arrow-batched, partition-preserving,
+    decode-late like every media stage; the emitted signatures feed
+    operators/dedup.banded_hamming_pairs unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, dh, ah = [], [], [], []
+            for b in pdf["payload"]:
+                gray = bmp_gray_grid(bytes(b))
+                w.append(gray.shape[1])
+                h.append(gray.shape[0])
+                dh.append(dhash64(gray))
+                ah.append(ahash64(gray))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "dhash": dh,
+                    "ahash": ah,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width int, height int, "
+            "dhash string, ahash string"
+        ),
+    )

@@ -4436,3 +4436,92 @@ SELECT doc_id AS media_id,
   'doc ' || doc_id || ' é’' || chr(10) || text AS text
 FROM documents
 """
+
+
+# perceptual image hashing (r11): dHash/aHash recomputed closed-form
+# from the BMP pixel rule (x*7 + y*13 + c*29) % 256 — gray is the
+# integer channel sum, downsample is the bmp_resize nearest-neighbor
+# index convention, bits are row-major Y*8+X. The engine must decode
+# the REAL bytes (bottom-up rows, stride) to hit the same strings.
+
+
+def _gray_expr(sx: str, sy: str) -> str:
+    """Integer gray (B+G+R) at source pixel (sx, sy) under the 24-bit
+    BMP closed form."""
+    base = f"(({sx})*7 + ({sy})*13)"
+    return (
+        f"(({base}) % 256) + (({base} + 29) % 256) + "
+        f"(({base} + 58) % 256)"
+    )
+
+
+def _phash_cte(src: str, idc: str) -> str:
+    """dh/ah CTEs computing the 64-char dHash/aHash strings per row of
+    ``src`` (needs columns ``{idc}, w, h``)."""
+    g_cur = _gray_expr("(X.g*d.w)//9", "(Y.g*d.h)//8")
+    g_nxt = _gray_expr("((X.g+1)*d.w)//9", "(Y.g*d.h)//8")
+    g_a = _gray_expr("(X.g*d.w)//8", "(Y.g*d.h)//8")
+    return f"""
+dh AS MATERIALIZED (
+  SELECT d.{idc},
+    string_agg(CASE WHEN ({g_nxt}) > ({g_cur}) THEN '1' ELSE '0' END,
+               '' ORDER BY Y.g*8 + X.g) AS dhash
+  FROM {src} d,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS g) X,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS g) Y
+  GROUP BY d.{idc}
+),
+ac AS MATERIALIZED (
+  SELECT d.{idc}, Y.g*8 + X.g AS ord, {g_a} AS cell
+  FROM {src} d,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS g) X,
+    LATERAL (SELECT unnest(generate_series(0, 7)) AS g) Y
+),
+ah AS MATERIALIZED (
+  SELECT {idc}, string_agg(bit, '' ORDER BY ord) AS ahash FROM (
+    SELECT {idc}, ord,
+      CASE WHEN 64*cell > sum(cell) OVER (PARTITION BY {idc})
+           THEN '1' ELSE '0' END AS bit
+    FROM ac) t
+  GROUP BY {idc}
+)"""
+
+
+ORACLES["image_perceptual_hash"] = f"""
+WITH d AS MATERIALIZED (
+  SELECT doc_id, (doc_id % 16) + 1 AS w, ((doc_id // 16) % 16) + 1 AS h
+  FROM documents
+),{_phash_cte('d', 'doc_id')}
+SELECT d.doc_id AS media_id,
+  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+  dh.dhash, ah.ahash
+FROM d JOIN dh ON dh.doc_id = d.doc_id JOIN ah ON ah.doc_id = d.doc_id
+"""
+
+# survivor contract: banding (4 bands / 64 bits) has full recall at
+# hamming <= 3 by pigeonhole and the verify filter drops everything
+# above, so the engine's pair set EQUALS the all-pairs-within-3
+# relation — replayed here at GROUP granularity (97 distinct images):
+# a doc survives iff it is the minimum id across its hash
+# neighborhood's groups (width-1 gradient-free images collide by
+# design, so neighborhoods span groups).
+ORACLES["image_phash_dedup"] = f"""
+WITH grp AS MATERIALIZED (SELECT DISTINCT doc_id % 97 AS g FROM documents),
+d AS MATERIALIZED (
+  SELECT g, (g % 16) + 1 AS w, ((g // 16) % 16) + 1 AS h FROM grp
+),{_phash_cte('d', 'g')}
+, near AS MATERIALIZED (
+  SELECT a.g AS ga, b.g AS gb
+  FROM dh a JOIN dh b ON hamming(a.dhash, b.dhash) <= 3
+),
+gm AS MATERIALIZED (
+  SELECT doc_id % 97 AS g, min(doc_id) AS mn FROM documents GROUP BY 1
+),
+thr AS MATERIALIZED (
+  SELECT near.ga AS g, min(gm.mn) AS mn
+  FROM near JOIN gm ON gm.g = near.gb GROUP BY near.ga
+)
+SELECT doc_id FROM documents
+JOIN thr ON thr.g = doc_id % 97
+WHERE doc_id = thr.mn
+"""

@@ -5368,6 +5368,86 @@ def q_multimodal_dedup_images(spark, sf_dir):
     )
 
 
+def q_image_perceptual_hash(spark, sf_dir):
+    """Perceptual image hashing over REAL decoded pixels (r11) — the
+    LAION-class image-dedup key: every document's 24-bit BMP (the
+    closed-form pixel rule (x*7+y*13+c*29)%256, sized from doc_id) is
+    actually decoded (bottom-up rows, stride) and reduced to dHash
+    (9x8 row-gradient) and aHash (8x8 strict-mean threshold) bit
+    strings. The oracle recomputes both hashes closed-form from the
+    pixel rule — a decoder, downsample-index, or bit-order bug flips
+    bits corpus-wide. Scan-local mapInPandas; zero shuffles."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_bmp(
+                            (int(i) % 16) + 1, ((int(i) // 16) % 16) + 1
+                        )
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.perceptual_hash(media)
+
+
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image dedup end-to-end (r11): documents in the
+    same doc_id%97 group share IDENTICAL synthesized images; the
+    engine decodes real BMP bytes, computes dHash, finds near-dup
+    pairs with the banded-Hamming join (4 bands over 64 bits — full
+    recall at hamming <= 3 by pigeonhole; the SAME machinery as text
+    SimHash, operators/dedup.banded_hamming_pairs), and keeps the
+    lowest id per cluster. Distinct groups with gradient-free images
+    (width 1) deliberately COLLIDE — the oracle replays the
+    closed-form hashes and the exact all-pairs-within-3 contract the
+    banded join must equal, so both the recall guarantee and the
+    collision semantics are pinned. Candidates form only inside hash
+    bands; nothing quadratic in the corpus."""
+    from scicat_ingestor_spark.operators import multimodal
+    from scicat_ingestor_spark.operators.dedup import banded_hamming_pairs
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                g = int(i) % 97
+                payloads.append(
+                    multimodal.make_bmp((g % 16) + 1, ((g // 16) % 16) + 1)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    sig = multimodal.perceptual_hash(media).select(
+        F.col("media_id").alias("id"), F.col("dhash").alias("sig")
+    )
+    pairs = banded_hamming_pairs(sig, max_hamming=3)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.select("doc_id")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing: decode -> explode frame index list ->
     keep every Nth frame. The explode happens post-decode so payload
@@ -7381,6 +7461,8 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
     "multimodal_dedup_images": q_multimodal_dedup_images,
+    "image_perceptual_hash": q_image_perceptual_hash,
+    "image_phash_dedup": q_image_phash_dedup,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,
