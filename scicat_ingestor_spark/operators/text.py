@@ -217,3 +217,53 @@ def pii_scrub(text: Column) -> Column:
     for _, pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profiling (r11) — the langid complement
+# ---------------------------------------------------------------------------
+#
+# Codepoint-range census per document: the cheap structural signal
+# real pipelines (CCNet's script gate, FineWeb's language buckets)
+# read BEFORE any model — catches wrong-script contamination, mixed-
+# script spam, and digit-heavy boilerplate that a trained classifier
+# only sees probabilistically. Ranges are explicit BMP literals so
+# Java regex and RE2 agree exactly; counts come from the
+# length-minus-stripped trick (one regexp_replace per script, all
+# codegen).
+
+SCRIPT_RANGES: tuple[tuple[str, str], ...] = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("digit", "[0-9]"),
+)
+
+
+def script_counts(text: Column) -> dict[str, Column]:
+    """Per-script codepoint counts (+ total chars) of a text column —
+    length(t) - length(t with the script class stripped)."""
+    out = {"n_chars": F.length(text)}
+    for name, cls in SCRIPT_RANGES:
+        out[name] = F.length(text) - F.length(
+            F.regexp_replace(text, cls, "")
+        )
+    return out
+
+
+def dominant_script(counts: dict[str, Column]) -> Column:
+    """First script in SCRIPT_RANGES order whose count >= every
+    other's — the deterministic priority-order argmax both engines
+    spell identically (ties resolve to the earlier-listed script);
+    'none' when no script char occurs at all."""
+    names = [n for n, _ in SCRIPT_RANGES]
+    expr = F.lit("none")
+    for name in reversed(names):
+        is_max = F.lit(True)
+        for other in names:
+            if other != name:
+                is_max = is_max & (counts[name] >= counts[other])
+        expr = F.when((counts[name] > 0) & is_max, F.lit(name)).otherwise(
+            expr
+        )
+    return expr

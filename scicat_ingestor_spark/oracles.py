@@ -3373,6 +3373,66 @@ FROM big JOIN model USING (w1, w2)
 GROUP BY big.doc_id
 """
 
+# Unicode script profiling (r11): same explicit BMP range classes,
+# same length-minus-stripped counts (DuckDB needs the 'g' flag), same
+# priority-order dominant-script CASE — both engines spell the
+# identical arithmetic over the identical script-cycled corpus.
+def _script_oracle() -> str:
+    ranges = [
+        ("latin", "[A-Za-zÀ-ɏ]"),
+        ("cyrillic", "[Ѐ-ӿ]"),
+        ("greek", "[Ͱ-Ͽ]"),
+        ("digit", "[0-9]"),
+    ]
+    lat = "abcdefghijklmnopqrstuvwxyz"
+    cyr = "абвгдежзийклмнопрстуфхцчшщ"
+    grk = "αβγδεζηθικλμνξοπρστυφχψωςϊ"
+    cnt_cols = ",\n    ".join(
+        f"length(t) - length(regexp_replace(t, '{cls}', '', 'g'))"
+        f" AS c_{name}"
+        for name, cls in ranges
+    )
+    names = [n for n, _ in ranges]
+    dom = "CASE "
+    for name in names:
+        conds = " AND ".join(
+            f"c_{name} >= c_{o}" for o in names if o != name
+        )
+        dom += f"WHEN c_{name} > 0 AND {conds} THEN '{name}' "
+    dom += "ELSE 'none' END"
+    ratio_cols = ",\n  ".join(
+        f"round(CAST(c_{n} AS DOUBLE) / greatest(length(t), 1), 6)"
+        f" AS {n}_ratio"
+        for n in names
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN text
+      WHEN 1 THEN translate(lower(text), '{lat}', '{cyr}')
+      WHEN 2 THEN regexp_replace(lower(text), '[aeiou]', '7', 'g')
+      WHEN 3 THEN translate(lower(text), '{lat}', '{grk}')
+      ELSE lower(text) || ' ' || translate(lower(text), '{lat}', '{cyr}')
+    END AS t
+  FROM documents
+),
+c AS MATERIALIZED (
+  SELECT doc_id, t,
+    {cnt_cols}
+  FROM v
+)
+SELECT doc_id,
+  CAST(length(t) AS BIGINT) AS n_chars,
+  {ratio_cols},
+  {dom} AS dominant_script
+FROM c
+"""
+
+
+ORACLES["text_script_profile"] = _script_oracle()
+
+
 # robots politeness metadata (r10; group semantics pinned r11):
 # group-exclusive crawl-delay — the blank-line-stacked 'sis-crawler'
 # group's 0.5 beats '*' 2 on even-length sources; on odd-length

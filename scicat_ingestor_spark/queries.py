@@ -2861,6 +2861,53 @@ def q_text_kn_logprob(spark, sf_dir):
     )
 
 
+_LAT26 = "abcdefghijklmnopqrstuvwxyz"
+_CYR26 = "абвгдежзийклмнопрстуфхцчшщ"
+_GRK26 = "αβγδεζηθικλμνξοπρστυφχψωςϊ"
+
+
+def q_text_script_profile(spark, sf_dir):
+    """Unicode script profiling (r11) — the pre-model structural gate
+    (CCNet's script check): per document the codepoint census over
+    explicit BMP ranges (latin incl. Latin-1/Extended-A, cyrillic,
+    greek, digits) and the deterministic priority-order dominant
+    script. The corpus cycles scripts on doc_id%5 (as-is latin /
+    translate-to-cyrillic / vowels-to-digits / translate-to-greek /
+    latin+cyrillic mixed — `translate` has identical
+    shorter-target-deletes semantics in both engines), so every
+    branch of the census and the tie rule executes. All counts are
+    length-minus-stripped codegen expressions; zero shuffles beyond
+    the scan."""
+    from scicat_ingestor_spark.operators import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    t = (
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .when(F.col("doc_id") % 5 == 1, F.translate(low, _LAT26, _CYR26))
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.regexp_replace(low, "[aeiou]", "7"),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.translate(low, _LAT26, _GRK26))
+        .otherwise(
+            F.concat(low, F.lit(" "), F.translate(low, _LAT26, _CYR26))
+        )
+    )
+    base = docs.select("doc_id", t.alias("t"))
+    counts = T.script_counts(F.col("t"))
+    den = F.greatest(counts["n_chars"], F.lit(1)).cast("double")
+    return base.select(
+        "doc_id",
+        counts["n_chars"].cast("long").alias("n_chars"),
+        *[
+            F.round(counts[name] / den, 6).alias(f"{name}_ratio")
+            for name, _ in T.SCRIPT_RANGES
+        ],
+        T.dominant_script(counts).alias("dominant_script"),
+    )
+
+
 def q_corpus_prep_e2e(spark, sf_dir):
     """The training-corpus preparation flow as ONE composed plan —
     quality gate -> eval-split decontamination -> exact dedup -> token
@@ -7578,6 +7625,7 @@ QUERIES = {
     "warc_robots_politeness": q_warc_robots_politeness,
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_kn_logprob": q_text_kn_logprob,
+    "text_script_profile": q_text_script_profile,
     "crawl_frontier_budget": q_crawl_frontier_budget,
     # round-11 additions: corpus-quality gaps
     "warc_entity_decode": q_warc_entity_decode,

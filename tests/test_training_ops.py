@@ -718,3 +718,34 @@ def test_remove_duplicate_spans_semantics(spark):
         for r in dedup.remove_duplicate_spans(docs2).collect()
     }
     assert out2 == {1: "END1 X", 2: "END2 Y"}
+
+
+def test_script_profile_edges(spark):
+    """Unicode script census (r11): the 'none' branch (no script
+    char), tie priority (equal counts -> earlier-listed script), and
+    mixed-script counting."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import text as T
+
+    rows = [
+        (0, "..., !!!"),          # no script chars -> none
+        (1, "abc где"),           # 3 latin vs 3 cyrillic -> tie: latin
+        (2, "где 123 4567"),      # digits dominate
+        (3, "αβγδ x"),            # greek dominates
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = T.script_counts(F.col("t"))
+    got = {
+        r["id"]: (r["dom"], r["lat"], r["cyr"])
+        for r in df.select(
+            "id",
+            T.dominant_script(counts).alias("dom"),
+            counts["latin"].alias("lat"),
+            counts["cyrillic"].alias("cyr"),
+        ).collect()
+    }
+    assert got[0][0] == "none"
+    assert got[1] == ("latin", 3, 3)
+    assert got[2][0] == "digit"
+    assert got[3][0] == "greek"
