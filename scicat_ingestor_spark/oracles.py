@@ -3373,6 +3373,39 @@ FROM big JOIN model USING (w1, w2)
 GROUP BY big.doc_id
 """
 
+# temperature-based source sampling (r11): q_i ∝ n_i^0.3 (XLM-R/mT5),
+# same md5 gate as source_mix_rebalance; keep_prob rounded to 6 dp
+# BEFORE the gate compare in both engines so the single float pow
+# cannot flip a boundary doc.
+ORACLES["source_mix_temperature"] = """
+WITH w AS (SELECT doc_id, source,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS t,
+    md5(doc_id::VARCHAR) AS h
+  FROM documents),
+hx AS (SELECT *, ((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+    + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+    + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+    + (strpos('0123456789abcdef', substr(h,4,1))-1)) / 65536.0 AS gate
+  FROM w),
+tot AS (SELECT source, CAST(sum(t) AS BIGINT) AS actual_tokens
+        FROM w GROUP BY source),
+z AS (SELECT sum(pow(CAST(actual_tokens AS DOUBLE), 0.3)) AS z FROM tot),
+wt AS (SELECT source, actual_tokens,
+    round(pow(CAST(actual_tokens AS DOUBLE), 0.3) / z.z, 6)
+      AS target_share,
+    round(least(1.0, CASE WHEN actual_tokens > 0 THEN
+        100000.0 * pow(CAST(actual_tokens AS DOUBLE), 0.3) / z.z
+          / actual_tokens END), 6) AS keep_prob
+  FROM tot, z),
+s AS (SELECT hx.source, count(*) AS n_kept
+  FROM hx JOIN wt USING (source) WHERE gate < keep_prob
+  GROUP BY hx.source)
+SELECT wt.source, actual_tokens, target_share, keep_prob,
+  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+FROM wt LEFT JOIN s ON wt.source = s.source
+"""
+
+
 # Unicode script profiling (r11): same explicit BMP range classes,
 # same length-minus-stripped counts (DuckDB needs the 'g' flag), same
 # priority-order dominant-script CASE — both engines spell the

@@ -2861,6 +2861,82 @@ def q_text_kn_logprob(spark, sf_dir):
     )
 
 
+def q_source_mix_temperature(spark, sf_dir):
+    """Temperature-based source sampling (r11) — the published
+    multilingual mixing rule (XLM-R / mT5: q_i ∝ n_i^α, α=0.3):
+    low-resource sources get upsampled shares, high-resource ones
+    compressed, with the same deterministic md5 gate (never
+    df.sample) as source_mix_rebalance. keep_prob is ROUNDED to 6 dp
+    BEFORE the gate compare in both engines so the one float-pow in
+    the chain cannot flip a boundary doc cross-engine. Scale shape:
+    the source totals + the α-share sum are source-cardinality
+    aggregates riding a broadcast; the gate is a scan-local
+    predicate — one corpus read, zero corpus shuffles beyond the
+    per-source count."""
+    alpha, budget_tokens = 0.3, 100_000
+    docs = _t(spark, sf_dir, "documents")
+    toks = text.whitespace_token_count(F.col("text"))
+    totals = docs.groupBy("source").agg(
+        F.sum(toks.cast("long")).alias("actual_tokens")
+    )
+    zsum = totals.agg(
+        F.sum(
+            F.pow(F.col("actual_tokens").cast("double"), F.lit(alpha))
+        ).alias("z")
+    )
+    weights = totals.crossJoin(F.broadcast(zsum)).select(
+        "source",
+        "actual_tokens",
+        F.round(
+            F.pow(F.col("actual_tokens").cast("double"), F.lit(alpha))
+            / F.col("z"),
+            6,
+        ).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.when(
+                    F.col("actual_tokens") > 0,
+                    F.lit(float(budget_tokens))
+                    * F.pow(
+                        F.col("actual_tokens").cast("double"),
+                        F.lit(alpha),
+                    )
+                    / F.col("z")
+                    / F.col("actual_tokens"),
+                ),
+            ),
+            6,
+        ).alias("keep_prob"),
+    )
+    gate = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(65536.0)
+    )
+    kept = docs.join(F.broadcast(weights), "source").filter(
+        gate < F.col("keep_prob")
+    )
+    per_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return (
+        weights.join(per_kept, "source", "left")
+        .select(
+            "source",
+            "actual_tokens",
+            "target_share",
+            "keep_prob",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
 _LAT26 = "abcdefghijklmnopqrstuvwxyz"
 _CYR26 = "абвгдежзийклмнопрстуфхцчшщ"
 _GRK26 = "αβγδεζηθικλμνξοπρστυφχψωςϊ"
@@ -7626,6 +7702,7 @@ QUERIES = {
     "text_bigram_logprob": q_text_bigram_logprob,
     "text_kn_logprob": q_text_kn_logprob,
     "text_script_profile": q_text_script_profile,
+    "source_mix_temperature": q_source_mix_temperature,
     "crawl_frontier_budget": q_crawl_frontier_budget,
     # round-11 additions: corpus-quality gaps
     "warc_entity_decode": q_warc_entity_decode,
