@@ -1146,30 +1146,21 @@ def remove_duplicate_spans(
     )
 
 
-def banded_hamming_pairs(
+def hamming_signature_bands(
     sig: DataFrame,
     id_col: str = "id",
     sig_col: str = "sig",
     bits: int = 64,
     bands: int = 4,
-    max_hamming: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) pairs whose precomputed bit-string
-    signatures agree on >= 1 of ``bands`` equal-width bands and differ
-    in <= ``max_hamming`` bits — the dedup_simhash candidate/verify
-    machinery (r11) factored over an EXTERNAL signature column, so
-    non-text signature planes (perceptual image hashes in
-    operators/multimodal.py) reuse the identical join shape.
-
-    Pigeonhole: bands-band agreement gives FULL recall at hamming <=
-    bands - 1 (the default threshold). Scale shape is dedup_simhash's:
-    band values become long join keys (coalesced non-null so no
-    inferred isnotnull re-runs the upstream stage), each pair is
-    emitted ONLY in its first matching band (codegen'd filter — no
-    pair-sized distinct shuffle), and the verify is two XOR+bit_count
-    half-words."""
-    if max_hamming is None:
-        max_hamming = bands - 1
+    """Explode a bit-string signature relation into
+    (id, h1, h2, bv0..bv{bands-1}, band, bkey) rows — the shared
+    front half of :func:`banded_hamming_pairs`, public (r11) so the
+    streaming image-admission loop can probe a STORED band index with
+    the identical key/verify layout. h1/h2 are the two half-word
+    longs the XOR+bit_count verify consumes; every key is coalesced
+    non-null so no inferred isnotnull filter re-runs the upstream
+    signature stage (the dedup_simhash lesson)."""
     width = bits // bands
     half = (bits + 1) // 2
     bvs = [
@@ -1199,7 +1190,7 @@ def banded_hamming_pairs(
         F.struct(F.lit(b).alias("band"), F.col(f"bv{b}").alias("bkey"))
         for b in range(bands)
     ]
-    banded = s.select(
+    return s.select(
         "id",
         "h1",
         "h2",
@@ -1213,6 +1204,33 @@ def banded_hamming_pairs(
         F.col("bk.band").alias("band"),
         F.col("bk.bkey").alias("bkey"),
     )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs whose precomputed bit-string
+    signatures agree on >= 1 of ``bands`` equal-width bands and differ
+    in <= ``max_hamming`` bits — the dedup_simhash candidate/verify
+    machinery (r11) factored over an EXTERNAL signature column, so
+    non-text signature planes (perceptual image hashes in
+    operators/multimodal.py) reuse the identical join shape.
+
+    Pigeonhole: bands-band agreement gives FULL recall at hamming <=
+    bands - 1 (the default threshold). Scale shape is dedup_simhash's:
+    band values become long join keys (coalesced non-null so no
+    inferred isnotnull re-runs the upstream stage), each pair is
+    emitted ONLY in its first matching band (codegen'd filter — no
+    pair-sized distinct shuffle), and the verify is two XOR+bit_count
+    half-words."""
+    if max_hamming is None:
+        max_hamming = bands - 1
+    banded = hamming_signature_bands(sig, id_col, sig_col, bits, bands)
     a, b = banded.alias("a"), banded.alias("b")
     first_match = F.lit(True)
     for j in range(bands - 1):

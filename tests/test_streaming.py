@@ -1539,3 +1539,83 @@ def test_streaming_mp4_frame_sampling_matches_batch(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(target).drop("k").collect()
     }
     assert got == expected
+
+
+def test_streaming_image_dedup_loop(spark, tmp_path):
+    """The image hash-probe-admit-index loop (streaming/image_dedup.py):
+    micro-batches of images against a seeded dHash band index.
+    Invariants: (a) no admitted image within the Hamming threshold of
+    the base corpus, (b) admitted images pairwise above it (each batch
+    probed the index its predecessors updated; in-batch lower-id rule),
+    (c) every incoming image is covered — within threshold of base or
+    an admitted image, or admitted itself, (d) replay admits nothing
+    twice."""
+    from scicat_ingestor_spark.operators import multimodal
+    from scicat_ingestor_spark.operators.dedup import (
+        hamming_signature_bands,
+    )
+    from scicat_ingestor_spark.streaming import image_dedup
+
+    def img(i: int) -> bytes:
+        g = i % 13
+        return multimodal.make_bmp((g % 4) + 13, (g // 4) + 13)
+
+    def media_df(ids):
+        return spark.createDataFrame(
+            [(i, img(i)) for i in ids], "media_id long, payload binary"
+        )
+
+    base = media_df(range(7))           # groups 0..6
+    inc_ids = list(range(7, 26))        # groups 7..12 + repeats of all
+    inc = media_df(inc_ids)
+
+    index_path = str(tmp_path / "img_index")
+    admitted_path = str(tmp_path / "img_admitted")
+    src = str(tmp_path / "img_src")
+    ck = str(tmp_path / "img_ck")
+    sig_of = lambda df: multimodal.perceptual_hash(df).select(  # noqa: E731
+        F.col("media_id").alias("id"), F.col("dhash").alias("sig")
+    )
+    hamming_signature_bands(sig_of(base)).select(
+        "band", "bkey", "h1", "h2"
+    ).write.parquet(index_path)
+    inc.repartition(3).write.parquet(src)
+
+    def drain():
+        q = image_dedup.run_image_dedup_stream(
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            index_path,
+            admitted_path,
+            ck,
+        )
+        q.awaitTermination(180)
+
+    drain()
+    admitted = spark.read.parquet(admitted_path)
+    got = {r.media_id: r.dhash for r in admitted.collect()}
+    assert got and set(got) <= set(inc_ids)
+
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    base_hashes = [r.sig for r in sig_of(base).collect()]
+    inc_hashes = {r.id: r.sig for r in sig_of(inc).collect()}
+    for i, h in got.items():
+        assert h == inc_hashes[i]
+        assert all(ham(h, b) > 3 for b in base_hashes)  # (a)
+    alist = sorted(got)
+    for x in range(len(alist)):  # (b)
+        for y in range(x + 1, len(alist)):
+            assert ham(got[alist[x]], got[alist[y]]) > 3
+    kept = base_hashes + list(got.values())
+    for i, h in inc_hashes.items():  # (c) coverage
+        assert i in got or any(ham(h, k) <= 3 for k in kept)
+
+    # (d) replay: drained checkpoint, then a fresh one — no growth
+    drain()
+    assert spark.read.parquet(admitted_path).count() == len(got)
+    import shutil
+
+    shutil.rmtree(ck)
+    drain()
+    assert spark.read.parquet(admitted_path).count() == len(got)
