@@ -2320,3 +2320,131 @@ def perceptual_hash(df: DataFrame) -> DataFrame:
             "dhash string, ahash string"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio spectral fingerprinting (r11) — the chromaprint-class dedup key
+# ---------------------------------------------------------------------------
+#
+# The audio member of the perceptual-signature family (text SimHash,
+# image dHash): per time frame, DFT band energies; bits are the
+# band-to-band energy GRADIENT sign — the core of Chromaprint/AcoustID
+# and the shape audio near-dup at corpus scale actually uses. The
+# fingerprint is a 64-char '0'/'1' string (4 frames x 16 gradients),
+# so operators/dedup.banded_hamming_pairs dedups audio unchanged.
+#
+# Engine-portability is by construction: fixture tones are
+# floor-quantized sines at EXACT DFT bins (integer samples both
+# engines reconstruct bit-identically), the DFT is computed over
+# those integers, and energies are normalized and ROUNDED TO 3 dp
+# before any comparison — signal bins land at ~1.000/0.250, noise
+# bins at ~1e-9 -> 0.000, so the gradient compare never reads
+# engine-noise-order differences.
+
+AFP_FRAMES = 4
+AFP_FRAME_LEN = 64
+AFP_BANDS = 16
+AFP_AMP = 8192
+
+
+def make_wav_tones(group: int) -> bytes:
+    """Mono 16-bit WAV of AFP_FRAMES x AFP_FRAME_LEN samples: frame t
+    carries two tones at bins 1 + (group+t) % 16 and
+    1 + (group//2 + 2t) % 16 — each tone floor(AMP*sin + 0.5)
+    quantized SEPARATELY then summed, the rule the SQL oracle replays
+    to the exact integer."""
+    import math
+    import struct
+
+    samples = []
+    for t in range(AFP_FRAMES):
+        b1 = 1 + (group + t) % AFP_BANDS
+        b2 = 1 + (group // 2 + 2 * t) % AFP_BANDS
+        for j in range(AFP_FRAME_LEN):
+            v = 0
+            for b in (b1, b2):
+                v += math.floor(
+                    AFP_AMP * math.sin(2 * math.pi * b * j / AFP_FRAME_LEN)
+                    + 0.5
+                )
+            samples.append(v)
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_int16_samples(payload: bytes):
+    """Int16 mono samples of a PCM WAV (the make_wav_tones layout) —
+    minimal chunk walk, numpy view."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            raw = payload[pos + 8 : pos + 8 + sz]
+            return np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        pos += 8 + sz + (sz & 1)
+    raise ValueError("no data chunk")
+
+
+def afp64(samples) -> str:
+    """64-bit audio fingerprint string: per frame, naive DFT energies
+    at bins 1..AFP_BANDS+1, normalized by (AMP * FRAME_LEN/2)^2 and
+    rounded to 3 dp; bit (t*16 + b) = e[t][b+1] > e[t][b]. The naive
+    per-bin DFT (not FFT) keeps the arithmetic the oracle's SQL sums
+    reproduce to float-noise order — which the 3 dp rounding then
+    absorbs entirely."""
+    import numpy as np
+
+    n = AFP_FRAME_LEN
+    scale = float(AFP_AMP * n / 2) ** 2
+    j = np.arange(n, dtype=np.float64)
+    bits = []
+    for t in range(AFP_FRAMES):
+        x = samples[t * n : (t + 1) * n]
+        es = []
+        for k in range(1, AFP_BANDS + 2):
+            ang = 2.0 * np.pi * k * j / n
+            re = float(np.sum(x * np.cos(ang)))
+            im = float(np.sum(x * np.sin(ang)))
+            es.append(round((re * re + im * im) / scale, 3))
+        bits.extend(
+            "1" if es[b + 1] > es[b] else "0" for b in range(AFP_BANDS)
+        )
+    return "".join(bits)
+
+
+def audio_fingerprint(df: DataFrame) -> DataFrame:
+    """(media_id, n_samples, afp) over (media_id, payload) WAV rows —
+    Arrow-batched, scan-local, zero shuffles; the emitted signatures
+    feed operators/dedup.banded_hamming_pairs unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, fps = [], []
+            for b in pdf["payload"]:
+                s = _wav_int16_samples(bytes(b))
+                ns.append(len(s))
+                fps.append(afp64(s))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": ns,
+                    "afp": fps,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="media_id long, n_samples long, afp string"
+    )

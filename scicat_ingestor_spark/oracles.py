@@ -4618,3 +4618,42 @@ SELECT doc_id FROM documents
 JOIN thr ON thr.g = doc_id % 97
 WHERE doc_id = thr.mn
 """
+
+
+# audio spectral fingerprint (r11): integer samples reconstructed from
+# the two-tone floor rule, naive DFT per bin, (AMP*N/2)^2
+# normalization, 3 dp rounding BEFORE the gradient compare — the
+# rounding absorbs libm/summation-order noise so both engines emit
+# identical bit strings.
+ORACLES["audio_fingerprint"] = """
+WITH d AS MATERIALIZED (
+  SELECT doc_id, CAST(doc_id % 29 AS INTEGER) AS g FROM documents
+),
+sm AS MATERIALIZED (
+  SELECT d.doc_id, t.g AS t, j.g AS j,
+    floor(8192*sin(2*pi()*(1 + (d.g + t.g) % 16)*j.g/64) + 0.5)
+    + floor(8192*sin(2*pi()*(1 + (d.g//2 + 2*t.g) % 16)*j.g/64) + 0.5)
+      AS x
+  FROM d,
+    LATERAL (SELECT unnest(generate_series(0, 3)) AS g) t,
+    LATERAL (SELECT unnest(generate_series(0, 63)) AS g) j
+),
+en AS MATERIALIZED (
+  SELECT doc_id, t, k.g AS k,
+    round((pow(sum(x*cos(2*pi()*k.g*j/64)), 2)
+           + pow(sum(x*sin(2*pi()*k.g*j/64)), 2)) / 68719476736.0, 3)
+      AS e
+  FROM sm, LATERAL (SELECT unnest(generate_series(1, 17)) AS g) k
+  GROUP BY doc_id, t, k.g
+),
+bits AS MATERIALIZED (
+  SELECT a.doc_id, a.t*16 + (a.k - 1) AS ord,
+    CASE WHEN b.e > a.e THEN '1' ELSE '0' END AS bit
+  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.t = a.t
+                     AND b.k = a.k + 1
+  WHERE a.k <= 16
+)
+SELECT doc_id AS media_id, CAST(256 AS BIGINT) AS n_samples,
+  string_agg(bit, '' ORDER BY ord) AS afp
+FROM bits GROUP BY doc_id
+"""

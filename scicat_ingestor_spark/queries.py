@@ -5571,6 +5571,41 @@ def q_image_phash_dedup(spark, sf_dir):
     )
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """Audio spectral fingerprinting over REAL decoded PCM (r11) —
+    the chromaprint-class dedup key completing the perceptual
+    signature family (text SimHash / image dHash / audio band-energy
+    gradients): every document's 16-bit WAV (two floor-quantized
+    tones per frame at exact DFT bins, group-keyed on doc_id%29) is
+    actually parsed and DFT'd; bits are per-frame band-energy
+    gradient signs over energies ROUNDED TO 3 dp — the stabilizer
+    that makes naive-SQL DFT sums and numpy dot products agree
+    bit-for-bit. The oracle reconstructs the integer samples from the
+    tone rule and replays the DFT, normalization, rounding, and
+    gradient. Scan-local mapInPandas; zero shuffles."""
+    from scicat_ingestor_spark.operators import multimodal
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "payload": [
+                        multimodal.make_wav_tones(int(i) % 29)
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return multimodal.audio_fingerprint(media)
+
+
 def q_multimodal_frames(spark, sf_dir):
     """Frame-sampling plumbing: decode -> explode frame index list ->
     keep every Nth frame. The explode happens post-decode so payload
@@ -7586,6 +7621,7 @@ QUERIES = {
     "multimodal_dedup_images": q_multimodal_dedup_images,
     "image_perceptual_hash": q_image_perceptual_hash,
     "image_phash_dedup": q_image_phash_dedup,
+    "audio_fingerprint": q_audio_fingerprint,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,

@@ -135,3 +135,34 @@ def test_non_bmp_gates_cleanly():
         multimodal.bmp_gray_grid(b"\x89PNG\r\n\x1a\nxxxx")
     with pytest.raises(NotImplementedError):
         multimodal.bmp_gray_grid(multimodal.make_bmp(4, 4, bpp=8))
+
+
+def test_audio_fingerprint_properties(spark):
+    """afp64 (r11): noise robustness (quantization-level perturbation
+    rounds away), tone sensitivity, and the banded-Hamming join
+    finding audio duplicates."""
+    rng = np.random.RandomState(3)
+    s0 = multimodal._wav_int16_samples(multimodal.make_wav_tones(4))
+    noisy = s0 + rng.randint(-1, 2, size=s0.shape)  # +-1 LSB noise
+    f0 = multimodal.afp64(s0)
+    assert multimodal.afp64(noisy) == f0  # 3dp rounding absorbs it
+    f1 = multimodal.afp64(
+        multimodal._wav_int16_samples(multimodal.make_wav_tones(5))
+    )
+    assert f0 != f1
+
+    rows = [(0, f0), (1, f0), (2, f1)]
+    sig = spark.createDataFrame(rows, "id long, sig string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in banded_hamming_pairs(sig, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_audio_fingerprint_query_scan_local(spark):
+    from scicat_ingestor_spark.queries import QUERIES
+
+    df = QUERIES["audio_fingerprint"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # the fact repartition only
