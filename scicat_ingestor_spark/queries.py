@@ -3347,22 +3347,35 @@ def q_wordpiece_train_tokens(spark, sf_dir):
     or in max-munch order shifts counts corpus-wide."""
     from scicat_ingestor_spark.operators import wordpiece
 
+    from scicat_ingestor_spark.operators.bpe import word_freq
+
     vocab = _wp_vocab(spark, sf_dir, k=8)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    # encode DISTINCT words once (vocabulary-sized — the unigram
+    # precedent: never re-segment per occurrence), then join the
+    # per-word counts onto the exploded corpus; at replica scale this
+    # turns the x100 re-encode into a x1 encode + one groupBy shuffle
+    wp = word_freq(docs).select(
+        "word",
+        wordpiece.wordpiece_count_word(F.col("word"), vocab).alias("s"),
+    )
+    exploded = docs.select(
         "doc_id",
-        F.size(
+        F.explode(
             F.filter(
                 F.split(F.trim(F.col("text")), r"\s+"),
                 lambda w: F.length(w) > 0,
             )
-        ).cast("long").alias("n_words"),
-        wordpiece.wordpiece_token_counts("text", vocab).alias("wp"),
-    ).select(
-        "doc_id",
-        "n_words",
-        F.col("wp.n").cast("long").alias("n_wp_tokens"),
-        F.col("wp.unk").cast("long").alias("n_unk_words"),
+        ).alias("word"),
+    )
+    return (
+        exploded.join(wp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("s.n").cast("long").alias("n_wp_tokens"),
+            F.sum("s.unk").cast("long").alias("n_unk_words"),
+        )
     )
 
 

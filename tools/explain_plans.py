@@ -116,6 +116,12 @@ SHOWN = [
         "banded 64-bit SimHash: self-join candidates, XOR+bit_count verify",
     ),
     (
+        "image_phash_dedup",
+        "image dHash over real decoded pixels (scan-local mapInPandas) "
+        "-> the same banded-Hamming join machinery as text SimHash -> "
+        "broadcast anti survivor fold",
+    ),
+    (
         "dedup_lines_global",
         "C4-style global line dedup (line-hash window + doc reassembly)",
     ),
