@@ -5575,12 +5575,37 @@ def q_image_phash_dedup(spark, sf_dir):
     sig = multimodal.perceptual_hash(media).select(
         F.col("media_id").alias("id"), F.col("dhash").alias("sig")
     )
-    pairs = banded_hamming_pairs(sig, max_hamming=3)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # pair at DISTINCT-signature granularity (the oracle's own
+    # formulation): a dup-dense corpus puts thousands of identical
+    # hashes in one band bucket, and id-level pairing goes m²/2 per
+    # cluster (measured 0.99 s -> 18.1 s at x10 replicas before this
+    # reshape); distinct-sig pairing is invariant to duplication —
+    # per-sig min id (one linear shuffle), tiny banded join over
+    # distinct signatures, neighborhood-min threshold, survivor iff
+    # id == its neighborhood's min. Identical to the all-pairs
+    # contract: x loses iff ANY smaller id sits within the threshold.
+    per = sig.groupBy("sig").agg(F.min("id").alias("mn"))
+    p = banded_hamming_pairs(
+        per.select(F.col("sig").alias("id"), "sig"), max_hamming=3
+    )
+    nbr = (
+        p.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+        .unionByName(
+            p.select(F.col("id_b").alias("s"), F.col("id_a").alias("t"))
+        )
+        .unionByName(
+            per.select(F.col("sig").alias("s"), F.col("sig").alias("t"))
+        )
+    )
+    thr = (
+        nbr.join(per.select(F.col("sig").alias("t"), "mn"), "t")
+        .groupBy("s")
+        .agg(F.min("mn").alias("mn"))
+    )
     return (
-        docs.select("doc_id")
-        .join(losers, "doc_id", "left_anti")
-        .select("doc_id")
+        sig.join(thr, sig["sig"] == thr["s"])
+        .filter(F.col("id") == F.col("mn"))
+        .select(F.col("id").alias("doc_id"))
     )
 
 
