@@ -65,6 +65,11 @@ HEADLINE = [
     # RFC 9309 politeness gate's new equi-join plan
     "warc_fault_tolerance",
     "warc_robots_filter",
+    # r11 representatives: the trained-langid scoring scan, the
+    # tokenizer trio's new member, and the perceptual-signature dedup
+    "text_langid_trained",
+    "wordpiece_train_tokens",
+    "image_phash_dedup",
 ]
 
 # Recall/quality DIAGNOSTICS: measurement tools, not pipeline shapes —
