@@ -1932,12 +1932,16 @@ def extract_hrefs(col: Column | str) -> Column:
 
 def extract_links(col: Column | str) -> Column:
     """``<a>`` elements of a RAW html column as
-    ``array<struct<href:string,anchor:string>>`` — href (both quote
-    styles) plus the VISIBLE anchor text (inner tags stripped,
-    entities decoded, whitespace collapsed) — the page-quality signal
-    real pipelines aggregate per link target (r11, VERDICT r10
-    task 5). Pure JVM; nested ``<a>`` is illegal HTML so the
-    non-greedy span match is exact on real markup."""
+    ``array<struct<href:string,anchor:string,nofollow:boolean>>`` —
+    href (both quote styles), the VISIBLE anchor text (inner tags
+    stripped, entities decoded, whitespace collapsed), and the
+    ``rel`` nofollow flag (token match inside the rel value, either
+    quote style, any attribute order — ``rel="nofollower"`` does NOT
+    match) — the page-quality signal real pipelines aggregate per
+    link target, with the link-hygiene bit Common Crawl's ranking
+    pipelines read before building the graph (r11). Pure JVM; nested
+    ``<a>`` is illegal HTML so the non-greedy span match is exact on
+    real markup."""
     c = F.col(col) if isinstance(col, str) else col
     blocks = F.regexp_extract_all(
         c, F.lit(r"(?is)(<a\b[^>]*>.*?</a\s*>)"), 1
@@ -1961,26 +1965,46 @@ def extract_links(col: Column | str) -> Column:
                 " ",
             )
         )
-        return F.struct(href.alias("href"), anchor.alias("anchor"))
+        rel_dq = F.regexp_extract(
+            b, r'(?is)<a\b[^>]*?\brel\s*=\s*"([^"]*)"', 1
+        )
+        rel_sq = F.regexp_extract(
+            b, r"(?is)<a\b[^>]*?\brel\s*=\s*'([^']*)'", 1
+        )
+        rel = F.when(F.length(rel_dq) > 0, rel_dq).otherwise(rel_sq)
+        nofollow = rel.rlike(r"(?i)(^|\s)nofollow(\s|$)")
+        return F.struct(
+            href.alias("href"),
+            anchor.alias("anchor"),
+            nofollow.alias("nofollow"),
+        )
 
     return F.filter(
         F.transform(blocks, link), lambda s: F.length(s["href"]) > 0
     )
 
 
-def page_anchor_links(pages: DataFrame, html_col: str = "text") -> DataFrame:
-    """One row per resolved http(s) out-link WITH its anchor text —
-    the WAT layout extended by the anchor span. Scan-local like
-    :func:`page_outlinks`."""
+def page_anchor_links(
+    pages: DataFrame, html_col: str = "text", follow_only: bool = False
+) -> DataFrame:
+    """One row per resolved http(s) out-link WITH its anchor text and
+    nofollow flag — the WAT layout extended by the anchor span.
+    ``follow_only=True`` drops rel=nofollow links, the hygiene real
+    ranking pipelines apply before the link graph (feed
+    ``operators.graph`` from this instead of page_outlinks when
+    nofollow must not vote). Scan-local like :func:`page_outlinks`."""
     out = pages.withColumn(
         "l", F.explode(extract_links(F.col(html_col)))
     ).withColumn("link", url_resolve(F.col("url"), F.col("l.href")))
+    out = out.filter(
+        F.col("link").isNotNull()
+        & F.col("link").rlike("^https?://")
+    )
+    if follow_only:
+        out = out.filter(~F.col("l.nofollow"))
     return (
-        out.filter(
-            F.col("link").isNotNull()
-            & F.col("link").rlike("^https?://")
-        )
-        .withColumn("anchor", F.col("l.anchor"))
+        out.withColumn("anchor", F.col("l.anchor"))
+        .withColumn("nofollow", F.col("l.nofollow"))
         .drop("l", html_col)
     )
 

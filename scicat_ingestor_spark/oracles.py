@@ -4657,3 +4657,18 @@ SELECT doc_id AS media_id, CAST(256 AS BIGINT) AS n_samples,
   string_agg(bit, '' ORDER BY ord) AS afp
 FROM bits GROUP BY doc_id
 """
+
+
+# rel=nofollow hygiene (r11): counts recomputed closed-form from the
+# synthesis rule — 1 followed + 1 nofollow always; every third page
+# adds a rel="sponsored" link that must count as FOLLOWED
+# (token-boundary rel matching).
+ORACLES["warc_nofollow_links"] = """
+SELECT 'https://' || source || '.example.org/' || doc_id AS url,
+  CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_links,
+  CAST(1 AS BIGINT) AS n_nofollow,
+  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_followed
+FROM documents
+"""

@@ -7099,6 +7099,91 @@ def q_sitemap_frontier(spark, sf_dir):
     return warc.sitemap_frontier(rows)
 
 
+def q_warc_nofollow_links(spark, sf_dir):
+    """rel=nofollow link hygiene (r11) — the bit real ranking
+    pipelines read before building the graph: every page carries one
+    followed cross-domain anchor, one nofollow anchor (alternating
+    ``rel="nofollow"`` double-quote and ``rel='ugc nofollow'``
+    single-quote multi-token forms), and every third page adds a
+    ``rel="sponsored"`` anchor whose rel value must NOT match the
+    nofollow token (token-boundary semantics). Output: per page the
+    total, nofollow, and followed link counts — the
+    ``follow_only=True`` feed operators/graph consumes. The whole
+    chain is the real capture path (WARC framing -> HTTP parse ->
+    extraction); the oracle recomputes the counts closed-form from
+    the synthesis rule."""
+    from scicat_ingestor_spark.operators import warc
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf["doc_id"], pdf["source"]):
+                i = int(i)
+                html = (
+                    f'<a href="https://f{i % 5}.example.net/a">ok</a>'
+                )
+                if i % 2 == 0:
+                    html += (
+                        '<a rel="nofollow" '
+                        'href="https://ads.example.com/b">sp</a>'
+                    )
+                else:
+                    html += (
+                        "<a href='https://ugc.example.com/c' "
+                        "rel='ugc nofollow'>cm</a>"
+                    )
+                if i % 3 == 0:
+                    html += (
+                        '<a rel="sponsored" '
+                        'href="https://sp.example.com/d">pd</a>'
+                    )
+                payloads.append(
+                    warc.make_warc(
+                        [
+                            warc.make_warc_record(
+                                "response",
+                                warc.make_http_response(
+                                    html.encode(),
+                                    "text/html; charset=utf-8",
+                                ),
+                                target_uri=(
+                                    f"https://{s}.example.org/{i}"
+                                ),
+                                content_type=(
+                                    "application/http;msgtype=response"
+                                ),
+                            )
+                        ],
+                        gzip_members=bool(i % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    docs = _t(spark, sf_dir, "documents")
+    captures = docs.select("doc_id", "source").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    rows = warc.warc_response_rows(captures)
+    pages = rows.filter(
+        (F.col("http_status") == 200)
+        & F.col("content_type").startswith("text/html")
+    ).select("url", "text")
+    links = warc.page_anchor_links(pages)
+    return links.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.sum(F.col("nofollow").cast("long")).cast("long").alias(
+            "n_nofollow"
+        ),
+        F.sum((~F.col("nofollow")).cast("long")).cast("long").alias(
+            "n_followed"
+        ),
+    )
+
+
 def q_warc_anchor_text(spark, sf_dir):
     """Anchor-text aggregation per link target (r11, VERDICT r10
     task 5 — the page-quality signal real pipelines mine from WAT
@@ -7660,6 +7745,7 @@ QUERIES = {
     "image_perceptual_hash": q_image_perceptual_hash,
     "image_phash_dedup": q_image_phash_dedup,
     "audio_fingerprint": q_audio_fingerprint,
+    "warc_nofollow_links": q_warc_nofollow_links,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_frames_real": q_multimodal_frames_real,
     "multimodal_pixels_real": q_multimodal_pixels_real,

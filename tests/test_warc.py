@@ -1979,3 +1979,49 @@ def test_normalize_url_policy(spark):
         ).collect()
     ]
     assert got == [c[1] for c in cases]
+
+
+def test_extract_links_nofollow_semantics(spark):
+    """rel=nofollow flag (r11): token-boundary matching, either quote
+    style, any attribute order; 'nofollower' and rel-less anchors are
+    followed."""
+    html = (
+        '<a href="https://a.example/1">plain</a>'
+        '<a rel="nofollow" href="https://a.example/2">nf dq first</a>'
+        "<a href='https://a.example/3' rel='ugc nofollow'>nf sq multi</a>"
+        '<a rel="nofollower" href="https://a.example/4">boundary</a>'
+        '<a rel="NOFOLLOW" href="https://a.example/5">case</a>'
+        '<a rel="sponsored" href="https://a.example/6">other rel</a>'
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(html,)], "t string")
+    rows = df.select(
+        F.explode(warc.extract_links(F.col("t"))).alias("l")
+    ).select("l.href", "l.nofollow").collect()
+    got = {r["href"]: r["nofollow"] for r in rows}
+    assert got == {
+        "https://a.example/1": False,
+        "https://a.example/2": True,
+        "https://a.example/3": True,
+        "https://a.example/4": False,
+        "https://a.example/5": True,
+        "https://a.example/6": False,
+    }
+
+
+def test_page_anchor_links_follow_only(spark):
+    html = (
+        '<a href="https://x.example/k">keep</a>'
+        '<a rel="nofollow" href="https://x.example/d">drop</a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://s.example/p", html)], "url string, text string"
+    )
+    all_links = warc.page_anchor_links(pages).collect()
+    assert {(r["link"], r["nofollow"]) for r in all_links} == {
+        ("https://x.example/k", False),
+        ("https://x.example/d", True),
+    }
+    kept = warc.page_anchor_links(pages, follow_only=True).collect()
+    assert [r["link"] for r in kept] == ["https://x.example/k"]
