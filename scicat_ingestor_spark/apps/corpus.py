@@ -103,6 +103,14 @@ def prep_corpus(
             .filter(F.length("text") > 0)
         )
     if "decontaminate" in stages:
+        # NOTE (r11 optimization round): the contamination probe and the
+        # anti-join fact side both consume `out`, but a shared_fanout
+        # exchange here MEASURED SLOWER at sf0.1 (corpus_prep_e2e 1.05
+        # -> 1.36 s, corpus_prep_full_e2e ~flat): the upstream already
+        # ends in an aggregation exchange (linededup's groupBy / the
+        # gated scan is cheap), which AQE's runtime stage cache dedupes
+        # across the branches, so the extra exchange only added a
+        # full-text shuffle. Left as-is deliberately.
         grams = dedup.word_shingles(F.col("text"), n=4)
         eval_grams = eval_docs.select(F.explode(grams).alias("gram")).distinct()
         contaminated = (

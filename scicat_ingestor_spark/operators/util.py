@@ -63,6 +63,84 @@ def ensure_parallelism(
     return df
 
 
+def shared_fanout(df: DataFrame, *cols: str) -> DataFrame:
+    """Pin a hash exchange under a DataFrame that several plan branches
+    consume, so the upstream executes ONCE and every other branch reads
+    the exchange back (`ReusedExchange`) instead of re-executing the
+    subtree.
+
+    Spark reuses work across branches only at exchange boundaries
+    (`spark.sql.exchange.reuse`, on by default): branches that diverge
+    ABOVE the last common exchange silently re-execute everything below
+    them once per branch. That is ruinous when the shared subtree
+    crosses the Python boundary — a capture-plane parse (mapInPandas
+    WARC decode) re-ran up to 11x in one query (sitemap_frontier,
+    r11 optimization baseline; guide §2.4/§8). One hash repartition on
+    a well-spread column makes the branches' common prefix end in an
+    identical canonical Exchange, which the planner dedupes.
+
+    Cost model: one shuffle of the shared rows replaces N-1 re-executions
+    of the upstream. Worth it when the upstream is expensive per byte
+    (Python decode, heavy synthesis) and N >= 2; NOT worth it for a
+    plain column-pruned parquet scan, where re-scanning is cheaper than
+    a shuffle — leave single-consumer and scan-cheap pipelines alone.
+    Unlike localCheckpoint/persist this holds NO executor memory, spills
+    to shuffle disk like any exchange, and adds no eager driver-side job;
+    at 100 TB it behaves like any other shuffle (AQE coalesces the read
+    side).
+
+    ``cols``: hash-partitioning key(s); pick a high-cardinality column
+    (a row id) so the exchange spreads evenly (guide §2.5). Partition
+    count stays at spark.sql.shuffle.partitions — scale-adaptive via
+    conf, AQE-coalesced when small.
+
+    ``SIS_DISABLE_FANOUT=1`` turns every call into a no-op — the A/B
+    switch the r11 optimization measurements flip per run so variant
+    and co-tenant noise decorrelate (tools/ab_wobble.py discipline).
+    """
+    import os
+
+    if os.environ.get("SIS_DISABLE_FANOUT") == "1":
+        return df
+    # A tautological filter SEALS the exchange against the two optimizer
+    # moves that break subtree identity between consuming branches:
+    #
+    # 1. Predicate pushdown: Catalyst pushes each branch's deterministic
+    #    filter through a bare Repartition, leaving a DIFFERENT filter
+    #    under each exchange copy. spark_partition_id() is
+    #    non-deterministic, so branch predicates cannot cross this one
+    #    (the gate() trick).
+    # 2. Column pruning: each branch copy otherwise gets its own Project
+    #    under the exchange with just that branch's columns — different
+    #    schemas, different canonical plans, no reuse. Referencing every
+    #    column in the predicate (xxhash64(*) * 0, never null, so the
+    #    conjunct is always 0 >= 0's contribution) pins the FULL schema
+    #    below the filter in every copy.
+    #
+    # With both moves blocked the branches' common prefix ends in one
+    # canonically-identical Exchange and the planner dedupes it
+    # (ReusedExchange); row results are unaffected (the predicate is
+    # always true) and the per-branch cost above the reused exchange is
+    # one cheap filter evaluation.
+    # Both guards must live inside ONE non-splittable expression (the
+    # gate() lesson): as separate conjuncts the deterministic half gets
+    # split off and pushed to the bottom, where column pruning slips a
+    # per-branch Project back in above it. The CaseWhen below is
+    # non-deterministic as a whole (contains spark_partition_id), so it
+    # stays put; the all-columns reference lives in the NEVER-TAKEN
+    # else branch — the optimizer cannot drop it (`hash(all) >=
+    # INT_MIN` is always true since hash returns int, but nothing does
+    # integer range analysis; arithmetic forms like hash*0 DO
+    # constant-fold away), yet at runtime the hash is never computed
+    # because spark_partition_id() >= 0 always takes the then-branch.
+    # Net per-row cost above the reused exchange: one int comparison.
+    pin = F.hash(*[F.col(c) for c in df.columns]) >= F.lit(-(2**31))
+    seal = F.when(
+        F.spark_partition_id() >= F.lit(0), F.lit(True)
+    ).otherwise(pin)
+    return df.repartition(*[F.col(c) for c in cols]).filter(seal)
+
+
 def gate(df: DataFrame, cond) -> DataFrame:
     """Apply a CPU-heavy filter WITHOUT letting predicate pushdown sink
     it below a parallelism-restoring repartition.

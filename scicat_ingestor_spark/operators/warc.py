@@ -1266,7 +1266,17 @@ def sitemap_frontier(rows: DataFrame) -> DataFrame:
     Plan shape: the sitemap plane is domain-sized (robots and XML
     bodies DISTINCT'd), so every join here is a broadcast of that
     small side; the only scan of the big capture set is the one
-    page-URL projection the anti-join consumes."""
+    page-URL projection the anti-join consumes.
+
+    r11 optimization: ``rows`` fans out to THREE consuming branches
+    (robots, xml, captured) and the xml/seed branches are themselves
+    multiply consumed — without a pinned exchange the upstream
+    (typically a Python WARC parse) re-executed once per plan instance
+    (11x measured in the sitemap_frontier query). shared_fanout seals
+    one exchange every branch reuses."""
+    from scicat_ingestor_spark.operators.util import shared_fanout
+
+    rows = shared_fanout(rows, "media_id", "seq")
     robots = (
         rows.filter(
             F.col("url").endswith("/robots.txt")
@@ -1691,7 +1701,16 @@ def resolve_redirects(rows: DataFrame, max_hops: int = 3) -> DataFrame:
     the last URL reached (documented: no cycle detection beyond the
     hop bound — the standard crawler behavior). Location values
     resolve against their page URL (RFC 7231 allows relative)."""
-    canon = rows.withColumn("_u", canonical_url("url"))
+    # r11 optimization: the edge relation and the fact join both
+    # consume the canonicalized rows (the edge fold references it
+    # max_hops times) — one sealed exchange makes every instance past
+    # the first a ReusedExchange read instead of a re-run of the
+    # upstream parse (see operators.util.shared_fanout).
+    from scicat_ingestor_spark.operators.util import shared_fanout
+
+    canon = shared_fanout(
+        rows.withColumn("_u", canonical_url("url")), "media_id", "seq"
+    )
     edges = (
         canon.filter(
             F.col("http_status").between(300, 399)

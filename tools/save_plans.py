@@ -21,9 +21,15 @@ def main() -> None:
     from scicat_ingestor_spark.queries import QUERIES
     from scicat_ingestor_spark.session import get_session
 
-    spark = get_session(
-        "save_plans", extra_conf={"spark.ui.showConsoleProgress": "false"}
-    )
+    # SAVE_PLANS_AQE=off: capture the statically-planned tree, where
+    # cross-branch exchange reuse prints as ReusedExchange. With AQE on
+    # (the production default) the same reuse happens in the runtime
+    # stage cache, but explain-before-execution prints the expanded
+    # initial plan — useless as evidence of the collapse.
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if os.environ.get("SAVE_PLANS_AQE") == "off":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    spark = get_session("save_plans", extra_conf=extra)
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans", "r11",
