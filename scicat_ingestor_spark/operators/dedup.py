@@ -944,13 +944,50 @@ def ngram_jaccard_pairs(
     )
 
     def exact_pairs(p: DataFrame) -> DataFrame:
-        a, b = p.alias("a"), p.alias("b")
+        # Triangle chunk-split (r11 optimization, guide §2.5): the join
+        # key (_blk) has as few distinct values as there are languages,
+        # so the per-block quadratic verify ran on that many tasks — at
+        # sf0.1 the 'en' block alone is ~2.1M pairs in ONE task while
+        # 27 cores idle. Chunk docs by a deterministic id hash into k
+        # buckets and key the join by the unordered chunk PAIR (u, v):
+        # a doc in chunk c is replicated once per j in [0, k) under key
+        # (min(c, j), max(c, j)) — k rows per doc, all keys distinct.
+        # Two docs with chunks (cx, cy), cx != cy, meet at exactly the
+        # key (min(cx, cy), max(cx, cy)) (x arrives via j=cy, y via
+        # j=cx); same-chunk docs meet at every key containing c, so the
+        # (a._c = b._c) => (u = v) conjunct keeps only their (c, c)
+        # meeting. Same pair set exactly once, k(k+1)/2 tasks per block
+        # instead of 1, at a k-fold shuffle replication of the shingle
+        # arrays — the standard parallelism-for-bytes trade, sized from
+        # the session's parallelism (scale-adaptive, not a constant).
+        import math
+
+        k = max(
+            2, math.isqrt(2 * p.sparkSession.sparkContext.defaultParallelism)
+        )
+        pc = p.withColumn(
+            "_c", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))
+        ).withColumn(
+            "_j",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1)).cast("array<long>")),
+        ).withColumn(
+            "_u", F.least("_c", "_j")
+        ).withColumn(
+            "_v", F.greatest("_c", "_j")
+        )
+        a, b = pc.alias("a"), pc.alias("b")
         sim = jaccard_similarity(F.col("a._sh"), F.col("b._sh"))
         return (
             a.join(
                 b,
                 (F.col("a._blk") == F.col("b._blk"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                & (F.col("a._u") == F.col("b._u"))
+                & (F.col("a._v") == F.col("b._v"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (
+                    (F.col("a._c") != F.col("b._c"))
+                    | (F.col("a._u") == F.col("a._v"))
+                ),
             )
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
