@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 
 from scicat_ingestor_spark.operators.util import ensure_parallelism
 
+# Block-member threshold above which ngram_jaccard_pairs' exact join
+# routes a block through the triangle chunk-split (r12). Mirrors the
+# r8-calibrated similarity.CELL_SPLIT_THRESHOLD (20k members for dim-64
+# cosine cells: split wins >3x at 20k, washes at 8k, loses at 4k);
+# a 1-gram shingle array_intersect costs about the same per pair as a
+# dim-64 cosine, and below ~10k members the plain join's broadcast-side
+# parallelism beats the k-fold replication outright (measured,
+# tools/ab_ngram.py: plain 5.5 s vs split 8.4 s on the 2k-member 'en'
+# block at sf0.1/32 cores — VERDICT r11 #1). Data-derived via the block
+# census, deliberately cluster-size-independent: what a single
+# sort-merge task can chew through does not change when executors are
+# added. _MAX_CHUNKS caps the replication factor (k = ceil(m/threshold)
+# needs k > 64 only past max_block-guard territory).
+_SPLIT_MEMBERS = 10_000
+_MAX_CHUNKS = 64
+
 
 def content_hash(text: Column) -> Column:
     """Exact-dup key: md5 of the raw content."""
@@ -836,11 +852,30 @@ def prefix_filtered_jaccard_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
     sized = sh.withColumn("_sz", F.size("_sh"))
-    ex = sized.select("_id", "_sz", F.explode("_sh").alias("_g"))
+    # r12 (guide §1/§2.5, measured 4.3 s -> 0.4 s for this stage at
+    # sf0.1): the explode's generator input must stay the INLINE
+    # shingle expression, not a projected `_sh` column. With a column
+    # ref, InferFiltersFromGenerate adds `size(_sh) > 0` and predicate
+    # pushdown sinks it below the parallelism repartition — the whole
+    # interpreted higher-order fold (transform/array_distinct are
+    # CodegenFallback) then runs per-document inside the SINGLE-split
+    # scan task, serializing ~80% of the query on one core. The inline
+    # form is exempt from the inference; `_sz` (= the distinct-shingle
+    # count = exactly the per-doc exploded row count) is recovered from
+    # a count window that shares the rank window's exchange instead of
+    # riding through the Generate.
+    ex = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_g"),
+    )
     freq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = ex.join(freq, "_g").withColumn(
-        "_pos",
-        F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_g")),
+    _wid = Window.partitionBy("_id")
+    ranked = (
+        ex.join(freq, "_g")
+        .withColumn(
+            "_pos", F.row_number().over(_wid.orderBy("_df", "_g"))
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(_wid))
     )
     # same 1e-9 slack as the prunes below: an FP round-UP in
     # ceil(t*|X|) would shorten the prefix below the lemma's bound
@@ -852,6 +887,13 @@ def prefix_filtered_jaccard_pairs(
     pref = ranked.filter(F.col("_pos") <= prefix_len).select(
         "_id", "_g", "_pos", "_sz"
     )
+    # r12 NOTE: a shared_fanout seal under `pref` (both candidate-join
+    # sides consume it) MEASURED SLOWER (5.8 vs 5.3 s min-of-4,
+    # tools/ab_min.py): the sealed exchange's read side AQE-coalesces
+    # to a couple of tasks (pref is only a few MB) and the quadratic
+    # candidate join then runs at that reduced parallelism, costing
+    # more than the one duplicated window pass saves. Left unsealed
+    # deliberately.
     # PPJoin prunes, both lossless at the threshold:
     # - length filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
     # - positional filter: all common shingles beyond the FIRST one (in
@@ -943,28 +985,52 @@ def ngram_jaccard_pairs(
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     )
 
-    def exact_pairs(p: DataFrame) -> DataFrame:
-        # Triangle chunk-split (r11 optimization, guide §2.5): the join
-        # key (_blk) has as few distinct values as there are languages,
-        # so the per-block quadratic verify ran on that many tasks — at
-        # sf0.1 the 'en' block alone is ~2.1M pairs in ONE task while
-        # 27 cores idle. Chunk docs by a deterministic id hash into k
-        # buckets and key the join by the unordered chunk PAIR (u, v):
-        # a doc in chunk c is replicated once per j in [0, k) under key
-        # (min(c, j), max(c, j)) — k rows per doc, all keys distinct.
-        # Two docs with chunks (cx, cy), cx != cy, meet at exactly the
-        # key (min(cx, cy), max(cx, cy)) (x arrives via j=cy, y via
-        # j=cx); same-chunk docs meet at every key containing c, so the
-        # (a._c = b._c) => (u = v) conjunct keeps only their (c, c)
-        # meeting. Same pair set exactly once, k(k+1)/2 tasks per block
-        # instead of 1, at a k-fold shuffle replication of the shingle
-        # arrays — the standard parallelism-for-bytes trade, sized from
-        # the session's parallelism (scale-adaptive, not a constant).
-        import math
-
-        k = max(
-            2, math.isqrt(2 * p.sparkSession.sparkContext.defaultParallelism)
+    def plain_pairs(p: DataFrame) -> DataFrame:
+        # The default exact path (r12 — reverted to the pre-r11 shape
+        # after measurement, VERDICT r11 #1): one equi-join on _blk.
+        # The "one task per block" serialization the r11 chunk-split
+        # assumed only exists when BOTH sides hash-partition on _blk
+        # (sort-merge / shuffled-hash); whenever the build side fits a
+        # broadcast — every gate corpus, and any block under the
+        # max_block ceiling at production shuffle sizes — the stream
+        # side keeps its scan/repartition parallelism and the pair
+        # evaluation is already spread across all cores. Interleaved
+        # A/B at sf0.1/32 cores: plain 5.5 s vs 8.4-8.8 s for both
+        # split variants (tools/ab_ngram.py) — the k-fold replication
+        # of the shingle arrays and the wider sort keys cost more than
+        # the parallelism they bought.
+        a, b = p.alias("a"), p.alias("b")
+        sim = jaccard_similarity(F.col("a._sh"), F.col("b._sh"))
+        return (
+            a.join(
+                b,
+                (F.col("a._blk") == F.col("b._blk"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.round(sim, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
+
+    def chunked_pairs(p: DataFrame, k: int) -> DataFrame:
+        # Triangle chunk-split for census-flagged NEAR-CEILING blocks
+        # only (guide §2.5; the knn_join hot-cell precedent): chunk
+        # docs by a deterministic id hash into k buckets and key the
+        # join by the unordered chunk PAIR (u, v) — a doc in chunk c
+        # is replicated once per j in [0, k) under key
+        # (min(c, j), max(c, j)). Two docs with chunks (cx, cy),
+        # cx != cy, meet at exactly (min(cx, cy), max(cx, cy)); same-
+        # chunk docs meet at every key containing c, so the
+        # (a._c = b._c) => (u = v) conjunct keeps only their (c, c)
+        # meeting. Same pair set exactly once, k(k+1)/2 tasks per
+        # block instead of 1, at a k-fold replication of the shingle
+        # arrays — worth it ONLY where a single sort-merge task would
+        # otherwise own >> _SPLIT_MEMBERS²/2 pair evaluations (the r8
+        # hot-cell calibration; below that the plain path's broadcast
+        # parallelism wins, measured in tools/ab_ngram.py).
         pc = p.withColumn(
             "_c", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k))
         ).withColumn(
@@ -998,23 +1064,29 @@ def ngram_jaccard_pairs(
         )
 
     if max_block is None:
-        return exact_pairs(prepped)
+        # no census by contract (callers opted out of the guard —
+        # and of the split, which needs the census to size k)
+        return plain_pairs(prepped)
     # census: one partial-agg shuffle, output is block-count-sized; the
-    # oversized set is at most corpus/max_block keys by construction.
+    # collected set is at most corpus/floor keys by construction.
     # Count on the RAW input, not `prepped` — block sizes don't need
     # the shingle fold, and running it in the census doubled the
-    # query's exec cost (measured 4.2 s -> 6.8 s at sf0.1).
-    hot = [
-        r["_blk"]
-        for r in df.groupBy(F.col(block_col).alias("_blk"))
+    # query's exec cost (measured 4.2 s -> 6.8 s at sf0.1). ONE census
+    # serves both the max_block guard and the split-block detection.
+    floor = min(max_block, _SPLIT_MEMBERS)
+    census = (
+        df.groupBy(F.col(block_col).alias("_blk"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_block)
-        .select("_blk")
+        .filter(F.col("n") > floor)
         .collect()
-    ]
-    if not hot:
-        return exact_pairs(prepped)
-    if oversize == "raise":
+    )
+    hot = [r["_blk"] for r in census if r["n"] > max_block]
+    split = {
+        r["_blk"]: r["n"]
+        for r in census
+        if r["n"] <= max_block and r["n"] > _SPLIT_MEMBERS
+    }
+    if hot and oversize == "raise":
         raise ValueError(
             f"ngram_jaccard_pairs: {len(hot)} block(s) exceed "
             f"max_block={max_block} (first: {hot[:5]!r}); the all-pairs "
@@ -1022,7 +1094,22 @@ def ngram_jaccard_pairs(
             "oversize='route' to send them through MinHash-LSH "
             "candidates, or use minhash_lsh_pairs directly."
         )
-    cold = exact_pairs(prepped.filter(~F.col("_blk").isin(hot)))
+
+    def exact_side(p: DataFrame) -> DataFrame:
+        if not split:
+            return plain_pairs(p)
+        blks = list(split)
+        k = min(
+            _MAX_CHUNKS,
+            max(2, -(-max(split.values()) // _SPLIT_MEMBERS)),
+        )
+        return plain_pairs(p.filter(~F.col("_blk").isin(blks))).unionByName(
+            chunked_pairs(p.filter(F.col("_blk").isin(blks)), k)
+        )
+
+    if not hot:
+        return exact_side(prepped)
+    cold = exact_side(prepped.filter(~F.col("_blk").isin(hot)))
     # route: LSH candidates inside the oversized blocks, then the same
     # exact verify — linear-ish candidates, banding-bounded recall
     hot_docs = df.filter(F.col(block_col).isin(hot))

@@ -63,7 +63,9 @@ def ensure_parallelism(
     return df
 
 
-def shared_fanout(df: DataFrame, *cols: str) -> DataFrame:
+def shared_fanout(
+    df: DataFrame, *cols: str, keep: list[str] | None = None
+) -> DataFrame:
     """Pin a hash exchange under a DataFrame that several plan branches
     consume, so the upstream executes ONCE and every other branch reads
     the exchange back (`ReusedExchange`) instead of re-executing the
@@ -94,12 +96,28 @@ def shared_fanout(df: DataFrame, *cols: str) -> DataFrame:
     count stays at spark.sql.shuffle.partitions — scale-adaptive via
     conf, AQE-coalesced when small.
 
+    ``keep``: the union of the columns ANY consuming branch reads
+    (r12, VERDICT r11 #2): the seal pins the exchange's FULL row
+    schema by design — that is what makes the branch copies
+    canonically identical — so without a projection the shared shuffle
+    carries every upstream column, payload bodies included, even when
+    all branches read three narrow fields. Passing ``keep`` projects
+    BEFORE the exchange, so the shuffle moves only bytes some branch
+    uses (guide §2.3 "project before the exchange"). The caller owns
+    the union: a column missing from ``keep`` that a branch later
+    reads fails analysis loudly (never silently re-widens the
+    exchange). Key columns are always retained.
+
     ``SIS_DISABLE_FANOUT=1`` turns every call into a no-op — the A/B
     switch the r11 optimization measurements flip per run so variant
     and co-tenant noise decorrelate (tools/ab_wobble.py discipline).
     """
     import os
 
+    # SIS_DISABLE_KEEP=1: A/B switch for the keep-narrowing alone
+    # (same single-session interleaving discipline as ab_min.py)
+    if keep is not None and os.environ.get("SIS_DISABLE_KEEP") != "1":
+        df = df.select(*dict.fromkeys([*cols, *keep]))
     if os.environ.get("SIS_DISABLE_FANOUT") == "1":
         return df
     # A tautological filter SEALS the exchange against the two optimizer
@@ -134,7 +152,17 @@ def shared_fanout(df: DataFrame, *cols: str) -> DataFrame:
     # constant-fold away), yet at runtime the hash is never computed
     # because spark_partition_id() >= 0 always takes the then-branch.
     # Net per-row cost above the reused exchange: one int comparison.
-    pin = F.hash(*[F.col(c) for c in df.columns]) >= F.lit(-(2**31))
+    # MapType columns are excluded from the hash (F.hash raises
+    # AnalysisException on maps since Spark 3) but still REFERENCED via
+    # F.size so per-branch pruning cannot specialize them away either;
+    # the sum lives in the same never-evaluated else branch (r12,
+    # ADVICE r11).
+    hashable = [c for c, t in df.dtypes if not t.startswith("map<")]
+    maps = [c for c, t in df.dtypes if t.startswith("map<")]
+    pin = F.hash(*[F.col(c) for c in hashable])
+    for c in maps:
+        pin = pin + F.size(F.col(c))
+    pin = pin >= F.lit(-(2**31))
     seal = F.when(
         F.spark_partition_id() >= F.lit(0), F.lit(True)
     ).otherwise(pin)

@@ -1276,7 +1276,15 @@ def sitemap_frontier(rows: DataFrame) -> DataFrame:
     one exchange every branch reuses."""
     from scicat_ingestor_spark.operators.util import shared_fanout
 
-    rows = shared_fanout(rows, "media_id", "seq")
+    # r12: the three branches read only url/text/error/content_type/
+    # http_status — keep= narrows the sealed exchange to that union
+    # (guide §2.3 "project before the exchange").
+    rows = shared_fanout(
+        rows,
+        "media_id",
+        "seq",
+        keep=["url", "text", "error", "content_type", "http_status"],
+    )
     robots = (
         rows.filter(
             F.col("url").endswith("/robots.txt")
@@ -1706,6 +1714,9 @@ def resolve_redirects(rows: DataFrame, max_hops: int = 3) -> DataFrame:
     # max_hops times) — one sealed exchange makes every instance past
     # the first a ReusedExchange read instead of a re-run of the
     # upstream parse (see operators.util.shared_fanout).
+    # r12 NOTE: NOT narrowed with keep= — the fact branch passes every
+    # input column through to the output (`*rows.columns` below), so
+    # the branch-consumed union is already the full schema.
     from scicat_ingestor_spark.operators.util import shared_fanout
 
     canon = shared_fanout(

@@ -81,14 +81,18 @@ def _t(
     return df
 
 
-def ensure_reuse(rows: DataFrame, *cols: str) -> DataFrame:
+def ensure_reuse(
+    rows: DataFrame, *cols: str, keep: list[str] | None = None
+) -> DataFrame:
     """shared_fanout with the capture-plane default key: parsed WARC
     rows (warc_response_rows output) fan out to several consuming
     branches in most capture queries; (media_id, seq) is unique per
     row, so the pinned exchange spreads perfectly (guide §2.5) and
     every branch past the first becomes a ReusedExchange read instead
-    of a second run of the Python synth+parse plane."""
-    return shared_fanout(rows, *(cols or ("media_id", "seq")))
+    of a second run of the Python synth+parse plane. ``keep`` narrows
+    the sealed exchange to the union of branch-consumed columns (see
+    shared_fanout)."""
+    return shared_fanout(rows, *(cols or ("media_id", "seq")), keep=keep)
 
 
 def _dec(col, scale=2):
@@ -3918,7 +3922,17 @@ def q_crawl_frontier_budget(spark, sf_dir):
     mirroring the Spark float path."""
     from scicat_ingestor_spark.operators import graph, warc
 
-    rows = warc.warc_response_rows(_link_fixture_captures(spark, sf_dir))
+    # r12: the page branch is consumed by pagerank's EAGER edge
+    # checkpoint (a separate job at plan-build time) while the robots
+    # branch runs in the final job — a sealed fanout exchange cannot
+    # span jobs, so the Python synth+parse plane executed TWICE. One
+    # narrow localCheckpoint (4 of 12 parse columns) runs the plane
+    # once and feeds both jobs; same lineage-cut tool pagerank itself
+    # already uses (guide §2.4/§5).
+    rows = warc.warc_response_rows(
+        _link_fixture_captures(spark, sf_dir)
+    ).select("media_id", "url", "text", "http_status", "content_type"
+    ).localCheckpoint()
     pages = rows.filter(
         (F.col("http_status") == 200)
         & F.col("content_type").startswith("text/html")
@@ -4043,7 +4057,12 @@ def q_warc_robots_filter(spark, sf_dir):
     # consume the parsed rows; one hash exchange here makes the second
     # branch a ReusedExchange read instead of a second synth+parse run
     # of the whole Python plane (guide §2.4/§8; see shared_fanout).
-    rows = ensure_reuse(warc.warc_response_rows(captures))
+    # r12: keep= narrows the sealed exchange to the union of what the
+    # two branches read — 5 of 12 parse columns (guide §2.3).
+    rows = ensure_reuse(
+        warc.warc_response_rows(captures),
+        keep=["url", "text", "http_status", "content_type"],
+    )
     robots_bodies = rows.filter(F.col("url").endswith("/robots.txt")).select(
         warc.url_host("url").alias("domain"), "text"
     )
@@ -4261,8 +4280,12 @@ def q_warc_fault_tolerance(spark, sf_dir):
         synth, schema="media_id long, payload binary"
     )
     # r11 optimization: good-page branch + dead-letter branch share ONE
-    # parse run via the sealed exchange (see shared_fanout)
-    rows = ensure_reuse(warc.warc_response_rows(captures))
+    # parse run via the sealed exchange (see shared_fanout). r12: keep=
+    # narrows the exchange to the branch-consumed union (guide §2.3).
+    rows = ensure_reuse(
+        warc.warc_response_rows(captures),
+        keep=["url", "text", "http_status", "content_type", "error"],
+    )
     good = rows.filter(
         F.col("error").isNull()
         & (F.col("http_status") == 200)
@@ -4470,8 +4493,12 @@ def q_warc_robots_agent_groups(spark, sf_dir):
         synth, schema="media_id long, payload binary"
     )
     # r11 optimization: rule branch + page branch share ONE parse run
-    # via the sealed exchange (see q_warc_robots_filter / shared_fanout)
-    rows = ensure_reuse(warc.warc_response_rows(captures))
+    # via the sealed exchange (see q_warc_robots_filter / shared_fanout).
+    # r12: keep= narrows the exchange to the branch-consumed union.
+    rows = ensure_reuse(
+        warc.warc_response_rows(captures),
+        keep=["url", "text", "http_status", "content_type"],
+    )
     robots_bodies = rows.filter(
         F.col("url").endswith("/robots.txt")
     ).select(warc.url_host("url").alias("domain"), "text")

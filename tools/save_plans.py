@@ -32,7 +32,7 @@ def main() -> None:
     spark = get_session("save_plans", extra_conf=extra)
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r11",
+        "plans", os.environ.get("PLANS_DIR", "r12"),
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
