@@ -1164,12 +1164,12 @@ def remove_duplicate_spans(
     shorter than ``n`` tokens hash as one whole-document span — if it
     duplicates, the document empties.
 
-    Scale shape: three linear shuffles — span-hash doc-frequency
-    (map-side combined), the dup-span join back, and the per-doc
-    cut-start collection — then the rebuild is a PURE JVM expression
-    (transform/filter/exists over the token array against the
-    collected cut starts). No token-granularity explode, no
-    self-join; linear in total tokens like the line-dedup family."""
+    Scale shape: two linear shuffles — a span-hash window pass
+    (min/max doc id over each hash decides cross-doc duplication, r12)
+    and the per-doc cut-start collection — then the rebuild is a PURE
+    JVM expression (transform/filter/exists over the token array
+    against the collected cut starts). No token-granularity explode,
+    no self-join; linear in total tokens like the line-dedup family."""
     ltoks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(ltoks) - (n - 1), F.lit(1))
@@ -1183,14 +1183,6 @@ def remove_duplicate_spans(
     )
     ex = docs.select(id_col, F.explode(spans).alias("sp")).select(
         id_col, "sp.s", "sp.h"
-    )
-    dup = (
-        ex.select(id_col, "h")
-        .distinct()
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("ndocs"))
-        .filter(F.col("ndocs") > 1)
-        .select("h")
     )
     # Coverage via the AS-OF pattern (the asof_last_click composition):
     # union duplicated-span STARTS with token rows, ONE carry-forward
@@ -1207,8 +1199,18 @@ def remove_duplicate_spans(
     # but pays an ×n row blowup and two extra exchanges (124 s).
     from pyspark.sql import Window
 
+    # r12 (guide §2.4): "h occurs in more than one document" is
+    # min(id) != max(id) over the span-hash partition — one exchange
+    # on h and ONE evaluation of the md5 span fold, replacing the r11
+    # shape's distinct + groupBy(h) + join-back (three exchanges and a
+    # second full pass over the exploded spans on the probe side).
+    wh = Window.partitionBy("h")
     starts_rows = (
-        ex.join(dup, "h")
+        ex.withColumn(
+            "_dup",
+            F.min(id_col).over(wh) != F.max(id_col).over(wh),
+        )
+        .filter(F.col("_dup"))
         .select(
             id_col,
             F.col("s").alias("pos"),

@@ -1783,10 +1783,21 @@ def q_dedup_duplicate_spans(spark, sf_dir):
     spans = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
     ex = docs.select("doc_id", F.explode(spans).alias("h"))
     # a span is duplicated if it occurs in >1 DOCUMENT (within-doc
-    # repeats are the text_repetition family's business, not dedup's)
-    docfreq = ex.distinct().groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
-    flagged = ex.join(docfreq, "h").select(
-        "doc_id", (F.col("ndocs") > 1).cast("bigint").alias("dup")
+    # repeats are the text_repetition family's business, not dedup's).
+    # r12 (guide §2.4): "some OTHER doc contains h" is min(doc_id) !=
+    # max(doc_id) over the span-hash partition — one exchange on h and
+    # ONE pass over the exploded spans, replacing the r11 shape's
+    # distinct + groupBy + join-back (three exchanges and a second
+    # full evaluation of the md5 span fold on the join's probe side).
+    # Both window aggregates share one Window node (same spec).
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    flagged = ex.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+        ).cast("bigint").alias("dup"),
     )
     return (
         flagged.groupBy("doc_id")

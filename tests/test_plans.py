@@ -798,3 +798,99 @@ def test_ivf_hot_cell_split_no_hot_path_is_unsplit_plan(spark, sf_dir):
         armed, off = fn(10**9), fn(None)
         assert canon(armed) == canon(off)
         assert "_ci#" not in armed._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_shared_fanout_seal_reuses_exchange(spark, sf_dir):
+    """Optimizer pin (r12, ADVICE r11 #1): shared_fanout's sealed
+    exchange relies on Catalyst neither folding the never-taken pin
+    branch nor pushing/pruning through the non-deterministic CaseWhen —
+    version-specific behavior a Spark upgrade could silently defeat,
+    re-running the Python plane once per branch with no correctness
+    signal. Assert the collapse on a real fanout query: with AQE off
+    (planning-time reuse prints; at runtime AQE's stage cache does the
+    same dedup), the plan must hold exactly ONE synth+parse MapInPandas
+    pair and at least one ReusedExchange, and the sealed exchange must
+    carry the keep-narrowed schema, not the full parse schema."""
+    import re
+
+    from scicat_ingestor_spark import queries as Q
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(Q.q_warc_robots_filter(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, "fanout seal defeated: no reuse"
+    n_py = len(re.findall(r"^\(\d+\) MapInPandas", plan, re.M))
+    assert n_py == 2, f"expected one synth+parse pair, got {n_py} nodes"
+    # keep= narrowing: the sealed exchange ships 6 columns (keys + the
+    # branch-consumed union), not the 12-column parse schema
+    m = re.search(
+        r"^\(\d+\) Exchange\nInput \[(\d+)\].*\n"
+        r"Arguments: hashpartitioning\(media_id",
+        plan,
+        re.M,
+    )
+    assert m is not None, "sealed exchange not found in plan"
+    assert int(m.group(1)) == 6, f"exchange width {m.group(1)} != 6"
+
+
+def test_ngram_chunk_split_matches_plain_pairs(spark):
+    """The census-flagged triangle chunk-split in ngram_jaccard_pairs
+    (r12) must return EXACTLY the plain all-pairs result — every pair
+    once, same jaccard. Forced by lowering the module threshold so the
+    synthetic 40-doc block trips the split (k=ceil(40/12)=4 > 2)."""
+    from pyspark.sql import functions as F
+
+    from scicat_ingestor_spark.operators import dedup
+
+    rows = [
+        (i, "en" if i < 40 else "fr", f"tok{i % 7} tok{(i * 3) % 11} tok{i % 5} common")
+        for i in range(52)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def pairs(**kw):
+        return sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", "lang", threshold=0.2, shingle_n=1, **kw
+            ).collect()
+        )
+
+    plain = pairs(max_block=None)
+    old = dedup._SPLIT_MEMBERS
+    dedup._SPLIT_MEMBERS = 12
+    try:
+        split = pairs(max_block=1000)
+    finally:
+        dedup._SPLIT_MEMBERS = old
+    assert split == plain
+    assert len(plain) > 0
+
+
+def test_ngram_no_split_is_plain_plan(spark, sf_dir):
+    """With every block under _SPLIT_MEMBERS (all gate corpora), the
+    census must add NOTHING to the data path: the armed plan equals the
+    max_block=None plain plan, modulo expression-id numbering (the
+    VERDICT r11 #1 regression was exactly a split applied to blocks
+    that never needed it)."""
+    import re
+
+    from scicat_ingestor_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def canon(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        s = re.sub(r"#\d+L?", "#x", s)
+        return re.sub(r"\blambda [a-z]+_\d+", "lambda v_n", s)
+
+    base = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", threshold=0.5, shingle_n=1
+    )
+    armed = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", "lang", threshold=0.5, shingle_n=1,
+        max_block=20_000,
+    )
+    assert canon(armed) == canon(base)
