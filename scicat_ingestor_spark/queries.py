@@ -5560,17 +5560,39 @@ def q_multimodal_dedup_images(spark, sf_dir):
     media = docs.select("doc_id").mapInPandas(
         synth, schema="media_id long, payload binary"
     )
-    # NOTE (r11 optimization round): the LSH pair join consumes vecs on
-    # both sides, but a shared_fanout exchange here measured FLAT at
-    # sf0.1 (2.14 vs 2.18 s min-of-5) — the pair join's own bucket
-    # exchanges already let AQE's runtime stage cache dedupe the cheap
-    # extract upstream. Left as-is deliberately.
     vecs = extract_features(media, dim=16).select(
         F.col("media_id").alias("vec_id"),
         F.col("feature").cast("array<double>").alias("embedding"),
     )
-    pairs = cosine_pairs_lsh(vecs, dim=16, threshold=0.999, bits=4)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # r12: pair at DISTINCT-embedding granularity (the image_phash_dedup
+    # reshape, guide §2.3 "shuffle keys instead of payloads"): identical
+    # bytes -> identical vectors, so a dup-dense corpus put ~51 copies
+    # of each embedding in one signature bucket and the id-level join
+    # evaluated 126k cosine pairs where only <= 97 distinct embeddings
+    # exist (measured 3.1 s of the query's 3.25 s; the self-join also
+    # re-ran the synth+extract Python plane for its second side).
+    # Equivalence to the id-level loser rule "y loses iff some x < y
+    # has cosine >= t": y != min-id of its embedding group -> loses to
+    # that min (cosine of identical vectors = 1 >= t); a group minimum
+    # loses iff some OTHER embedding in its signature bucket passes the
+    # threshold with a smaller group minimum — exactly the rep-level
+    # pair join below. Bucket recall is unchanged (identical vectors
+    # share a signature, so cross-embedding meetings are the same
+    # sig-equality events as before). One window over the embedding
+    # (its exchange is the fan-out point both branches reuse), then the
+    # LSH join runs on <= |distinct images| rows.
+    wv = Window.partitionBy("embedding")
+    mins = vecs.withColumn("_m", F.min("vec_id").over(wv))
+    dup_losers = mins.filter(F.col("vec_id") != F.col("_m")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    reps = mins.filter(F.col("vec_id") == F.col("_m")).select(
+        "vec_id", "embedding"
+    )
+    rep_pairs = cosine_pairs_lsh(reps, dim=16, threshold=0.999, bits=4)
+    losers = dup_losers.unionByName(
+        rep_pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
     return (
         docs.select("doc_id")
         .join(losers, "doc_id", "left_anti")
