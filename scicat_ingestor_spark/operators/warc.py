@@ -1273,7 +1273,12 @@ def sitemap_frontier(rows: DataFrame) -> DataFrame:
     multiply consumed — without a pinned exchange the upstream
     (typically a Python WARC parse) re-executed once per plan instance
     (11x measured in the sitemap_frontier query). shared_fanout seals
-    one exchange every branch reuses."""
+    one exchange every branch reuses.
+
+    Input contract (r12, per r11 ADVICE): ``rows`` must carry the
+    :func:`warc_response_rows` columns this operator reads — media_id,
+    seq (the fanout key), url, text, error, content_type, http_status.
+    A caller projecting those away fails analysis loudly at the seal."""
     from scicat_ingestor_spark.operators.util import shared_fanout
 
     # r12: the three branches read only url/text/error/content_type/
@@ -1708,7 +1713,12 @@ def resolve_redirects(rows: DataFrame, max_hops: int = 3) -> DataFrame:
     decides. Cycles and over-length chains stop at ``max_hops`` with
     the last URL reached (documented: no cycle detection beyond the
     hop bound — the standard crawler behavior). Location values
-    resolve against their page URL (RFC 7231 allows relative)."""
+    resolve against their page URL (RFC 7231 allows relative).
+
+    Input contract (r12, per r11 ADVICE): ``rows`` needs media_id and
+    seq (the sealed exchange's fanout key) alongside url /
+    http_status / redirect_to; every input column is passed through to
+    the output."""
     # r11 optimization: the edge relation and the fact join both
     # consume the canonicalized rows (the edge fold references it
     # max_hops times) — one sealed exchange makes every instance past
